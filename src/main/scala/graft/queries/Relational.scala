@@ -1,0 +1,474 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Relational query surface (SURVEY.md §2.3 Q1–Q16).
+  *
+  * Rows 1–8 re-express reference semantics (range scan, time-range
+  * incremental filter, mandatory-field skip, sanitisation, date
+  * normalization, latest-version-per-key, partition accounting — see
+  * citations per query); rows 9–16 complete the relational surface.
+  *
+  * Oracle-determinism rules used throughout (the driver hash-compares
+  * against DuckDB on the same parquet):
+  *  - SUM/AVG over doubles go through DECIMAL(25,6) (exact, associative)
+  *    and back to DOUBLE, so shuffle/partial-agg order cannot change bits.
+  *  - event time is truncated to MICROSECONDS (`ts div 1000`) because
+  *    DuckDB reads the nanosecond parquet column as µs TIMESTAMP while
+  *    Spark reads it as epoch-nanos long (see [[graft.core.Tables]]).
+  *  - every result has a total ORDER BY (unique key suffix) in both
+  *    engines, and no raw timestamp columns in the output schema.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact, order-insensitive double SUM: route through DECIMAL(25,6). */
+  private[queries] def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+  /** The DuckDB-side twin of [[dsum]]. */
+  private[queries] def DSUM(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+
+  /** Compare a timestamp column against a date literal without losing
+    * parquet filter pushdown (cast the literal, not the column). */
+  private def tsLit(df: DataFrame, colName: String, v: String): Column =
+    lit(v).cast(df.schema(colName).dataType)
+
+  // ---------------------------------------------------------------- Q1
+  // Full scan + count (ref: whole-table export, README.md:5).
+  def q01Scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  val q01Sql: String =
+    s"""SELECT COUNT(*) AS n_rows, ${DSUM("l_quantity")} AS sum_qty,
+       |COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- Q2
+  // Projection + time-range filter = the incremental-export scan
+  // (ref: batch/HBaseReader.kt:145-150 sets the HBase scan time range).
+  def q02ProjFilter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderdate") >= tsLit(o, "o_orderdate", "1996-01-01") &&
+             col("o_orderdate") <  tsLit(o, "o_orderdate", "1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy("o_orderkey")
+  }
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |AND o_orderdate < TIMESTAMP '1997-01-01' ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q3
+  // Key-range pruning = start/stop-row scan (ref: HBaseReader.kt:156-160,
+  // HBasePartitioner.kt:12-37 key-prefix slices).
+  def q03RangePrune(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") >= 100 && col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  val q03Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey BETWEEN 100 AND 1000 ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  // Mandatory-field skip accounting (ref: HBaseResultProcessor.kt:97-102
+  // throws MissingFieldException; JobConfiguration.kt:57-61 skips it).
+  def q04Mandatory(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("event_type").isNotNull && col("props").isNotNull &&
+      col("value").isNotNull
+    t(s, dir, "events").select(ok.as("ok")).agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("ok"), 1)).as("n_kept"),
+      count(when(!col("ok"), 1)).as("n_dropped"))
+  }
+
+  val q04Sql: String =
+    """WITH f AS (SELECT (event_type IS NOT NULL AND props IS NOT NULL
+      |AND value IS NOT NULL) AS ok FROM events)
+      |SELECT COUNT(*) AS n_total, COUNT(CASE WHEN ok THEN 1 END) AS n_kept,
+      |COUNT(CASE WHEN NOT ok THEN 1 END) AS n_dropped FROM f""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  // Sanitisation chain, order-sensitive (ref: SanitisationProcessor.kt:14,
+  // 17-44 — strip \r\n, '$'->'d_', _archived*->_removed*).
+  def q05Sanitise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      replace(
+        replace(
+          replace(regexp_replace(col("props"), "[\\r\\n]+", ""),
+            lit("$"), lit("d_")),
+          lit("_archivedDateTime"), lit("_removedDateTime")),
+        lit("_archived"), lit("_removed")).as("doc"),
+      upper(col("event_type")).as("etype"))
+      .orderBy("event_id")
+
+  val q05Sql: String =
+    """SELECT event_id,
+      |replace(replace(replace(regexp_replace(props, '[\r\n]+', '', 'g'),
+      |'$', 'd_'), '_archivedDateTime', '_removedDateTime'),
+      |'_archived', '_removed') AS doc,
+      |upper(event_type) AS etype FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  // Date normalization: epoch -> ISO-with-millis 'Z' format and back
+  // (ref: Validator.kt:24-27,153-170 dual-format parse + reformat).
+  def q06DateNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("iso", date_format(expr("timestamp_micros(ts_us)"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+      .select(
+        col("event_id"), col("ts_us"), col("iso"),
+        // dual-format fallback parse, second format never matches here
+        coalesce(
+          unix_millis(try_to_timestamp(col("iso"),
+            lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))),
+          unix_millis(try_to_timestamp(col("iso"),
+            lit("yyyy-MM-dd HH:mm:ss")))).as("parsed_ms"))
+      .orderBy("event_id")
+
+  val q06Sql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      |strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ') AS iso,
+      |COALESCE(
+      |  epoch_ms(try_strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), '%Y-%m-%dT%H:%M:%S.%gZ')),
+      |  epoch_ms(try_strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), '%Y-%m-%d %H:%M:%S'))
+      |) AS parsed_ms
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q7
+  // Latest version per key — the core "selects the latest records"
+  // semantics (ref: README.md:5; HBaseReader.kt:145-150 latest cell).
+  // Ordered at µs granularity (oracle parity), event_id tiebreak.
+  def q07LatestVersion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("value"), col("ts_us"))
+      .orderBy("user_id")
+  }
+
+  val q07Sql: String =
+    """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  // Per-partition-range record accounting (ref: manifest/file counters,
+  // S3StreamingWriter.kt:133-138; partition ranges HBasePartitioner.kt).
+  def q08PartitionCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(expr("event_id div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bucket")
+
+  val q08Sql: String =
+    """SELECT event_id // 1000 AS bucket, COUNT(*) AS n,
+      |COUNT(DISTINCT user_id) AS n_users FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  // Inner equi-join + aggregate (fact ⋈ fact).
+  def q09JoinInner(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q09Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |${DSUM("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- Q10
+  // Left outer join (customers with zero orders kept).
+  def q10JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_price"))
+      .orderBy("c_custkey")
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |COALESCE(${DSUM("o_totalprice")}, 0.0) AS total_price
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q11
+  // Left semi join (EXISTS).
+  def q11JoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |AND o_totalprice > 200000) ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q12
+  // Left anti join (NOT EXISTS).
+  def q12JoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q13
+  // Grouped aggregation battery: sum/avg/min/max/count(distinct).
+  def q13AggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_discount")).as("max_disc"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q13Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${DSUM("l_quantity")} AS sum_qty,
+       |${DSUM("l_extendedprice")} / COUNT(*) AS avg_price,
+       |MIN(l_discount) AS min_disc, MAX(l_discount) AS max_disc,
+       |COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- Q14
+  // ROLLUP over (nation, year) revenue.
+  def q14Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("rev")).as("revenue"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("grp_nation"),
+        coalesce(col("o_year"), lit("ALL")).as("grp_year"),
+        col("n_rows"), col("revenue"))
+      .orderBy("grp_nation", "grp_year")
+  }
+
+  val q14Sql: String =
+    s"""WITH j AS (
+       |SELECT n_name, CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+       |l_extendedprice * (1 - l_discount) AS rev
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey)
+       |SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+       |COALESCE(o_year, 'ALL') AS grp_year,
+       |COUNT(*) AS n_rows, ${DSUM("rev")} AS revenue
+       |FROM j GROUP BY ROLLUP (n_name, o_year)
+       |ORDER BY grp_nation, grp_year""".stripMargin
+
+  // --------------------------------------------------------------- Q15
+  // Window functions: ranking + running + sliding frame.
+  def q15Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val dec = col("o_totalprice").cast(DecimalType(25, 6))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("running"),
+        sum(dec).over(w.rowsBetween(-2, 0))
+          .cast(DoubleType).as("sliding"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |ROW_NUMBER() OVER w AS rn,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- Q16
+  // Set operations over customer key sets of two order years.
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def keys(lo: String, hi: String): DataFrame =
+      o.filter(col("o_orderdate") >= tsLit(o, "o_orderdate", lo) &&
+               col("o_orderdate") < tsLit(o, "o_orderdate", hi))
+        .select(col("o_custkey").as("k")).distinct()
+    val a = keys("1996-01-01", "1997-01-01")
+    val b = keys("1997-01-01", "1998-01-01")
+    def tagCount(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tagCount("except", a.except(b))
+      .unionAll(tagCount("intersect", a.intersect(b)))
+      .unionAll(tagCount("union", a.union(b).distinct()))
+      .orderBy("op")
+  }
+
+  val q16Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |UNION ALL SELECT 'intersect', COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL SELECT 'union', COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b)
+      |ORDER BY op""".stripMargin
+
+  // --------------------------------------------------------------- Q17
+  // TPC-H Q1 (pricing summary report) as end-to-end sentinel.
+  def q17TpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q17Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${DSUM("l_quantity")} AS sum_qty,
+       |${DSUM("l_extendedprice")} AS sum_base_price,
+       |${DSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |${DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |${DSUM("l_quantity")} / COUNT(*) AS avg_qty,
+       |${DSUM("l_extendedprice")} / COUNT(*) AS avg_price,
+       |${DSUM("l_discount")} / COUNT(*) AS avg_disc,
+       |COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- Q18
+  // TPC-H Q3 (shipping priority, adapted to available columns): top-10
+  // unshipped-revenue orders for one market segment.
+  def q18TpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") > tsLit(li, "l_shipdate", "1997-06-01"))
+      .join(o.filter(col("o_orderdate") < tsLit(o, "o_orderdate", "1997-06-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q18Sql: String =
+    s"""SELECT l_orderkey, ${DSUM("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |AND o_orderdate < TIMESTAMP '1997-06-01'
+       |AND l_shipdate > TIMESTAMP '1997-06-01'
+       |GROUP BY l_orderkey, o_date, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan" -> (q01Scan _),
+    "q02_proj_filter" -> (q02ProjFilter _),
+    "q03_range_prune" -> (q03RangePrune _),
+    "q04_mandatory" -> (q04Mandatory _),
+    "q05_sanitise" -> (q05Sanitise _),
+    "q06_date_normalize" -> (q06DateNormalize _),
+    "q07_latest_version" -> (q07LatestVersion _),
+    "q08_partition_count" -> (q08PartitionCount _),
+    "q09_join_inner" -> (q09JoinInner _),
+    "q10_join_left" -> (q10JoinLeft _),
+    "q11_join_semi" -> (q11JoinSemi _),
+    "q12_join_anti" -> (q12JoinAnti _),
+    "q13_agg_stats" -> (q13AggStats _),
+    "q14_rollup" -> (q14Rollup _),
+    "q15_window" -> (q15Window _),
+    "q16_setops" -> (q16SetOps _),
+    "q17_tpch_q1" -> (q17TpchQ1 _),
+    "q18_tpch_q3" -> (q18TpchQ3 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan" -> q01Sql,
+    "q02_proj_filter" -> q02Sql,
+    "q03_range_prune" -> q03Sql,
+    "q04_mandatory" -> q04Sql,
+    "q05_sanitise" -> q05Sql,
+    "q06_date_normalize" -> q06Sql,
+    "q07_latest_version" -> q07Sql,
+    "q08_partition_count" -> q08Sql,
+    "q09_join_inner" -> q09Sql,
+    "q10_join_left" -> q10Sql,
+    "q11_join_semi" -> q11Sql,
+    "q12_join_anti" -> q12Sql,
+    "q13_agg_stats" -> q13Sql,
+    "q14_rollup" -> q14Sql,
+    "q15_window" -> q15Sql,
+    "q16_setops" -> q16Sql,
+    "q17_tpch_q1" -> q17Sql,
+    "q18_tpch_q3" -> q18Sql)
+}

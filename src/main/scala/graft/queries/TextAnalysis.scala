@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Relational.{dsum, DSUM}
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, language distribution, document fingerprinting. All pure
+  * per-row column expressions (no UDFs, no shuffles except the grouped
+  * language distribution) — at 100 TB these scan-and-transform linearly.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------------- stats
+  // Token counting: whitespace tokens, char counts, avg token length,
+  // stopword ratio.
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        (expr("aggregate(transform(toks, t -> length(t)), 0, (s, x) -> s + x)")
+          .cast("double") / size(col("toks")).cast("double"))
+          .as("avg_token_len"),
+        (expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
+          size(col("toks")).cast("double")).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  val qTextStatsSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_calc,
+      |CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) /
+      |  CAST(len(toks) AS DOUBLE) AS avg_token_len,
+      |CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) /
+      |  CAST(len(toks) AS DOUBLE) AS stopword_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- quality
+  // Quality scoring: penalize stopword-heavy, very short, very long
+  // docs; bucketize. Same IEEE arithmetic in both engines.
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("score",
+        greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
+          - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
+          - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("score"),
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.6, "mid")
+          .otherwise("low").as("bucket"))
+      .orderBy("doc_id")
+
+  val qTextQualitySql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, text, len(toks) AS n_tokens,
+      |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) /
+      |    CAST(len(toks) AS DOUBLE) AS stop_ratio FROM t),
+      |sc AS (SELECT doc_id, n_tokens, stop_ratio,
+      |  greatest(0.0, 1.0 - 0.5 * stop_ratio
+      |    - (CASE WHEN n_tokens < 30 THEN 0.2 ELSE 0.0 END)
+      |    - (CASE WHEN length(text) > 2000 THEN 0.1 ELSE 0.0 END)) AS score
+      |  FROM s)
+      |SELECT doc_id, n_tokens, stop_ratio, score,
+      |CASE WHEN score >= 0.8 THEN 'high' WHEN score >= 0.6 THEN 'mid'
+      |ELSE 'low' END AS bucket
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- lang
+  // Language distribution with char stats (grouped aggregation).
+  def qLangDist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        dsum(col("n_chars")).as("sum_chars"),
+        (dsum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  val qLangDistSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs, ${DSUM("n_chars")} AS sum_chars,
+       |${DSUM("n_chars")} / COUNT(*) AS avg_chars
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------ fingerprint
+  // Document fingerprinting: whitespace-normalized lowercase content
+  // hash + a short prefix usable as a routing/bucketing key.
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("fp",
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
+      .select(col("doc_id"), col("fp"),
+        substring(col("fp"), 1, 8).as("fp_bucket"))
+      .orderBy("doc_id")
+
+  val qFingerprintSql: String =
+    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_text_stats" -> (qTextStats _),
+    "q26_text_quality" -> (qTextQuality _),
+    "q27_lang_dist" -> (qLangDist _),
+    "q28_fingerprint" -> (qFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_text_stats" -> qTextStatsSql,
+    "q26_text_quality" -> qTextQualitySql,
+    "q27_lang_dist" -> qLangDistSql,
+    "q28_fingerprint" -> qFingerprintSql)
+}
