@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `documents`, `embeddings`.
   *
   * The `events` table carries a nanosecond parquet timestamp, which the
-  * vectorized Spark reader rejects (`PARQUET_TYPE_ILLEGAL`). We read it
-  * via `spark.sql.legacy.parquet.nanosAsLong`, so `events.ts` surfaces as
-  * epoch-nanos `LongType`. NOTE: the DuckDB oracle truncates the same
-  * column to microseconds (`TIMESTAMP`), so any query that compares or
-  * emits event time must first truncate to micros (`ts div 1000` ==
+  * vectorized Spark reader rejects (`PARQUET_TYPE_ILLEGAL`). Sessions
+  * are built with `spark.sql.legacy.parquet.nanosAsLong=true` (see
+  * [[graft.core.Sessions]]), so `events.ts` surfaces as epoch-nanos
+  * `LongType`. NOTE: the DuckDB oracle truncates the same column to
+  * microseconds (`TIMESTAMP`), so any query that compares or emits
+  * event time must first truncate to micros (`ts div 1000` ==
   * DuckDB `epoch_us(ts)`).
   */
 object Tables {
@@ -19,9 +20,6 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // runtime conf; only affects the nanos `events` table, harmless elsewhere
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Envelope ("Kafka wrapper") parsing: `from_json` with an explicit
+  * StructType + projection + mandatory-field skip side-channel —
+  * the Spark-first form of the reference's record-at-a-time Gson
+  * extraction (app/batch/HBaseResultProcessor.kt:22-67).
+  *
+  * `message._id` is deliberately NOT in the struct schema: it is
+  * dynamically shaped (object or scalar — images/hbase/hbase_data.py:
+  * 85-96) and is extracted as raw JSON text with `get_json_object`.
+  *
+  * Skip semantics: rather than throwing per record
+  * (MissingFieldException → Spring Batch skip,
+  * configuration/JobConfiguration.kt:57-61), the stage emits an `err`
+  * column (`missing:<field>` for the first absent mandatory field, in
+  * the reference's validation order, HBaseResultProcessor.kt:44-49);
+  * downstream stages pass errors through and the pipeline tail splits
+  * records from skip accounting. Column expressions only — the parse
+  * stays inside whole-stage codegen.
+  */
+object Envelope {
+
+  val MessageSchema: StructType = StructType(Seq(
+    StructField("db", StringType),
+    StructField("collection", StringType),
+    StructField("@type", StringType),
+    StructField("_lastModifiedDateTime", StringType),
+    StructField("encryption", StructType(Seq(
+      StructField("keyEncryptionKeyId", StringType),
+      StructField("encryptedEncryptionKey", StringType),
+      StructField("initialisationVector", StringType)))),
+    StructField("dbObject", StringType)))
+
+  val EnvelopeSchema: StructType = StructType(Seq(
+    StructField("traceId", StringType),
+    StructField("unitOfWorkId", StringType),
+    StructField("@type", StringType),
+    StructField("message", MessageSchema),
+    StructField("version", StringType),
+    StructField("timestamp", StringType)))
+
+  /** Topic `db.database.collection` → (database, collection)
+    * (reference: app/utils/TextUtils.kt:7-8). */
+  private val topicRe = """^(?:\w+\.)?([-\w]+)\.([-\w]+)$""".r
+  def topicDbCollection(topic: String): Option[(String, String)] =
+    topic match {
+      case topicRe(db, coll) => Some((db, coll))
+      case _ => None
+    }
+
+  private def blankToNull(c: Column): Column = when(length(c) > 0, c)
+
+  /** Parse a raw scan DataFrame with columns
+    * (hbase_id: binary, ts: long, value: string) into SourceRecord
+    * columns + `err`. The 4-byte CRC32 key prefix is stripped to give
+    * the printable JSON id (reference: Validator.kt:32 copyOfRange). */
+  def parse(raw: DataFrame, topic: String): DataFrame = {
+    val (topicDb, topicColl) = topicDbCollection(topic)
+      .map { case (d, c) => (lit(d), lit(c)) }
+      .getOrElse((lit(null).cast(StringType), lit(null).cast(StringType)))
+
+    val msg = col("env.message")
+    val withEnv = raw
+      .withColumn("env", from_json(col("value"), EnvelopeSchema))
+      .withColumn("id_json",
+        expr("CAST(substring(hbase_id, 5, length(hbase_id) - 4) AS STRING)"))
+      .withColumn("outer_type",
+        coalesce(blankToNull(trim(col("env").getField("@type"))), lit("TYPE_NOT_SET")))
+      .withColumn("inner_type",
+        coalesce(blankToNull(trim(msg.getField("@type"))), lit("TYPE_NOT_SET")))
+      .withColumn("last_modified",
+        coalesce(msg.getField("_lastModifiedDateTime"), lit("")))
+      .withColumn("db", coalesce(blankToNull(msg.getField("db")), topicDb))
+      .withColumn("collection",
+        coalesce(blankToNull(msg.getField("collection")), topicColl))
+      .withColumn("kek_id", msg.getField("encryption").getField("keyEncryptionKeyId"))
+      .withColumn("enc_key", msg.getField("encryption").getField("encryptedEncryptionKey"))
+      .withColumn("iv", msg.getField("encryption").getField("initialisationVector"))
+      .withColumn("db_object", msg.getField("dbObject"))
+      .withColumn("id_raw", get_json_object(col("value"), "$.message._id"))
+
+    // Mandatory-field check in the reference's order
+    // (HBaseResultProcessor.kt:44-49). from_json is PERMISSIVE (a
+    // malformed envelope yields a null-fielded struct, not a null), so
+    // unparseable JSON is detected explicitly.
+    def missing(c: Column): Column = c.isNull || length(c) === 0
+    val err =
+      when(get_json_object(col("value"), "$.message").isNull, "bad_envelope")
+        .when(missing(col("db_object")), "missing:dbObject")
+        .when(missing(col("kek_id")), "missing:keyEncryptionKeyId")
+        .when(missing(col("iv")), "missing:initializationVector")
+        .when(missing(col("enc_key")), "missing:encryptedEncryptionKey")
+        .when(missing(col("db")), "missing:db")
+        .when(missing(col("collection")), "missing:collection")
+
+    withEnv.select(
+      col("hbase_id"), col("id_json"), col("id_raw"), col("ts"),
+      col("db"), col("collection"), col("outer_type"), col("inner_type"),
+      col("last_modified"), col("kek_id"), col("enc_key"), col("iv"),
+      col("db_object"), err.as("err"))
+  }
+}

@@ -7,67 +7,117 @@ import graft.core.Tables
 
 /** Deduplication operators over the `documents` table — first-class
   * components of the 100 TB training-data pipeline surface (exact dedup,
-  * n-gram shingle-set dedup, MinHash+LSH candidate generation).
+  * n-gram shingle-set dedup, MinHash+LSH candidate generation, and
+  * dataset-level dedup returning surviving rows).
   *
-  * All hash functions are md5 (present and bit-identical in both Spark
-  * and the DuckDB oracle); MinHash uses min-over-md5("k<i>:"+shingle),
-  * whose lexicographic min over hex strings agrees across engines.
+  * Hash design (bit-identical in Spark and the DuckDB oracle):
+  *  - each 3-gram shingle is reduced ONCE by md5 to a 60-bit int
+  *    (15 hex chars) — the only cryptographic hash on the hot path;
+  *  - the k MinHash values are affine permutations
+  *    `(a_k * (h % P) + b_k) % P` over the Mersenne prime P = 2^31-1 —
+  *    pure 64-bit arithmetic, no overflow in either engine, no md5-per-k
+  *    (the round-1 design paid k md5 calls per shingle);
+  *  - LSH band keys are `:`-joined minhash ints.
   *
-  * Scale notes (100 TB): every query here is shuffle-light — shingling,
-  * signatures and fingerprints are per-row array expressions (no explode
-  * -> no shuffle explosion); the LSH candidate join shuffles only on
-  * narrow (band-hash) keys, which is the standard linear-scale path vs
-  * the quadratic all-pairs join.
+  * Scale notes (100 TB):
+  *  - `toks` (the whitespace split) is bound ONCE per row and referenced
+  *    multiple times, so Catalyst cannot inline the split into the
+  *    shingle lambda — avoiding the O(tokens²) re-split trap;
+  *  - signatures and the Jaccard verify ship fixed-width 8-byte ints,
+  *    never n-gram text; Jaccard over hashed sets equals Jaccard over
+  *    raw sets up to md5 collisions, identically in both engines;
+  *  - the LSH candidate join shuffles only narrow (band, id) keys —
+  *    linear-scale, never all-pairs;
+  *  - the signature relation feeds 4 band joins + 2 verify joins, so it
+  *    is cached (narrow projection only); re-invocation unpersists the
+  *    previous round's cache, bounding storage to one dataset.
   */
 object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Distinct 3-gram word shingles of `text`, as a SQL expression usable
-    * in both engines' dialects (Spark side here; DuckDB twin below). */
+  val NumHashes = 16
+  val BandSize = 4
+  val NumBands: Int = NumHashes / BandSize // 4
+
+  /** Mersenne prime 2^31-1: (a*(h%P)+b)%P stays below 2^62 — safe in
+    * both engines' signed 64-bit arithmetic. */
+  val P = 2147483647L
+  /** Affine coefficients, fixed + embedded in both dialects. */
+  val HashCoeffs: Seq[(Long, Long)] =
+    (0 until NumHashes).map(k => (1000003L * (k + 1) + 17L, 7919L * (k + 1) + 3L))
+
+  /** Spark-side hashed 3-gram shingles of a pre-split `toks` column:
+    * each shingle reduced to a 60-bit int (15 hex of md5). */
   private[queries] val shinglesSpark: String =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                        element_at(split(text, ' '), i + 1),
-      |                        element_at(split(text, ' '), i + 2))))
-      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> CAST(conv(substring(md5(concat_ws(' ',
+      |           element_at(toks, i), element_at(toks, i + 1),
+      |           element_at(toks, i + 2))), 1, 15), 16, 10) AS BIGINT)))
+      |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
 
   private[queries] val shinglesDuck: String =
-    """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |    i -> string_split(text, ' ')[i] || ' ' ||
-      |         string_split(text, ' ')[i + 1] || ' ' ||
-      |         string_split(text, ' ')[i + 2]))
+    """CASE WHEN len(toks) >= 3 THEN
+      |  list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15))::BIGINT))
       |ELSE [] END""".stripMargin
 
-  private val NumHashes = 8
-  private val BandSize = 4 // 2 bands of 4 minhashes
-
-  /** doc_id + minhash signature columns h0..h7 + 2 LSH band keys. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val withSh = docs(s, dir).withColumn("sh", expr(shinglesSpark))
-    val withH = (0 until NumHashes).foldLeft(withSh) { (df, k) =>
+  /** doc_id + hashed shingle set `sh` + minhashes h0..h15 + band keys
+    * band0..band3. Pure per-row array expressions: no shuffle. */
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
+    val withSh = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesSpark))
+      .drop("toks")
+    val withH = HashCoeffs.zipWithIndex.foldLeft(withSh) { case (df, ((a, b), k)) =>
       df.withColumn(s"h$k",
-        expr(s"array_min(transform(sh, s -> md5(concat('k$k:', s))))"))
+        expr(s"array_min(transform(sh, x -> ($a * (x % $P) + $b) % $P))"))
     }
-    withH
-      .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
-      .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+    (0 until NumBands).foldLeft(withH) { (df, bd) =>
+      val cols = (bd * BandSize until (bd + 1) * BandSize).map(k => col(s"h$k"))
+      df.withColumn(s"band$bd", concat_ws(":", cols: _*))
+    }
   }
 
   private def sigSqlCte: String = {
-    val hs = (0 until NumHashes).map { k =>
-      s"list_min(list_transform(sh, s -> md5('k$k:' || s))) AS h$k"
+    val hs = HashCoeffs.zipWithIndex.map { case ((a, b), k) =>
+      s"list_min(list_transform(sh, x -> ($a * (x % $P) + $b) % $P)) AS h$k"
     }.mkString(",\n")
-    s"""WITH shed AS (SELECT doc_id, $shinglesDuck AS sh FROM documents),
+    val bands = (0 until NumBands).map { bd =>
+      val cat = (bd * BandSize until (bd + 1) * BandSize)
+        .map(k => s"CAST(h$k AS VARCHAR)").mkString(" || ':' || ")
+      s"$cat AS band$bd"
+    }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
        |sig AS (SELECT doc_id, sh,
        |$hs
        |FROM shed),
-       |banded AS (SELECT *, md5(h0 || h1 || h2 || h3) AS band0,
-       |md5(h4 || h5 || h6 || h7) AS band1 FROM sig)""".stripMargin
+       |banded AS (SELECT *, $bands FROM sig)""".stripMargin
   }
+
+  // Managed cache for the signature relation: the band + verify joins
+  // reference it ~10 times; without a cache Spark re-evaluates the
+  // shingle/minhash pipeline per reference. Re-invocation unpersists
+  // the previous cache (the ADVICE-flagged leak), keeping at most one
+  // cached signature set per JVM.
+  @transient private var cachedSig: Option[(String, DataFrame)] = None
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      cachedSig match {
+        case Some((d, df)) if d == dir => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val sig = signatures(s, dir)
+            .select(col("doc_id") +: col("sh") +:
+              (0 until NumBands).map(bd => col(s"band$bd")): _*)
+            .cache()
+          cachedSig = Some((dir, sig))
+          sig
+      }
+    }
 
   // ------------------------------------------------------------- exact
   // Exact dedup by content hash (hash-groupBy; map-side combinable).
@@ -86,14 +136,18 @@ object Dedup {
   // *set* of 3-gram shingles (Jaccard == 1.0) collapse to one group.
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shinglesSpark))
-      .select(md5(array_join(array_sort(col("sh")), "|").cast("binary")).as("fp"))
+      .select(md5(
+        expr("array_join(transform(array_sort(sh), x -> CAST(x AS STRING)), '|')")
+          .cast("binary")).as("fp"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_groups"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"))
 
   val qDedupNgramSql: String =
-    s"""WITH shed AS (SELECT doc_id, $shinglesDuck AS sh FROM documents),
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
        |fps AS (SELECT md5(array_to_string(list_sort(sh), '|')) AS fp FROM shed)
        |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_groups,
        |COUNT(*) - COUNT(DISTINCT fp) AS n_dup FROM fps""".stripMargin
@@ -103,24 +157,28 @@ object Dedup {
   // minhash -> band). Pure per-row array expressions: no shuffle.
   def qMinhashSig(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir)
-      .select(col("doc_id"), col("band0"), col("band1"), col("h0"), col("h7"))
+      .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+        col("band3"), col("h0"), col("h15"))
       .orderBy("doc_id")
 
   val qMinhashSigSql: String =
     s"""$sigSqlCte
-       |SELECT doc_id, band0, band1, h0, h7 FROM banded ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, band0, band1, band2, band3, h0, h15
+       |FROM banded ORDER BY doc_id""".stripMargin
 
-  // LSH bucket-join candidate pairs, verified with exact shingle-set
-  // Jaccard. Join key = band hash (linear-scale; never all-pairs).
+  // LSH bucket-join candidate pairs, verified with exact Jaccard over
+  // the hashed shingle sets. Join key = band (linear-scale; never
+  // all-pairs); the verify join ships 8-byte shingle ints.
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir).select(
-      col("doc_id"), col("sh"), col("band0"), col("band1")).cache()
+    val sig = cachedSignatures(s, dir)
+    val narrow = sig.drop("sh")
     def pairsOn(band: String): DataFrame = {
-      val a = sig.select(col("doc_id").as("d1"), col(band).as("b"))
-      val b = sig.select(col("doc_id").as("d2"), col(band).as("b"))
+      val a = narrow.select(col("doc_id").as("d1"), col(band).as("b"))
+      val b = narrow.select(col("doc_id").as("d2"), col(band).as("b"))
       a.join(b, "b").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
     }
-    val cand = pairsOn("band0").union(pairsOn("band1")).distinct()
+    val cand = (0 until NumBands).map(bd => pairsOn(s"band$bd"))
+      .reduce(_ union _).distinct()
     val s1 = sig.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sig.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     cand.join(s1, "d1").join(s2, "d2")
@@ -132,14 +190,14 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val qMinhashPairsSql: String =
+  val qMinhashPairsSql: String = {
+    val bandJoins = (0 until NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
     s"""$sigSqlCte,
        |cand AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
-       |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
-       |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
+       |$bandJoins),
        |scored AS (
        |  SELECT d1, d2,
        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
@@ -148,17 +206,91 @@ object Dedup {
        |            JOIN banded y ON cand.d2 = y.doc_id)
        |SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.3
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  // ----------------------------------------- dataset-level operators
+  // Dedup as DATASET operators: a user wants the surviving rows back,
+  // not dupe counts. Keeper policy is deterministic: the minimum id per
+  // duplicate group.
+
+  /** Exact dedup returning surviving rows: one row per distinct
+    * `textCol` content, keeper = min `idCol`.
+    * Scale: one shuffle on the content hash; row_number-top-1, no
+    * global sort. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Near-dedup via MinHash+LSH returning surviving rows: any document
+    * with a verified (Jaccard ≥ threshold) near-duplicate of smaller id
+    * is dropped — the streaming-safe LSH kill rule (a deterministic
+    * approximation of connected components needing no iteration).
+    * Scale: candidates from the banded join (linear); verify over
+    * hashed shingle ints; final anti-join on the narrow id key. */
+  def dedupNearLSH(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= threshold)
+    val kills = pairs.select(col("d2").as("doc_id")).distinct()
+    docs(s, dir).join(kills, Seq("doc_id"), "left_anti")
+  }
+
+  // -------------------------------------------- q36/q37 keeper checks
+  /** Surviving set of the exact dedup operator (doc_id + fingerprint),
+    * hash-compared against the DuckDB window twin. */
+  def qDedupExactKeep(s: SparkSession, dir: String): DataFrame =
+    dedupExact(docs(s, dir), "text", "doc_id")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  val qDedupExactKeepSql: String =
+    """SELECT doc_id, md5(text) AS fp FROM (
+      |  SELECT doc_id, text, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Surviving doc_ids of the near-dedup operator at Jaccard ≥ 0.5. */
+  def qDedupNearKeep(s: SparkSession, dir: String): DataFrame =
+    dedupNearLSH(s, dir, 0.5)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val qDedupNearKeepSql: String = {
+    val bandJoins = (0 until NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""$sigSqlCte,
+       |cand AS (
+       |$bandJoins),
+       |verified AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id),
+       |kills AS (SELECT DISTINCT d2 AS doc_id FROM verified WHERE jaccard >= 0.5)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (qDedupExact _),
     "q21_dedup_ngram" -> (qDedupNgram _),
     "q22_minhash_sig" -> (qMinhashSig _),
-    "q23_minhash_pairs" -> (qMinhashPairs _))
+    "q23_minhash_pairs" -> (qMinhashPairs _),
+    "q36_dedup_exact_keep" -> (qDedupExactKeep _),
+    "q37_dedup_near_keep" -> (qDedupNearKeep _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
     "q21_dedup_ngram" -> qDedupNgramSql,
     "q22_minhash_sig" -> qMinhashSigSql,
-    "q23_minhash_pairs" -> qMinhashPairsSql)
+    "q23_minhash_pairs" -> qMinhashPairsSql,
+    "q36_dedup_exact_keep" -> qDedupExactKeepSql,
+    "q37_dedup_near_keep" -> qDedupNearKeepSql)
 }

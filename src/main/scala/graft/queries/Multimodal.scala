@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal (binary) column operators — the training-data-pipeline
+  * surface for opaque image/audio/video payloads: content hashing,
+  * header/metadata extraction, and perceptual-hash near-duplicate
+  * detection over Hamming distance with LSH banding.
+  *
+  * The binary fixture is synthesized deterministically from `documents`
+  * with md5-chains (expressible identically in Spark and DuckDB, so
+  * every operator is oracle-checked end-to-end — no rows-only checks):
+  *  - every 50th doc shares blob content with doc 0 (planted exact
+  *    duplicates for the content-hash dedup);
+  *  - docs in the same (doc_id mod 97) group share a perceptual-hash
+  *    base with one per-doc nibble of noise (planted near-duplicates
+  *    for the Hamming path).
+  *
+  * Scale notes (100 TB): blob synthesis/hashing/metadata extraction are
+  * per-row expressions (no shuffle, codegen-friendly); the near-dup
+  * join is LSH-banded on 4-char band keys — linear, never all-pairs —
+  * and the Hamming verify ships 16-char phashes only, never blob bytes.
+  * For real media the synthesis column is replaced by a binary column
+  * read from parquet; see [[graft.pipeline.MultimodalDecode]] for the
+  * decode/feature-extract stage stub.
+  */
+object Multimodal {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------- shared synthesis
+
+  /** Spark: doc_id + blob (binary) + blob_hex. */
+  private def withBlob(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("seed",
+        when(col("doc_id") % 50 === 0, 0L).otherwise(col("doc_id")))
+      .withColumn("blob_hex", expr(
+        """array_join(transform(sequence(0, CAST(2 + seed % 7 AS INT) - 1),
+          |  i -> md5(concat('blob:', CAST(i AS STRING), ':', CAST(seed AS STRING)))), '')""".stripMargin))
+      .withColumn("blob", unhex(col("blob_hex")))
+
+  private val blobCte: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 0 ELSE doc_id END AS seed
+      |  FROM documents),
+      |blobs AS (
+      |  SELECT doc_id, seed,
+      |    array_to_string(list_transform(range(0, CAST(2 + seed % 7 AS INT)),
+      |      i -> md5('blob:' || CAST(i AS VARCHAR) || ':' || CAST(seed AS VARCHAR))), '') AS blob_hex
+      |  FROM seeded),
+      |binary_blobs AS (SELECT doc_id, seed, blob_hex, unhex(blob_hex) AS blob
+      |  FROM blobs)""".stripMargin
+
+  // --------------------------------------------------- q33 blob meta
+  /** Header-style metadata extraction from the binary column: size and
+    * width/height/channels/format decoded from the leading bytes (the
+    * plumbing a real image-header parse would use — Spark reads the
+    * BYTES; the oracle twin reads the equal hex form because DuckDB
+    * cannot slice blobs). */
+  def q33BlobMeta(s: SparkSession, dir: String): DataFrame =
+    withBlob(s, dir).select(
+      col("doc_id"),
+      length(col("blob")).as("size_bytes"),
+      (conv(hex(expr("substring(blob, 1, 1)")), 16, 10).cast("long") + 1)
+        .as("width"),
+      (conv(hex(expr("substring(blob, 2, 1)")), 16, 10).cast("long") + 1)
+        .as("height"),
+      (conv(hex(expr("substring(blob, 3, 1)")), 16, 10).cast("long") % 4 + 1)
+        .as("channels"),
+      element_at(array(lit("png"), lit("jpg"), lit("webp")),
+        (col("seed") % 3 + 1).cast("int")).as("format"))
+      .orderBy("doc_id")
+
+  val q33Sql: String =
+    s"""$blobCte
+       |SELECT doc_id,
+       |octet_length(blob) AS size_bytes,
+       |('0x' || substr(blob_hex, 1, 2))::BIGINT + 1 AS width,
+       |('0x' || substr(blob_hex, 3, 2))::BIGINT + 1 AS height,
+       |('0x' || substr(blob_hex, 5, 2))::BIGINT % 4 + 1 AS channels,
+       |(['png', 'jpg', 'webp'])[CAST(seed % 3 + 1 AS INT)] AS format
+       |FROM binary_blobs ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- q34 blob hash
+  /** Content-hash dedup over the binary column (the multimodal
+    * exact-dedup path; hash-groupBy, map-side combinable). The
+    * fingerprint hashes the hex form — bijective with the bytes, and
+    * DuckDB's md5 cannot take a BLOB — so both engines hash the
+    * identical string. */
+  def q34BlobHash(s: SparkSession, dir: String): DataFrame =
+    withBlob(s, dir).select(md5(col("blob_hex").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n_blobs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"))
+
+  val q34Sql: String =
+    s"""$blobCte
+       |SELECT COUNT(*) AS n_blobs, COUNT(DISTINCT md5(blob_hex)) AS n_distinct,
+       |COUNT(*) - COUNT(DISTINCT md5(blob_hex)) AS n_dup FROM binary_blobs""".stripMargin
+
+  // ----------------------------------------------- q35 phash near-dup
+  /** Perceptual-hash near-duplicates: 16-nibble phash per blob, LSH
+    * over 4 bands of 4 nibbles, Hamming-distance verify (≤ 2). The
+    * band join reuses the MinHash+LSH machinery shape: narrow band
+    * keys, candidates only, never all-pairs. */
+  private val phashSpark: String =
+    """concat(
+      |  substring(md5(concat('phash:', CAST(doc_id % 97 AS STRING))), 1,
+      |            CAST(doc_id % 16 AS INT)),
+      |  substring(md5(concat('noise:', CAST(doc_id AS STRING))), 1, 1),
+      |  substring(md5(concat('phash:', CAST(doc_id % 97 AS STRING))),
+      |            CAST(doc_id % 16 AS INT) + 2,
+      |            15 - CAST(doc_id % 16 AS INT)))""".stripMargin
+
+  private val phashDuck: String =
+    """substr(md5('phash:' || CAST(doc_id % 97 AS VARCHAR)), 1,
+      |       CAST(doc_id % 16 AS INT)) ||
+      |substr(md5('noise:' || CAST(doc_id AS VARCHAR)), 1, 1) ||
+      |substr(md5('phash:' || CAST(doc_id % 97 AS VARCHAR)),
+      |       CAST(doc_id % 16 AS INT) + 2, 15 - CAST(doc_id % 16 AS INT))""".stripMargin
+
+  def q35PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
+      .select(col("doc_id"), expr(phashSpark).as("ph"))
+    val banded = hashed.select(col("doc_id") +: (0 until 4).map(b =>
+      substring(col("ph"), 1 + 4 * b, 4).as(s"band$b")): _*)
+    def pairsOn(b: Int): DataFrame = {
+      val a = banded.select(col("doc_id").as("d1"), col(s"band$b").as("b"))
+      val c = banded.select(col("doc_id").as("d2"), col(s"band$b").as("b"))
+      a.join(c, "b").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
+    }
+    val cand = (0 until 4).map(pairsOn).reduce(_ union _).distinct()
+    val h1 = hashed.select(col("doc_id").as("d1"), col("ph").as("p1"))
+    val h2 = hashed.select(col("doc_id").as("d2"), col("ph").as("p2"))
+    cand.join(h1, "d1").join(h2, "d2")
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 16), i -> substring(p1, i, 1) != substring(p2, i, 1)))"))
+      .filter(col("hamming") <= 2)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  val q35Sql: String =
+    s"""WITH hashed AS (SELECT doc_id, $phashDuck AS ph FROM documents),
+       |banded AS (SELECT doc_id, ph,
+       |  substr(ph, 1, 4) AS band0, substr(ph, 5, 4) AS band1,
+       |  substr(ph, 9, 4) AS band2, substr(ph, 13, 4) AS band3 FROM hashed),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+       |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b
+       |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b
+       |    ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b
+       |    ON a.band3 = b.band3 AND a.doc_id < b.doc_id),
+       |scored AS (SELECT d1, d2,
+       |  len(list_filter(range(1, 17), i -> x.ph[i] != y.ph[i])) AS hamming
+       |  FROM cand JOIN hashed x ON cand.d1 = x.doc_id
+       |            JOIN hashed y ON cand.d2 = y.doc_id)
+       |SELECT d1, d2, hamming FROM scored WHERE hamming <= 2
+       |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_blob_meta" -> (q33BlobMeta _),
+    "q34_blob_hash" -> (q34BlobHash _),
+    "q35_phash_neardup" -> (q35PhashNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "q33_blob_meta" -> q33Sql,
+    "q34_blob_hash" -> q34Sql,
+    "q35_phash_neardup" -> q35Sql)
+}

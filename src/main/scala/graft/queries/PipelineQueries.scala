@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{ExportPipeline, Fixture}
+
+/** End-to-end export-pipeline queries over the deterministic envelope
+  * fixture (the reference's own 10,000-record corpus shape). The sfDir
+  * argument is unused — the fixture is generated in-executor — so these
+  * run at every scale tier; oracles are golden constants mirroring the
+  * reference integration assertions (UberTestSpec.kt:171-177,416-423).
+  */
+object PipelineQueries {
+
+  private val N = 10000L
+
+  // ------------------------------------------------ q40 roundtrip
+  /** Full parse → decrypt → audit-gate → validate → sanitise run;
+    * aggregates the reference's golden invariants:
+    *  - all 10,000 records survive (no skips on the clean corpus);
+    *  - exactly 5,000 (the odd, scalar-`_id` half) take the `$oid` →
+    *    `d_oid` path; manifest ids keep unsanitised `$oid`;
+    *  - every document's dates are `$date`-wrapped then sanitised to
+    *    `d_date`; every document round-trips its own 5-digit id;
+    *  - manifest ids are unique (canonical key-sorted serialization).
+    */
+  def q40PipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = ExportPipeline.run(
+      Fixture.generate(s, N), Fixture.Topic, Fixture.keyService)
+    val recs = ExportPipeline.records(out)
+    recs.agg(
+      count(lit(1)).as("n_records"),
+      count(when(col("doc").contains("d_oid"), 1)).as("n_doid"),
+      count(when(col("doc").contains("d_date"), 1)).as("n_ddate"),
+      count(when(col("m_id").contains("$oid"), 1)).as("n_moid"),
+      countDistinct(col("m_id")).as("n_ids"),
+      countDistinct(col("m_original_id")).as("n_orig_ids"),
+      count(when(col("doc").contains(
+        regexp_extract(col("id_json"), "\"record_id\":\"(\\d{5})\"", 1)), 1))
+        .as("n_id_roundtrip"),
+      count(when(col("m_db") === Fixture.Db &&
+        col("m_collection") === Fixture.Collection &&
+        col("m_source") === "EXPORT" &&
+        col("m_outer") === "OUTER_TYPE" &&
+        col("m_inner") === "INNER_TYPE" &&
+        col("m_ts") === Fixture.CellTimestamp, 1)).as("n_manifest_ok"))
+  }
+
+  val q40Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_records,
+      |CAST(5000 AS BIGINT) AS n_doid,
+      |CAST(10000 AS BIGINT) AS n_ddate,
+      |CAST(5000 AS BIGINT) AS n_moid,
+      |CAST(10000 AS BIGINT) AS n_ids,
+      |CAST(10000 AS BIGINT) AS n_orig_ids,
+      |CAST(10000 AS BIGINT) AS n_id_roundtrip,
+      |CAST(10000 AS BIGINT) AS n_manifest_ok""".stripMargin
+
+  // ------------------------------------------------ q41 typed skips
+  /** Corrupted corpus: 100 records each hit the missing-mandatory-field,
+    * undecryptable-ciphertext and unparseable-payload paths; the rest
+    * export. Typed skip accounting read from the data — the Spark-first
+    * form of the reference's skip-limit configuration
+    * (JobConfiguration.kt:57-61). */
+  def q41PipelineSkips(s: SparkSession, dir: String): DataFrame = {
+    val out = ExportPipeline.run(
+      Fixture.generate(s, N, corrupt = true), Fixture.Topic, Fixture.keyService)
+    ExportPipeline.skipSummary(out)
+  }
+
+  val q41Sql: String =
+    """SELECT outcome, CAST(n AS BIGINT) AS n FROM (VALUES
+      |('bad_decrypted', 100), ('decrypt_failed', 100),
+      |('missing:dbObject', 100), ('ok', 9700)) AS t(outcome, n)
+      |ORDER BY outcome""".stripMargin
+
+  // ------------------------------------------------ q42 writer golden
+  /** Full pipeline + byte-rolling encrypted snapshot writer + paired
+    * manifests, then the writer invariants as golden constants:
+    * every record written exactly once, every manifest line-count
+    * matches its batch, no batch exceeds the byte threshold, every
+    * file decrypt+decompress round-trips to its record count, and the
+    * two signed-byte key slices both produced output
+    * (reference: S3StreamingWriterTest.kt + UberTestSpec.kt:513-592). */
+  def q42WriterGolden(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SnapshotWriter
+    val ks = Fixture.keyService
+    val recs = ExportPipeline.records(ExportPipeline.run(
+      Fixture.generate(s, N), Fixture.Topic, ks))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q42-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-q42-man")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 100000, compression = "gz")
+    val acct = SnapshotWriter.write(recs, cfg, ks).collect().toSeq
+    val nRecords = acct.map(_.records).sum
+    val nOversize = acct.count(_.batch_bytes > 100000)
+    val nManifestMismatch = acct.count { fa =>
+      val lines = java.nio.file.Files.readString(
+        new java.io.File(manDir.toFile, fa.manifest_file).toPath)
+        .split("\n").count(_.nonEmpty)
+      lines != fa.records
+    }
+    val nRoundtripBad = acct.count { fa =>
+      SnapshotWriter.readBack(outDir.toString, fa.file, "gz", ks)
+        .length != fa.records
+    }
+    val slices = acct.map(_.slice).distinct.sorted.mkString(",")
+    import s.implicits._
+    Seq((nRecords, nOversize.toLong, nManifestMismatch.toLong,
+      nRoundtripBad.toLong, slices))
+      .toDF("n_records", "n_oversize", "n_manifest_mismatch",
+        "n_roundtrip_bad", "slices")
+  }
+
+  val q42Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_records,
+      |CAST(0 AS BIGINT) AS n_oversize,
+      |CAST(0 AS BIGINT) AS n_manifest_mismatch,
+      |CAST(0 AS BIGINT) AS n_roundtrip_bad,
+      |'000-128,128-000' AS slices""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
+    "q41_pipeline_skips" -> (q41PipelineSkips _),
+    "q42_writer_golden" -> (q42WriterGolden _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_pipeline_roundtrip" -> q40Sql,
+    "q41_pipeline_skips" -> q41Sql,
+    "q42_writer_golden" -> q42Sql)
+}

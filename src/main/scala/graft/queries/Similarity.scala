@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,44 +106,107 @@ object Similarity {
 
   // ----------------------------------------------------------- IVF kNN
   // IVF-style ANN: deterministic seed centroids (vec_id % 53 == 0),
-  // assign every vector to its nearest seed (its cell), then probe the
-  // query's top-2 cells only. Rows-only check (no oracle): the plan
-  // shape is the point — candidate set is |cells probed| not N.
+  // assign every vector to its nearest seed (its cell), then probe each
+  // query's top-2 cells only — candidate set ∝ cells probed, not N.
+  //
+  // Scale design: the coarse quantizer (seed list) is tiny (S = N/53 ≪
+  // N; in production: k-means centroids fit on a sample) and is shipped
+  // to executors as a literal array-of-structs, so cell assignment is a
+  // per-row fold — ZERO shuffle, fully codegen/whole-stage friendly.
+  // The previous shape (crossJoin + row_number window) materialized and
+  // shuffled N×S rows just to keep an argmax; at 100× scale that
+  // shuffle dominates everything. Probe rows (|Q|×2) are broadcast into
+  // the cell join, so the big `assigned` side is never shuffled either.
+  //
+  // Determinism (oracle parity): dot products accumulate left-to-right
+  // in double in both engines; argmax ties break to the lowest seed_id
+  // (strict `>` fold over the seed array sorted by seed_id == DuckDB
+  // ROW_NUMBER ORDER BY scos DESC, seed_id).
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val n = emb(s, dir).select(col("vec_id"), col("embedding"),
       expr(normSpark).as("nrm"))
-    val seeds = n.filter(col("vec_id") % 53 === 0).select(
-      col("vec_id").as("seed_id"), col("embedding").as("se"),
-      col("nrm").as("sn"))
-    // cell assignment: nearest seed per vector
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("scos").desc, col("seed_id"))
-    val assigned = n.crossJoin(broadcast(seeds))
-      .withColumn("scos", expr(dotSpark("embedding", "se")) / (col("nrm") * col("sn")))
-      .withColumn("srn", row_number().over(wAssign))
-      .filter(col("srn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("seed_id").as("cell"))
-    // queries probe their top-2 cells
-    val wProbe = Window.partitionBy("qid").orderBy(col("scos").desc, col("seed_id"))
-    val probes = assigned.filter(col("vec_id") < 8)
+
+    // Coarse-quantizer build: collect the (tiny) seed set to the driver
+    // and re-ship as a literal. Scala fold mirrors the Spark/DuckDB
+    // left-to-right double accumulation bit-for-bit.
+    val seedRows = n.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val e = r.getSeq[Float](1)
+        val nrm = math.sqrt(e.foldLeft(0.0)((acc, x) =>
+          acc + x.toDouble * x.toDouble))
+        (id, e, nrm)
+      }
+      .sortBy(_._1)
+    val seedsCol = array(seedRows.map { case (id, e, nrm) =>
+      struct(lit(id).as("id"), typedLit(e).as("e"), lit(nrm).as("n"))
+    }.toIndexedSeq: _*)
+
+    /** dot(vec, seed.e) accumulated left-to-right in double. */
+    def dotC(vec: Column, se: Column): Column =
+      aggregate(zip_with(vec, se,
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    /** Per-seed cosine scores as array<struct<c,id>>, seed_id order. */
+    def scored(vec: Column, nrm: Column): Column =
+      transform(seedsCol, sd => struct(
+        (dotC(vec, sd("e")) / (nrm * sd("n"))).as("c"),
+        sd("id").as("id")))
+    /** argmax by cosine, ties to lowest seed_id (strict > fold). */
+    def bestCell(vec: Column, nrm: Column): Column =
+      aggregate(scored(vec, nrm),
+        struct(lit(-2.0).as("c"), lit(-1L).as("id")),
+        (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))("id")
+    /** top-2 cells by cosine (desc, seed_id asc) for the probe side. */
+    def probeCells(vec: Column, nrm: Column): Column = {
+      val sorted = array_sort(scored(vec, nrm), (l, r) =>
+        when(l("c") > r("c"), -1).when(l("c") < r("c"), 1)
+          .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
+          .otherwise(0))
+      transform(slice(sorted, 1, 2), x => x("id"))
+    }
+
+    val assigned = n.withColumn("cell", bestCell(col("embedding"), col("nrm")))
+    val probes = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-      .crossJoin(broadcast(seeds))
-      .withColumn("scos", expr(dotSpark("qe", "se")) / (col("qn") * col("sn")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 2)
-      .select(col("qid"), col("qe"), col("qn"), col("seed_id").as("cell"))
-    // search only within probed cells
+        col("nrm").as("qn"),
+        explode(probeCells(col("embedding"), col("nrm"))).as("cell"))
+
     val wTop = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    probes.join(assigned.withColumnRenamed("vec_id", "cid"), "cell")
+    assigned.withColumnRenamed("vec_id", "cid")
+      .join(broadcast(probes), "cell")
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", expr(dotSpark("qe", "embedding")) / (col("qn") * col("nrm")))
+      .withColumn("cosine", dotC(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("cid"), col("rn"), col("cosine"))
       .orderBy("qid", "rn")
   }
+
+  val qKnnIvfSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n WHERE vec_id % 53 = 0),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+       |  seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored WHERE vec_id < 8)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.qid, a.vec_id AS cid,
+       |  ${dotDuck("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN assigned a USING (cell) WHERE p.qid <> a.vec_id)
+       |SELECT qid, cid, rn, cosine FROM
+       |(SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |   ORDER BY cosine DESC, cid) AS rn FROM cand)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -155,5 +218,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,
-    "q31_cosine_neardup" -> qCosineNearDupSql)
+    "q31_cosine_neardup" -> qCosineNearDupSql,
+    "q32_knn_ivf" -> qKnnIvfSql)
 }

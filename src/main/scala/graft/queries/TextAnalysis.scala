@@ -94,17 +94,21 @@ object TextAnalysis {
   // ------------------------------------------------------ fingerprint
   // Document fingerprinting: whitespace-normalized lowercase content
   // hash + a short prefix usable as a routing/bucketing key.
+  // Whitespace is an explicit char class identical in Java regex and
+  // RE2 — Java's `\s` includes \x0B, RE2's does not, so `\s+` would
+  // hash differently across engines on documents containing \x0B.
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("fp",
-        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")))
+        md5(lower(regexp_replace(col("text"), "[ \\t\\n\\r\\f\\x0B]+", " "))
+          .cast("binary")))
       .select(col("doc_id"), col("fp"),
         substring(col("fp"), 1, 8).as("fp_bucket"))
       .orderBy("doc_id")
 
   val qFingerprintSql: String =
-    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
-      |substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
+    """SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp,
+      |substring(md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), 1, 8) AS fp_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ wiring

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Spark-side plumbing spec for the multimodal decode stage: schema,
+  * partition-wise decoder init, degenerate payloads, and agreement
+  * between the decoded header fields and the columnar header extraction
+  * of graft.queries.Multimodal. */
+class MultimodalDecodeSpec extends SparkSuite {
+
+  private lazy val blobs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array[Byte](0, 0, 0, 10, 20, 30)),
+      (2L, Array[Byte](255.toByte, 127, 3, 1, 2, 3, 4, 5)),
+      (3L, Array[Byte](1, 2)), // too short to decode
+      (4L, null.asInstanceOf[Array[Byte]])) // missing payload
+      .toDF("doc_id", "blob")
+  }
+
+  test("decode schema + header fields") {
+    val out = MultimodalDecode.decodeFeatures(blobs)
+    assert(out.columns.toSeq == Seq("doc_id", "size_bytes", "width",
+      "height", "channels", "histogram", "decode_ok"))
+    val byId = out.collect().map(d => d.doc_id -> d).toMap
+    assert(byId(1L).width == 1 && byId(1L).height == 1 && byId(1L).channels == 1)
+    assert(byId(2L).width == 256 && byId(2L).height == 128 && byId(2L).channels == 4)
+    assert(byId(2L).size_bytes == 8)
+  }
+
+  test("degenerate payloads fail soft (decode_ok=false), never throw") {
+    val byId = MultimodalDecode.decodeFeatures(blobs).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(!byId(3L).decode_ok && byId(3L).size_bytes == 2)
+    assert(!byId(4L).decode_ok && byId(4L).size_bytes == 0)
+    assert(byId(3L).histogram.toSeq == Seq.fill(8)(0f))
+  }
+
+  test("histogram is L1-normalized over payload bytes") {
+    val d = MultimodalDecode.decodeFeatures(blobs).collect()
+      .find(_.doc_id == 1L).get
+    assert(math.abs(d.histogram.sum - 1f) < 1e-6)
+    // bytes 0,0,0,10,20,30 all land in bin 0
+    assert(d.histogram(0) == 1f)
+  }
+
+  test("decoder init runs once per task before records (mapPartitions shape)") {
+    // a decoder that throws unless init() ran proves per-task init order
+    val out = MultimodalDecode.decodeFeatures(
+      blobs.repartition(3), new MultimodalDecode.StubDecoder)
+    assert(out.count() == 4)
+  }
+
+  test("agrees with the columnar header extraction on the synthetic corpus") {
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/testdata/sf0.001"
+    val meta: DataFrame = graft.queries.Multimodal.q33BlobMeta(spark, dir)
+    // rebuild blobs the same way and run the decode stage
+    val synth = graft.core.Tables.load(spark, dir, "documents")
+      .withColumn("seed",
+        when(col("doc_id") % 50 === 0, 0L).otherwise(col("doc_id")))
+      .withColumn("blob", unhex(expr(
+        """array_join(transform(sequence(0, CAST(2 + seed % 7 AS INT) - 1),
+          |  i -> md5(concat('blob:', CAST(i AS STRING), ':', CAST(seed AS STRING)))), '')""".stripMargin)))
+    val decoded = MultimodalDecode.decodeFeatures(synth)
+    val joined = decoded.toDF().alias("d")
+      .join(meta.alias("m"), "doc_id")
+      .filter(col("d.width") =!= col("m.width") ||
+        col("d.height") =!= col("m.height") ||
+        col("d.size_bytes") =!= col("m.size_bytes"))
+    assert(joined.count() == 0)
+  }
+}
