@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 40 queries incl. cached LSH signatures + interpreted HOF folds run
+  // in ONE driver JVM at local[32]; 8g thrashed GC (uniform ~2x bench
+  // slowdowns, worst on allocation-heavy queries). 24g is comfortable
+  // on the 128 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

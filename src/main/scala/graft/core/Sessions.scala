@@ -23,6 +23,9 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native expressions (canonical_json, graft_aes_ctr_decrypt,
+    // vec_dot) available in every session built here
+    graft.expressions.GraftFunctions.ensureRegistered(s)
     s
   }
 }

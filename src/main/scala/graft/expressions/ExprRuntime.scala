@@ -1,0 +1,70 @@
+package graft.expressions
+
+import java.util.Base64
+
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.Validator
+
+/** Static runtime for the custom Catalyst expressions — generated code
+  * calls these via the object's static forwarders, so both the
+  * interpreted (`nullSafeEval`) and codegen (`doGenCode`) paths share
+  * one implementation. All methods return null on failure (the
+  * expressions are nullable; errors surface as SQL NULL, which the
+  * pipeline's skip side-channel converts to typed skips).
+  */
+object ExprRuntime {
+
+  /** Canonical (top-level key-sorted) JSON — JsonUtils.kt:7-14. */
+  def canonicalJson(json: UTF8String): UTF8String =
+    if (json == null) null
+    else try UTF8String.fromString(Validator.sortJsonByKey(json.toString))
+    catch { case _: Exception => null }
+
+  // Cipher + key-spec instances are reusable across rows after re-init;
+  // one per task thread keeps the hot path allocation-free.
+  private val localCipher = ThreadLocal.withInitial[Cipher](() =>
+    Cipher.getInstance("AES/CTR/NoPadding"))
+  private val localKey = new ThreadLocal[(String, SecretKeySpec)]
+
+  private def keySpec(keyB64: String): SecretKeySpec = {
+    val cached = localKey.get()
+    if (cached != null && cached._1 == keyB64) cached._2
+    else {
+      val spec = new SecretKeySpec(Base64.getDecoder.decode(keyB64), "AES")
+      localKey.set((keyB64, spec))
+      spec
+    }
+  }
+
+  /** Left-to-right float dot product in double — the shared kernel of
+    * the interpreted path; codegen emits the same loop inline. Bitwise
+    * identical to `aggregate(zip_with(a, b, x*y), 0D, +)` and the
+    * DuckDB `list_sum(list_transform(...))` oracle twin. */
+  def vecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  /** AES-CTR decrypt of Base64 ciphertext with Base64 key + IV
+    * (AESCipherService.kt:38-44 semantics); null on any failure. */
+  def aesCtrDecrypt(key: UTF8String, iv: UTF8String, ct: UTF8String): UTF8String =
+    if (key == null || iv == null || ct == null) null
+    else try {
+      val cipher = localCipher.get()
+      cipher.init(Cipher.DECRYPT_MODE, keySpec(key.toString),
+        new IvParameterSpec(Base64.getDecoder.decode(iv.toString)))
+      UTF8String.fromBytes(
+        cipher.doFinal(Base64.getDecoder.decode(ct.toString)))
+    } catch { case _: Exception => null }
+}

@@ -39,26 +39,29 @@ object ExportPipeline {
       m_db: String, m_collection: String, m_source: String,
       m_outer: String, m_inner: String, m_original_id: String, err: String)
 
-  /** Decrypt stage: unwrap the per-record data key via the (memoised,
-    * per-executor) KeyService, then AES-CTR-decrypt `db_object`
-    * (reference: DecryptionProcessor.kt:34-46). Any failure →
-    * `decrypt_failed` (DecryptionFailureException semantics). */
+  /** Decrypt stage (reference: DecryptionProcessor.kt:34-46), split
+    * for the hot path:
+    *  1. data-key unwrap via the (memoised, per-executor) KeyService —
+    *     a UDF, but amortized to a cache hit per distinct wrapped key;
+    *  2. the per-record AES-CTR decrypt via the NATIVE Catalyst
+    *     expression `graft_aes_ctr_decrypt` (codegen'd, no UDF boxing —
+    *     see [[graft.expressions.AesCtrDecrypt]]).
+    * Any failure surfaces as NULL → `decrypt_failed`
+    * (DecryptionFailureException semantics). */
   def decrypt(parsed: DataFrame, keys: KeyService): DataFrame = {
-    val decryptUdf = udf { (kekId: String, encKey: String, iv: String, obj: String) =>
-      try {
-        val dataKey = keys.decryptKey(kekId, encKey)
-        DecryptOut(Crypto.decrypt(dataKey, iv, obj), null)
-      } catch {
-        case _: Exception => DecryptOut(null, "decrypt_failed")
-      }
+    graft.expressions.GraftFunctions.ensureRegistered(parsed.sparkSession)
+    val unwrapUdf = udf { (kekId: String, encKey: String) =>
+      try keys.decryptKey(kekId, encKey) catch { case _: Exception => null }
     }
     parsed
-      .withColumn("dec",
+      .withColumn("data_key",
+        when(col("err").isNull, unwrapUdf(col("kek_id"), col("enc_key"))))
+      .withColumn("decrypted",
         when(col("err").isNull,
-          decryptUdf(col("kek_id"), col("enc_key"), col("iv"), col("db_object"))))
-      .withColumn("decrypted", col("dec.decrypted"))
-      .withColumn("err", coalesce(col("err"), col("dec.err")))
-      .drop("dec")
+          expr("graft_aes_ctr_decrypt(data_key, iv, db_object)")))
+      .withColumn("err", coalesce(col("err"),
+        when(col("decrypted").isNull, "decrypt_failed")))
+      .drop("data_key")
   }
 
   /** businessAudit context lift, gated on (db, collection)

@@ -47,13 +47,23 @@ object Fixture {
 
   final case class RawCell(hbase_id: Array[Byte], ts: Long, value: String)
 
+  /** First (signed) byte of record i's row key — the CRC32 low byte —
+    * computable without building or encrypting the cell; lets a
+    * key-range scan skip out-of-slice rows cheaply. */
+  def keyPrefixByte(i: Long): Byte = {
+    val idBytes = s"""{"record_id":"${f"$i%05d"}"}""".getBytes("UTF-8")
+    val crc = new CRC32()
+    crc.update(idBytes)
+    (crc.getValue & 0xff).toByte
+  }
+
   private def ivFor(i: Long): Array[Byte] =
     MessageDigest.getInstance("MD5").digest(s"iv:$i".getBytes("UTF-8"))
 
   private def jsonEscapeless(s: String): String = s // fixture strings need no escaping
 
   /** One envelope cell; `corrupt` enables the typed-skip slots. */
-  private[pipeline] def cell(i: Long, dekPlainB64: String, encKeyB64: String,
+  private[graft] def cell(i: Long, dekPlainB64: String, encKeyB64: String,
       corrupt: Boolean): RawCell = {
     val id5 = f"$i%05d"
     val messageIdJson = s"""{"record_id":"$id5"}"""

@@ -26,15 +26,18 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** sqrt(sum(x_i^2)) in double, left-to-right. */
-  private val normSpark =
-    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
+  /** sqrt(sum(x_i^2)) in double, left-to-right. The Spark side uses the
+    * native codegen'd [[graft.expressions.VectorDot]] (registered as
+    * `vec_dot` by [[graft.core.Sessions]]) — bitwise identical to the
+    * `aggregate(zip_with(...))` HOF form but a primitive loop, which is
+    * the difference between boxed-lambda and vectorizable execution on
+    * the quadratic similarity joins. */
+  private val normSpark = "sqrt(vec_dot(embedding, embedding))"
   private val normDuck =
     "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   /** Spark dot product of two vector columns, left-to-right double. */
-  private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+  private def dotSpark(a: String, b: String): String = s"vec_dot($a, $b)"
   private def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
@@ -122,14 +125,21 @@ object Similarity {
   // in double in both engines; argmax ties break to the lowest seed_id
   // (strict `>` fold over the seed array sorted by seed_id == DuckDB
   // ROW_NUMBER ORDER BY scos DESC, seed_id).
-  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val n = emb(s, dir).select(col("vec_id"), col("embedding"),
+  /** dot(vec, se) accumulated left-to-right in double (native
+    * `vec_dot` — primitive loop, no per-element boxing). */
+  private def dotC(vec: Column, se: Column): Column =
+    call_function("vec_dot", vec, se)
+
+  /** Coarse-quantizer helpers shared by the IVF queries: collect the
+    * (tiny) seed set to the driver and re-ship as a literal
+    * array-of-structs; cell assignment becomes a per-row fold — ZERO
+    * shuffle. The Scala norm fold mirrors the Spark/DuckDB
+    * left-to-right double accumulation bit-for-bit. */
+  private final class IvfQuantizer(s: SparkSession, dir: String) {
+    val n: DataFrame = emb(s, dir).select(col("vec_id"), col("embedding"),
       expr(normSpark).as("nrm"))
 
-    // Coarse-quantizer build: collect the (tiny) seed set to the driver
-    // and re-ship as a literal. Scala fold mirrors the Spark/DuckDB
-    // left-to-right double accumulation bit-for-bit.
-    val seedRows = n.filter(col("vec_id") % 53 === 0)
+    private val seedRows = n.filter(col("vec_id") % IvfSeedStride === 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map { r =>
@@ -140,17 +150,12 @@ object Similarity {
         (id, e, nrm)
       }
       .sortBy(_._1)
-    val seedsCol = array(seedRows.map { case (id, e, nrm) =>
+    private val seedsCol = array(seedRows.map { case (id, e, nrm) =>
       struct(lit(id).as("id"), typedLit(e).as("e"), lit(nrm).as("n"))
     }.toIndexedSeq: _*)
 
-    /** dot(vec, seed.e) accumulated left-to-right in double. */
-    def dotC(vec: Column, se: Column): Column =
-      aggregate(zip_with(vec, se,
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
     /** Per-seed cosine scores as array<struct<c,id>>, seed_id order. */
-    def scored(vec: Column, nrm: Column): Column =
+    private def scored(vec: Column, nrm: Column): Column =
       transform(seedsCol, sd => struct(
         (dotC(vec, sd("e")) / (nrm * sd("n"))).as("c"),
         sd("id").as("id")))
@@ -159,16 +164,39 @@ object Similarity {
       aggregate(scored(vec, nrm),
         struct(lit(-2.0).as("c"), lit(-1L).as("id")),
         (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))("id")
-    /** top-2 cells by cosine (desc, seed_id asc) for the probe side. */
-    def probeCells(vec: Column, nrm: Column): Column = {
+    /** top-k cells by cosine (desc, seed_id asc) for the probe side. */
+    def probeCells(vec: Column, nrm: Column, k: Int): Column = {
       val sorted = array_sort(scored(vec, nrm), (l, r) =>
         when(l("c") > r("c"), -1).when(l("c") < r("c"), 1)
           .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
           .otherwise(0))
-      transform(slice(sorted, 1, 2), x => x("id"))
+      transform(slice(sorted, 1, k), x => x("id"))
     }
+    /** every vector tagged with its nearest-seed cell. */
+    def assigned: DataFrame =
+      n.withColumn("cell", bestCell(col("embedding"), col("nrm")))
+  }
 
-    val assigned = n.withColumn("cell", bestCell(col("embedding"), col("nrm")))
+  /** IVF tuning, shared by the Spark plan and the DuckDB oracle twin:
+    * seeds = every IvfSeedStride-th vector (~N/stride cells), IvfProbes
+    * cells probed per query. Recall calibration on this corpus
+    * (SimilarityRecallSpec): the embeddings are near-isotropic noise —
+    * true top-5 neighbors sit at cosine ≈ 0.3 vs ≈ 0.005 for random
+    * pairs and are almost never same-`label` — so partition-ANN recall
+    * is data-limited: stride 53 × 2 probes → 0.40, × 4 probes → 0.65,
+    * finer cells (stride 29) make it WORSE (0.40). On clustered
+    * embeddings (the production case) the same plan recalls ≥ 0.9;
+    * here the spec pins the measured 0.6 floor. */
+  val IvfSeedStride = 53
+  val IvfProbes = 4
+
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val q = new IvfQuantizer(s, dir)
+    val n = q.n
+    def probeCells(vec: Column, nrm: Column): Column =
+      q.probeCells(vec, nrm, IvfProbes)
+
+    val assigned = q.assigned
     val probes = n.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"),
@@ -188,7 +216,7 @@ object Similarity {
   val qKnnIvfSql: String =
     s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
        |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
-       |  FROM n WHERE vec_id % 53 = 0),
+       |  FROM n WHERE vec_id % $IvfSeedStride = 0),
        |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
        |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
        |  FROM n CROSS JOIN seeds s),
@@ -199,7 +227,7 @@ object Similarity {
        |  seed_id AS cell FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |     ORDER BY scos DESC, seed_id) AS rn FROM scored WHERE vec_id < 8)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= $IvfProbes),
        |cand AS (SELECT p.qid, a.vec_id AS cid,
        |  ${dotDuck("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cosine
        |  FROM probes p JOIN assigned a USING (cell) WHERE p.qid <> a.vec_id)
@@ -208,16 +236,54 @@ object Similarity {
        |   ORDER BY cosine DESC, cid) AS rn FROM cand)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // ----------------------------------- q39 IVF-cell-blocked near-dup
+  // Near-duplicate pairs with the blocking key DERIVED by the engine
+  // (nearest IVF cell) instead of a given label column (q31's caveat):
+  // the real-pipeline shape, where no label exists and the coarse
+  // quantizer provides the block. Within-cell quadratic only — never
+  // all-pairs; cell assignment itself is the zero-shuffle fold.
+  def qCellNearDup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = new IvfQuantizer(s, dir).assigned
+    val a = assigned.select(col("cell"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, "cell").filter(col("d1") < col("d2"))
+      .withColumn("cosine", dotC(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") > 0.5)
+      .select(col("cell"), col("d1"), col("d2"), col("cosine"))
+      .orderBy("cell", "d1", "d2")
+  }
+
+  val qCellNearDupSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n WHERE vec_id % $IvfSeedStride = 0),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |p AS (SELECT a.cell, a.vec_id AS d1, b.vec_id AS d2,
+       |  ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT cell, d1, d2, cosine FROM p WHERE cosine > 0.5
+       |ORDER BY cell, d1, d2""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_embed_norm" -> (qEmbedNorm _),
     "q30_knn_brute" -> (qKnnBrute _),
     "q31_cosine_neardup" -> (qCosineNearDup _),
-    "q32_knn_ivf" -> (qKnnIvf _))
+    "q32_knn_ivf" -> (qKnnIvf _),
+    "q39_cell_neardup" -> (qCellNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,
     "q31_cosine_neardup" -> qCosineNearDupSql,
-    "q32_knn_ivf" -> qKnnIvfSql)
+    "q32_knn_ivf" -> qKnnIvfSql,
+    "q39_cell_neardup" -> qCellNearDupSql)
 }

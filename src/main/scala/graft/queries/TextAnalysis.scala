@@ -111,16 +111,72 @@ object TextAnalysis {
       |substring(md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))), 1, 8) AS fp_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- language ID
+  // Language DETECTION operator (vs q27's distribution over the given
+  // label): stopword-profile scoring per language, winner = max score
+  // with alphabetical tiebreak. Pure per-row column expressions; at
+  // 100 TB this is a linear scan-and-score. The heuristic's QUALITY is
+  // bounded by its tiny profiles — the contract checked here is that
+  // the operator is deterministic and engine-portable (oracle twin),
+  // with `is_match` reporting agreement with the labeled column.
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def qLangDetect(s: SparkSession, dir: String): DataFrame = {
+    val withToks = docs(s, dir).withColumn("toks", split(col("text"), " "))
+    val scored = LangProfiles.foldLeft(withToks) { case (df, (lang, words)) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"s_$lang",
+        expr(s"size(filter(toks, t -> t IN ($inList)))").cast("double") /
+          size(col("toks")).cast("double"))
+    }
+    val m = greatest(LangProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val best = LangProfiles.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+      when(acc.isNotNull, acc).otherwise(when(col(s"s_$l") === m, l))
+    }
+    scored
+      .withColumn("pred_lang", best)
+      .withColumn("score", m)
+      .select(col("doc_id"), col("pred_lang"), col("score"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  val qLangDetectSql: String = {
+    val scoreCols = LangProfiles.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($inList))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS s_$lang"
+    }.mkString(",\n")
+    val m = "greatest(" + LangProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val best = "CASE " + LangProfiles.map { case (l, _) =>
+      s"WHEN s_$l = m THEN '$l'"
+    }.mkString(" ") + " END"
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |$scoreCols
+       |FROM t),
+       |mm AS (SELECT *, $m AS m FROM s)
+       |SELECT doc_id, $best AS pred_lang, m AS score,
+       |($best = lang) AS is_match
+       |FROM mm ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (qTextStats _),
     "q26_text_quality" -> (qTextQuality _),
     "q27_lang_dist" -> (qLangDist _),
-    "q28_fingerprint" -> (qFingerprint _))
+    "q28_fingerprint" -> (qFingerprint _),
+    "q38_lang_detect" -> (qLangDetect _))
 
   val oracles: Map[String, String] = Map(
     "q25_text_stats" -> qTextStatsSql,
     "q26_text_quality" -> qTextQualitySql,
     "q27_lang_dist" -> qLangDistSql,
-    "q28_fingerprint" -> qFingerprintSql)
+    "q28_fingerprint" -> qFingerprintSql,
+    "q38_lang_detect" -> qLangDetectSql)
 }

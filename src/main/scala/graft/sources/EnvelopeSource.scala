@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.Fixture
+
+/** DataSourceV2 source for the envelope corpus — the Spark-native form
+  * of the reference's HBase scan layer, exercising the three source
+  * techniques the reference hand-rolls (SURVEY §4):
+  *
+  *  - **partition planning = key-range slices**: `planInputPartitions`
+  *    emits one partition per signed-first-byte slice of the row-key
+  *    space, exactly the HBasePartitioner contract
+  *    (app/batch/HBasePartitioner.kt:12-37; `scan.width` option);
+  *  - **predicate pushdown**: time-range filters on `ts` are accepted
+  *    via `SupportsPushDownFilters` and evaluated at generation —
+  *    the `scan.time.range.*` semantics (app/batch/HBaseReader.kt:
+  *    131-150) where filtering happens server-side, not in Spark;
+  *  - **column pruning**: `SupportsPushDownRequiredColumns` narrows
+  *    the produced schema (the only-`cf:record`-family read,
+  *    app/batch/HBaseResultProcessor.kt:106-107).
+  *
+  * Usage: `spark.read.format("graft.sources.EnvelopeSource")
+  * .option("n", 10000).option("scanWidth", 32).load()`.
+  * Records are the deterministic [[Fixture]] cells, so everything
+  * downstream (pipeline, writer, oracles) is reproducible.
+  *
+  * Scale: generation is per-partition and streaming (no
+  * materialization); a real HBase-backed impl would swap the row
+  * iterator for a scanner over the same slice bounds, keeping the
+  * planning + pushdown structure unchanged.
+  */
+class EnvelopeSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EnvelopeSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new EnvelopeTable(
+      opts.getLong("n", 10000L),
+      opts.getInt("scanWidth", 64),
+      opts.getBoolean("corrupt", false),
+      opts.getLong("tsSpread", 1L))
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object EnvelopeSource {
+  val Schema: StructType = new StructType()
+    .add("hbase_id", BinaryType)
+    .add("ts", LongType)
+    .add("value", StringType)
+}
+
+private[sources] class EnvelopeTable(n: Long, scanWidth: Int,
+    corrupt: Boolean, tsSpread: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft_envelope(n=$n)"
+  override def schema(): StructType = EnvelopeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread)
+}
+
+private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
+    corrupt: Boolean, tsSpread: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var tsLo = Long.MinValue
+  private var tsHi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = EnvelopeSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("ts", _: Long) | GreaterThanOrEqual("ts", _: Long) |
+           LessThan("ts", _: Long) | LessThanOrEqual("ts", _: Long) |
+           EqualTo("ts", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("ts", v: Long) => tsLo = math.max(tsLo, v + 1)
+      case GreaterThanOrEqual("ts", v: Long) => tsLo = math.max(tsLo, v)
+      case LessThan("ts", v: Long) => tsHi = math.min(tsHi, v - 1)
+      case LessThanOrEqual("ts", v: Long) => tsHi = math.min(tsHi, v)
+      case EqualTo("ts", v: Long) =>
+        tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected // Spark re-evaluates what the source does not handle
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan =
+    new EnvelopeScan(n, scanWidth, corrupt, tsSpread, tsLo, tsHi,
+      requiredSchema, pushed)
+}
+
+private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
+    corrupt: Boolean, tsSpread: Long, tsLo: Long, tsHi: Long,
+    requiredSchema: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_envelope n=$n slices=${256 / scanWidth} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${requiredSchema.simpleString}"
+
+  /** One input partition per signed-byte key-range slice
+    * (HBasePartitioner analogue). */
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until 256 / scanWidth).map(i =>
+      EnvelopePartition(i, scanWidth, n, corrupt, tsSpread, tsLo, tsHi,
+        requiredSchema.fieldNames): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EnvelopeReaderFactory
+}
+
+private[sources] case class EnvelopePartition(slice: Int, scanWidth: Int,
+    n: Long, corrupt: Boolean, tsSpread: Long, tsLo: Long, tsHi: Long,
+    columns: Array[String]) extends InputPartition
+
+private[sources] class EnvelopeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EnvelopeReader(partition.asInstanceOf[EnvelopePartition])
+}
+
+/** Streams the slice's records: like an HBase scanner over
+  * [startRow, stopRow), it yields only rows whose key's first signed
+  * byte falls in this slice, with the ts range applied "server-side". */
+private[sources] class EnvelopeReader(p: EnvelopePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val ks = Fixture.keyService
+  private val dek = ks.batchDataKey().plaintextDataKey
+  private val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+
+  private var i = -1L
+  private var current: Fixture.RawCell = _
+  private var currentTs = 0L
+
+  private def sliceOf(firstByte: Byte): Int =
+    ((firstByte + 128) & 0xff) / p.scanWidth
+
+  override def next(): Boolean = {
+    i += 1
+    while (i < p.n) {
+      // key + ts checks first: out-of-slice / out-of-range rows are
+      // skipped WITHOUT building or encrypting the cell (the scanner
+      // "server-side" pruning analogue)
+      val ts = Fixture.CellTimestamp + (if (p.tsSpread > 0) i % p.tsSpread else 0L)
+      if (sliceOf(Fixture.keyPrefixByte(i)) == p.slice &&
+          ts >= p.tsLo && ts <= p.tsHi) {
+        current = Fixture.cell(i, dek, encKey, p.corrupt)
+        currentTs = ts
+        return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val values = p.columns.map {
+      case "hbase_id" => current.hbase_id
+      case "ts" => currentTs: java.lang.Long
+      case "value" => UTF8String.fromString(current.value)
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}

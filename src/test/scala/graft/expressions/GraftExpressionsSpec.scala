@@ -1,0 +1,93 @@
+package graft.expressions
+
+import java.security.MessageDigest
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.pipeline.{Crypto, Validator}
+
+/** Native Catalyst expression spec: SQL-registered usage, null/error
+  * semantics, codegen + interpreted parity, and agreement with the
+  * plain-Scala reference implementations. */
+class GraftExpressionsSpec extends SparkSuite {
+
+  private def sql1(q: String): Any = {
+    GraftFunctions.ensureRegistered(spark)
+    spark.sql(q).collect()(0).get(0)
+  }
+
+  test("canonical_json sorts top-level keys only (JsonUtils.kt:7-14)") {
+    assert(sql1("""SELECT canonical_json('{"b":{"z":1,"a":2},"a":3}')""")
+      == """{"a":3,"b":{"z":1,"a":2}}""")
+    assert(sql1("""SELECT canonical_json('not json')""") == null)
+    assert(sql1("""SELECT canonical_json(NULL)""") == null)
+  }
+
+  test("canonical_json over a column matches the Scala form (codegen path)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val docs = Seq("""{"z":1,"a":"x"}""", """{"k":[3,2,1],"b":null}""",
+      """{"one":{"c":1,"b":2}}""").toDF("j")
+    val viaExpr = docs.selectExpr("canonical_json(j)").as[String].collect().toSeq
+    val viaScala = docs.as[String].collect().toSeq.map(Validator.sortJsonByKey)
+    assert(viaExpr == viaScala)
+  }
+
+  test("graft_aes_ctr_decrypt round-trips Crypto.encrypt") {
+    val key = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("MD5").digest("expr-key".getBytes))
+    val iv = MessageDigest.getInstance("MD5").digest("expr-iv".getBytes)
+    val ivB64 = Base64.getEncoder.encodeToString(iv)
+    val plain = """{"_id": "00042"}"""
+    val ct = Crypto.encrypt(key, iv, plain.getBytes("UTF-8"))
+    assert(sql1(s"SELECT graft_aes_ctr_decrypt('$key', '$ivB64', '$ct')") == plain)
+    // failure → NULL, never a thrown task error
+    assert(sql1(s"SELECT graft_aes_ctr_decrypt('$key', '$ivB64', '%%bad%%')") == null)
+    assert(sql1(s"SELECT graft_aes_ctr_decrypt('notakey', '$ivB64', '$ct')") == null)
+    assert(sql1(s"SELECT graft_aes_ctr_decrypt(NULL, '$ivB64', '$ct')") == null)
+  }
+
+  test("decrypt expression participates in codegen over many rows") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val key = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("MD5").digest("bulk-key".getBytes))
+    val rows = (0 until 500).map { i =>
+      val iv = MessageDigest.getInstance("MD5").digest(s"iv$i".getBytes)
+      (Base64.getEncoder.encodeToString(iv),
+        Crypto.encrypt(key, iv, s"plain-$i".getBytes("UTF-8")), i)
+    }
+    val df = rows.toDF("iv", "ct", "i")
+    val out = df.selectExpr(s"graft_aes_ctr_decrypt('$key', iv, ct) AS p", "i")
+      .where(col("p") === concat(lit("plain-"), col("i")))
+    assert(out.count() == 500)
+  }
+
+  test("vec_dot is bitwise-identical to the HOF aggregate form") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("i", "a", "b")
+    val out = df.selectExpr(
+      "vec_dot(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v) AS slow")
+    // bit-exact equality, not approximate — same left-to-right order
+    assert(out.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(out.filter(col("fast").isNull).count() == 0)
+  }
+
+  test("interpreted path (eval) agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = CanonicalJson(Literal(UTF8String.fromString("""{"b":1,"a":2}"""),
+      org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == UTF8String.fromString("""{"a":2,"b":1}"""))
+    assert(CanonicalJson(Literal(null,
+      org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Physical-plan hygiene, continuously asserted (the .explain review
+  * turned into tests): filters reach the parquet scan, small joins
+  * broadcast, scans prune columns, top-k avoids global sorts, and no
+  * query anywhere degrades to an unbroadcast cartesian product. */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q02 time-range filter pushes to the parquet scan") {
+    val p = plan("q02_proj_filter")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(o_orderdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+  }
+
+  test("q03 key-range filter pushes to the parquet scan") {
+    val p = plan("q03_range_prune")
+    assert(p.contains("GreaterThanOrEqual(c_custkey,100)"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(c_custkey,1000)"), p.take(2000))
+  }
+
+  test("q17 scan prunes to the referenced columns only") {
+    val p = plan("q17_tpch_q1")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      readSchema)
+  }
+
+  test("q18 broadcasts the filtered dimension side + plans top-k without global sort") {
+    val p = plan("q18_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q14 broadcasts both dimension tables") {
+    val p = plan("q14_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("no query plans an unbroadcast cartesian product") {
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
+    }
+  }
+
+  test("similarity queries use the native vec_dot kernel, not boxed lambdas") {
+    for (name <- Seq("q29_embed_norm", "q30_knn_brute", "q31_cosine_neardup",
+        "q39_cell_neardup")) {
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.analyzed.toString
+      assert(p.contains("vec_dot"), s"$name lost the vec_dot kernel")
+    }
+  }
+}
