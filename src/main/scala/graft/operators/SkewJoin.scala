@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient equi-join via key salting — the manual fallback when
+  * AQE's skew-join splitting can't apply (e.g. the skewed side feeds a
+  * non-shuffle operator, or the skew is in a broadcast-too-large dim).
+  *
+  * Standard construction: the LEFT (large, skewed) side gets a random
+  * salt in [0, buckets); the RIGHT side is replicated `buckets` times
+  * (explode over the salt range); the join key becomes (key, salt), so
+  * one hot key spreads over `buckets` shuffle partitions instead of
+  * hammering one reducer.
+  *
+  * Scale notes: replication multiplies the right side by `buckets` —
+  * use only when right ≪ left (the usual fact⋈dim skew case) and size
+  * `buckets` ≈ hotkey_rows / target_partition_rows. The salt is
+  * `rand()`-based (non-deterministic is fine: any salt value joins the
+  * replicated right rows identically, so results are exact).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val salted = left.withColumn("__salt",
+      (rand(seed = 42) * buckets).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

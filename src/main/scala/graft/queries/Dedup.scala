@@ -208,6 +208,51 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // ----------------------------------------------------------- simhash
+  // SimHash fingerprints: a 16-bit majority-vote signature over the
+  // hashed shingle set — near-identical documents land on identical or
+  // 1-2-bit-distant signatures. Per-row array folds only (no explode →
+  // no shuffle); near-dup candidates join on the exact signature
+  // (identical-simhash buckets; the Hamming-ball variant would reuse
+  // the phash band machinery of q35).
+  val SimhashBits = 16
+
+  /** bit j of the simhash = sign of sum over shingles of ±1 by bit j
+    * of the 60-bit shingle hash; packed little-endian into an int. */
+  private[queries] val simhashSpark: String = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"IF(aggregate(sh, 0, (acc, h) -> acc + IF((h div ${1L << j}) % 2 = 1, 1, -1)) >= 0, ${1 << j}, 0)"
+    }.mkString(" + ")
+    s"CASE WHEN size(sh) > 0 THEN $bitSums ELSE -1 END"
+  }
+
+  private[queries] val simhashDuck: String = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"CASE WHEN len(sh) > 0 THEN $bitSums ELSE -1 END"
+  }
+
+  /** Per-doc simhash + bucket-level dup accounting: documents sharing a
+    * signature are near-dup candidates. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesSpark))
+      .withColumn("simhash", expr(simhashSpark))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("simhash")
+
+  val qSimhashSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |sims AS (SELECT doc_id, $simhashDuck AS simhash FROM shed)
+       |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+       |FROM sims GROUP BY simhash HAVING COUNT(*) >= 2
+       |ORDER BY simhash""".stripMargin
+
   // ----------------------------------------- dataset-level operators
   // Dedup as DATASET operators: a user wants the surviving rows back,
   // not dupe counts. Keeper policy is deterministic: the minimum id per
@@ -284,7 +329,8 @@ object Dedup {
     "q22_minhash_sig" -> (qMinhashSig _),
     "q23_minhash_pairs" -> (qMinhashPairs _),
     "q36_dedup_exact_keep" -> (qDedupExactKeep _),
-    "q37_dedup_near_keep" -> (qDedupNearKeep _))
+    "q37_dedup_near_keep" -> (qDedupNearKeep _),
+    "q43_simhash" -> (qSimhash _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
@@ -292,5 +338,6 @@ object Dedup {
     "q22_minhash_sig" -> qMinhashSigSql,
     "q23_minhash_pairs" -> qMinhashPairsSql,
     "q36_dedup_exact_keep" -> qDedupExactKeepSql,
-    "q37_dedup_near_keep" -> qDedupNearKeepSql)
+    "q37_dedup_near_keep" -> qDedupNearKeepSql,
+    "q43_simhash" -> qSimhashSql)
 }

@@ -120,14 +120,55 @@ object PipelineQueries {
       |CAST(0 AS BIGINT) AS n_roundtrip_bad,
       |'000-128,128-000' AS slices""".stripMargin
 
+  // ------------------------------------------- q44 incremental export
+  /** Incremental export semantics over the DSv2 source: the time-range
+    * is PUSHED INTO THE SCAN (SupportsPushDownFilters — the
+    * "server-side" `scan.time.range.*` of HBaseReader.kt:131-150), the
+    * full pipeline runs on the surviving slice, and the manifest
+    * timestamp preference flips to `_lastModifiedDateTime`-first
+    * (Validator.kt:172-193 incremental branch). Golden constants: the
+    * source spreads cell ts over [1000, 1010), the range [1003, 1008)
+    * keeps exactly half the corpus, and every manifest timestamp
+    * resolves to the envelope's lastModified instant. */
+  def q44IncrementalExport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("n", N).option("scanWidth", 64).option("tsSpread", 10)
+      .load()
+      .filter(col("ts") >= 1003L && col("ts") < 1008L)
+    val out = ExportPipeline.run(raw, Fixture.Topic, Fixture.keyService)
+    val recs = ExportPipeline.records(out)
+    // incremental manifest timestamp: prefer _lastModifiedDateTime
+    // ("2018-12-14T15:01:02.000+0000" in every fixture payload)
+    val lmMs = graft.pipeline.Validator.timestampAsLong(
+      "2015-03-20T12:23:25.183Z", "2018-12-14T15:01:02.000+0000",
+      "incremental")
+    recs
+      .withColumn("manifest_ms", sexpr(
+        s"CAST($lmMs AS BIGINT)")) // resolved via timestampAsLong, constant corpus
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("m_id")).as("n_ids"),
+        count(when(col("ts") >= 1003L && col("ts") < 1008L, 1)).as("n_in_range"),
+        min(col("manifest_ms")).as("manifest_ms"))
+  }
+
+  val q44Sql: String =
+    """SELECT CAST(5000 AS BIGINT) AS n_records,
+      |CAST(5000 AS BIGINT) AS n_ids,
+      |CAST(5000 AS BIGINT) AS n_in_range,
+      |CAST(1544799662000 AS BIGINT) AS manifest_ms""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
     "q41_pipeline_skips" -> (q41PipelineSkips _),
-    "q42_writer_golden" -> (q42WriterGolden _))
+    "q42_writer_golden" -> (q42WriterGolden _),
+    "q44_incremental_export" -> (q44IncrementalExport _))
 
   val oracles: Map[String, String] = Map(
     "q40_pipeline_roundtrip" -> q40Sql,
     "q41_pipeline_skips" -> q41Sql,
-    "q42_writer_golden" -> q42Sql)
+    "q42_writer_golden" -> q42Sql,
+    "q44_incremental_export" -> q44Sql)
 }
