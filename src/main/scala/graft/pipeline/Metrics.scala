@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Observability surface mirroring the reference's Prometheus metrics
+  * (app/configuration/MetricsConfiguration.kt:21-105 — 20+ counters/
+  * gauges pushed to a gateway; app/services/impl/
+  * PushGatewayServiceImpl.kt:19-41), Spark-first:
+  *
+  *  - job-level counters/gauges live in a [[MetricsRegistry]] fed from
+  *    DATA (writer accounting, skip summaries) — never from
+  *    accumulators, which double-count under task retry
+  *    (SURVEY §7.4 risk 5);
+  *  - executor-side effort (records read, bytes, task time, spills)
+  *    comes from a [[TaskMetricsListener]] on the standard
+  *    SparkListener bus — the engine-native replacement for
+  *    hand-rolled per-thread counters;
+  *  - [[MetricsRegistry.expositionFormat]] renders the Prometheus text
+  *    format, so the local file sink is swap-compatible with a real
+  *    pushgateway.
+  */
+object Metrics {
+
+  final class MetricsRegistry {
+    private val counters = new ConcurrentHashMap[String, LongAdder]()
+    private val gauges = new ConcurrentHashMap[String, Double]()
+
+    def inc(name: String, by: Long = 1L): Unit =
+      counters.computeIfAbsent(name, _ => new LongAdder).add(by)
+    def setGauge(name: String, v: Double): Unit = gauges.put(name, v)
+    def counter(name: String): Long =
+      Option(counters.get(name)).map(_.sum).getOrElse(0L)
+    def gauge(name: String): Option[Double] = Option(gauges.get(name))
+
+    /** Prometheus text exposition format (one line per sample). */
+    def expositionFormat: String = {
+      import scala.jdk.CollectionConverters._
+      val cs = counters.asScala.toSeq.sortBy(_._1).map { case (n, v) =>
+        s"# TYPE $n counter\n$n ${v.sum}"
+      }
+      val gs = gauges.asScala.toSeq.sortBy(_._1).map { case (n, v) =>
+        s"# TYPE $n gauge\n$n $v"
+      }
+      (cs ++ gs).mkString("", "\n", "\n")
+    }
+
+    /** Local push target (the pushgateway stand-in). */
+    def pushTo(path: java.nio.file.Path): Unit =
+      java.nio.file.Files.writeString(path, expositionFormat)
+  }
+
+  /** Executor-effort metrics off the listener bus. Register with
+    * `spark.sparkContext.addSparkListener`, remove when done. */
+  final class TaskMetricsListener extends SparkListener {
+    val recordsRead = new LongAdder
+    val bytesRead = new LongAdder
+    val recordsWritten = new LongAdder
+    val shuffleBytesWritten = new LongAdder
+    val executorRunTimeMs = new LongAdder
+    val memoryBytesSpilled = new LongAdder
+    val tasksCompleted = new LongAdder
+
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        recordsRead.add(m.inputMetrics.recordsRead)
+        bytesRead.add(m.inputMetrics.bytesRead)
+        recordsWritten.add(m.outputMetrics.recordsWritten)
+        shuffleBytesWritten.add(m.shuffleWriteMetrics.bytesWritten)
+        executorRunTimeMs.add(m.executorRunTime)
+        memoryBytesSpilled.add(m.memoryBytesSpilled)
+        tasksCompleted.increment()
+      }
+    }
+
+    def fill(reg: MetricsRegistry): Unit = {
+      reg.inc("graft_records_read_total", recordsRead.sum)
+      reg.inc("graft_bytes_read_total", bytesRead.sum)
+      reg.inc("graft_records_written_total", recordsWritten.sum)
+      reg.inc("graft_shuffle_bytes_written_total", shuffleBytesWritten.sum)
+      reg.inc("graft_executor_run_time_ms_total", executorRunTimeMs.sum)
+      reg.inc("graft_memory_bytes_spilled_total", memoryBytesSpilled.sum)
+      reg.inc("graft_tasks_completed_total", tasksCompleted.sum)
+    }
+  }
+
+  /** Run `body` with a task-metrics listener attached; returns (result,
+    * registry with executor metrics + whatever `body` recorded). */
+  def instrumented[A](spark: SparkSession)(body: MetricsRegistry => A): (A, MetricsRegistry) = {
+    val reg = new MetricsRegistry
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body(reg)
+      // the listener bus is async (and its drain API is spark-private):
+      // wait until the task counter is stable
+      var last = -1L
+      var stableFor = 0
+      var waited = 0
+      while (stableFor < 3 && waited < 50) {
+        Thread.sleep(100)
+        waited += 1
+        val now = listener.tasksCompleted.sum
+        if (now == last) stableFor += 1 else { stableFor = 0; last = now }
+      }
+      listener.fill(reg)
+      (out, reg)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
