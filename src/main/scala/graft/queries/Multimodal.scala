@@ -124,9 +124,24 @@ object Multimodal {
       |substr(md5('phash:' || CAST(doc_id % 97 AS VARCHAR)),
       |       CAST(doc_id % 16 AS INT) + 2, 15 - CAST(doc_id % 16 AS INT))""".stripMargin
 
+  // the phash relation feeds 4 band self-joins + 2 verify joins; cache
+  // it (narrow: id + 16-char hash) with the same managed-unpersist
+  // pattern as Dedup.cachedSignatures
+  @transient private var cachedPhash: Option[(String, DataFrame)] = None
+  private def phashed(s: SparkSession, dir: String): DataFrame = synchronized {
+    cachedPhash match {
+      case Some((d, df)) if d == dir => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val df = docs(s, dir)
+          .select(col("doc_id"), expr(phashSpark).as("ph")).cache()
+        cachedPhash = Some((dir, df))
+        df
+    }
+  }
+
   def q35PhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(s, dir)
-      .select(col("doc_id"), expr(phashSpark).as("ph"))
+    val hashed = phashed(s, dir)
     val banded = hashed.select(col("doc_id") +: (0 until 4).map(b =>
       substring(col("ph"), 1 + 4 * b, 4).as(s"band$b")): _*)
     def pairsOn(b: Int): DataFrame = {
