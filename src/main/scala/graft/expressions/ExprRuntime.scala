@@ -43,17 +43,22 @@ object ExprRuntime {
   /** Left-to-right float dot product in double — the shared kernel of
     * the interpreted path; codegen emits the same loop inline. Bitwise
     * identical to `aggregate(zip_with(a, b, x*y), 0D, +)` and the
-    * DuckDB `list_sum(list_transform(...))` oracle twin. */
+    * DuckDB `list_sum(list_transform(...))` oracle twin — including on
+    * ragged pairs: zip_with null-pads unequal lengths, poisoning the
+    * sum to NULL, so a length mismatch returns null here too (never an
+    * out-of-bounds task kill). Boxed return is interpreted-path only;
+    * the generated code inlines a primitive loop with the same guard. */
   def vecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
       sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    sum
+    java.lang.Double.valueOf(sum)
   }
 
   /** AES-CTR decrypt of Base64 ciphertext with Base64 key + IV

@@ -106,13 +106,19 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      // Ragged pair -> NULL, matching zip_with's null-padding semantics
+      // (and the interpreted path) instead of an out-of-bounds read.
       s"""
         int $n = $a.numElements();
-        double $sum = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $sum = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $sum;
         }
-        ${ev.value} = $sum;
       """
     })
 

@@ -24,6 +24,12 @@ object SkewJoin {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // Right/full outer are unsound under this construction: an
+    // unmatched RIGHT row exists `buckets` times post-explode and
+    // would survive as `buckets` duplicate null-extended rows.
+    require(joinType == "inner" || joinType.startsWith("left"),
+      s"saltedEquiJoin supports inner/left* join types, got '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows x buckets)")
     val salted = left.withColumn("__salt",
       (rand(seed = 42) * buckets).cast("int"))
     val replicated = right.withColumn("__salt",

@@ -27,14 +27,19 @@ object Metrics {
 
   final class MetricsRegistry {
     private val counters = new ConcurrentHashMap[String, LongAdder]()
-    private val gauges = new ConcurrentHashMap[String, Double]()
+    // Boxed values: a ConcurrentHashMap[String, Double] would unbox a
+    // missing key's null to 0.0 before Option could see it, making
+    // absent gauges indistinguishable from real zeros.
+    private val gauges = new ConcurrentHashMap[String, java.lang.Double]()
 
     def inc(name: String, by: Long = 1L): Unit =
       counters.computeIfAbsent(name, _ => new LongAdder).add(by)
-    def setGauge(name: String, v: Double): Unit = gauges.put(name, v)
+    def setGauge(name: String, v: Double): Unit =
+      gauges.put(name, java.lang.Double.valueOf(v))
     def counter(name: String): Long =
       Option(counters.get(name)).map(_.sum).getOrElse(0L)
-    def gauge(name: String): Option[Double] = Option(gauges.get(name))
+    def gauge(name: String): Option[Double] =
+      Option(gauges.get(name)).map(_.doubleValue)
 
     /** Prometheus text exposition format (one line per sample). */
     def expositionFormat: String = {

@@ -66,8 +66,12 @@ object Dedup {
 
   /** doc_id + hashed shingle set `sh` + minhashes h0..h15 + band keys
     * band0..band3. Pure per-row array expressions: no shuffle. */
-  private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
-    val withSh = docs(s, dir)
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(docs(s, dir))
+
+  /** Same, over any relation with a `text` column (testable seam). */
+  private[queries] def signaturesOf(docRows: DataFrame): DataFrame = {
+    val withSh = docRows
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shinglesSpark))
       .drop("toks")
@@ -77,7 +81,14 @@ object Dedup {
     }
     (0 until NumBands).foldLeft(withH) { (df, bd) =>
       val cols = (bd * BandSize until (bd + 1) * BandSize).map(k => col(s"h$k"))
-      df.withColumn(s"band$bd", concat_ws(":", cols: _*))
+      // Empty-shingle docs (<3 tokens) must get a NULL band, not "":
+      // concat_ws treats the all-NULL minhashes as empty strings, so
+      // every short doc would share one identical band key per band —
+      // a quadratic all-pairs candidate block at scale — while the
+      // DuckDB twin's `||` yields NULL and never joins. NULL never
+      // equi-joins, so both engines exclude them from candidates.
+      df.withColumn(s"band$bd",
+        when(size(col("sh")) > 0, concat_ws(":", cols: _*)))
     }
   }
 

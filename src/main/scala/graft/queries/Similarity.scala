@@ -108,18 +108,24 @@ object Similarity {
        |ORDER BY label, d1, d2""".stripMargin
 
   // ----------------------------------------------------------- IVF kNN
-  // IVF-style ANN: deterministic seed centroids (vec_id % 53 == 0),
-  // assign every vector to its nearest seed (its cell), then probe each
-  // query's top-2 cells only — candidate set ∝ cells probed, not N.
+  // IVF-style ANN: a FIXED-SIZE coarse quantizer — exactly IvfSeedCount
+  // seed centroids chosen by a deterministic multiplicative-hash sample
+  // (top-K by Knuth hash of vec_id) — assign every vector to its
+  // nearest seed (its cell), then probe each query's top-IvfProbes
+  // cells only — candidate set ∝ cells probed, not N.
   //
-  // Scale design: the coarse quantizer (seed list) is tiny (S = N/53 ≪
-  // N; in production: k-means centroids fit on a sample) and is shipped
-  // to executors as a literal array-of-structs, so cell assignment is a
-  // per-row fold — ZERO shuffle, fully codegen/whole-stage friendly.
-  // The previous shape (crossJoin + row_number window) materialized and
-  // shuffled N×S rows just to keep an argmax; at 100× scale that
-  // shuffle dominates everything. Probe rows (|Q|×2) are broadcast into
-  // the cell join, so the big `assigned` side is never shuffled either.
+  // Scale design: the quantizer is O(K) with K CONSTANT in N. Seed
+  // selection is `ORDER BY hash LIMIT K` → Spark plans
+  // TakeOrderedAndProject (per-partition partial top-K, no global
+  // sort), so the driver receives exactly K rows whether N is 500 or
+  // 1 B (round-2 shape collected N/53 rows — linear in N — and baked
+  // them into a plan literal Catalyst couldn't serialize at scale;
+  // IvfScaleSpec now pins seed count == K across SFs). The K seeds
+  // ship to executors as a K-entry literal array-of-structs, so cell
+  // assignment is a per-row fold — ZERO shuffle, fully
+  // codegen/whole-stage friendly. Probe rows (|Q|×IvfProbes) are
+  // broadcast into the cell join, so the big `assigned` side is never
+  // shuffled either.
   //
   // Determinism (oracle parity): dot products accumulate left-to-right
   // in double in both engines; argmax ties break to the lowest seed_id
@@ -131,15 +137,18 @@ object Similarity {
     call_function("vec_dot", vec, se)
 
   /** Coarse-quantizer helpers shared by the IVF queries: collect the
-    * (tiny) seed set to the driver and re-ship as a literal
+    * FIXED-K seed set (TakeOrderedAndProject — the driver sees exactly
+    * K rows, independent of N) and re-ship as a K-entry literal
     * array-of-structs; cell assignment becomes a per-row fold — ZERO
     * shuffle. The Scala norm fold mirrors the Spark/DuckDB
     * left-to-right double accumulation bit-for-bit. */
-  private final class IvfQuantizer(s: SparkSession, dir: String) {
+  private[graft] final class IvfQuantizer(s: SparkSession, dir: String) {
     val n: DataFrame = emb(s, dir).select(col("vec_id"), col("embedding"),
       expr(normSpark).as("nrm"))
 
-    private val seedRows = n.filter(col("vec_id") % IvfSeedStride === 0)
+    private val seedRows = n
+      .orderBy(ivfHash(col("vec_id")), col("vec_id"))
+      .limit(IvfSeedCount)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map { r =>
@@ -150,6 +159,8 @@ object Similarity {
         (id, e, nrm)
       }
       .sortBy(_._1)
+    /** Seed vec_ids, ascending — exposed for IvfScaleSpec's O(K) pin. */
+    def seedIds: Seq[Long] = seedRows.map(_._1).toIndexedSeq
     private val seedsCol = array(seedRows.map { case (id, e, nrm) =>
       struct(lit(id).as("id"), typedLit(e).as("e"), lit(nrm).as("n"))
     }.toIndexedSeq: _*)
@@ -178,17 +189,26 @@ object Similarity {
   }
 
   /** IVF tuning, shared by the Spark plan and the DuckDB oracle twin:
-    * seeds = every IvfSeedStride-th vector (~N/stride cells), IvfProbes
-    * cells probed per query. Recall calibration on this corpus
-    * (SimilarityRecallSpec): the embeddings are near-isotropic noise —
-    * true top-5 neighbors sit at cosine ≈ 0.3 vs ≈ 0.005 for random
-    * pairs and are almost never same-`label` — so partition-ANN recall
-    * is data-limited: stride 53 × 2 probes → 0.40, × 4 probes → 0.65,
-    * finer cells (stride 29) make it WORSE (0.40). On clustered
+    * exactly IvfSeedCount seeds = the K vectors ranking first under a
+    * Knuth multiplicative hash of vec_id (deterministic, uniform,
+    * engine-portable: plain 64-bit arithmetic, no md5/murmur mismatch),
+    * IvfProbes cells probed per query. K is CONSTANT in N — at 1 B
+    * vectors the driver still collects 10 rows. Recall calibration on
+    * this corpus (SimilarityRecallSpec): the embeddings are
+    * near-isotropic noise — true top-5 neighbors sit at cosine ≈ 0.3
+    * vs ≈ 0.005 for random pairs and are almost never same-`label` —
+    * so partition-ANN recall is data-limited; probing 4 of 10 cells
+    * recalls ≈ 0.65 here, and finer cells make it WORSE. On clustered
     * embeddings (the production case) the same plan recalls ≥ 0.9;
-    * here the spec pins the measured 0.6 floor. */
-  val IvfSeedStride = 53
+    * the spec pins the measured 0.6 floor. */
+  val IvfSeedCount = 10
   val IvfProbes = 4
+  /** Knuth multiplicative hash, identical arithmetic in both engines. */
+  private val IvfHashMult = 2654435761L
+  private val IvfHashMod = 4294967296L // 2^32
+  private def ivfHash(id: Column): Column =
+    pmod(id * lit(IvfHashMult), lit(IvfHashMod))
+  private val ivfHashDuck = s"(vec_id * $IvfHashMult) % $IvfHashMod"
 
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val q = new IvfQuantizer(s, dir)
@@ -216,7 +236,7 @@ object Similarity {
   val qKnnIvfSql: String =
     s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
        |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
-       |  FROM n WHERE vec_id % $IvfSeedStride = 0),
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
        |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
        |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
        |  FROM n CROSS JOIN seeds s),
@@ -258,7 +278,7 @@ object Similarity {
   val qCellNearDupSql: String =
     s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
        |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
-       |  FROM n WHERE vec_id % $IvfSeedStride = 0),
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
        |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
        |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
        |  FROM n CROSS JOIN seeds s),

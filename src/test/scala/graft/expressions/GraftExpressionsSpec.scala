@@ -81,6 +81,23 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(out.filter(col("fast").isNull).count() == 0)
   }
 
+  test("vec_dot on ragged pairs returns NULL, matching zip_with (no task kill)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (1, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (2, Array(1f, 2f, 3f), Array(1f, 2f)), // ragged
+      (3, Array[Float](), Array[Float]())).toDF("i", "a", "b")
+    val out = df.selectExpr("i",
+      "vec_dot(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v) AS slow")
+      .orderBy("i").collect()
+    assert(out(0).getDouble(1) == 14.0 && out(0).getDouble(2) == 14.0)
+    assert(out(1).isNullAt(1), "ragged pair must be NULL, not OOB")
+    assert(out(1).isNullAt(2), "HOF twin is NULL on ragged too")
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
+  }
+
   test("interpreted path (eval) agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String

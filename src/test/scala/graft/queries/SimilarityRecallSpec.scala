@@ -7,10 +7,11 @@ import graft.SparkSuite
   * (IVF) against q30 (brute force, ground truth), asserted at the
   * data-limited floor: this corpus is near-isotropic noise (true top-5
   * neighbors at cosine ≈ 0.3 vs ≈ 0.005 random, label-orthogonal), so
-  * partition-ANN cannot reach clustered-data recall — measured 0.65 at
-  * stride 53 / 4 probes, and FEWER probes or FINER cells both degrade
-  * it (0.40). The floor still proves the index finds signal: random
-  * 4-of-10-cell probing would recall ≈ 0.4 in expectation. */
+  * partition-ANN cannot reach clustered-data recall — measured ≈ 0.65
+  * at K=10 hash-sampled seeds / 4 probes, and FEWER probes or FINER
+  * cells both degrade it (0.40). The floor still proves the index
+  * finds signal: random 4-of-10-cell probing would recall ≈ 0.4 in
+  * expectation. */
 class SimilarityRecallSpec extends SparkSuite {
 
   test("IVF recall@5 vs brute force >= 0.6 (data-limited floor, see header)") {
