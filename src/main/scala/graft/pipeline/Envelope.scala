@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
   * the Spark-first form of the reference's record-at-a-time Gson
   * extraction (app/batch/HBaseResultProcessor.kt:22-67).
   *
-  * `message._id` is deliberately NOT in the struct schema: it is
-  * dynamically shaped (object or scalar — images/hbase/hbase_data.py:
-  * 85-96) and is extracted as raw JSON text with `get_json_object`.
+  * `message._id` is dynamically shaped (object or scalar —
+  * images/hbase/hbase_data.py:85-96) and is declared as a StringType
+  * field: Spark's JacksonParser captures a non-string token under a
+  * StringType field as its raw JSON text, so the id needs no second
+  * `get_json_object` pass. The envelope JSON — the pipeline's widest
+  * column — is parsed EXACTLY ONCE per row.
   *
   * Skip semantics: rather than throwing per record
   * (MissingFieldException → Spring Batch skip,
@@ -28,6 +31,7 @@ object Envelope {
     StructField("db", StringType),
     StructField("collection", StringType),
     StructField("@type", StringType),
+    StructField("_id", StringType), // raw JSON text (object or scalar)
     StructField("_lastModifiedDateTime", StringType),
     StructField("encryption", StructType(Seq(
       StructField("keyEncryptionKeyId", StringType),
@@ -81,15 +85,17 @@ object Envelope {
       .withColumn("enc_key", msg.getField("encryption").getField("encryptedEncryptionKey"))
       .withColumn("iv", msg.getField("encryption").getField("initialisationVector"))
       .withColumn("db_object", msg.getField("dbObject"))
-      .withColumn("id_raw", get_json_object(col("value"), "$.message._id"))
+      .withColumn("id_raw", msg.getField("_id"))
 
     // Mandatory-field check in the reference's order
-    // (HBaseResultProcessor.kt:44-49). from_json is PERMISSIVE (a
-    // malformed envelope yields a null-fielded struct, not a null), so
-    // unparseable JSON is detected explicitly.
+    // (HBaseResultProcessor.kt:44-49). A malformed envelope, an
+    // explicit-null / absent / non-object `message` all surface as a
+    // NULL message struct from the single from_json pass — the same
+    // set the reference's `getAsJsonObject("message")` throws on — so
+    // bad-envelope detection needs no second parse of `value`.
     def missing(c: Column): Column = c.isNull || length(c) === 0
     val err =
-      when(get_json_object(col("value"), "$.message").isNull, "bad_envelope")
+      when(msg.isNull, "bad_envelope")
         .when(missing(col("db_object")), "missing:dbObject")
         .when(missing(col("kek_id")), "missing:keyEncryptionKeyId")
         .when(missing(col("iv")), "missing:initializationVector")

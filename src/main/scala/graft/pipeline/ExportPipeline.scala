@@ -85,11 +85,15 @@ object ExportPipeline {
 
   /** Validation/normalization stage (reference: Validator.kt:31-69 via
     * DecryptionProcessor.kt:46). Emits the normalized document and the
-    * manifest columns. */
-  def validate(df: DataFrame): DataFrame = {
+    * manifest columns. `snapshotType` flips the per-record manifest
+    * timestamp preference (Validator.kt:172-193): full → cell ts,
+    * incremental → `_lastModifiedDateTime`-first with `createdDateTime`
+    * fallback, each computed from the record's own fields. */
+  def validate(df: DataFrame, snapshotType: String = "full"): DataFrame = {
     val validateUdf = udf { (decrypted: String, idJson: String, ts: Long,
         db: String, collection: String, outer: String, inner: String) =>
-      Validator.validate(decrypted, idJson, ts, db, collection, outer, inner) match {
+      Validator.validate(decrypted, idJson, ts, db, collection, outer, inner,
+        snapshotType) match {
         case Right(v) => ValidateOut(v.doc, v.manifest.id, v.manifest.timestamp,
           v.manifest.db, v.manifest.collection, v.manifest.source,
           v.manifest.outerSource, v.manifest.innerSource,
@@ -135,10 +139,11 @@ object ExportPipeline {
 
   /** Full pipeline over a raw scan DataFrame
     * (hbase_id binary, ts long, value string). */
-  def run(raw: DataFrame, topic: String, keys: KeyService): DataFrame =
+  def run(raw: DataFrame, topic: String, keys: KeyService,
+      snapshotType: String = "full"): DataFrame =
     equalityTransform(
       sanitise(validate(auditTransform(
-        decrypt(Envelope.parse(raw, topic), keys)))),
+        decrypt(Envelope.parse(raw, topic), keys)), snapshotType)),
       topic)
 
   /** Successfully exported records (the writer's input). */

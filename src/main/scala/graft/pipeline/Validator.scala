@@ -225,6 +225,22 @@ object Validator {
 
   final case class Validated(doc: String, manifest: Manifest)
 
+  /** Manifest timestamp for one record (Validator.kt:172-193 wired
+    * per-record): `full` snapshots stamp the cell timestamp (the
+    * reference's ManifestRecord carries `item.timestamp`); incremental
+    * snapshots prefer the document's own `_lastModifiedDateTime`,
+    * falling back to `createdDateTime` on parse failure, and to the
+    * cell timestamp only when BOTH document fields are unusable. */
+  def manifestTimestamp(obj: ObjectNode, cellTimestamp: Long,
+      snapshotType: String): Long =
+    if (snapshotType == "full") cellTimestamp
+    else {
+      val created = retrieveDateTimeElement(CreatedField, obj)
+      val lastMod = retrieveDateTimeElement(LastModifiedField, obj)
+      try timestampAsLong(created, lastMod, snapshotType)
+      catch { case _: ParseException => cellTimestamp }
+    }
+
   /** Full validation/normalization of one decrypted document
     * (Validator.kt:31-69): parse → wrap `_lastModifiedDateTime` (always
     * added, from the fallback chain) → recursive date wrap → drop
@@ -232,16 +248,21 @@ object Validator {
     * to `{"$oid"}` → manifest record (canonical ids; missing `_id`
     * reverse-engineered from the row key). Returns Left(reason) for the
     * skip side-channel (BadDecryptedDataException semantics).
+    * `snapshotType` flips the manifest timestamp preference
+    * (Validator.kt:172-193 — see [[manifestTimestamp]]).
     */
   def validate(decrypted: String, hbaseIdJson: String, cellTimestamp: Long,
       db: String, collection: String, outerType: String,
-      innerType: String): Either[String, Validated] =
+      innerType: String, snapshotType: String = "full"): Either[String, Validated] =
     try {
       val parsed = mapper.readTree(decrypted)
       if (parsed == null || !parsed.isObject)
         Left(s"not a JSON object")
       else {
         val obj = parsed.asInstanceOf[ObjectNode]
+
+        // manifest ts reads the RAW document fields, pre-wrap
+        val manifestTs = manifestTimestamp(obj, cellTimestamp, snapshotType)
 
         // wrapDates (Validator.kt:79-95)
         val lastModified = retrieveLastModifiedDateTime(obj)
@@ -258,11 +279,11 @@ object Validator {
             if (idEl.isValueNode)
               replaceWithKeyValuePair(obj, "_id", OidField, idEl.asText())
             val newId = elementAsString(obj.get("_id"))
-            Manifest(newId, cellTimestamp, db, collection, "EXPORT",
+            Manifest(newId, manifestTs, db, collection, "EXPORT",
               outerType, innerType, originalId)
           case None =>
             val (original, altered) = reverseEngineerId(hbaseIdJson)
-            Manifest(altered, cellTimestamp, db, collection, "EXPORT",
+            Manifest(altered, manifestTs, db, collection, "EXPORT",
               outerType, innerType, original)
         }
         Right(Validated(mapper.writeValueAsString(obj), manifest))

@@ -134,40 +134,40 @@ object PipelineQueries {
   /** Incremental export semantics over the DSv2 source: the time-range
     * is PUSHED INTO THE SCAN (SupportsPushDownFilters — the
     * "server-side" `scan.time.range.*` of HBaseReader.kt:131-150), the
-    * full pipeline runs on the surviving slice, and the manifest
-    * timestamp preference flips to `_lastModifiedDateTime`-first
-    * (Validator.kt:172-193 incremental branch). Golden constants: the
-    * source spreads cell ts over [1000, 1010), the range [1003, 1008)
-    * keeps exactly half the corpus, and every manifest timestamp
-    * resolves to the envelope's lastModified instant. */
+    * full pipeline runs on the surviving slice with
+    * `snapshotType = "incremental"`, so the manifest timestamp
+    * preference flips to `_lastModifiedDateTime`-first PER RECORD
+    * (Validator.kt:172-193 incremental branch) — `m_ts` below is the
+    * pipeline's own output, flowing from each record's document
+    * fields, not a driver-side constant. Golden constants: the source
+    * spreads cell ts over [1000, 1010), the range [1003, 1008) keeps
+    * exactly half the corpus, and every record's `_lastModifiedDateTime`
+    * ("2018-12-14T15:01:02.000+0000") resolves to 1544799662000 ms —
+    * one distinct manifest timestamp, ≠ any cell ts. */
   def q44IncrementalExport(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr => sexpr}
     val raw = s.read.format("graft.sources.EnvelopeSource")
       .option("n", N).option("scanWidth", 64).option("tsSpread", 10)
       .load()
       .filter(col("ts") >= 1003L && col("ts") < 1008L)
-    val out = ExportPipeline.run(raw, Fixture.Topic, Fixture.keyService)
+    val out = ExportPipeline.run(raw, Fixture.Topic, Fixture.keyService,
+      snapshotType = "incremental")
     val recs = ExportPipeline.records(out)
-    // incremental manifest timestamp: prefer _lastModifiedDateTime
-    // ("2018-12-14T15:01:02.000+0000" in every fixture payload)
-    val lmMs = graft.pipeline.Validator.timestampAsLong(
-      "2015-03-20T12:23:25.183Z", "2018-12-14T15:01:02.000+0000",
-      "incremental")
-    recs
-      .withColumn("manifest_ms", sexpr(
-        s"CAST($lmMs AS BIGINT)")) // resolved via timestampAsLong, constant corpus
-      .agg(
-        count(lit(1)).as("n_records"),
-        countDistinct(col("m_id")).as("n_ids"),
-        count(when(col("ts") >= 1003L && col("ts") < 1008L, 1)).as("n_in_range"),
-        min(col("manifest_ms")).as("manifest_ms"))
+    recs.agg(
+      count(lit(1)).as("n_records"),
+      countDistinct(col("m_id")).as("n_ids"),
+      count(when(col("ts") >= 1003L && col("ts") < 1008L, 1)).as("n_in_range"),
+      countDistinct(col("m_ts")).as("n_distinct_ts"),
+      min(col("m_ts")).as("manifest_ms"),
+      count(when(col("m_ts") === col("ts"), 1)).as("n_cell_ts_leak"))
   }
 
   val q44Sql: String =
     """SELECT CAST(5000 AS BIGINT) AS n_records,
       |CAST(5000 AS BIGINT) AS n_ids,
       |CAST(5000 AS BIGINT) AS n_in_range,
-      |CAST(1544799662000 AS BIGINT) AS manifest_ms""".stripMargin
+      |CAST(1 AS BIGINT) AS n_distinct_ts,
+      |CAST(1544799662000 AS BIGINT) AS manifest_ms,
+      |CAST(0 AS BIGINT) AS n_cell_ts_leak""".stripMargin
 
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

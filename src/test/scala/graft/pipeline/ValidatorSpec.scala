@@ -150,4 +150,32 @@ class ValidatorSpec extends AnyFunSuite {
     assert(Validator.timestampAsLong(created, modified, "incremental") == modifiedMs)
     assert(Validator.timestampAsLong("garbage", modified, "full") == modifiedMs)
   }
+
+  test("validate stamps the manifest ts per record by snapshot type") {
+    val modifiedMs = Validator.parseValidDateTime(
+      "2019-07-04T07:27:35.104+0000").getTime
+    // full: the cell timestamp, exactly the reference's ManifestRecord
+    val full = validateDefault(fullDoc).toOption.get
+    assert(full.manifest.timestamp == 1000L)
+    // incremental: the record's own _lastModifiedDateTime
+    val incr = Validator.validate(fullDoc, """{"record_id":"00001"}""", 1000L,
+      "db", "collection", "OUTER_TYPE", "INNER_TYPE", "incremental").toOption.get
+    assert(incr.manifest.timestamp == modifiedMs)
+    // incremental with absent _lastModifiedDateTime: createdDateTime
+    // fallback — here nested under $date, fetched date-aware (a
+    // present-but-garbage value would skip the whole record in
+    // wrapDates, reference-faithfully, before the manifest is built)
+    val noLm = fullDoc.replace(
+      """"_lastModifiedDateTime": "2019-07-04T07:27:35.104+0000"""",
+      """"unrelated": 0""")
+    val createdMs = Validator.parseValidDateTime("2015-03-20T12:23:25.183Z").getTime
+    val fb = Validator.validate(noLm, """{"record_id":"00001"}""", 1000L,
+      "db", "collection", "OUTER_TYPE", "INNER_TYPE", "incremental").toOption.get
+    assert(fb.manifest.timestamp == createdMs)
+    // both document fields unusable: the cell timestamp backstop
+    val neither = """{"_id": "X", "a": 1}"""
+    val bs = Validator.validate(neither, """{"record_id":"00001"}""", 1000L,
+      "db", "collection", "OUTER_TYPE", "INNER_TYPE", "incremental").toOption.get
+    assert(bs.manifest.timestamp == 1000L)
+  }
 }
