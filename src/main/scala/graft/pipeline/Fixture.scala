@@ -57,23 +57,33 @@ object Fixture {
     (crc.getValue & 0xff).toByte
   }
 
-  private def ivFor(i: Long): Array[Byte] =
-    MessageDigest.getInstance("MD5").digest(s"iv:$i".getBytes("UTF-8"))
+  private def ivFor(i: Long, version: Int): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(
+      (if (version == 0) s"iv:$i" else s"iv:$i:$version").getBytes("UTF-8"))
 
   private def jsonEscapeless(s: String): String = s // fixture strings need no escaping
 
-  /** One envelope cell; `corrupt` enables the typed-skip slots. */
+  /** One envelope cell; `corrupt` enables the typed-skip slots.
+    *
+    * `version` models HBase multi-version cells (the reference's tables
+    * are created with `max_versions=1000000`, images/hbase/hbase_data
+    * .py:32): version v of key i is stamped ts = [[CellTimestamp]] + v,
+    * and for v > 0 the decrypted payload carries a `"v":v` marker so a
+    * downstream reader can prove WHICH version was exported. Version 0
+    * is bit-identical to the single-version cell, keeping every
+    * existing golden frozen. */
   private[graft] def cell(i: Long, dekPlainB64: String, encKeyB64: String,
-      corrupt: Boolean): RawCell = {
+      corrupt: Boolean, version: Int = 0): RawCell = {
     val id5 = f"$i%05d"
     val messageIdJson = s"""{"record_id":"$id5"}"""
     val payloadId =
       if (i % 2 == 0) s"""{"record_id":"$id5"}""" else s""""$id5""""
+    val versionField = if (version == 0) "" else s""","v":$version"""
     val payload =
       if (corrupt && i % 100 == BadJsonSlot) "{{{"
       else
-        s"""{"_id":$payloadId,"createdDateTime":"2015-03-20T12:23:25.183Z","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000"}"""
-    val iv = ivFor(i)
+        s"""{"_id":$payloadId,"createdDateTime":"2015-03-20T12:23:25.183Z","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000"$versionField}"""
+    val iv = ivFor(i, version)
     val ivB64 = Base64.getEncoder.encodeToString(iv)
     val ciphertext =
       if (corrupt && i % 100 == BadCiphertextSlot) "%%%not-base64%%%"
@@ -92,7 +102,7 @@ object Fixture {
     val prefix = Array[Byte](
       (c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
       ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte)
-    RawCell(prefix ++ idBytes, CellTimestamp, value)
+    RawCell(prefix ++ idBytes, CellTimestamp + version, value)
   }
 
   /** The raw scan DataFrame (hbase_id binary, ts long, value string). */

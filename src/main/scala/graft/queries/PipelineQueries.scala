@@ -169,16 +169,62 @@ object PipelineQueries {
       |CAST(1544799662000 AS BIGINT) AS manifest_ms,
       |CAST(0 AS BIGINT) AS n_cell_ts_leak""".stripMargin
 
+  // --------------------------------------- q47 multi-version export
+  /** Multi-version latest-cell-in-range semantics — the reference's
+    * core read path: tables hold many versions per key
+    * (images/hbase/hbase_data.py:32 `max_versions=1000000`) and the
+    * scan returns the latest cell inside `[start, end)`
+    * (HBaseReader.kt:145-150), with the record ts taken from that
+    * winning cell (HBaseResultProcessor.kt:76-77). Source: key i holds
+    * `1 + (i%5)` versions at ts 1000+v, version v's payload carries
+    * `"v":v`; the pushed range `[1000, 1003)` must export version
+    * `min(i%5, 2)` for EVERY key — overwritten versions never leak,
+    * out-of-range newer versions lose to in-range older ones. Golden
+    * constants: 2000/2000/6000 keys export v0/v1/v2, no doc carries
+    * v>2 (`max_v`), every record's cell ts is 1000+v (`n_ts_match`),
+    * and the full-snapshot manifest ts equals that winning-cell ts
+    * (`n_mts_match` — Validator.kt production stamp). */
+  def q47MultiversionExport(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("n", N).option("scanWidth", 64).option("versions", 5)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    val out = ExportPipeline.run(raw, Fixture.Topic, Fixture.keyService)
+    val recs = ExportPipeline.records(out)
+    val seq = coalesce(
+      nullif(regexp_extract(col("doc"), "\"v\":(\\d+)", 1), lit("")),
+      lit("0")).cast("long")
+    recs.agg(
+      count(lit(1)).as("n_records"),
+      count(when(seq === 0L, 1)).as("n_v0"),
+      count(when(seq === 1L, 1)).as("n_v1"),
+      count(when(seq === 2L, 1)).as("n_v2"),
+      max(seq).as("max_v"),
+      count(when(col("ts") === lit(1000L) + seq, 1)).as("n_ts_match"),
+      count(when(col("m_ts") === col("ts"), 1)).as("n_mts_match"))
+  }
+
+  val q47Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_records,
+      |CAST(2000 AS BIGINT) AS n_v0,
+      |CAST(2000 AS BIGINT) AS n_v1,
+      |CAST(6000 AS BIGINT) AS n_v2,
+      |CAST(2 AS BIGINT) AS max_v,
+      |CAST(10000 AS BIGINT) AS n_ts_match,
+      |CAST(10000 AS BIGINT) AS n_mts_match""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
     "q41_pipeline_skips" -> (q41PipelineSkips _),
     "q42_writer_golden" -> (q42WriterGolden _),
-    "q44_incremental_export" -> (q44IncrementalExport _))
+    "q44_incremental_export" -> (q44IncrementalExport _),
+    "q47_multiversion_export" -> (q47MultiversionExport _))
 
   val oracles: Map[String, String] = Map(
     "q40_pipeline_roundtrip" -> q40Sql,
     "q41_pipeline_skips" -> q41Sql,
     "q42_writer_golden" -> q42Sql,
-    "q44_incremental_export" -> q44Sql)
+    "q44_incremental_export" -> q44Sql,
+    "q47_multiversion_export" -> q47Sql)
 }

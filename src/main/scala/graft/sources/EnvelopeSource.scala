@@ -40,7 +40,20 @@ import graft.pipeline.Fixture
   * Scale: generation is per-partition and streaming (no
   * materialization); a real HBase-backed impl would swap the row
   * iterator for a scanner over the same slice bounds, keeping the
-  * planning + pushdown structure unchanged.
+  * planning + pushdown structure unchanged. NOTE for that impl: this
+  * fixture reader walks the full index range `[0, n)` per partition
+  * and filters by slice byte (cheap CRC32 skip, fixture-only) — a
+  * real scanner must instead SEEK to the slice's startRow/stopRow so
+  * total work is O(n), not O(n × slices).
+  *
+  * Multi-version read semantics (`versions` option, default 1): key i
+  * holds `1 + (i % versions)` cell versions at ts 1000, 1001, … (the
+  * reference stores up to 1,000,000 versions per key,
+  * images/hbase/hbase_data.py:32) and the scan returns only the LATEST
+  * version inside the pushed ts range — HBase `Scan.setTimeRange` +
+  * default one-version read (HBaseReader.kt:145-150), with the record
+  * ts taken from that winning cell (HBaseResultProcessor.kt:76-77).
+  * `versions > 1` supersedes `tsSpread`.
   */
 class EnvelopeSource extends TableProvider {
 
@@ -54,7 +67,8 @@ class EnvelopeSource extends TableProvider {
       opts.getLong("n", 10000L),
       opts.getInt("scanWidth", 64),
       opts.getBoolean("corrupt", false),
-      opts.getLong("tsSpread", 1L))
+      opts.getLong("tsSpread", 1L),
+      opts.getInt("versions", 1))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -68,17 +82,17 @@ object EnvelopeSource {
 }
 
 private[sources] class EnvelopeTable(n: Long, scanWidth: Int,
-    corrupt: Boolean, tsSpread: Long) extends Table with SupportsRead {
+    corrupt: Boolean, tsSpread: Long, versions: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_envelope(n=$n)"
   override def schema(): StructType = EnvelopeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread)
+    new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread, versions)
 }
 
 private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
-    corrupt: Boolean, tsSpread: Long)
+    corrupt: Boolean, tsSpread: Long, versions: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -113,12 +127,12 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
     requiredSchema = required
 
   override def build(): Scan =
-    new EnvelopeScan(n, scanWidth, corrupt, tsSpread, tsLo, tsHi,
+    new EnvelopeScan(n, scanWidth, corrupt, tsSpread, versions, tsLo, tsHi,
       requiredSchema, pushed)
 }
 
 private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
-    corrupt: Boolean, tsSpread: Long, tsLo: Long, tsHi: Long,
+    corrupt: Boolean, tsSpread: Long, versions: Int, tsLo: Long, tsHi: Long,
     requiredSchema: StructType, pushed: Array[Filter])
     extends Scan with Batch {
 
@@ -133,16 +147,16 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
     * (HBasePartitioner analogue). */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until 256 / scanWidth).map(i =>
-      EnvelopePartition(i, scanWidth, n, corrupt, tsSpread, tsLo, tsHi,
-        requiredSchema.fieldNames): InputPartition).toArray
+      EnvelopePartition(i, scanWidth, n, corrupt, tsSpread, versions, tsLo,
+        tsHi, requiredSchema.fieldNames): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EnvelopeReaderFactory
 }
 
 private[sources] case class EnvelopePartition(slice: Int, scanWidth: Int,
-    n: Long, corrupt: Boolean, tsSpread: Long, tsLo: Long, tsHi: Long,
-    columns: Array[String]) extends InputPartition
+    n: Long, corrupt: Boolean, tsSpread: Long, versions: Int, tsLo: Long,
+    tsHi: Long, columns: Array[String]) extends InputPartition
 
 private[sources] class EnvelopeReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -172,12 +186,34 @@ private[sources] class EnvelopeReader(p: EnvelopePartition)
       // key + ts checks first: out-of-slice / out-of-range rows are
       // skipped WITHOUT building or encrypting the cell (the scanner
       // "server-side" pruning analogue)
-      val ts = Fixture.CellTimestamp + (if (p.tsSpread > 0) i % p.tsSpread else 0L)
-      if (sliceOf(Fixture.keyPrefixByte(i)) == p.slice &&
-          ts >= p.tsLo && ts <= p.tsHi) {
-        current = Fixture.cell(i, dek, encKey, p.corrupt)
-        currentTs = ts
-        return true
+      if (sliceOf(Fixture.keyPrefixByte(i)) == p.slice) {
+        if (p.versions > 1) {
+          // Multi-version cells: key i holds 1 + (i % versions) cell
+          // versions, version v at ts = CellTimestamp + v (the
+          // reference's tables store up to 1,000,000 versions per key,
+          // images/hbase/hbase_data.py:32). Like an HBase Scan with
+          // setTimeRange + default readVersions(1)
+          // (HBaseReader.kt:145-150), the reader returns ONLY the
+          // latest version whose ts falls inside [tsLo, tsHi] — an
+          // out-of-range NEWER version loses to an in-range OLDER one,
+          // and a key with no in-range version yields nothing. The
+          // winning version index is O(1) arithmetic; losing versions
+          // are never built or encrypted.
+          val numV = 1L + (i % p.versions)
+          val vTop = math.min(numV - 1L, p.tsHi - Fixture.CellTimestamp)
+          if (vTop >= 0L && Fixture.CellTimestamp + vTop >= p.tsLo) {
+            current = Fixture.cell(i, dek, encKey, p.corrupt, vTop.toInt)
+            currentTs = current.ts
+            return true
+          }
+        } else {
+          val ts = Fixture.CellTimestamp + (if (p.tsSpread > 0) i % p.tsSpread else 0L)
+          if (ts >= p.tsLo && ts <= p.tsHi) {
+            current = Fixture.cell(i, dek, encKey, p.corrupt)
+            currentTs = ts
+            return true
+          }
+        }
       }
       i += 1
     }

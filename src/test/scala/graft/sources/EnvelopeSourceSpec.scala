@@ -60,6 +60,46 @@ class EnvelopeSourceSpec extends SparkSuite {
     assert(viaFixture.exceptAll(viaSource).count() == 0)
   }
 
+  test("multi-version: unfiltered scan returns one row per key, the latest version " +
+      "(hbase_data.py:32 max_versions; HBaseResultProcessor.kt:76-77)") {
+    val df = read("n" -> "1000", "versions" -> "5")
+    assert(df.count() == 1000) // one row per key, never one per version
+    // key i holds 1 + (i%5) versions → latest ts = 1000 + i%5
+    val byTs = df.groupBy(col("ts")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byTs == Map(1000L -> 200L, 1001L -> 200L, 1002L -> 200L,
+      1003L -> 200L, 1004L -> 200L), byTs.toString)
+  }
+
+  test("multi-version: out-of-range NEWER versions lose to in-range OLDER ones " +
+      "(HBaseReader.kt:145-150 setTimeRange)") {
+    val df = read("n" -> "1000", "versions" -> "5")
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    // every key has ts=1000 in range → all 1000 keys survive,
+    // with exported version min(i%5, 2)
+    assert(df.count() == 1000)
+    val byTs = df.groupBy(col("ts")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byTs == Map(1000L -> 200L, 1001L -> 200L, 1002L -> 600L), byTs.toString)
+    // the value IS the selected version's cell: keys holding 5 versions
+    // (newest ts=1004, OUT of range) must export the "v":2 payload —
+    // never "v":3 / "v":4
+    val vals = df.select(col("value"))
+    assert(vals.filter(col("value").contains("\"v\":3") ||
+      col("value").contains("\"v\":4")).count() == 0)
+    // and the range is pushed into the scan, not post-filtered
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("LessThan(ts,1003)"), planStr)
+  }
+
+  test("multi-version: keys with no version in range yield nothing") {
+    // keys with i%5 == 0 hold only ts=1000 → excluded by [1001, ∞)
+    val df = read("n" -> "1000", "versions" -> "5")
+      .filter(col("ts") >= 1001L)
+    assert(df.count() == 800)
+    assert(df.filter(col("ts") === 1000L).count() == 0)
+  }
+
   test("export pipeline runs end-to-end over the DSv2 source") {
     val out = ExportPipeline.run(read("n" -> "1000"), Fixture.Topic,
       Fixture.keyService)
