@@ -61,6 +61,37 @@ object ExprRuntime {
     java.lang.Double.valueOf(sum)
   }
 
+  /** SimHash signature over an array of hash ints: bit j of the result
+    * is the sign of the per-bit ±1 vote summed over all hashes
+    * (Charikar's simhash; the classic near-dup fingerprint of Manku et
+    * al., WWW'07). Single pass with a primitive counter array — the
+    * per-bit `aggregate()` HOF form costs `bits` interpreted passes
+    * over the array per row. `bits` ≤ 63 keeps the result non-negative
+    * in signed 64-bit for both engines. Empty array → -1 sentinel
+    * (no signal; callers exclude it from banding). */
+  def simhash(sh: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    val n = sh.numElements()
+    if (n == 0) return -1L
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** AES-CTR decrypt of Base64 ciphertext with Base64 key + IV
     * (AESCipherService.kt:38-44 semantics); null on any failure. */
   def aesCtrDecrypt(key: UTF8String, iv: UTF8String, ct: UTF8String): UTF8String =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NullType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, NullType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Custom Catalyst expressions for the semantics Spark's built-ins
@@ -127,6 +127,42 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash over a hashed-shingle array — `graft_simhash(sh, bits)`.
+  * The per-bit majority vote needs `bits` passes over the array when
+  * expressed with `aggregate()` HOFs (which are CodegenFallback
+  * anyway); this expression is ONE primitive pass in both eval and
+  * generated code. `bits` must be a foldable int in [1, 63]; empty
+  * arrays yield the -1 no-signal sentinel. */
+case class Simhash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType == ArrayType(LongType) ||
+        left.dataType == ArrayType(LongType, containsNull = false) ||
+        left.dataType == NullType) && right.foldable &&
+        right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, foldable int), got " +
+        s"${children.map(_.dataType)}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  protected override def nullSafeEval(sh: Any, bits: Any): Any =
+    ExprRuntime.simhash(
+      sh.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bits.asInstanceOf[Int])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, bits) => s"""
+      ${ev.value} = graft.expressions.ExprRuntime.simhash($sh, $bits);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Simhash =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Function registration: imperative (works on any live session, used
   * by the pipeline defensively) and declarative (SparkSessionExtensions
   * for `spark.sql.extensions` configs). */
@@ -141,7 +177,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => AesCtrDecrypt(args(0), args(1), args(2))),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => Simhash(args(0), args(1))))
 
   /** Idempotent runtime registration into a session's registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -165,5 +204,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => Simhash(args(0), args(1))))
   }
 }

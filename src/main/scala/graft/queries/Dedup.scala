@@ -89,7 +89,7 @@ object Dedup {
       // equi-joins, so both engines exclude them from candidates.
       df.withColumn(s"band$bd",
         when(size(col("sh")) > 0, concat_ws(":", cols: _*)))
-    }
+    }.withColumn("simhash", expr(simhashSpark))
   }
 
   private def sigSqlCte: String = {
@@ -122,7 +122,7 @@ object Dedup {
         case prev =>
           prev.foreach(_._2.unpersist())
           val sig = signatures(s, dir)
-            .select(col("doc_id") +: col("sh") +:
+            .select(col("doc_id") +: col("sh") +: col("simhash") +:
               (0 until NumBands).map(bd => col(s"band$bd")): _*)
             .cache()
           cachedSig = Some((dir, sig))
@@ -220,37 +220,49 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- simhash
-  // SimHash fingerprints: a 16-bit majority-vote signature over the
-  // hashed shingle set — near-identical documents land on identical or
-  // 1-2-bit-distant signatures. Per-row array folds only (no explode →
-  // no shuffle); near-dup candidates join on the exact signature
-  // (identical-simhash buckets; the Hamming-ball variant would reuse
-  // the phash band machinery of q35).
-  val SimhashBits = 16
+  // SimHash fingerprints: a 60-bit majority-vote signature over the
+  // hashed shingle set (Charikar's simhash, the near-dup fingerprint
+  // of Manku et al., WWW'07). 60 bits = the signal-bearing width of
+  // the 60-bit shingle hashes (higher bits are always zero and would
+  // vote all-absent), and staying under the sign bit keeps Spark and
+  // DuckDB integer arithmetic identical. Computed by the native
+  // codegen'd `graft_simhash` expression — ONE pass over the array;
+  // the per-bit `aggregate()` HOF form costs 60 interpreted passes.
+  val SimhashBits = 60
 
-  /** bit j of the simhash = sign of sum over shingles of ±1 by bit j
-    * of the 60-bit shingle hash; packed little-endian into an int. */
-  private[queries] val simhashSpark: String = {
-    val bitSums = (0 until SimhashBits).map { j =>
-      s"IF(aggregate(sh, 0, (acc, h) -> acc + IF((h div ${1L << j}) % 2 = 1, 1, -1)) >= 0, ${1 << j}, 0)"
-    }.mkString(" + ")
-    s"CASE WHEN size(sh) > 0 THEN $bitSums ELSE -1 END"
-  }
+  /** Hamming-ball banding: [[SimhashNumBands]] bands of
+    * [[SimhashBandBits]] bits. Pigeonhole guarantee: two signatures
+    * within Hamming distance ≤ NumBands-1 = 2 differ in at most 2
+    * bands, so at least one band matches exactly — the banded
+    * equi-join is EXHAUSTIVE for the ≤2-bit ball. Scale: 2^20 ≈ 1M
+    * buckets per band bounds expected occupancy at N/2^20 (~10^3 rows
+    * per bucket at 10^9 docs); for larger corpora widen to 2×30-bit
+    * bands (Hamming ≤ 1 guarantee) or adopt the permuted-table probes
+    * of Manku et al. — the tradeoff is ball radius vs bucket size,
+    * both driven by this one parameter. */
+  val SimhashBandBits = 20
+  val SimhashNumBands: Int = SimhashBits / SimhashBandBits // 3
 
+  /** Native one-pass simhash (graft.expressions.Simhash); -1 sentinel
+    * for empty shingle sets. */
+  private[queries] val simhashSpark: String = s"graft_simhash(sh, $SimhashBits)"
+
+  /** DuckDB twin: per-bit ±1 vote folds — bit-identical to the native
+    * expression (sum ≥ 0 ⇒ bit set), correctness-only so the 60-fold
+    * cost is irrelevant. */
   private[queries] val simhashDuck: String = {
     val bitSums = (0 until SimhashBits).map { j =>
-      s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1 << j} ELSE 0 END"
+      s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
     s"CASE WHEN len(sh) > 0 THEN $bitSums ELSE -1 END"
   }
 
   /** Per-doc simhash + bucket-level dup accounting: documents sharing a
-    * signature are near-dup candidates. */
+    * signature are near-dup candidates. At 60 bits a shared signature
+    * means near-identical content (2^60 key space) — never the
+    * pigeonhole saturation a 16-bit space hits past ~10^5 docs. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shinglesSpark))
-      .withColumn("simhash", expr(simhashSpark))
+    cachedSignatures(s, dir)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .filter(col("n_docs") >= 2)
@@ -263,6 +275,59 @@ object Dedup {
        |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
        |FROM sims GROUP BY simhash HAVING COUNT(*) >= 2
        |ORDER BY simhash""".stripMargin
+
+  // ------------------------------------------- simhash Hamming ball
+  /** Banded candidate pairs for the testable seam + q48: one narrow
+    * (band, id, sig) self-join per band, unioned + distinct — never
+    * all-pairs. The 8-byte signature rides along, so no verify join is
+    * needed: the Hamming filter is a per-row xor+popcount. */
+  private[queries] def simhashBandPairs(sig: DataFrame): DataFrame = {
+    def pairsOn(b: Int): DataFrame = {
+      val shift = 1L << (b * SimhashBandBits)
+      val mod = 1L << SimhashBandBits
+      val bandCol = expr(s"(simhash div $shift) % $mod")
+      val a = sig.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+        bandCol.as("sb"))
+      val bb = sig.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+        bandCol.as("sb"))
+      a.join(bb, "sb").filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("s1"), col("s2"))
+    }
+    (0 until SimhashNumBands).map(pairsOn).reduce(_ union _).distinct()
+  }
+
+  /** Near-dup pairs within Hamming distance ≤ 2 of the 60-bit simhash —
+    * the Hamming-ball extension of q43's identical-signature buckets.
+    * Exhaustive by the pigeonhole band guarantee (see
+    * [[SimhashBandBits]]); catches 1-2-bit-flipped signatures that
+    * exact-signature grouping misses. */
+  def qSimhashHamming(s: SparkSession, dir: String): DataFrame =
+    simhashBandPairs(
+      cachedSignatures(s, dir).filter(col("simhash") >= 0L)
+        .select(col("doc_id"), col("simhash")))
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= SimhashNumBands - 1)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+
+  val qSimhashHammingSql: String = {
+    val bandCols = (0 until SimhashNumBands).map { b =>
+      s"(simhash // ${1L << (b * SimhashBandBits)}) % ${1L << SimhashBandBits} AS sb$b"
+    }.mkString(", ")
+    val bandJoins = (0 until SimhashNumBands).map { b =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+         |    FROM sb a JOIN sb b ON a.sb$b = b.sb$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |sims AS (SELECT doc_id, $simhashDuck AS simhash FROM shed WHERE len(sh) > 0),
+       |sb AS (SELECT doc_id, simhash, $bandCols FROM sims),
+       |cand AS (
+       |$bandJoins)
+       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= ${SimhashNumBands - 1}
+       |ORDER BY d1, d2""".stripMargin
+  }
 
   // ----------------------------------------- dataset-level operators
   // Dedup as DATASET operators: a user wants the surviving rows back,
@@ -341,7 +406,8 @@ object Dedup {
     "q23_minhash_pairs" -> (qMinhashPairs _),
     "q36_dedup_exact_keep" -> (qDedupExactKeep _),
     "q37_dedup_near_keep" -> (qDedupNearKeep _),
-    "q43_simhash" -> (qSimhash _))
+    "q43_simhash" -> (qSimhash _),
+    "q48_simhash_hamming" -> (qSimhashHamming _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
@@ -350,5 +416,6 @@ object Dedup {
     "q23_minhash_pairs" -> qMinhashPairsSql,
     "q36_dedup_exact_keep" -> qDedupExactKeepSql,
     "q37_dedup_near_keep" -> qDedupNearKeepSql,
-    "q43_simhash" -> qSimhashSql)
+    "q43_simhash" -> qSimhashSql,
+    "q48_simhash_hamming" -> qSimhashHammingSql)
 }
