@@ -21,8 +21,9 @@ import graft.core.Tables
   *
   * Scale notes (100 TB): blob synthesis/hashing/metadata extraction are
   * per-row expressions (no shuffle, codegen-friendly); the near-dup
-  * join is LSH-banded on 4-char band keys — linear, never all-pairs —
-  * and the Hamming verify ships 16-char phashes only, never blob bytes.
+  * join is LSH-banded on 32-bit (8-nibble) band keys — linear, never
+  * all-pairs, occupancy bounded at N/2^32 per bucket — and the Hamming
+  * verify ships 64-char phashes only, never blob bytes.
   * For real media the synthesis column is replaced by a binary column
   * read from parquet; see [[graft.pipeline.MultimodalDecode]] for the
   * decode/feature-extract stage stub.
@@ -104,29 +105,55 @@ object Multimodal {
        |COUNT(*) - COUNT(DISTINCT md5(blob_hex)) AS n_dup FROM binary_blobs""".stripMargin
 
   // ----------------------------------------------- q35 phash near-dup
-  /** Perceptual-hash near-duplicates: 16-nibble phash per blob, LSH
-    * over 4 bands of 4 nibbles, Hamming-distance verify (≤ 2). The
-    * band join reuses the MinHash+LSH machinery shape: narrow band
-    * keys, candidates only, never all-pairs. */
+  /** Perceptual-hash near-duplicates: [[PhashNibbles]]-nibble phash per
+    * blob, LSH over [[PhashNumBands]] bands of [[PhashBandNibbles]]
+    * nibbles, nibble-Hamming verify (≤ 2). The band join reuses the
+    * MinHash+LSH machinery shape: narrow band keys, candidates only,
+    * never all-pairs. */
+
+  /** Band sizing for 100×: each band key is 8 nibbles = 32 bits —
+    * 2^32 buckets per band bounds expected occupancy at N/2^32 (~0.25
+    * rows/bucket at 10^9 blobs), where the old 4-nibble/16-bit bands
+    * (65,536 buckets) went quadratic within buckets past ~10^7 blobs.
+    * Pigeonhole: pairs within nibble-Hamming ≤ NumBands-1 = 7 share a
+    * band, comfortably covering the ≤2 verify ball; to widen the ball
+    * at constant occupancy, add bands (the parameters are free —
+    * derive them from expected N and ball radius). */
+  val PhashNibbles = 64 // 256-bit hash
+  val PhashBandNibbles = 8 // 32 bits per band
+  val PhashNumBands: Int = PhashNibbles / PhashBandNibbles // 8
+
+  // 64-nibble synthetic phash = 4 chained md5s on the (doc_id % 97)
+  // group, with one per-doc noise nibble at position doc_id % 64 —
+  // same-group docs sit at nibble-Hamming <= 2, cross-group pairs at
+  // ~60, so the planted structure survives any band layout.
+  private val phashBaseSpark: String =
+    """array_join(transform(sequence(0, 3),
+      |  i -> md5(concat('phash:', CAST(i AS STRING), ':',
+      |                  CAST(doc_id % 97 AS STRING)))), '')""".stripMargin
+
   private val phashSpark: String =
-    """concat(
-      |  substring(md5(concat('phash:', CAST(doc_id % 97 AS STRING))), 1,
-      |            CAST(doc_id % 16 AS INT)),
-      |  substring(md5(concat('noise:', CAST(doc_id AS STRING))), 1, 1),
-      |  substring(md5(concat('phash:', CAST(doc_id % 97 AS STRING))),
-      |            CAST(doc_id % 16 AS INT) + 2,
-      |            15 - CAST(doc_id % 16 AS INT)))""".stripMargin
+    s"""concat(
+       |  substring($phashBaseSpark, 1, CAST(doc_id % 64 AS INT)),
+       |  substring(md5(concat('noise:', CAST(doc_id AS STRING))), 1, 1),
+       |  substring($phashBaseSpark,
+       |            CAST(doc_id % 64 AS INT) + 2,
+       |            63 - CAST(doc_id % 64 AS INT)))""".stripMargin
+
+  private val phashBaseDuck: String =
+    """array_to_string(list_transform(range(0, 4),
+      |  i -> md5('phash:' || CAST(i AS VARCHAR) || ':' ||
+      |           CAST(doc_id % 97 AS VARCHAR))), '')""".stripMargin
 
   private val phashDuck: String =
-    """substr(md5('phash:' || CAST(doc_id % 97 AS VARCHAR)), 1,
-      |       CAST(doc_id % 16 AS INT)) ||
-      |substr(md5('noise:' || CAST(doc_id AS VARCHAR)), 1, 1) ||
-      |substr(md5('phash:' || CAST(doc_id % 97 AS VARCHAR)),
-      |       CAST(doc_id % 16 AS INT) + 2, 15 - CAST(doc_id % 16 AS INT))""".stripMargin
+    s"""substr($phashBaseDuck, 1, CAST(doc_id % 64 AS INT)) ||
+       |substr(md5('noise:' || CAST(doc_id AS VARCHAR)), 1, 1) ||
+       |substr($phashBaseDuck,
+       |       CAST(doc_id % 64 AS INT) + 2, 63 - CAST(doc_id % 64 AS INT))""".stripMargin
 
-  // the phash relation feeds 4 band self-joins + 2 verify joins; cache
-  // it (narrow: id + 16-char hash) with the same managed-unpersist
-  // pattern as Dedup.cachedSignatures
+  // the phash relation feeds the band self-joins + 2 verify joins;
+  // cache it (narrow: id + 64-char hash) with the same managed-
+  // unpersist pattern as Dedup.cachedSignatures
   @transient private var cachedPhash: Option[(String, DataFrame)] = None
   private def phashed(s: SparkSession, dir: String): DataFrame = synchronized {
     cachedPhash match {
@@ -140,49 +167,52 @@ object Multimodal {
     }
   }
 
-  def q35PhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val hashed = phashed(s, dir)
-    val banded = hashed.select(col("doc_id") +: (0 until 4).map(b =>
-      substring(col("ph"), 1 + 4 * b, 4).as(s"band$b")): _*)
+  /** Banded candidate pairs (testable seam): one narrow (band, id)
+    * self-join per band, unioned + distinct. */
+  private[queries] def phashBandPairs(hashed: DataFrame): DataFrame = {
+    val banded = hashed.select(col("doc_id") +: (0 until PhashNumBands).map(b =>
+      substring(col("ph"), 1 + PhashBandNibbles * b, PhashBandNibbles)
+        .as(s"band$b")): _*)
     def pairsOn(b: Int): DataFrame = {
       val a = banded.select(col("doc_id").as("d1"), col(s"band$b").as("b"))
       val c = banded.select(col("doc_id").as("d2"), col(s"band$b").as("b"))
       a.join(c, "b").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
     }
-    val cand = (0 until 4).map(pairsOn).reduce(_ union _).distinct()
+    (0 until PhashNumBands).map(pairsOn).reduce(_ union _).distinct()
+  }
+
+  def q35PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = phashed(s, dir)
+    val cand = phashBandPairs(hashed)
     val h1 = hashed.select(col("doc_id").as("d1"), col("ph").as("p1"))
     val h2 = hashed.select(col("doc_id").as("d2"), col("ph").as("p2"))
     cand.join(h1, "d1").join(h2, "d2")
       .withColumn("hamming", expr(
-        "size(filter(sequence(1, 16), i -> substring(p1, i, 1) != substring(p2, i, 1)))"))
+        s"size(filter(sequence(1, $PhashNibbles, 1), i -> substring(p1, i, 1) != substring(p2, i, 1)))"))
       .filter(col("hamming") <= 2)
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy("d1", "d2")
   }
 
-  val q35Sql: String =
+  val q35Sql: String = {
+    val bandCols = (0 until PhashNumBands).map { b =>
+      s"substr(ph, ${1 + PhashBandNibbles * b}, $PhashBandNibbles) AS band$b"
+    }.mkString(", ")
+    val bandJoins = (0 until PhashNumBands).map { b =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
     s"""WITH hashed AS (SELECT doc_id, $phashDuck AS ph FROM documents),
-       |banded AS (SELECT doc_id, ph,
-       |  substr(ph, 1, 4) AS band0, substr(ph, 5, 4) AS band1,
-       |  substr(ph, 9, 4) AS band2, substr(ph, 13, 4) AS band3 FROM hashed),
+       |banded AS (SELECT doc_id, ph, $bandCols FROM hashed),
        |cand AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
-       |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b
-       |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b
-       |    ON a.band2 = b.band2 AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id FROM banded a JOIN banded b
-       |    ON a.band3 = b.band3 AND a.doc_id < b.doc_id),
+       |$bandJoins),
        |scored AS (SELECT d1, d2,
-       |  len(list_filter(range(1, 17), i -> x.ph[i] != y.ph[i])) AS hamming
+       |  len(list_filter(range(1, ${PhashNibbles + 1}), i -> x.ph[i] != y.ph[i])) AS hamming
        |  FROM cand JOIN hashed x ON cand.d1 = x.doc_id
        |            JOIN hashed y ON cand.d2 = y.doc_id)
        |SELECT d1, d2, hamming FROM scored WHERE hamming <= 2
        |ORDER BY d1, d2""".stripMargin
+  }
 
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
