@@ -63,26 +63,14 @@ object Fixture {
 
   private def jsonEscapeless(s: String): String = s // fixture strings need no escaping
 
-  /** One envelope cell; `corrupt` enables the typed-skip slots.
-    *
-    * `version` models HBase multi-version cells (the reference's tables
-    * are created with `max_versions=1000000`, images/hbase/hbase_data
-    * .py:32): version v of key i is stamped ts = [[CellTimestamp]] + v,
-    * and for v > 0 the decrypted payload carries a `"v":v` marker so a
-    * downstream reader can prove WHICH version was exported. Version 0
-    * is bit-identical to the single-version cell, keeping every
-    * existing golden frozen. */
-  private[graft] def cell(i: Long, dekPlainB64: String, encKeyB64: String,
-      corrupt: Boolean, version: Int = 0): RawCell = {
+  /** Shared envelope assembly: wraps `payload` for record i in the
+    * encrypted envelope for (db, collection); `corrupt` enables the
+    * ciphertext/dbObject skip slots common to every corpus. */
+  private def buildCell(i: Long, db: String, collection: String,
+      payload: String, dekPlainB64: String, encKeyB64: String,
+      corrupt: Boolean, version: Int): RawCell = {
     val id5 = f"$i%05d"
     val messageIdJson = s"""{"record_id":"$id5"}"""
-    val payloadId =
-      if (i % 2 == 0) s"""{"record_id":"$id5"}""" else s""""$id5""""
-    val versionField = if (version == 0) "" else s""","v":$version"""
-    val payload =
-      if (corrupt && i % 100 == BadJsonSlot) "{{{"
-      else
-        s"""{"_id":$payloadId,"createdDateTime":"2015-03-20T12:23:25.183Z","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000"$versionField}"""
     val iv = ivFor(i, version)
     val ivB64 = Base64.getEncoder.encodeToString(iv)
     val ciphertext =
@@ -91,7 +79,7 @@ object Fixture {
     val dbObject =
       if (corrupt && i % 100 == MissingFieldSlot) "" else ciphertext
     val value =
-      s"""{"traceId":"$id5","unitOfWorkId":"$id5","@type":"OUTER_TYPE","message":{"db":"$Db","collection":"$Collection","_id":$messageIdJson,"_timeBasedHash":"hash","@type":"INNER_TYPE","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000","encryption":{"encryptionKeyId":"","encryptedEncryptionKey":"${jsonEscapeless(encKeyB64)}","initialisationVector":"$ivB64","keyEncryptionKeyId":"$MasterKeyId"},"dbObject":"${jsonEscapeless(dbObject)}"},"version":"core-4.master.9790","timestamp":"2019-07-04T07:27:35.104+0000"}"""
+      s"""{"traceId":"$id5","unitOfWorkId":"$id5","@type":"OUTER_TYPE","message":{"db":"$db","collection":"$collection","_id":$messageIdJson,"_timeBasedHash":"hash","@type":"INNER_TYPE","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000","encryption":{"encryptionKeyId":"","encryptedEncryptionKey":"${jsonEscapeless(encKeyB64)}","initialisationVector":"$ivB64","keyEncryptionKeyId":"$MasterKeyId"},"dbObject":"${jsonEscapeless(dbObject)}"},"version":"core-4.master.9790","timestamp":"2019-07-04T07:27:35.104+0000"}"""
 
     val idBytes = messageIdJson.getBytes("UTF-8")
     val crc = new CRC32()
@@ -105,6 +93,64 @@ object Fixture {
     RawCell(prefix ++ idBytes, CellTimestamp + version, value)
   }
 
+  /** One envelope cell; `corrupt` enables the typed-skip slots.
+    *
+    * `version` models HBase multi-version cells (the reference's tables
+    * are created with `max_versions=1000000`, images/hbase/hbase_data
+    * .py:32): version v of key i is stamped ts = [[CellTimestamp]] + v,
+    * and for v > 0 the decrypted payload carries a `"v":v` marker so a
+    * downstream reader can prove WHICH version was exported. Version 0
+    * is bit-identical to the single-version cell, keeping every
+    * existing golden frozen. */
+  private[graft] def cell(i: Long, dekPlainB64: String, encKeyB64: String,
+      corrupt: Boolean, version: Int = 0): RawCell = {
+    val id5 = f"$i%05d"
+    val payloadId =
+      if (i % 2 == 0) s"""{"record_id":"$id5"}""" else s""""$id5""""
+    val versionField = if (version == 0) "" else s""","v":$version"""
+    val payload =
+      if (corrupt && i % 100 == BadJsonSlot) "{{{"
+      else
+        s"""{"_id":$payloadId,"createdDateTime":"2015-03-20T12:23:25.183Z","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000"$versionField}"""
+    buildCell(i, Db, Collection, payload, dekPlainB64, encKeyB64, corrupt, version)
+  }
+
+  /** businessAudit corpus slot: every 100th record omits `auditType`,
+    * exercising the audit-transform failure path
+    * (DecryptionProcessor.kt:64-66 throws → record skipped). */
+  val MissingAuditSlot = 41
+
+  /** One `data:businessAudit` envelope cell: the decrypted payload is
+    * an audit event `{"context": {...}, "auditType": ...}` whose
+    * context the pipeline must lift (DecryptionProcessor.kt:59-73). */
+  private[graft] def auditCell(i: Long, dekPlainB64: String,
+      encKeyB64: String, corrupt: Boolean): RawCell = {
+    val id5 = f"$i%05d"
+    val payload =
+      if (corrupt && i % 100 == BadJsonSlot) "{{{"
+      else if (corrupt && i % 100 == MissingAuditSlot)
+        s"""{"context":{"AUDIT_ID":"$id5"}}"""
+      else
+        s"""{"context":{"AUDIT_ID":"$id5","USER":"user-$id5"},"auditType":"exampleAuditType"}"""
+    buildCell(i, Transforms.BusinessAuditDb, Transforms.BusinessAuditCollection,
+      payload, dekPlainB64, encKeyB64, corrupt, 0)
+  }
+
+  /** One `data.equality` envelope cell: standard payload under the
+    * equality topic's (db, collection) — the pipeline must re-wrap the
+    * sanitised document as `{"message": {...}}`
+    * (TransformationProcessor.kt:21-46; UberTestSpec.kt:249-260). */
+  private[graft] def equalityCell(i: Long, dekPlainB64: String,
+      encKeyB64: String): RawCell = {
+    val id5 = f"$i%05d"
+    val payloadId =
+      if (i % 2 == 0) s"""{"record_id":"$id5"}""" else s""""$id5""""
+    val payload =
+      s"""{"_id":$payloadId,"createdDateTime":"2015-03-20T12:23:25.183Z","_lastModifiedDateTime":"2018-12-14T15:01:02.000+0000"}"""
+    buildCell(i, "data", "equality", payload, dekPlainB64, encKeyB64,
+      corrupt = false, version = 0)
+  }
+
   /** The raw scan DataFrame (hbase_id binary, ts long, value string). */
   def generate(spark: SparkSession, n: Long, corrupt: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -113,6 +159,29 @@ object Fixture {
     val encKey = ks.encryptKey(MasterKeyId, dek)
     spark.range(n).mapPartitions { it =>
       it.map(i => cell(i, dek, encKey, corrupt))
+    }.toDF()
+  }
+
+  /** The `data:businessAudit` corpus (audit-event payloads). */
+  def generateBusinessAudit(spark: SparkSession, n: Long,
+      corrupt: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val ks = keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(MasterKeyId, dek)
+    spark.range(n).mapPartitions { it =>
+      it.map(i => auditCell(i, dek, encKey, corrupt))
+    }.toDF()
+  }
+
+  /** The `data.equality` corpus (standard payloads, equality topic). */
+  def generateEquality(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val ks = keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(MasterKeyId, dek)
+    spark.range(n).mapPartitions { it =>
+      it.map(i => equalityCell(i, dek, encKey))
     }.toDF()
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{ExportPipeline, Fixture}
+import graft.pipeline.{ExportPipeline, Fixture, Transforms}
 
 /** End-to-end export-pipeline queries over the deterministic envelope
   * fixture (the reference's own 10,000-record corpus shape). The sfDir
@@ -213,18 +213,98 @@ object PipelineQueries {
       |CAST(10000 AS BIGINT) AS n_ts_match,
       |CAST(10000 AS BIGINT) AS n_mts_match""".stripMargin
 
+  // ------------------------------------------- q49 businessAudit e2e
+  /** `data:businessAudit` corpus end-to-end: the decrypted payloads are
+    * audit events whose `context` the pipeline lifts, stamping
+    * AUDIT_EVENT / TIME_STAMP / TIME_STAMP_ORIG from `auditType` and
+    * the envelope `_lastModifiedDateTime` (DecryptionProcessor.kt:
+    * 59-73). Corrupt slots: per 100 records, one missing dbObject, one
+    * undecryptable, one unparseable payload and one missing `auditType`
+    * — the last two both skip via the audit path (the reference throws
+    * out of the transform). Goldens: 9,600 lifted docs, every one
+    * carrying the audit event and `$date`-wrapped (→ `d_date`)
+    * TIME_STAMP stamps, manifests keyed (data, businessAudit), one
+    * manifest id per record. */
+  def q49BusinessAudit(s: SparkSession, dir: String): DataFrame = {
+    val out = ExportPipeline.run(
+      Fixture.generateBusinessAudit(s, N, corrupt = true),
+      "data.businessAudit", Fixture.keyService)
+    out.agg(
+      count(when(col("err").isNull, 1)).as("n_ok"),
+      count(when(col("err") === "audit_failed", 1)).as("n_audit_failed"),
+      count(when(col("err") === "decrypt_failed", 1)).as("n_decrypt_failed"),
+      count(when(col("err") === "missing:dbObject", 1)).as("n_missing"),
+      count(when(col("doc").contains("\"AUDIT_EVENT\":\"exampleAuditType\""), 1))
+        .as("n_audit_event"),
+      count(when(col("doc").contains("\"TIME_STAMP\":{\"d_date\":"), 1))
+        .as("n_ts_wrapped"),
+      count(when(col("m_db") === "data" &&
+        col("m_collection") === "businessAudit", 1)).as("n_manifest"),
+      countDistinct(col("m_id")).as("n_ids"))
+  }
+
+  val q49Sql: String =
+    """SELECT CAST(9600 AS BIGINT) AS n_ok,
+      |CAST(200 AS BIGINT) AS n_audit_failed,
+      |CAST(100 AS BIGINT) AS n_decrypt_failed,
+      |CAST(100 AS BIGINT) AS n_missing,
+      |CAST(9600 AS BIGINT) AS n_audit_event,
+      |CAST(9600 AS BIGINT) AS n_ts_wrapped,
+      |CAST(9600 AS BIGINT) AS n_manifest,
+      |CAST(9600 AS BIGINT) AS n_ids""".stripMargin
+
+  // ------------------------------------------- q50 equality e2e
+  /** `data.equality` end-to-end with the 2-slice writer layout — the
+    * reference dedicates an integration scenario to this topic
+    * (UberTestSpec.kt:249-260): every sanitised document re-wrapped as
+    * `{"message": {...,"@type": inner}}` (TransformationProcessor.kt:
+    * 21-46), then written through the byte-rolling encrypted sink,
+    * producing both signed-byte key slices. */
+  def q50EqualityExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SnapshotWriter
+    val ks = Fixture.keyService
+    val recs = ExportPipeline.records(ExportPipeline.run(
+      Fixture.generateEquality(s, N), Transforms.EqualityTopic, ks))
+    val stats = recs.agg(
+      count(lit(1)).as("n"),
+      count(when(col("doc").startsWith("{\"message\":{"), 1)).as("w"),
+      count(when(col("doc").contains("\"@type\":\"INNER_TYPE\""), 1)).as("t")).head()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q50-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-q50-man")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Transforms.EqualityTopic, maxBatchBytes = 10000000, compression = "gz")
+    val acct = SnapshotWriter.write(recs, cfg, ks).collect().toSeq
+    import s.implicits._
+    Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
+      acct.map(_.records).sum, acct.length.toLong,
+      acct.map(_.slice).distinct.sorted.mkString(",")))
+      .toDF("n_records", "n_wrapped", "n_typed", "n_written", "n_files", "slices")
+  }
+
+  val q50Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_records,
+      |CAST(10000 AS BIGINT) AS n_wrapped,
+      |CAST(10000 AS BIGINT) AS n_typed,
+      |CAST(10000 AS BIGINT) AS n_written,
+      |CAST(2 AS BIGINT) AS n_files,
+      |'000-128,128-000' AS slices""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
     "q41_pipeline_skips" -> (q41PipelineSkips _),
     "q42_writer_golden" -> (q42WriterGolden _),
     "q44_incremental_export" -> (q44IncrementalExport _),
-    "q47_multiversion_export" -> (q47MultiversionExport _))
+    "q47_multiversion_export" -> (q47MultiversionExport _),
+    "q49_business_audit" -> (q49BusinessAudit _),
+    "q50_equality_export" -> (q50EqualityExport _))
 
   val oracles: Map[String, String] = Map(
     "q40_pipeline_roundtrip" -> q40Sql,
     "q41_pipeline_skips" -> q41Sql,
     "q42_writer_golden" -> q42Sql,
     "q44_incremental_export" -> q44Sql,
-    "q47_multiversion_export" -> q47Sql)
+    "q47_multiversion_export" -> q47Sql,
+    "q49_business_audit" -> q49Sql,
+    "q50_equality_export" -> q50Sql)
 }
