@@ -40,27 +40,43 @@ object Bench {
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = timeOnce(fn) match {
+      val warmup = timeOnce(fn)
+      val samples = warmup match {
         case None => Seq.empty // warmup failed: no point repeating
         case Some(_) => (1 to reps).flatMap(_ => timeOnce(fn))
       }
       if (samples.size < reps)
         System.err.println(s"[bench] $name FAILED (reported as -1)")
-      name -> samples
+      name -> (warmup, samples)
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, (_, v)) =>
       "\"" + k + "\":" + (if (v.size < reps) "-1" else fmt(v.min))
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (k, v) if v.size == reps =>
+    val spread = results.collect { case (k, (_, v)) if v.size == reps =>
       "\"" + k + "\":" + fmt(v.max - v.min)
     }.mkString("{", ",", "}")
-    val total = results.values.collect { case v if v.size == reps => v.min }.sum
-    val nFailed = results.values.count(_.size < reps)
+    // Cold-path observability: the warmup pass is the only COLD run
+    // (JIT + relation caches unpopulated), so its time is reported
+    // alongside the warm minima — a cold-path regression moves
+    // `warmup_total` even when the warm mins hold steady.
+    val warmups = results.collect { case (k, (Some(w), _)) =>
+      "\"" + k + "\":" + fmt(w)
+    }.mkString("{", ",", "}")
+    val warmupTotal = results.values.flatMap(_._1).sum
+    val total = results.values.collect { case (_, v) if v.size == reps => v.min }.sum
+    val nFailed = results.values.count(_._2.size < reps)
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed queries failed (reported as -1)")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmups,"warmup_total":${fmt(warmupTotal)},"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file: the driver's stdout tail-capture
+    // truncated BENCH_r03.json, so the canonical copy parses standalone.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Path.of(outFile), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
   }
 }

@@ -1,9 +1,9 @@
 package graft.pipeline
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Observability surface mirroring the reference's Prometheus metrics
@@ -69,9 +69,31 @@ object Metrics {
     val memoryBytesSpilled = new LongAdder
     val tasksCompleted = new LongAdder
 
+    // Sentinel-drain state: the job group whose END signals that every
+    // earlier event has been delivered to THIS listener (bus ordering
+    // is per-listener FIFO). The sentinel job's own stages are excluded
+    // from the metrics.
+    @volatile private[Metrics] var sentinelGroup: String = _
+    @volatile private[Metrics] var sentinelLatch: CountDownLatch = _
+    @volatile private var sentinelJobId: Int = -1
+    private val sentinelStages = ConcurrentHashMap.newKeySet[Int]()
+
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+      val group = Option(jobStart.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (sentinelGroup != null && sentinelGroup == group) {
+        sentinelJobId = jobStart.jobId
+        jobStart.stageIds.foreach(id => sentinelStages.add(id))
+      }
+    }
+
+    override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit =
+      if (jobEnd.jobId == sentinelJobId && sentinelLatch != null)
+        sentinelLatch.countDown()
+
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
       val m = taskEnd.taskMetrics
-      if (m != null) {
+      if (m != null && !sentinelStages.contains(taskEnd.stageId)) {
         recordsRead.add(m.inputMetrics.recordsRead)
         bytesRead.add(m.inputMetrics.bytesRead)
         recordsWritten.add(m.outputMetrics.recordsWritten)
@@ -94,24 +116,29 @@ object Metrics {
   }
 
   /** Run `body` with a task-metrics listener attached; returns (result,
-    * registry with executor metrics + whatever `body` recorded). */
+    * registry with executor metrics + whatever `body` recorded).
+    *
+    * Drain: the listener bus is async, so after `body` returns its
+    * task events may still be in flight. A SENTINEL job (own job
+    * group, excluded from the metrics) is submitted after `body`; the
+    * bus delivers events to each listener in posting order, so when
+    * our listener observes the sentinel's JobEnd every event `body`
+    * produced has already been delivered. Bounded by a latch await —
+    * no sleep-poll, no wall-clock nondeterminism. */
   def instrumented[A](spark: SparkSession)(body: MetricsRegistry => A): (A, MetricsRegistry) = {
     val reg = new MetricsRegistry
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = body(reg)
-      // the listener bus is async (and its drain API is spark-private):
-      // wait until the task counter is stable
-      var last = -1L
-      var stableFor = 0
-      var waited = 0
-      while (stableFor < 3 && waited < 50) {
-        Thread.sleep(100)
-        waited += 1
-        val now = listener.tasksCompleted.sum
-        if (now == last) stableFor += 1 else { stableFor = 0; last = now }
-      }
+      val latch = new CountDownLatch(1)
+      val group = s"graft-metrics-sentinel-${System.nanoTime()}"
+      listener.sentinelLatch = latch
+      listener.sentinelGroup = group
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, "graft metrics listener drain", interruptOnCancel = false)
+      try sc.parallelize(Seq(1), 1).count() finally sc.clearJobGroup()
+      latch.await(30, TimeUnit.SECONDS)
       listener.fill(reg)
       (out, reg)
     } finally spark.sparkContext.removeSparkListener(listener)

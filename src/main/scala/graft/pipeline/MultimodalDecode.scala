@@ -8,12 +8,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * so per-task decoder initialization (codec tables, a model handle)
   * amortizes over the whole partition.
   *
-  * The DECODE step itself is a clearly-marked STUB: this container
-  * ships no image/audio codecs, so [[StubDecoder]] derives
-  * deterministic pseudo-features from the bytes. Swapping in a real
-  * decoder (e.g. TwelveMonkeys/JavaCV behind the same trait) changes
-  * no Spark plumbing: schema, partitioning, batch shape and the
-  * accounting contract stay identical.
+  * Two decoders behind one trait: [[ImageIoDecoder]] is a REAL decode
+  * path for the formats the JDK's `javax.imageio` ships readers for
+  * (PNG/JPEG/GIF/BMP — no extra deps); [[StubDecoder]] remains the
+  * deterministic stand-in for codecs this container lacks (audio,
+  * video, webp). Swapping decoders (e.g. TwelveMonkeys/JavaCV behind
+  * the same trait) changes no Spark plumbing: schema, partitioning,
+  * batch shape and the accounting contract stay identical.
   *
   * Scale: one decoder instance per task, rows streamed (no partition
   * materialization), output is a narrow fixed-width struct — the blob
@@ -63,6 +64,53 @@ object MultimodalDecode {
           (bytes(2) & 0xff) % 4 + 1,
           counts.map(_ / n), decode_ok = true)
       }
+    }
+  }
+
+  /** REAL decode path for PNG (and any other `javax.imageio`-readable
+    * format — the JDK ships PNG/JPEG/GIF/BMP readers, zero new deps):
+    * width/height from the decoded raster, channels from the color
+    * model, and the 8-bin histogram computed over pixel LUMINANCE
+    * (integer Rec.601 weights) instead of raw payload bytes.
+    * Non-image bytes fail soft with `decode_ok = false` — the same
+    * contract as the stub, so the two decoders are drop-in
+    * interchangeable behind [[Decoder]]. */
+  final class ImageIoDecoder extends Decoder {
+    @transient private var initialized = false
+    override def init(): Unit = {
+      // headless decode: no display needed in executors
+      System.setProperty("java.awt.headless", "true")
+      initialized = true
+    }
+    private def failed(docId: Long, size: Int): Decoded =
+      Decoded(docId, size, 0, 0, 0, Array.fill(8)(0f), decode_ok = false)
+    override def decode(docId: Long, bytes: Array[Byte]): Decoded = {
+      require(initialized, "decoder used before init()")
+      if (bytes == null) failed(docId, 0)
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) failed(docId, bytes.length)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val counts = new Array[Int](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              counts(lum >> 5) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          Decoded(docId, bytes.length, w, h,
+            img.getColorModel.getNumComponents, counts.map(_ / n),
+            decode_ok = true)
+        }
+      } catch { case _: Exception => failed(docId, bytes.length) }
     }
   }
 

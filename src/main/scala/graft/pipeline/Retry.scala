@@ -13,10 +13,12 @@ object Retry {
   final case class Policy(maxAttempts: Int = 5, delayMs: Long = 1000L,
       multiplier: Double = 2.0)
 
-  /** Runs `op`, retrying on any exception up to `policy.maxAttempts`
-    * total attempts with exponentially growing delays; rethrows the
-    * last failure. */
-  def withRetry[A](policy: Policy, sleeper: Long => Unit = Thread.sleep)(op: => A): A = {
+  /** Runs `op`, retrying on exceptions matching `retryOn` (default:
+    * all) up to `policy.maxAttempts` total attempts with exponentially
+    * growing delays; rethrows the last (or first non-retryable)
+    * failure — Spring's `@Retryable(value = [...])` semantics. */
+  def withRetry[A](policy: Policy, sleeper: Long => Unit = Thread.sleep,
+      retryOn: Exception => Boolean = _ => true)(op: => A): A = {
     var attempt = 1
     var delay = policy.delayMs
     var result: Option[A] = None
@@ -24,7 +26,7 @@ object Retry {
       try result = Some(op)
       catch {
         case e: Exception =>
-          if (attempt >= policy.maxAttempts) throw e
+          if (!retryOn(e) || attempt >= policy.maxAttempts) throw e
           sleeper(delay)
           delay = (delay * policy.multiplier).toLong
           attempt += 1

@@ -225,12 +225,18 @@ object Validator {
 
   final case class Validated(doc: String, manifest: Manifest)
 
-  /** Manifest timestamp for one record (Validator.kt:172-193 wired
-    * per-record): `full` snapshots stamp the cell timestamp (the
-    * reference's ManifestRecord carries `item.timestamp`); incremental
-    * snapshots prefer the document's own `_lastModifiedDateTime`,
-    * falling back to `createdDateTime` on parse failure, and to the
-    * cell timestamp only when BOTH document fields are unusable. */
+  /** Manifest timestamp for one record. `full` snapshots stamp the
+    * cell timestamp — the reference's PRODUCTION path for every
+    * snapshot type (ManifestRecord always carries `item.timestamp`,
+    * Validator.kt:53/60). For `incremental` this implements the
+    * reference's `timestampAsLong` preference order (Validator.kt:
+    * 172-193) — document `_lastModifiedDateTime` first, then
+    * `createdDateTime`, then the cell ts — which the reference defines
+    * and tests but never wires into its production manifest; we adopt
+    * it deliberately (the envelope's lastModified flows through
+    * SourceRecord for exactly this purpose), so incremental manifests
+    * here are a documented DIVERGENCE from reference production
+    * output, not exact parity. */
   def manifestTimestamp(obj: ObjectNode, cellTimestamp: Long,
       snapshotType: String): Long =
     if (snapshotType == "full") cellTimestamp

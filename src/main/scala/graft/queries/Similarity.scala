@@ -203,12 +203,19 @@ object Similarity {
     * the spec pins the measured 0.6 floor. */
   val IvfSeedCount = 10
   val IvfProbes = 4
-  /** Knuth multiplicative hash, identical arithmetic in both engines. */
+  /** Knuth multiplicative hash, identical arithmetic in both engines.
+    * The id is masked to 31 bits BEFORE the multiply so the product
+    * stays within signed 64-bit for ANY id (an unmasked id ≥ ~3.5e9
+    * would overflow — ANSI-mode Spark throws, DuckDB errors); ids
+    * below 2^31 hash identically to the unmasked form, so seed
+    * selection is unchanged on every existing corpus. */
   private val IvfHashMult = 2654435761L
   private val IvfHashMod = 4294967296L // 2^32
+  private val IvfIdMask = 2147483648L // 2^31: 2^31 * mult < 2^63
   private def ivfHash(id: Column): Column =
-    pmod(id * lit(IvfHashMult), lit(IvfHashMod))
-  private val ivfHashDuck = s"(vec_id * $IvfHashMult) % $IvfHashMod"
+    pmod(pmod(id, lit(IvfIdMask)) * lit(IvfHashMult), lit(IvfHashMod))
+  private val ivfHashDuck =
+    s"((vec_id % $IvfIdMask) * $IvfHashMult) % $IvfHashMod"
 
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val q = new IvfQuantizer(s, dir)

@@ -53,6 +53,45 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(out.count() == 4)
   }
 
+  private def pngBytes(width: Int, height: Int,
+      paint: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) img.setRGB(x, y, paint(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder decodes a real generated PNG's width/height/channels") {
+    import spark.implicits._
+    val png = pngBytes(5, 3, (_, _) => 0xffffff) // all-white 5x3
+    val black = pngBytes(2, 2, (_, _) => 0x000000)
+    val df = Seq((1L, png), (2L, black), (3L, "not a png".getBytes))
+      .toDF("doc_id", "blob")
+    val byId = MultimodalDecode.decodeFeatures(df,
+      new MultimodalDecode.ImageIoDecoder).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(byId(1L).decode_ok && byId(1L).width == 5 && byId(1L).height == 3 &&
+      byId(1L).channels == 3)
+    assert(byId(1L).histogram(7) == 1f, "all-white pixels land in the top bin")
+    assert(byId(2L).decode_ok && byId(2L).width == 2 && byId(2L).height == 2)
+    assert(byId(2L).histogram(0) == 1f, "all-black pixels land in bin 0")
+    // non-image bytes fail soft, identical contract to the stub
+    assert(!byId(3L).decode_ok && byId(3L).width == 0 && byId(3L).size_bytes == 9)
+  }
+
+  test("ImageIoDecoder luminance histogram is L1-normalized over pixels") {
+    import spark.implicits._
+    // half white, half black 4x2 -> two bins at 0.5
+    val png = pngBytes(4, 2, (x, _) => if (x < 2) 0xffffff else 0x000000)
+    val d = MultimodalDecode.decodeFeatures(
+      Seq((1L, png)).toDF("doc_id", "blob"),
+      new MultimodalDecode.ImageIoDecoder).collect().head
+    assert(math.abs(d.histogram.sum - 1f) < 1e-6)
+    assert(d.histogram(0) == 0.5f && d.histogram(7) == 0.5f)
+  }
+
   test("agrees with the columnar header extraction on the synthetic corpus") {
     import org.apache.spark.sql.DataFrame
     val dir = "/root/testdata/sf0.001"

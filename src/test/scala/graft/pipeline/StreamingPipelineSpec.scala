@@ -45,6 +45,60 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("snapshot writer runs as the streaming sink: rolled files + manifests " +
+      "paired per micro-batch") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    import graft.streaming.StreamingExport
+
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-stream-man")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 5000, compression = "gz")
+
+    val results = new scala.collection.mutable.ListBuffer[StreamingExport.BatchResult]
+    val stream = MemoryStream[Fixture.RawCell]
+    val records = ExportPipeline.records(
+      ExportPipeline.run(stream.toDF(), Fixture.Topic, ks))
+    val query = StreamingExport.start(records, cfg, ks, "graft_stream_sink",
+      r => results.synchronized { results += r })
+    try {
+      stream.addData((0L until 200L).map(i => Fixture.cell(i, dek, encKey, corrupt = false)))
+      query.processAllAvailable()
+      stream.addData((200L until 350L).map(i => Fixture.cell(i, dek, encKey, corrupt = false)))
+      query.processAllAvailable()
+
+      val snap = results.synchronized(results.toList)
+      assert(snap.map(_.batchId).distinct.size == 2, snap.map(_.batchId))
+
+      // every micro-batch: written records == streamed records, both
+      // key slices produced output, rolling actually rolled
+      val expected = Map(0L -> 200L, 1L -> 150L)
+      snap.foreach { batch =>
+        assert(batch.files.map(_.records).sum == expected(batch.batchId))
+        assert(batch.files.map(_.slice).distinct.sorted == Seq("000-128", "128-000"))
+        assert(batch.files.size > 2, s"expected rolling: ${batch.files.size} files")
+        batch.files.foreach { fa =>
+          // manifest line count matches its file's record count
+          val manifest = java.nio.file.Path.of(
+            manDir.toString, s"batch=${batch.batchId}", fa.manifest_file)
+          val lines = java.nio.file.Files.readString(manifest)
+            .split("\n").count(_.nonEmpty)
+          assert(lines == fa.records, s"${fa.manifest_file}: $lines != ${fa.records}")
+          // encrypted object round-trips to its record count
+          val back = SnapshotWriter.readBack(
+            s"${outDir.toString}/batch=${batch.batchId}", fa.file, "gz", ks)
+          assert(back.length == fa.records)
+        }
+      }
+    } finally query.stop()
+  }
+
   test("typed skips flow as a streaming aggregation (complete mode)") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx

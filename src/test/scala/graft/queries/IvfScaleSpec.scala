@@ -32,8 +32,8 @@ class IvfScaleSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = n
-      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)),
-        col("vec_id"))
+      .orderBy(pmod(pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)), col("vec_id"))
       .limit(Similarity.IvfSeedCount)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
