@@ -45,6 +45,22 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q47 pushes the multi-version time range into the envelope source scan") {
+    val p = plan("q47_multiversion_export")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(ts,1003)"),
+      p.take(3000))
+  }
+
+  test("q48 computes simhash via the native one-pass expression") {
+    // walk the logical tree (the rendered string truncates deep plans)
+    val analyzed = graft.SparkEntry.queries("q48_simhash_hamming")(spark, dir)
+      .queryExecution.analyzed
+    val usesNative = analyzed.collect { case node =>
+      node.expressions.exists(_.exists(_.isInstanceOf[graft.expressions.Simhash]))
+    }.exists(identity)
+    assert(usesNative, "q48 lost the native simhash kernel")
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
