@@ -92,6 +92,36 @@ object ExprRuntime {
     sig
   }
 
+  /** All k affine MinHash values in ONE pass over the shingle array:
+    * min over h of `(a_j * (h % P) + b_j) % P` for each coefficient
+    * pair, P = 2^31-1 (products stay < 2^55, overflow-free in signed
+    * 64-bit — identical arithmetic to the per-k
+    * `array_min(transform(...))` HOF form and the DuckDB twin, which
+    * each cost k interpreted passes). Empty input → null, matching
+    * `array_min(empty)`. */
+  def minhash(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val k = a.numElements()
+    val p = 2147483647L
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = sh.getLong(i) % p
+      var j = 0
+      while (j < k) {
+        val v = (a.getLong(j) * hp + b.getLong(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
   /** AES-CTR decrypt of Base64 ciphertext with Base64 key + IV
     * (AESCipherService.kt:38-44 semantics); null on any failure. */
   def aesCtrDecrypt(key: UTF8String, iv: UTF8String, ct: UTF8String): UTF8String =

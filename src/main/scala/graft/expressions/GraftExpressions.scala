@@ -163,6 +163,46 @@ case class Simhash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-k MinHash signature in one pass —
+  * `graft_minhash(sh, aCoeffs, bCoeffs)` → array<bigint>. The HOF form
+  * (`array_min(transform(sh, ...))` per k) costs k interpreted passes
+  * over the shingle array per row; this is one primitive loop. The
+  * coefficient arrays must be foldable (they constant-fold to literal
+  * ArrayData, evaluated once per batch by codegen's nullSafeCodeGen).
+  * Empty shingle sets yield NULL, matching `array_min(empty)`. */
+case class MinhashSignature(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(t: DataType): Boolean =
+      t == ArrayType(LongType) || t == ArrayType(LongType, containsNull = false)
+    if (isLongArray(first.dataType) && second.foldable && third.foldable &&
+        isLongArray(second.dataType) && isLongArray(third.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, foldable array<bigint> x2), " +
+        s"got ${children.map(_.dataType)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  protected override def nullSafeEval(sh: Any, a: Any, b: Any): Any =
+    ExprRuntime.minhash(
+      sh.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, a, b) => s"""
+      ${ev.value} = graft.expressions.ExprRuntime.minhash($sh, $a, $b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinhashSignature =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Function registration: imperative (works on any live session, used
   * by the pipeline defensively) and declarative (SparkSessionExtensions
   * for `spark.sql.extensions` configs). */
@@ -180,7 +220,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => VectorDot(args(0), args(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
-      (args: Seq[Expression]) => Simhash(args(0), args(1))))
+      (args: Seq[Expression]) => Simhash(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinhashSignature(args(0), args(1), args(2))))
 
   /** Idempotent runtime registration into a session's registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -207,5 +250,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
       (args: Seq[Expression]) => Simhash(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinhashSignature(args(0), args(1), args(2))))
   }
 }

@@ -69,15 +69,25 @@ object Dedup {
   private[queries] def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(docs(s, dir))
 
-  /** Same, over any relation with a `text` column (testable seam). */
+  /** Same, over any relation with a `text` column (testable seam).
+    * The k minhash values come from ONE native pass over the shingle
+    * array (`graft_minhash`, coefficient arrays constant-folded) —
+    * the per-k `array_min(transform(...))` HOF form costs k
+    * interpreted passes per row and dominated the cold signature
+    * build. `h$k` columns are per-element extractions, so every
+    * downstream band/oracle shape is unchanged. */
   private[queries] def signaturesOf(docRows: DataFrame): DataFrame = {
+    val aList = HashCoeffs.map(_._1).mkString(",")
+    val bList = HashCoeffs.map(_._2).mkString(",")
     val withSh = docRows
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(shinglesSpark))
       .drop("toks")
-    val withH = HashCoeffs.zipWithIndex.foldLeft(withSh) { case (df, ((a, b), k)) =>
-      df.withColumn(s"h$k",
-        expr(s"array_min(transform(sh, x -> ($a * (x % $P) + $b) % $P))"))
+      .withColumn("mh", expr(
+        s"graft_minhash(sh, CAST(array($aList) AS ARRAY<BIGINT>), " +
+          s"CAST(array($bList) AS ARRAY<BIGINT>))"))
+    val withH = HashCoeffs.indices.foldLeft(withSh) { (df, k) =>
+      df.withColumn(s"h$k", element_at(col("mh"), k + 1))
     }
     (0 until NumBands).foldLeft(withH) { (df, bd) =>
       val cols = (bd * BandSize until (bd + 1) * BandSize).map(k => col(s"h$k"))

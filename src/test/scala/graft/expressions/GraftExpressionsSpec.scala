@@ -98,6 +98,41 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
   }
 
+  test("graft_minhash matches the per-k array_min(transform(...)) HOF form bit-exactly") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i =>
+      (i, Array.fill(rnd.nextInt(50) + 1)(rnd.nextLong().abs % (1L << 60))))
+    val df = rows.toDF("i", "sh")
+    val coeffs = graft.queries.Dedup.HashCoeffs
+    val aList = coeffs.map(_._1).mkString(",")
+    val bList = coeffs.map(_._2).mkString(",")
+    val p = graft.queries.Dedup.P
+    val hofCols = coeffs.zipWithIndex.map { case ((a, b), k) =>
+      s"array_min(transform(sh, x -> ($a * (x % $p) + $b) % $p)) AS slow$k"
+    }
+    val out = df.selectExpr(
+      Seq(s"graft_minhash(sh, CAST(array($aList) AS ARRAY<BIGINT>), " +
+        s"CAST(array($bList) AS ARRAY<BIGINT>)) AS fast") ++ hofCols: _*)
+    coeffs.indices.foreach { k =>
+      assert(out.filter(element_at(col("fast"), k + 1) =!= col(s"slow$k"))
+        .count() == 0, s"minhash $k diverges from the HOF form")
+    }
+  }
+
+  test("graft_minhash on an empty shingle set is NULL (array_min(empty) parity)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1, Array.empty[Long]), (2, Array(42L))).toDF("i", "sh")
+    val out = df.selectExpr("i",
+      "graft_minhash(sh, CAST(array(3, 5) AS ARRAY<BIGINT>), " +
+        "CAST(array(7, 11) AS ARRAY<BIGINT>)) AS mh")
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(1), "empty set must be NULL, not a signature")
+    assert(!out(1).isNullAt(1))
+  }
+
   test("interpreted path (eval) agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
