@@ -27,6 +27,14 @@ object Control {
   final case class BlockedTopicException(topic: String)
     extends RuntimeException(s"Provided topic is blocked so cannot be processed: '$topic'")
 
+  /** The reference's TableNotFoundException/TableNotEnabledException
+    * class (JobCompletionNotificationListener.kt:143-145): a missing
+    * or disabled source table terminates the job with the
+    * Table_Unavailable status — which COUNTS AS SUCCESS in the
+    * run-level fold. */
+  final case class TableUnavailableException(table: String)
+    extends RuntimeException(s"Table unavailable: '$table'")
+
   /** Comma-separated blocklist; exact-match gate. Throws
     * BlockedTopicException like the reference (the driver maps it to
     * the Blocked_Topic terminal status). */
