@@ -115,6 +115,71 @@ object Metrics {
     }
   }
 
+  // ------------------------------------------------ push gateway loop
+
+  /** Push-target seam: a real pushgateway client or the local file
+    * stand-in both fit behind it. */
+  trait PushTarget {
+    def push(groupingKey: Map[String, String], exposition: String): Unit
+    def delete(groupingKey: Map[String, String]): Unit
+  }
+
+  /** Local pushgateway stand-in: one file per grouping key. */
+  final class FilePushTarget(dir: java.nio.file.Path) extends PushTarget {
+    private def fileFor(key: Map[String, String]) =
+      dir.resolve(key.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("metrics_", "_", ".prom").replaceAll("[^A-Za-z0-9_.=-]", "_"))
+    override def push(key: Map[String, String], exposition: String): Unit =
+      java.nio.file.Files.writeString(fileFor(key), exposition)
+    override def delete(key: Map[String, String]): Unit =
+      java.nio.file.Files.deleteIfExists(fileFor(key))
+  }
+
+  /** The reference's scheduled metrics pusher
+    * (PushGatewayServiceImpl.kt:19-41): a fixed-rate push of the
+    * current exposition under a grouping key (type/topic/instance/
+    * correlation_id/export_date), a final push that first cancels the
+    * schedule, and a post-scrape delete gated on a flag. The scrape
+    * wait is an injectable sleeper so tests run without wall-clock
+    * stalls. */
+  final class PushGatewayScheduler(
+      registry: MetricsRegistry,
+      target: PushTarget,
+      groupingKey: Map[String, String],
+      pushRateMs: Long = 20000L,
+      initialDelayMs: Long = 10000L,
+      deleteOnFinal: Boolean = true,
+      scrapeWaitMs: Long = 70000L,
+      sleeper: Long => Unit = Thread.sleep) {
+
+    private val executor =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-metrics-push"); t.setDaemon(true); t
+      })
+    @volatile private var scheduled: java.util.concurrent.ScheduledFuture[_] = _
+
+    def pushMetrics(): Unit = target.push(groupingKey, registry.expositionFormat)
+
+    def start(): Unit = synchronized {
+      if (scheduled == null)
+        scheduled = executor.scheduleAtFixedRate(() => pushMetrics(),
+          initialDelayMs, pushRateMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+
+    def pushFinalMetrics(): Unit = synchronized {
+      if (scheduled != null) { scheduled.cancel(false); scheduled = null }
+      executor.shutdown()
+      pushMetrics()
+      deleteMetrics()
+    }
+
+    def deleteMetrics(): Unit =
+      if (deleteOnFinal) {
+        sleeper(scrapeWaitMs) // let the scraper collect the final push
+        target.delete(groupingKey)
+      }
+  }
+
   /** Run `body` with a task-metrics listener attached; returns (result,
     * registry with executor metrics + whatever `body` recorded).
     *

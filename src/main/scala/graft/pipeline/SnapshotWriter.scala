@@ -166,18 +166,27 @@ object SnapshotWriter {
             val name = f"$filePrefix-$currentBatch%06d.txt.${cfg.compression}.enc"
             val outFile = new File(cfg.outputDir, name)
             outFile.getParentFile.mkdirs()
-            val fos = new FileOutputStream(outFile)
-            try fos.write(target.toByteArray) finally fos.close()
-            // crypto metadata sidecar (S3 user-metadata analogue)
-            val iv = Base64.getEncoder.encodeToString(
-              ivFor(cfg.topic, label, manifestNum))
-            val meta = s"""{"iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}"}"""
-            java.nio.file.Files.writeString(
-              new File(cfg.outputDir, s"$name.metadata.json").toPath, meta)
+            // object put + metadata sidecar retry with the reference's
+            // envelope (S3ObjectServiceImpl.kt:19-23: 5 attempts, x2
+            // backoff) — idempotent (full rewrite), so a retried put
+            // after a partial failure is safe
+            Retry.withRetry(Retry.Policy()) {
+              val fos = new FileOutputStream(outFile)
+              try fos.write(target.toByteArray) finally fos.close()
+              // crypto metadata sidecar (S3 user-metadata analogue)
+              val iv = Base64.getEncoder.encodeToString(
+                ivFor(cfg.topic, label, manifestNum))
+              val meta = s"""{"iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}"}"""
+              java.nio.file.Files.writeString(
+                new File(cfg.outputDir, s"$name.metadata.json").toPath, meta)
+            }
             val manifestName = f"$filePrefix-$manifestNum%06d.csv"
             val mFile = new File(cfg.manifestDir, manifestName)
             mFile.getParentFile.mkdirs()
-            java.nio.file.Files.writeString(mFile.toPath, manifestBuf.toString)
+            // manifest upload retry (StreamingManifestWriter.kt:18-22)
+            Retry.withRetry(Retry.Policy()) {
+              java.nio.file.Files.writeString(mFile.toPath, manifestBuf.toString)
+            }
             results += FileAccounting(label, name, manifestName,
               recordsInBatch, batchSizeBytes, target.size().toLong)
           }
