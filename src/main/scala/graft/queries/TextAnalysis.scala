@@ -165,18 +165,52 @@ object TextAnalysis {
        |FROM mm ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ q51 BPE-ish tokens
+  /** Subword-grade token counting via a BPE-style pre-split regex —
+    * the GPT-2 tokenizer's split shape (contraction suffixes, letter
+    * runs, digit runs, single non-alphanumeric marks) reduced to the
+    * syntax Java regex and RE2 share (no lookarounds, explicit
+    * whitespace class). Subword counts are what a training-data token
+    * budget is measured in; the whitespace count rides along for the
+    * tokens-per-word fertility signal. Pure per-row expressions —
+    * linear at any scale. */
+  private val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+  def qTokenBpe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe"),
+        size(split(col("text"), " ")).as("n_ws"))
+      .orderBy("doc_id")
+
+  val qTokenBpeSql: String = {
+    // SQL-quote the pattern: the leading apostrophe doubles; DuckDB
+    // standard strings keep backslashes literal, so the \t\n\r\f
+    // escapes reach RE2 exactly as Java regex sees them
+    val sqlPattern = BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |len(regexp_extract_all(text, '$sqlPattern')) AS n_bpe,
+       |len(string_split(text, ' ')) AS n_ws
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (qTextStats _),
     "q26_text_quality" -> (qTextQuality _),
     "q27_lang_dist" -> (qLangDist _),
     "q28_fingerprint" -> (qFingerprint _),
-    "q38_lang_detect" -> (qLangDetect _))
+    "q38_lang_detect" -> (qLangDetect _),
+    "q51_token_bpe" -> (qTokenBpe _))
 
   val oracles: Map[String, String] = Map(
     "q25_text_stats" -> qTextStatsSql,
     "q26_text_quality" -> qTextQualitySql,
     "q27_lang_dist" -> qLangDistSql,
     "q28_fingerprint" -> qFingerprintSql,
-    "q38_lang_detect" -> qLangDetectSql)
+    "q38_lang_detect" -> qLangDetectSql,
+    "q51_token_bpe" -> qTokenBpeSql)
 }
