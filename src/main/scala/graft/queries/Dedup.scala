@@ -369,6 +369,18 @@ object Dedup {
     docs(s, dir).join(kills, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dedup via the simhash Hamming ball returning surviving rows —
+    * the [[dedupNearLSH]] kill rule over q48's banded candidates: any
+    * document within Hamming ≤ `maxHamming` of a smaller-id document
+    * is dropped. Candidates are exhaustive for the ball by the band
+    * guarantee, so the kill set is deterministic. */
+  def dedupNearSimhash(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val kills = qSimhashHamming(s, dir)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d2").as("doc_id")).distinct()
+    docs(s, dir).join(kills, Seq("doc_id"), "left_anti")
+  }
+
   // -------------------------------------------- q36/q37 keeper checks
   /** Surviving set of the exact dedup operator (doc_id + fingerprint),
     * hash-compared against the DuckDB window twin. */
@@ -408,6 +420,32 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
   }
 
+  /** Surviving rows of the simhash near-dedup at Hamming ≤ 2 (q52). */
+  def qDedupSimhashKeep(s: SparkSession, dir: String): DataFrame =
+    dedupNearSimhash(s, dir, 2)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val qDedupSimhashKeepSql: String = {
+    val bandCols = (0 until SimhashNumBands).map { b =>
+      s"(simhash // ${1L << (b * SimhashBandBits)}) % ${1L << SimhashBandBits} AS sb$b"
+    }.mkString(", ")
+    val bandJoins = (0 until SimhashNumBands).map { b =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+         |    FROM sb a JOIN sb b ON a.sb$b = b.sb$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, $shinglesDuck AS sh FROM tok),
+       |sims AS (SELECT doc_id, $simhashDuck AS simhash FROM shed WHERE len(sh) > 0),
+       |sb AS (SELECT doc_id, simhash, $bandCols FROM sims),
+       |cand AS (
+       |$bandJoins),
+       |kills AS (SELECT DISTINCT d2 AS doc_id FROM cand
+       |  WHERE bit_count(xor(s1, s2)) <= 2)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (qDedupExact _),
@@ -417,7 +455,8 @@ object Dedup {
     "q36_dedup_exact_keep" -> (qDedupExactKeep _),
     "q37_dedup_near_keep" -> (qDedupNearKeep _),
     "q43_simhash" -> (qSimhash _),
-    "q48_simhash_hamming" -> (qSimhashHamming _))
+    "q48_simhash_hamming" -> (qSimhashHamming _),
+    "q52_dedup_simhash_keep" -> (qDedupSimhashKeep _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
@@ -427,5 +466,6 @@ object Dedup {
     "q36_dedup_exact_keep" -> qDedupExactKeepSql,
     "q37_dedup_near_keep" -> qDedupNearKeepSql,
     "q43_simhash" -> qSimhashSql,
-    "q48_simhash_hamming" -> qSimhashHammingSql)
+    "q48_simhash_hamming" -> qSimhashHammingSql,
+    "q52_dedup_simhash_keep" -> qDedupSimhashKeepSql)
 }
