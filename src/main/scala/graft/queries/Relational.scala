@@ -510,6 +510,37 @@ object Relational {
        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
        |AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
 
+  // --------------------------------------------------------------- Q53
+  // As-of join over the events stream: each purchase matched to the
+  // user's most recent signup at-or-before purchase time — the
+  // state-at-event-time operator Spark lacks as a built-in
+  // (graft.operators.AsofJoin: tag + union + running last() window,
+  // ONE shuffle, no range explosion). Oracle = DuckDB's native
+  // ASOF JOIN, whose inclusive `l.ts >= r.ts` semantics the operator's
+  // tie-break reproduces. ts stays out of the output (nanos in Spark
+  // vs µs in DuckDB — only the ORDER matters for the join, and
+  // nanos→µs is order-preserving on this corpus).
+  def q53AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsofJoin.asof(purchases, signups, "user_id", "ts",
+      Seq("event_id", "value"))
+      .select(col("l_id"), col("user_id"),
+        col("r_event_id").as("r_id"), col("r_value"))
+      .orderBy("l_id")
+  }
+
+  val q53Sql: String =
+    """SELECT l.event_id AS l_id, l.user_id AS user_id,
+      |r.event_id AS r_id, r.value AS r_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01Scan _),
@@ -531,7 +562,8 @@ object Relational {
     "q17_tpch_q1" -> (q17TpchQ1 _),
     "q18_tpch_q3" -> (q18TpchQ3 _),
     "q45_tpch_q5" -> (q45TpchQ5 _),
-    "q46_tpch_q14" -> (q46TpchQ14 _))
+    "q46_tpch_q14" -> (q46TpchQ14 _),
+    "q53_asof_join" -> (q53AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -553,5 +585,6 @@ object Relational {
     "q17_tpch_q1" -> q17Sql,
     "q18_tpch_q3" -> q18Sql,
     "q45_tpch_q5" -> q45Sql,
-    "q46_tpch_q14" -> q46Sql)
+    "q46_tpch_q14" -> q46Sql,
+    "q53_asof_join" -> q53Sql)
 }
