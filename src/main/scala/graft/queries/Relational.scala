@@ -541,6 +541,37 @@ object Relational {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l_id""".stripMargin
 
+  // --------------------------------------------------------------- Q54
+  // Range (point-in-interval) join: clicks inside the hour after an
+  // error by the same user. The naive inequality join plans as a
+  // BroadcastNestedLoopJoin; graft.operators.RangeJoin buckets time at
+  // the max interval width so it runs as a hash equi-join on
+  // (user_id, bucket) + exact post-filter. Oracle = DuckDB's plain
+  // inequality join (its IEJoin handles it natively). ts arithmetic is
+  // nanos in Spark vs TIMESTAMP+INTERVAL in DuckDB — equivalent on
+  // this µs-precision corpus.
+  def q54RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourNanos = 3600L * 1000L * 1000L * 1000L
+    val points = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("start_ts"),
+        (col("ts") + hourNanos).as("end_ts"), col("event_id").as("int_id"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals,
+      "user_id", "ts", "start_ts", "end_ts", Seq("int_id"), hourNanos)
+      .select(col("p_id"), col("user_id"), col("i_int_id").as("i_id"))
+      .orderBy("p_id", "i_id")
+  }
+
+  val q54Sql: String =
+    """SELECT p.event_id AS p_id, p.user_id AS user_id, i.event_id AS i_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') i
+      |  ON p.user_id = i.user_id
+      | AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
+      |ORDER BY p_id, i_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01Scan _),
@@ -563,7 +594,8 @@ object Relational {
     "q18_tpch_q3" -> (q18TpchQ3 _),
     "q45_tpch_q5" -> (q45TpchQ5 _),
     "q46_tpch_q14" -> (q46TpchQ14 _),
-    "q53_asof_join" -> (q53AsofJoin _))
+    "q53_asof_join" -> (q53AsofJoin _),
+    "q54_range_join" -> (q54RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -586,5 +618,6 @@ object Relational {
     "q18_tpch_q3" -> q18Sql,
     "q45_tpch_q5" -> q45Sql,
     "q46_tpch_q14" -> q46Sql,
-    "q53_asof_join" -> q53Sql)
+    "q53_asof_join" -> q53Sql,
+    "q54_range_join" -> q54Sql)
 }

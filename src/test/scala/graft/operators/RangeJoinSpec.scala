@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Range-join semantics on constructed data: containment matching
+  * across bucket boundaries, inclusive endpoints, the too-long-interval
+  * guard, and the equi-join (not nested-loop) plan shape. */
+class RangeJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 1L, 5L),    // inside interval A
+    (2L, 1L, 10L),   // on A's end boundary (inclusive)
+    (3L, 1L, 11L),   // just outside A
+    (4L, 1L, 95L),   // inside B, which CROSSES a bucket boundary (width 100)
+    (5L, 1L, 105L),  // inside B, other side of the boundary
+    (6L, 2L, 5L)     // right key-group, no intervals there
+  ).toDF("p_id", "k", "ts")
+
+  private lazy val intervals = Seq(
+    (10L, 1L, 0L, 10L),   // A: [0, 10]
+    (11L, 1L, 90L, 150L)  // B: [90, 150] spans buckets 0 and 1
+  ).toDF("int_id", "k", "start_ts", "end_ts")
+
+  test("matches exactly the contained points, inclusive endpoints, across buckets") {
+    val out = RangeJoin.pointInInterval(points, intervals, "k", "ts",
+      "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L)
+      .select($"p_id", $"i_int_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (4L, 11L), (5L, 11L)))
+  }
+
+  test("no duplicate pairs when an interval registers in two buckets") {
+    val out = RangeJoin.pointInInterval(points, intervals, "k", "ts",
+      "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L)
+    assert(out.count() == out.distinct().count())
+  }
+
+  test("rejects a bucket width below the longest interval instead of dropping pairs") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "k", "ts",
+        "start_ts", "end_ts", Seq("int_id"), bucketWidth = 50L)
+    }
+  }
+
+  test("plans a hash equi-join, never a nested-loop") {
+    val p = RangeJoin.pointInInterval(points, intervals, "k", "ts",
+      "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+}
