@@ -107,6 +107,130 @@ object Similarity {
        |SELECT label, d1, d2, cosine FROM p WHERE cosine > 0.35
        |ORDER BY label, d1, d2""".stripMargin
 
+  // -------------------------------------------- SRP-LSH near-dup (q55)
+  /** Signed-random-projection LSH — the bucketed scale path for
+    * embedding-cosine near-dup beside the IVF-cell block (q39) and the
+    * label block (q31): [[SrpPlanes]] fixed ±1 hyperplanes, sign bits
+    * grouped into [[SrpBands]] bands of [[SrpBitsPerBand]] bits; same
+    * band value ⇒ candidate pair; exact cosine verifies. Candidates
+    * are probabilistic (SRP recall for a cosine-c pair per band is
+    * (1 − θ/π)^bits), but DETERMINISTIC given the fixed planes — the
+    * oracle runs the identical planes, so both engines produce the
+    * same pair set. Banded join = narrow (band, value) keys, linear
+    * scale, never all-pairs.
+    *
+    * The planes are generated once from a fixed seed and rendered into
+    * BOTH dialects as the per-plane negative-index sets: a ±1 dot is
+    * `total − 2·Σ v[neg]`, so each engine evaluates the same doubles
+    * in the same order (no float literal round-trips). */
+  /** Band sizing is the scale knob (the simhash/phash lesson): 2^bits
+    * buckets per band bound expected occupancy at N/2^bits, while
+    * per-band recall for a cosine-c pair is (1 − θ(c)/π)^bits — choose
+    * `bits ≈ log2(N / target_occupancy)` and add bands to buy recall
+    * back. 8 bits suits the fixture corpus (≤ 5·10^3 vectors,
+    * ~N/256 per bucket); a 10^9-vector run wants 20–24-bit bands and
+    * correspondingly more bands. Bands/bits are object constants only
+    * because the oracle SQL must be rendered from the same values —
+    * both derive from this one pair. */
+  val SrpBands = 8
+  val SrpBitsPerBand = 8
+  val SrpPlanes: Int = SrpBands * SrpBitsPerBand // 64
+  private val SrpDim = 64
+
+  /** Plane p's 1-based negated dimensions — fixed seed, ~half of 64. */
+  private lazy val srpNegIdx: IndexedSeq[Seq[Int]] = {
+    val rnd = new scala.util.Random(20260812L)
+    IndexedSeq.fill(SrpPlanes)(
+      (1 to SrpDim).filter(_ => rnd.nextBoolean()))
+  }
+
+  /** `total − 2·Σ v[neg]` for plane p, rendered per dialect with the
+    * identical addition order. */
+  private def srpDotSpark(p: Int): String = {
+    val negSum = srpNegIdx(p)
+      .map(i => s"CAST(element_at(embedding, $i) AS DOUBLE)").mkString(" + ")
+    s"(srp_total - 2.0 * ($negSum))"
+  }
+  private def srpDotDuck(p: Int): String = {
+    val negSum = srpNegIdx(p)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+    s"(srp_total - 2.0 * ($negSum))"
+  }
+
+  private def srpBandSpark(b: Int): String =
+    (0 until SrpBitsPerBand).map { j =>
+      s"IF(${srpDotSpark(b * SrpBitsPerBand + j)} >= 0.0, ${1 << j}, 0)"
+    }.mkString(" + ")
+  private def srpBandDuck(b: Int): String =
+    (0 until SrpBitsPerBand).map { j =>
+      s"CASE WHEN ${srpDotDuck(b * SrpBitsPerBand + j)} >= 0.0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  // the banded relation feeds 8 band self-joins + 2 verify joins;
+  // managed per-dir cache with the Dedup.cachedSignatures pattern
+  @transient private var cachedSrp: Option[(String, DataFrame)] = None
+  private def srpBanded(s: SparkSession, dir: String): DataFrame = synchronized {
+    cachedSrp match {
+      case Some((d, df)) if d == dir => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val onesSum = (1 to SrpDim)
+          .map(i => s"CAST(element_at(embedding, $i) AS DOUBLE)").mkString(" + ")
+        val df = (0 until SrpBands).foldLeft(
+          emb(s, dir).select(col("vec_id"), col("embedding"),
+            expr(normSpark).as("nrm"), expr(s"($onesSum)").as("srp_total"))) {
+          (acc, b) => acc.withColumn(s"srp$b", expr(srpBandSpark(b)))
+        }.select(col("vec_id") +: col("embedding") +: col("nrm") +:
+          (0 until SrpBands).map(b => col(s"srp$b")): _*).cache()
+        cachedSrp = Some((dir, df))
+        df
+    }
+  }
+
+  def qSrpNearDup(s: SparkSession, dir: String): DataFrame = {
+    val banded = srpBanded(s, dir)
+    def pairsOn(b: Int): DataFrame = {
+      val a = banded.select(col("vec_id").as("d1"), col(s"srp$b").as("bv"))
+      val c = banded.select(col("vec_id").as("d2"), col(s"srp$b").as("bv"))
+      a.join(c, "bv").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
+    }
+    val cand = (0 until SrpBands).map(pairsOn).reduce(_ union _).distinct()
+    val e1 = banded.select(col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val e2 = banded.select(col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    cand.join(e1, "d1").join(e2, "d2")
+      .withColumn("cosine",
+        expr(dotSpark("e1", "e2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") > 0.35)
+      .select(col("d1"), col("d2"), col("cosine"))
+      .orderBy("d1", "d2")
+  }
+
+  val qSrpNearDupSql: String = {
+    val onesSum = (1 to SrpDim)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+    val bandCols = (0 until SrpBands)
+      .map(b => s"${srpBandDuck(b)} AS srp$b").mkString(",\n")
+    val bandJoins = (0 until SrpBands).map { b =>
+      s"""  SELECT a.vec_id AS d1, b.vec_id AS d2 FROM banded a JOIN banded b
+         |    ON a.srp$b = b.srp$b AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH tot AS (SELECT vec_id, embedding, $normDuck AS nrm,
+       |  ($onesSum) AS srp_total FROM embeddings),
+       |banded AS (SELECT vec_id, embedding, nrm,
+       |$bandCols
+       |FROM tot),
+       |cand AS (
+       |$bandJoins),
+       |verified AS (SELECT d1, d2,
+       |  ${dotDuck("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+       |  FROM cand JOIN banded x ON cand.d1 = x.vec_id
+       |            JOIN banded y ON cand.d2 = y.vec_id)
+       |SELECT d1, d2, cosine FROM verified WHERE cosine > 0.35
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   // ----------------------------------------------------------- IVF kNN
   // IVF-style ANN: a FIXED-SIZE coarse quantizer — exactly IvfSeedCount
   // seed centroids chosen by a deterministic multiplicative-hash sample
@@ -305,12 +429,14 @@ object Similarity {
     "q30_knn_brute" -> (qKnnBrute _),
     "q31_cosine_neardup" -> (qCosineNearDup _),
     "q32_knn_ivf" -> (qKnnIvf _),
-    "q39_cell_neardup" -> (qCellNearDup _))
+    "q39_cell_neardup" -> (qCellNearDup _),
+    "q55_srp_neardup" -> (qSrpNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,
     "q31_cosine_neardup" -> qCosineNearDupSql,
     "q32_knn_ivf" -> qKnnIvfSql,
-    "q39_cell_neardup" -> qCellNearDupSql)
+    "q39_cell_neardup" -> qCellNearDupSql,
+    "q55_srp_neardup" -> qSrpNearDupSql)
 }
