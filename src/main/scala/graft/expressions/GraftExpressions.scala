@@ -139,9 +139,18 @@ case class Simhash(left: Expression, right: Expression)
     if ((left.dataType == ArrayType(LongType) ||
         left.dataType == ArrayType(LongType, containsNull = false) ||
         left.dataType == NullType) && right.foldable &&
-        right.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        right.dataType == IntegerType) {
+      // bits outside [1, 63] would crash at execution time (negative
+      // array size) or collide with the -1 empty-set sentinel (bit 63
+      // / zero width) — reject at ANALYSIS time while the foldable
+      // value is in hand
+      val bits = right.eval()
+      if (bits != null && {
+        val b = bits.asInstanceOf[Int]; b >= 1 && b <= 63
+      }) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bits must be in [1, 63], got $bits")
+    } else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<bigint>, foldable int), got " +
         s"${children.map(_.dataType)}")
   override def dataType: DataType = LongType

@@ -30,35 +30,45 @@ object AsofJoin {
   /** Joins `right`'s `rightValueCols` (prefixed `r_`) onto `left`.
     * `inner = true` drops left rows with no prior right row (DuckDB
     * `ASOF JOIN`); `false` keeps them with NULL payload (`ASOF LEFT
-    * JOIN`). Key and time column names must match across sides. */
+    * JOIN`). Key and time column names must match across sides.
+    *
+    * Ties among RIGHT rows sharing the same (key, time) resolve
+    * arbitrarily (the window order is (time, side) only) — the same
+    * ambiguity DuckDB's ASOF JOIN has. Deduplicate the right side on
+    * (key, time) first if its payload must be deterministic there. */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       rightValueCols: Seq[String], inner: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.exists(c => rightValueCols.contains(s"r_$c")),
-      "left side already has an r_-prefixed column that would collide")
+    require(!rightValueCols.exists(c => leftCols.contains(s"r_$c")),
+      "left side already has an r_-prefixed output column that would collide")
 
+    // The right payload rides as ONE struct, so the window's
+    // last(ignoreNulls) picks the matched right ROW atomically — a
+    // per-column last() would stitch values from DIFFERENT right rows
+    // whenever a payload field is NULL, and a NULL head field would
+    // falsely drop the row in inner mode. The struct is non-null on
+    // every right row (even all-NULL payloads), null on left rows.
+    val rStruct = struct(rightValueCols.map(col): _*)
     val lTagged = left.select(
-      leftCols.map(col) ++ (lit(1).as("__side") +:
-        rightValueCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+      leftCols.map(col) ++ Seq(lit(1).as("__side"),
+        lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r")): _*)
     val rTagged = right.select(
       leftCols.map { c =>
         if (c == keyCol || c == timeCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ (lit(0).as("__side") +:
-        rightValueCols.map(c => col(c).as(s"__r_$c"))): _*)
+      } ++ Seq(lit(0).as("__side"), rStruct.as("__r")): _*)
 
     val w = Window.partitionBy(keyCol)
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightValueCols.foldLeft(lTagged.unionByName(rTagged)) {
-      (df, c) => df.withColumn(s"r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    val leftRows = filled.filter(col("__side") === 1)
-      .drop(("__side" +: rightValueCols.map(c => s"__r_$c")): _*)
-    if (inner) leftRows.filter(col(s"r_${rightValueCols.head}").isNotNull)
-    else leftRows
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
+    val matched = if (inner) filled.filter(col("__rm").isNotNull) else filled
+    val leftRows = matched.filter(col("__side") === 1)
+    rightValueCols.foldLeft(leftRows) { (df, c) =>
+      df.withColumn(s"r_$c", col("__rm").getField(c))
+    }.drop("__side", "__r", "__rm")
   }
 
   /** Convenience: the matched right timestamp too. */

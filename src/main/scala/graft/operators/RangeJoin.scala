@@ -33,6 +33,12 @@ object RangeJoin {
       intervalCols: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
 
+    // NOTE this guard is an eager extra pass over `intervals` (column-
+    // pruned to (start, end) by Catalyst, short-circuited by the
+    // limit). Correctness first: an undersized width SILENTLY drops
+    // pairs. Callers with an expensive intervals lineage should
+    // persist it (or know the max length a priori and size the width
+    // from it).
     val tooLong = intervals
       .filter(col(endCol) - col(startCol) > bucketWidth).limit(1).count()
     require(tooLong == 0,

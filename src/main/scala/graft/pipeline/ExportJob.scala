@@ -43,43 +43,48 @@ object ExportJob {
       productStatus: Completion.ProductStatusService,
       messaging: Completion.SqsMessagingService,
       sns: Completion.SnsPublishingService,
-      blockedTopics: String = "",
-      snapshotType: String = "full"): Result = {
+      blockedTopics: String = ""): Result = {
+    // snapshot type flows from cfg alone: one source of truth for the
+    // pipeline's manifest-timestamp preference AND the payload/arn/PDM
+    // gates (a separate parameter let the two silently diverge)
 
     val listener = new Completion.CompletionListener(
       cfg, exportStatus, productStatus, messaging, sns)
 
-    def terminate(outcome: Control.JobOutcome,
-        files: Seq[SnapshotWriter.FileAccounting],
-        skips: Map[String, Long]): Result =
-      Result(outcome, listener.afterJob(outcome), files, skips)
+    // Outcome classification stays inside the try; the completion
+    // fan-out runs AFTER it, exactly once — were afterJob inside the
+    // try, one of its own send failures would re-enter the catch-all
+    // and fire a second, contradictory fan-out (Export_Failed over a
+    // topic that exported).
+    val (outcome, files, skips) =
+      try {
+        Control.checkTopicNotBlocked(cfg.topicName, blockedTopics)
+        exportStatus.setStatus(cfg.topicName, Control.CollectionStatus.Exporting)
 
-    try {
-      Control.checkTopicNotBlocked(cfg.topicName, blockedTopics)
-      exportStatus.setStatus(cfg.topicName, Control.CollectionStatus.Exporting)
-
-      val out = ExportPipeline.run(source(spark), cfg.topicName, keys, snapshotType)
-      val files = SnapshotWriter.write(ExportPipeline.records(out), writerCfg, keys)
-        .collect().toSeq
-      // per-file accounting, in the writer's own order
-      // (S3StreamingWriter.kt:131-132): count increment + FIFO
-      // snapshot-sender message carrying the object's full path
-      files.foreach { fa =>
-        exportStatus.incrementExportedCount(cfg.topicName)
-        messaging.notifySnapshotSender(s"${writerCfg.outputDir}/${fa.file}")
+        val out = ExportPipeline.run(source(spark), cfg.topicName, keys,
+          cfg.snapshotType)
+        val written = SnapshotWriter.write(ExportPipeline.records(out),
+          writerCfg, keys).collect().toSeq
+        // per-file accounting, in the writer's own order
+        // (S3StreamingWriter.kt:131-132): count increment + FIFO
+        // snapshot-sender message carrying the object's full path
+        written.foreach { fa =>
+          exportStatus.incrementExportedCount(cfg.topicName)
+          messaging.notifySnapshotSender(s"${writerCfg.outputDir}/${fa.file}")
+        }
+        val skipCounts = ExportPipeline.skipSummary(out).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (Control.JobOutcome(completed = true), written, skipCounts)
+      } catch {
+        case _: Control.BlockedTopicException =>
+          (Control.JobOutcome(completed = false, blockedTopic = true),
+            Nil, Map.empty[String, Long])
+        case _: Control.TableUnavailableException =>
+          (Control.JobOutcome(completed = false, tableUnavailable = true),
+            Nil, Map.empty[String, Long])
+        case _: Exception =>
+          (Control.JobOutcome(completed = false), Nil, Map.empty[String, Long])
       }
-      val skips = ExportPipeline.skipSummary(out).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      terminate(Control.JobOutcome(completed = true), files, skips)
-    } catch {
-      case _: Control.BlockedTopicException =>
-        terminate(Control.JobOutcome(completed = false, blockedTopic = true),
-          Nil, Map.empty)
-      case _: Control.TableUnavailableException =>
-        terminate(Control.JobOutcome(completed = false, tableUnavailable = true),
-          Nil, Map.empty)
-      case _: Exception =>
-        terminate(Control.JobOutcome(completed = false), Nil, Map.empty)
-    }
+    Result(outcome, listener.afterJob(outcome), files, skips)
   }
 }

@@ -45,8 +45,13 @@ final class HttpKeyService(baseUrl: String,
 
   @transient private lazy val client = HttpClient.newHttpClient()
   @transient private lazy val mapper = new ObjectMapper()
-  @transient private lazy val cache = new ConcurrentHashMap[String, String]()
-  @transient private var batchKey: DataKeyResult = _
+  // JVM-LEVEL caches keyed by endpoint (HttpKeyService.jvmCaches):
+  // instance fields would be per-deserialized-TASK copy in Spark — a
+  // 1000-task stage would then make up to 1000 unwrap calls per
+  // distinct key instead of one per executor JVM, breaking the
+  // reference's per-JVM cache contract (HttpKeyService.kt:103-110).
+  private def cache: ConcurrentHashMap[String, String] =
+    HttpKeyService.unwrapCacheFor(baseUrl)
 
   private def retryUnavailable[A](op: => A): A =
     Retry.withRetry(policy, sleeper,
@@ -60,9 +65,9 @@ final class HttpKeyService(baseUrl: String,
       node.get("ciphertextDataKey").asText())
   }
 
-  override def batchDataKey(): DataKeyResult = synchronized {
-    if (batchKey == null)
-      batchKey = retryUnavailable {
+  override def batchDataKey(): DataKeyResult =
+    HttpKeyService.batchKeys.computeIfAbsent(baseUrl, _ =>
+      retryUnavailable {
         val correlationId = UUID.randomUUID().toString
         val response =
           try client.send(
@@ -77,9 +82,7 @@ final class HttpKeyService(baseUrl: String,
         else throw new DataKeyServiceUnavailableException(
           s"Getting batch data key - data key service returned bad status code " +
             s"'${response.statusCode()}' for dks_correlation_id: '$correlationId'")
-      }
-    batchKey
-  }
+      })
 
   override def decryptKey(keyEncryptionKeyId: String, encryptedKey: String): String = {
     val cacheKey = s"$encryptedKey/$keyEncryptionKeyId"
@@ -118,4 +121,17 @@ final class HttpKeyService(baseUrl: String,
 
   /** Cache size, exposed for tests of the memo contract. */
   def cachedKeyCount: Int = cache.size()
+}
+
+/** JVM-wide cache store, one entry per DKS endpoint: every task on an
+  * executor shares the unwrap memo and the per-run batch key exactly
+  * like the reference's singleton Spring service. Test endpoints are
+  * port-unique, so suites stay isolated. */
+object HttpKeyService {
+  private val unwrapCaches =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+  private[pipeline] val batchKeys =
+    new ConcurrentHashMap[String, DataKeyResult]()
+  private[pipeline] def unwrapCacheFor(baseUrl: String): ConcurrentHashMap[String, String] =
+    unwrapCaches.computeIfAbsent(baseUrl, _ => new ConcurrentHashMap[String, String]())
 }

@@ -193,13 +193,8 @@ object Dedup {
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = cachedSignatures(s, dir)
     val narrow = sig.drop("sh")
-    def pairsOn(band: String): DataFrame = {
-      val a = narrow.select(col("doc_id").as("d1"), col(band).as("b"))
-      val b = narrow.select(col("doc_id").as("d2"), col(band).as("b"))
-      a.join(b, "b").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
-    }
-    val cand = (0 until NumBands).map(bd => pairsOn(s"band$bd"))
-      .reduce(_ union _).distinct()
+    val cand = graft.operators.LshBands.candidatePairs(narrow, "doc_id",
+      (0 until NumBands).map(bd => s"band$bd"))
     val s1 = sig.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sig.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     cand.join(s1, "d1").join(s2, "d2")

@@ -167,18 +167,15 @@ object Multimodal {
     }
   }
 
-  /** Banded candidate pairs (testable seam): one narrow (band, id)
-    * self-join per band, unioned + distinct. */
+  /** Banded candidate pairs (testable seam): the shared
+    * [[graft.operators.LshBands]] machinery over the phash nibble
+    * bands. */
   private[queries] def phashBandPairs(hashed: DataFrame): DataFrame = {
     val banded = hashed.select(col("doc_id") +: (0 until PhashNumBands).map(b =>
       substring(col("ph"), 1 + PhashBandNibbles * b, PhashBandNibbles)
         .as(s"band$b")): _*)
-    def pairsOn(b: Int): DataFrame = {
-      val a = banded.select(col("doc_id").as("d1"), col(s"band$b").as("b"))
-      val c = banded.select(col("doc_id").as("d2"), col(s"band$b").as("b"))
-      a.join(c, "b").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
-    }
-    (0 until PhashNumBands).map(pairsOn).reduce(_ union _).distinct()
+    graft.operators.LshBands.candidatePairs(banded, "doc_id",
+      (0 until PhashNumBands).map(b => s"band$b"))
   }
 
   def q35PhashNearDup(s: SparkSession, dir: String): DataFrame = {

@@ -86,6 +86,14 @@ object PipelineQueries {
       |('missing:dbObject', 100), ('ok', 9700)) AS t(outcome, n)
       |ORDER BY outcome""".stripMargin
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ------------------------------------------------ q42 writer golden
   /** Full pipeline + byte-rolling encrypted snapshot writer + paired
     * manifests, then the writer invariants as golden constants:
@@ -116,6 +124,8 @@ object PipelineQueries {
         .length != fa.records
     }
     val slices = acct.map(_.slice).distinct.sorted.mkString(",")
+    deleteRecursively(outDir)
+    deleteRecursively(manDir)
     import s.implicits._
     Seq((nRecords, nOversize.toLong, nManifestMismatch.toLong,
       nRoundtripBad.toLong, slices))
@@ -263,22 +273,28 @@ object PipelineQueries {
   def q50EqualityExport(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SnapshotWriter
     val ks = Fixture.keyService
+    // two actions (stats agg + writer) read the pipeline output:
+    // persist so the 10k decrypt+validate passes run once
     val recs = ExportPipeline.records(ExportPipeline.run(
-      Fixture.generateEquality(s, N), Transforms.EqualityTopic, ks))
-    val stats = recs.agg(
-      count(lit(1)).as("n"),
-      count(when(col("doc").startsWith("{\"message\":{"), 1)).as("w"),
-      count(when(col("doc").contains("\"@type\":\"INNER_TYPE\""), 1)).as("t")).head()
-    val outDir = java.nio.file.Files.createTempDirectory("graft-q50-out")
-    val manDir = java.nio.file.Files.createTempDirectory("graft-q50-man")
-    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
-      Transforms.EqualityTopic, maxBatchBytes = 10000000, compression = "gz")
-    val acct = SnapshotWriter.write(recs, cfg, ks).collect().toSeq
-    import s.implicits._
-    Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
-      acct.map(_.records).sum, acct.length.toLong,
-      acct.map(_.slice).distinct.sorted.mkString(",")))
-      .toDF("n_records", "n_wrapped", "n_typed", "n_written", "n_files", "slices")
+      Fixture.generateEquality(s, N), Transforms.EqualityTopic, ks)).persist()
+    try {
+      val stats = recs.agg(
+        count(lit(1)).as("n"),
+        count(when(col("doc").startsWith("{\"message\":{"), 1)).as("w"),
+        count(when(col("doc").contains("\"@type\":\"INNER_TYPE\""), 1)).as("t")).head()
+      val outDir = java.nio.file.Files.createTempDirectory("graft-q50-out")
+      val manDir = java.nio.file.Files.createTempDirectory("graft-q50-man")
+      val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+        Transforms.EqualityTopic, maxBatchBytes = 10000000, compression = "gz")
+      val acct = SnapshotWriter.write(recs, cfg, ks).collect().toSeq
+      deleteRecursively(outDir)
+      deleteRecursively(manDir)
+      import s.implicits._
+      Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
+        acct.map(_.records).sum, acct.length.toLong,
+        acct.map(_.slice).distinct.sorted.mkString(",")))
+        .toDF("n_records", "n_wrapped", "n_typed", "n_written", "n_files", "slices")
+    } finally recs.unpersist(blocking = false)
   }
 
   val q50Sql: String =

@@ -189,12 +189,8 @@ object Similarity {
 
   def qSrpNearDup(s: SparkSession, dir: String): DataFrame = {
     val banded = srpBanded(s, dir)
-    def pairsOn(b: Int): DataFrame = {
-      val a = banded.select(col("vec_id").as("d1"), col(s"srp$b").as("bv"))
-      val c = banded.select(col("vec_id").as("d2"), col(s"srp$b").as("bv"))
-      a.join(c, "bv").filter(col("d1") < col("d2")).select(col("d1"), col("d2"))
-    }
-    val cand = (0 until SrpBands).map(pairsOn).reduce(_ union _).distinct()
+    val cand = graft.operators.LshBands.candidatePairs(banded, "vec_id",
+      (0 until SrpBands).map(b => s"srp$b"))
     val e1 = banded.select(col("vec_id").as("d1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val e2 = banded.select(col("vec_id").as("d2"),

@@ -174,6 +174,11 @@ object TextAnalysis {
     * budget is measured in; the whitespace count rides along for the
     * tokens-per-word fertility signal. Pure per-row expressions —
     * linear at any scale. */
+  // CAVEAT: Java regex walks UTF-16 code units, RE2 walks code points,
+  // so a supplementary-plane character (emoji, CJK extensions) counts
+  // as 2 marks in Spark but 1 in DuckDB. The fixture corpus is
+  // BMP-only; a corpus with astral characters needs a code-point-
+  // normalizing pre-step before this pattern keeps cross-engine parity.
   private val BpePattern =
     "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
 

@@ -50,6 +50,32 @@ class AsofJoinSpec extends SparkSuite {
     assert(out == Map(102L -> 10L, 103L -> 10L, 104L -> 20L, 105L -> 15L))
   }
 
+  test("NULL payload fields stay with their own row — no cross-row stitching, " +
+      "no false drop in inner mode") {
+    // right rows: (t=1, tag=a, v=5.0) then (t=2, tag=NULL, v=2.0)
+    val nullRight = Seq(
+      (1L, 1L, Option("a"), Option(5.0)),
+      (1L, 2L, Option.empty[String], Option(2.0))
+    ).toDF("k", "ts", "tag", "v")
+    val probe = Seq((1L, 1L, 3L)).toDF("id", "k", "ts")
+    val out = AsofJoin.asof(probe, nullRight, "k", "ts", Seq("tag", "v"))
+      .select($"id", $"r_tag", $"r_v").collect()
+    // the match is the t=2 ROW: (NULL, 2.0) — never (a, 2.0), and the
+    // row survives inner mode despite its NULL first payload field
+    assert(out.length == 1)
+    assert(out.head.isNullAt(1) && out.head.getDouble(2) == 2.0)
+  }
+
+  test("guard rejects output-name collisions and allows r_-named right cols") {
+    val collidingLeft = Seq((1L, 1L, 5L, "x")).toDF("id", "k", "ts", "r_tag")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(collidingLeft, right, "k", "ts", Seq("tag"))
+    }
+    // left col named r_something with a DIFFERENT right col is legal
+    val ok = AsofJoin.asof(collidingLeft, right, "k", "ts", Seq("v"))
+    assert(ok.columns.contains("r_v") && ok.columns.contains("r_tag"))
+  }
+
   test("plans one exchange on the key — no range-join explosion, no cartesian") {
     val p = AsofJoin.asof(left, right, "k", "ts", Seq("tag"))
       .queryExecution.executedPlan.toString
