@@ -6,6 +6,51 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
+/** SRP-LSH band sizing — THE scale knob (the simhash/phash lesson,
+  * now a caller parameter instead of a compile-time constant): each of
+  * `bands` bands hashes `bitsPerBand` hyperplane sign bits into
+  * 2^bitsPerBand buckets, so expected bucket occupancy is
+  * N / 2^bitsPerBand while per-band recall for a cosine-c pair is
+  * (1 − θ(c)/π)^bitsPerBand — more bits shrink buckets (and candidate
+  * volume) but cost recall, which extra bands buy back. Both the Spark
+  * plan and the DuckDB oracle render from the same config, so any
+  * sizing stays oracle-checkable. */
+final case class SrpConfig(bands: Int, bitsPerBand: Int) {
+  require(bands >= 1, "bands must be >= 1")
+  require(bitsPerBand >= 1 && bitsPerBand <= SrpConfig.MaxBits,
+    s"bitsPerBand must be in [1, ${SrpConfig.MaxBits}]")
+  val planes: Int = bands * bitsPerBand
+  def bucketsPerBand: Long = 1L << bitsPerBand
+  /** Expected rows per band bucket under uniform hashing. */
+  def expectedOccupancy(n: Long): Double = n.toDouble / bucketsPerBand
+}
+
+object SrpConfig {
+  val MinBits = 4
+  val MaxBits = 24
+  val DefaultBands = 8
+  /** ~20 rows/bucket keeps the within-bucket quadratic trivial while
+    * leaving buckets populated enough that banding still groups. */
+  val DefaultTargetOccupancy = 20.0
+
+  /** Derive the band width from the corpus size:
+    * `bits = clamp(ceil(log2(n / targetOccupancy)), MinBits, MaxBits)`
+    * — bucket count tracks N, so occupancy stays ~targetOccupancy at
+    * any scale (10^9 vectors → 24-bit bands, not the fixture's 8). */
+  def forExpectedN(n: Long, bands: Int = DefaultBands,
+      targetOccupancy: Double = DefaultTargetOccupancy): SrpConfig = {
+    require(n >= 1, "n must be >= 1")
+    require(targetOccupancy > 0, "targetOccupancy must be > 0")
+    val raw = math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    SrpConfig(bands, math.min(MaxBits, math.max(MinBits, raw)))
+  }
+
+  /** Fixture-corpus default: forExpectedN(5000) = (8 bands, 8 bits) —
+    * byte-compatible with the pre-parameterized q55 oracle. */
+  val Default: SrpConfig = forExpectedN(5000)
+}
+
 /** Similarity search + embedding near-dup over `embeddings`
   * (64-dim float vectors).
   *
@@ -110,10 +155,10 @@ object Similarity {
   // -------------------------------------------- SRP-LSH near-dup (q55)
   /** Signed-random-projection LSH — the bucketed scale path for
     * embedding-cosine near-dup beside the IVF-cell block (q39) and the
-    * label block (q31): [[SrpPlanes]] fixed ±1 hyperplanes, sign bits
-    * grouped into [[SrpBands]] bands of [[SrpBitsPerBand]] bits; same
-    * band value ⇒ candidate pair; exact cosine verifies. Candidates
-    * are probabilistic (SRP recall for a cosine-c pair per band is
+    * label block (q31): `planes` fixed ±1 hyperplanes, sign bits
+    * grouped into `bands` bands of `bitsPerBand` bits; same band value
+    * ⇒ candidate pair; exact cosine verifies. Candidates are
+    * probabilistic (SRP recall for a cosine-c pair per band is
     * (1 − θ/π)^bits), but DETERMINISTIC given the fixed planes — the
     * oracle runs the identical planes, so both engines produce the
     * same pair set. Banded join = narrow (band, value) keys, linear
@@ -123,92 +168,134 @@ object Similarity {
     * BOTH dialects as the per-plane negative-index sets: a ±1 dot is
     * `total − 2·Σ v[neg]`, so each engine evaluates the same doubles
     * in the same order (no float literal round-trips). */
-  /** Band sizing is the scale knob (the simhash/phash lesson): 2^bits
-    * buckets per band bound expected occupancy at N/2^bits, while
-    * per-band recall for a cosine-c pair is (1 − θ(c)/π)^bits — choose
-    * `bits ≈ log2(N / target_occupancy)` and add bands to buy recall
-    * back. 8 bits suits the fixture corpus (≤ 5·10^3 vectors,
-    * ~N/256 per bucket); a 10^9-vector run wants 20–24-bit bands and
-    * correspondingly more bands. Bands/bits are object constants only
-    * because the oracle SQL must be rendered from the same values —
-    * both derive from this one pair. */
-  val SrpBands = 8
-  val SrpBitsPerBand = 8
-  val SrpPlanes: Int = SrpBands * SrpBitsPerBand // 64
   private val SrpDim = 64
 
-  /** Plane p's 1-based negated dimensions — fixed seed, ~half of 64. */
-  private lazy val srpNegIdx: IndexedSeq[Seq[Int]] = {
-    val rnd = new scala.util.Random(20260812L)
-    IndexedSeq.fill(SrpPlanes)(
-      (1 to SrpDim).filter(_ => rnd.nextBoolean()))
-  }
-
-  /** `total − 2·Σ v[neg]` for plane p, rendered per dialect with the
-    * identical addition order. */
-  private def srpDotSpark(p: Int): String = {
-    val negSum = srpNegIdx(p)
-      .map(i => s"CAST(element_at(embedding, $i) AS DOUBLE)").mkString(" + ")
-    s"(srp_total - 2.0 * ($negSum))"
-  }
-  private def srpDotDuck(p: Int): String = {
-    val negSum = srpNegIdx(p)
-      .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
-    s"(srp_total - 2.0 * ($negSum))"
-  }
-
-  private def srpBandSpark(b: Int): String =
-    (0 until SrpBitsPerBand).map { j =>
-      s"IF(${srpDotSpark(b * SrpBitsPerBand + j)} >= 0.0, ${1 << j}, 0)"
-    }.mkString(" + ")
-  private def srpBandDuck(b: Int): String =
-    (0 until SrpBitsPerBand).map { j =>
-      s"CASE WHEN ${srpDotDuck(b * SrpBitsPerBand + j)} >= 0.0 THEN ${1 << j} ELSE 0 END"
-    }.mkString(" + ")
-
-  // the banded relation feeds 8 band self-joins + 2 verify joins;
-  // managed per-dir cache with the Dedup.cachedSignatures pattern
-  @transient private var cachedSrp: Option[(String, DataFrame)] = None
-  private def srpBanded(s: SparkSession, dir: String): DataFrame = synchronized {
-    cachedSrp match {
-      case Some((d, df)) if d == dir => df
-      case prev =>
-        prev.foreach(_._2.unpersist())
-        val onesSum = (1 to SrpDim)
-          .map(i => s"CAST(element_at(embedding, $i) AS DOUBLE)").mkString(" + ")
-        val df = (0 until SrpBands).foldLeft(
-          emb(s, dir).select(col("vec_id"), col("embedding"),
-            expr(normSpark).as("nrm"), expr(s"($onesSum)").as("srp_total"))) {
-          (acc, b) => acc.withColumn(s"srp$b", expr(srpBandSpark(b)))
-        }.select(col("vec_id") +: col("embedding") +: col("nrm") +:
-          (0 until SrpBands).map(b => col(s"srp$b")): _*).cache()
-        cachedSrp = Some((dir, df))
-        df
+  /** Per-dim plane memo — regenerating from the fixed seed is
+    * prefix-stable, so growing `planes` never changes existing planes
+    * (a (8,8) run and a (16,8) run agree on planes 0..63). */
+  @transient private var srpNegIdxMemo: Map[Int, IndexedSeq[Seq[Int]]] = Map.empty
+  private def srpNegIdx(planes: Int, dim: Int): IndexedSeq[Seq[Int]] =
+    synchronized {
+      val cur = srpNegIdxMemo.getOrElse(dim, IndexedSeq.empty)
+      if (cur.length >= planes) cur.take(planes)
+      else {
+        val rnd = new scala.util.Random(20260812L)
+        val fresh = IndexedSeq.fill(planes)(
+          (1 to dim).filter(_ => rnd.nextBoolean()))
+        srpNegIdxMemo += dim -> fresh
+        fresh
+      }
     }
+
+  /** Band b's integer key: `bitsPerBand` sign bits of
+    * `total − 2·Σ v[neg]` plane dots, rendered per dialect with the
+    * identical addition order. */
+  private def srpBandSpark(cfg: SrpConfig, embCol: String, dim: Int,
+      b: Int): String = {
+    val neg = srpNegIdx(cfg.planes, dim)
+    (0 until cfg.bitsPerBand).map { j =>
+      val negSum = neg(b * cfg.bitsPerBand + j)
+        .map(i => s"CAST(element_at($embCol, $i) AS DOUBLE)").mkString(" + ")
+      s"IF((srp_total - 2.0 * ($negSum)) >= 0.0, ${1 << j}, 0)"
+    }.mkString(" + ")
+  }
+  private def srpBandDuck(cfg: SrpConfig, dim: Int, b: Int): String = {
+    val neg = srpNegIdx(cfg.planes, dim)
+    (0 until cfg.bitsPerBand).map { j =>
+      val negSum = neg(b * cfg.bitsPerBand + j)
+        .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+      s"CASE WHEN (srp_total - 2.0 * ($negSum)) >= 0.0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
   }
 
-  def qSrpNearDup(s: SparkSession, dir: String): DataFrame = {
-    val banded = srpBanded(s, dir)
-    val cand = graft.operators.LshBands.candidatePairs(banded, "vec_id",
-      (0 until SrpBands).map(b => s"srp$b"))
-    val e1 = banded.select(col("vec_id").as("d1"),
-      col("embedding").as("e1"), col("nrm").as("n1"))
-    val e2 = banded.select(col("vec_id").as("d2"),
-      col("embedding").as("e2"), col("nrm").as("n2"))
+  /** id + embedding + norm + `cfg.bands` integer band keys over ANY
+    * relation with an `Array[Float]` embedding column — the banded
+    * seam the scale spec and the general operator share. */
+  private[queries] def srpBandedOf(df: DataFrame, idCol: String,
+      embCol: String, cfg: SrpConfig, dim: Int = SrpDim): DataFrame = {
+    val onesSum = (1 to dim)
+      .map(i => s"CAST(element_at($embCol, $i) AS DOUBLE)").mkString(" + ")
+    val base = df.select(col(idCol), col(embCol),
+      expr(s"sqrt(vec_dot($embCol, $embCol))").as("nrm"),
+      expr(s"($onesSum)").as("srp_total"))
+    (0 until cfg.bands).foldLeft(base) { (acc, b) =>
+      acc.withColumn(s"srp$b", expr(srpBandSpark(cfg, embCol, dim, b)))
+    }.select(col(idCol) +: col(embCol) +: col("nrm") +:
+      (0 until cfg.bands).map(b => col(s"srp$b")): _*)
+  }
+
+  /** SRP-LSH near-duplicate pairs over ANY relation: banded
+    * candidates (cfg-sized — callers size via
+    * [[SrpConfig.forExpectedN]]) verified by exact cosine >
+    * `threshold`. The banded relation feeds `cfg.bands` band
+    * self-joins + 2 verify joins, so it is cached; re-invocation
+    * unpersists the previous call's cache ([[clearSrpCache]] is the
+    * explicit seam), bounding storage to one banded set. */
+  def srpNearDup(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, cfg: SrpConfig, dim: Int = SrpDim): DataFrame = {
+    val banded = srpBandedOf(df, idCol, embCol, cfg, dim).cache()
+    synchronized {
+      cachedSrpGeneral.foreach(_.unpersist())
+      cachedSrpGeneral = Some(banded)
+    }
+    srpPairsFrom(banded, idCol, embCol, threshold, cfg)
+  }
+
+  private def srpPairsFrom(banded: DataFrame, idCol: String,
+      embCol: String, threshold: Double, cfg: SrpConfig): DataFrame = {
+    val cand = graft.operators.LshBands.candidatePairs(banded, idCol,
+      (0 until cfg.bands).map(b => s"srp$b"))
+    val e1 = banded.select(col(idCol).as("d1"),
+      col(embCol).as("e1"), col("nrm").as("n1"))
+    val e2 = banded.select(col(idCol).as("d2"),
+      col(embCol).as("e2"), col("nrm").as("n2"))
     cand.join(e1, "d1").join(e2, "d2")
       .withColumn("cosine",
         expr(dotSpark("e1", "e2")) / (col("n1") * col("n2")))
-      .filter(col("cosine") > 0.35)
+      .filter(col("cosine") > threshold)
       .select(col("d1"), col("d2"), col("cosine"))
       .orderBy("d1", "d2")
   }
 
-  val qSrpNearDupSql: String = {
+  // managed caches: one banded set for the fixture path (keyed by
+  // (dir, cfg)), one for the latest general-API call
+  @transient private var cachedSrp: Option[((String, SrpConfig), DataFrame)] = None
+  @transient private var cachedSrpGeneral: Option[DataFrame] = None
+  private def srpBanded(s: SparkSession, dir: String,
+      cfg: SrpConfig): DataFrame = synchronized {
+    cachedSrp match {
+      case Some((k, df)) if k == (dir, cfg) => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val df = srpBandedOf(emb(s, dir), "vec_id", "embedding", cfg).cache()
+        cachedSrp = Some(((dir, cfg), df))
+        df
+    }
+  }
+
+  /** Unpersists every banded relation this object holds. */
+  def clearSrpCache(): Unit = synchronized {
+    cachedSrp.foreach(_._2.unpersist()); cachedSrp = None
+    cachedSrpGeneral.foreach(_.unpersist()); cachedSrpGeneral = None
+  }
+
+  def qSrpNearDup(s: SparkSession, dir: String): DataFrame =
+    qSrpNearDupWith(s, dir, SrpConfig.Default)
+
+  /** The q55 shape under a caller-chosen band sizing — cfg flows into
+    * the Spark plan here and into the oracle via [[srpNearDupSql]]. */
+  def qSrpNearDupWith(s: SparkSession, dir: String,
+      cfg: SrpConfig): DataFrame =
+    srpPairsFrom(srpBanded(s, dir, cfg), "vec_id", "embedding", 0.35, cfg)
+
+  /** DuckDB twin rendered from the SAME cfg (planes, band grouping,
+    * addition order all derive from the one value pair). */
+  def srpNearDupSql(cfg: SrpConfig): String = {
     val onesSum = (1 to SrpDim)
       .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
-    val bandCols = (0 until SrpBands)
-      .map(b => s"${srpBandDuck(b)} AS srp$b").mkString(",\n")
-    val bandJoins = (0 until SrpBands).map { b =>
+    val bandCols = (0 until cfg.bands)
+      .map(b => s"${srpBandDuck(cfg, SrpDim, b)} AS srp$b").mkString(",\n")
+    val bandJoins = (0 until cfg.bands).map { b =>
       s"""  SELECT a.vec_id AS d1, b.vec_id AS d2 FROM banded a JOIN banded b
          |    ON a.srp$b = b.srp$b AND a.vec_id < b.vec_id""".stripMargin
     }.mkString("\n  UNION\n")
@@ -226,6 +313,8 @@ object Similarity {
        |SELECT d1, d2, cosine FROM verified WHERE cosine > 0.35
        |ORDER BY d1, d2""".stripMargin
   }
+
+  val qSrpNearDupSql: String = srpNearDupSql(SrpConfig.Default)
 
   // ----------------------------------------------------------- IVF kNN
   // IVF-style ANN: a FIXED-SIZE coarse quantizer — exactly IvfSeedCount
