@@ -9,13 +9,19 @@ import graft.core.Sessions
   * sustained load (a single-pass harness once reported 27.97 s for a
   * query that measures 6.53 s in isolation), so a one-shot timing
   * cannot distinguish a regression from a thermal event. Each query
-  * therefore gets one UNTIMED warmup pass (JIT + code cache + any
-  * managed relation caches) followed by SPARK_GRAFT_BENCH_REPS timed
-  * passes (default 3); the `queries` map reports the per-query MINIMUM
-  * — the best observation is the least-throttled one — and the
-  * `spread` map reports max-min per query, so a wide spread flags a
-  * noisy measurement instead of corrupting the round-over-round
-  * signal.
+  * gets one UNTIMED warmup pass (JIT + code cache + any managed
+  * relation caches) followed by SPARK_GRAFT_BENCH_REPS timed passes
+  * (default 3) run INTERLEAVED round-robin — pass 1 of every query,
+  * then pass 2, then pass 3 — so a sustained throttle WINDOW inflates
+  * one rep of many queries instead of every rep of a few (back-to-back
+  * reps once shipped a 10.06 s artifact for a 0.12 s query because one
+  * window covered all three of its reps; min-of-reps absorbs spikes,
+  * only interleaving absorbs windows). The `queries` map reports the
+  * per-query MINIMUM — the best observation is the least-throttled
+  * one — and the `spread` map reports max-min per query. Queries whose
+  * spread still exceeds 2× their min get one rescue rep (again
+  * round-robin) so a window covering a whole interleaved pass cannot
+  * pin the min high.
   *
   * A query that throws is reported as -1 in the `queries` map (its
   * stack trace goes to stderr) so a broken query can never masquerade
@@ -39,38 +45,54 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val warmup = timeOnce(fn)
-      val samples = warmup match {
-        case None => Seq.empty // warmup failed: no point repeating
-        case Some(_) => (1 to reps).flatMap(_ => timeOnce(fn))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup pass: the only COLD run per query
+    val warmups: Map[String, Option[Double]] =
+      names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val failed = scala.collection.mutable.Set.empty[String]
+    failed ++= names.filter(warmups(_).isEmpty)
+    // interleaved timed passes
+    for (_ <- 1 to reps; n <- names if !failed(n))
+      timeOnce(SparkEntry.queries(n)) match {
+        case Some(t) => samples(n) = samples(n) :+ t
+        case None => failed += n
       }
-      if (samples.size < reps)
-        System.err.println(s"[bench] $name FAILED (reported as -1)")
-      name -> (warmup, samples)
+    // rescue pass: one extra rep for queries whose spread exceeds 2x
+    // their min (a throttle window spanning a whole interleaved pass)
+    val noisy = names.filter { n =>
+      !failed(n) && samples(n).size == reps && reps > 1 &&
+        (samples(n).max - samples(n).min) > 2 * samples(n).min
     }
+    if (noisy.nonEmpty)
+      System.err.println(s"[bench] rescue rep for noisy: ${noisy.mkString(", ")}")
+    for (n <- noisy)
+      timeOnce(SparkEntry.queries(n)).foreach(t => samples(n) = samples(n) :+ t)
+
+    def ok(n: String): Boolean = !failed(n) && samples(n).size >= reps
+    names.filterNot(ok).foreach(n =>
+      System.err.println(s"[bench] $n FAILED (reported as -1)"))
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (_, v)) =>
-      "\"" + k + "\":" + (if (v.size < reps) "-1" else fmt(v.min))
+    val qs = names.map { k =>
+      "\"" + k + "\":" + (if (ok(k)) fmt(samples(k).min) else "-1")
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (k, (_, v)) if v.size == reps =>
-      "\"" + k + "\":" + fmt(v.max - v.min)
+    val spread = names.collect { case k if ok(k) =>
+      "\"" + k + "\":" + fmt(samples(k).max - samples(k).min)
     }.mkString("{", ",", "}")
-    // Cold-path observability: the warmup pass is the only COLD run
-    // (JIT + relation caches unpopulated), so its time is reported
-    // alongside the warm minima — a cold-path regression moves
+    // Cold-path observability: a cold-path regression moves
     // `warmup_total` even when the warm mins hold steady.
-    val warmups = results.collect { case (k, (Some(w), _)) =>
-      "\"" + k + "\":" + fmt(w)
+    val warmupsJson = names.collect { case k if warmups(k).isDefined =>
+      "\"" + k + "\":" + fmt(warmups(k).get)
     }.mkString("{", ",", "}")
-    val warmupTotal = results.values.flatMap(_._1).sum
-    val total = results.values.collect { case (_, v) if v.size == reps => v.min }.sum
-    val nFailed = results.values.count(_._2.size < reps)
+    val warmupTotal = warmups.values.flatten.sum
+    val total = names.collect { case k if ok(k) => samples(k).min }.sum
+    val nFailed = names.count(!ok(_))
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed queries failed (reported as -1)")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmups,"warmup_total":${fmt(warmupTotal)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)},"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file: the driver's stdout tail-capture
     // truncated BENCH_r03.json, so the canonical copy parses standalone.
