@@ -27,22 +27,35 @@ object RangeJoin {
   /** `points(keyCol, tsCol, ...)` × `intervals(keyCol, startCol,
     * endCol, ...)` → matched pairs (all point columns + the chosen
     * interval columns prefixed `i_`). `bucketWidth` must be ≥ the
-    * longest interval. */
+    * longest interval.
+    *
+    * `knownMaxInterval`: callers that know the longest interval a
+    * priori (a schema contract, a maintained stat) pass it to skip the
+    * eager guard scan over `intervals` — at scale that scan is a full
+    * pass over the interval relation before the join even plans. The
+    * asserted bound still validates against `bucketWidth` on the
+    * driver; an honest bound keeps the no-lost-pairs guarantee, a lie
+    * shifts responsibility to the caller (exactly like a declared
+    * sortedness or uniqueness contract). Default = None = checked. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keyCol: String, tsCol: String, startCol: String, endCol: String,
-      intervalCols: Seq[String], bucketWidth: Long): DataFrame = {
+      intervalCols: Seq[String], bucketWidth: Long,
+      knownMaxInterval: Option[Long] = None): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
 
-    // NOTE this guard is an eager extra pass over `intervals` (column-
-    // pruned to (start, end) by Catalyst, short-circuited by the
-    // limit). Correctness first: an undersized width SILENTLY drops
-    // pairs. Callers with an expensive intervals lineage should
-    // persist it (or know the max length a priori and size the width
-    // from it).
-    val tooLong = intervals
-      .filter(col(endCol) - col(startCol) > bucketWidth).limit(1).count()
-    require(tooLong == 0,
-      s"bucketWidth $bucketWidth is below the longest interval; pairs would be lost")
+    knownMaxInterval match {
+      case Some(maxLen) =>
+        require(maxLen <= bucketWidth,
+          s"bucketWidth $bucketWidth is below the declared longest interval $maxLen; pairs would be lost")
+      case None =>
+        // Eager guard pass over `intervals` (column-pruned to
+        // (start, end) by Catalyst, short-circuited by the limit).
+        // Correctness first: an undersized width SILENTLY drops pairs.
+        val tooLong = intervals
+          .filter(col(endCol) - col(startCol) > bucketWidth).limit(1).count()
+        require(tooLong == 0,
+          s"bucketWidth $bucketWidth is below the longest interval; pairs would be lost")
+    }
 
     val iCols = col(startCol).as("__i_start") +: col(endCol).as("__i_end") +:
       intervalCols.map(c => col(c).as(s"i_$c"))

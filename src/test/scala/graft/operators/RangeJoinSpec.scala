@@ -45,6 +45,41 @@ class RangeJoinSpec extends SparkSuite {
     }
   }
 
+  test("knownMaxInterval produces identical pairs to the checked path") {
+    val declared = RangeJoin.pointInInterval(points, intervals, "k", "ts",
+      "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L,
+      knownMaxInterval = Some(60L))
+      .select($"p_id", $"i_int_id").as[(Long, Long)].collect().toSet
+    val checked = RangeJoin.pointInInterval(points, intervals, "k", "ts",
+      "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L)
+      .select($"p_id", $"i_int_id").as[(Long, Long)].collect().toSet
+    assert(declared == checked)
+  }
+
+  test("knownMaxInterval runs no job over the interval relation at call time") {
+    // a lineage that throws on ANY execution: the checked path's guard
+    // scan trips it, the declared path builds the plan without a job
+    val boom = udf { (x: Long) =>
+      throw new RuntimeException("guard scan executed"); x
+    }
+    val poisoned = intervals.withColumn("end_ts", boom(col("end_ts")))
+    intercept[Exception] {
+      RangeJoin.pointInInterval(points, poisoned, "k", "ts",
+        "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L)
+    }
+    RangeJoin.pointInInterval(points, poisoned, "k", "ts",
+      "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L,
+      knownMaxInterval = Some(60L)) // no action -> no throw
+  }
+
+  test("rejects a declared bound above the bucket width without scanning") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "k", "ts",
+        "start_ts", "end_ts", Seq("int_id"), bucketWidth = 50L,
+        knownMaxInterval = Some(60L))
+    }
+  }
+
   test("plans a hash equi-join, never a nested-loop") {
     val p = RangeJoin.pointInInterval(points, intervals, "k", "ts",
       "start_ts", "end_ts", Seq("int_id"), bucketWidth = 100L)
