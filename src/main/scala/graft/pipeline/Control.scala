@@ -87,12 +87,28 @@ object Control {
 
   // --------------------------------------------------- status service
 
-  /** Per-collection status + exported-file count (the DynamoDB table's
-    * contract, keyed (correlationId, collection)). */
+  /** One collection's status-item read-back — the ALL_NEW attribute
+    * view the reference logs on every status write
+    * (DynamoDBExportStatusService.kt:112-117: CollectionStatus,
+    * FilesExported, FilesSent). */
+  final case class StatusItem(status: Option[String], filesExported: Int,
+      filesSent: Int)
+
+  /** Per-collection status + file-count accounting (the DynamoDB
+    * table's contract, keyed (correlationId, collection)).
+    * `FilesExported` is written by the exporter; `FilesSent` is the
+    * SENDER-FEEDBACK counter — the downstream snapshot-sender
+    * increments it as it forwards each file, the exporter only reads
+    * it back (DynamoDBExportStatusService.kt:117), so
+    * exported-vs-sent drift is the run's shipping lag. */
   trait ExportStatusService {
     def setStatus(collection: String, status: CollectionStatus): Unit
     def incrementExportedCount(collection: String): Unit
     def exportedFilesCount(collection: String): Int
+    /** Sender-side feedback write (the snapshot-sender's role). */
+    def incrementSentCount(collection: String): Unit
+    def sentFilesCount(collection: String): Int
+    def statusItem(collection: String): StatusItem
     def statuses(): Seq[String]
   }
 
@@ -100,12 +116,20 @@ object Control {
   final class InMemoryStatusService extends ExportStatusService {
     private val status = new ConcurrentHashMap[String, String]()
     private val counts = new ConcurrentHashMap[String, AtomicInteger]()
+    private val sent = new ConcurrentHashMap[String, AtomicInteger]()
     override def setStatus(collection: String, s: CollectionStatus): Unit =
       status.put(collection, s.name)
     override def incrementExportedCount(collection: String): Unit =
       counts.computeIfAbsent(collection, _ => new AtomicInteger).incrementAndGet()
     override def exportedFilesCount(collection: String): Int =
       Option(counts.get(collection)).map(_.get).getOrElse(0)
+    override def incrementSentCount(collection: String): Unit =
+      sent.computeIfAbsent(collection, _ => new AtomicInteger).incrementAndGet()
+    override def sentFilesCount(collection: String): Int =
+      Option(sent.get(collection)).map(_.get).getOrElse(0)
+    override def statusItem(collection: String): StatusItem =
+      StatusItem(Option(status.get(collection)),
+        exportedFilesCount(collection), sentFilesCount(collection))
     override def statuses(): Seq[String] = {
       import scala.jdk.CollectionConverters._
       status.values.asScala.toSeq

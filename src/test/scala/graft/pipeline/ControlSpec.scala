@@ -86,4 +86,21 @@ class ControlSpec extends AnyFunSuite {
     assert(Control.exportCompletionStatus(svc.statuses())
       == ExportCompletionStatus.CompletedSuccessfully)
   }
+
+  test("exported-vs-sent accounting: FilesSent is sender feedback, read back with the status item") {
+    val svc = new InMemoryStatusService
+    svc.setStatus("collA", CollectionStatus.Exported)
+    // exporter writes FilesExported; the downstream sender writes
+    // FilesSent as it forwards — mid-run the counts legitimately drift
+    (1 to 3).foreach(_ => svc.incrementExportedCount("collA"))
+    (1 to 2).foreach(_ => svc.incrementSentCount("collA"))
+    assert(svc.exportedFilesCount("collA") == 3)
+    assert(svc.sentFilesCount("collA") == 2)
+    val item = svc.statusItem("collA")
+    assert(item == Control.StatusItem(Some("Exported"), 3, 2))
+    // the sender catches up; an untouched collection reads zeros
+    svc.incrementSentCount("collA")
+    assert(svc.statusItem("collA").filesSent == 3)
+    assert(svc.statusItem("collB") == Control.StatusItem(None, 0, 0))
+  }
 }
