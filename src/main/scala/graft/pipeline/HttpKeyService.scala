@@ -1,9 +1,14 @@
 package graft.pipeline
 
+import java.io.FileInputStream
 import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.security.KeyStore
+import java.time.Duration
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
+
+import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -14,6 +19,46 @@ final class DataKeyDecryptionException(message: String)
   extends RuntimeException(message)
 final class DataKeyServiceUnavailableException(message: String)
   extends RuntimeException(message)
+
+/** Mutual-TLS client configuration — the reference DKS speaks mTLS
+  * (configuration/SecureHttpClientProvider.kt: identity keystore +
+  * key password, truststore, timeouts). The CONFIG is what ships to
+  * executors (paths + passwords serialize; an SSLContext does not) and
+  * each JVM materialises its own context lazily. */
+final case class TlsConfig(
+    identityStore: String,
+    identityStorePassword: String,
+    identityKeyPassword: String,
+    trustStore: String,
+    trustStorePassword: String,
+    storeType: String = "PKCS12",
+    connectTimeoutMs: Long = 300000L) extends Serializable {
+
+  /** SSLContext from the two stores (SecureHttpClientProvider.kt:40-48:
+    * loadKeyMaterial + loadTrustMaterial over TLSv1.2). */
+  def sslContext(): SSLContext = {
+    def load(path: String, password: String): KeyStore = {
+      val ks = KeyStore.getInstance(storeType)
+      val in = new FileInputStream(path)
+      try ks.load(in, password.toCharArray) finally in.close()
+      ks
+    }
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(load(identityStore, identityStorePassword),
+      identityKeyPassword.toCharArray)
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(load(trustStore, trustStorePassword))
+    val ctx = SSLContext.getInstance("TLSv1.2")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** JDK HttpClient carrying this TLS identity. */
+  def client(): HttpClient = HttpClient.newBuilder()
+    .sslContext(sslContext())
+    .connectTimeout(Duration.ofMillis(connectTimeoutMs))
+    .build()
+}
 
 /** HTTP [[KeyService]] against a data-key-service endpoint — the
   * reference's HttpKeyService.kt re-expressed on the JDK HttpClient
@@ -38,12 +83,21 @@ final class DataKeyServiceUnavailableException(message: String)
   * rebuilt per executor), so one executor makes at most one unwrap
   * call per distinct wrapped key — the reference's per-JVM cache
   * contract, multiplied across the cluster.
+  *
+  * `runId` scopes the batch-key memo: the reference memoises per
+  * Spring singleton = one application run, so a second export in the
+  * same JVM must mint a FRESH data key, not reuse the previous run's
+  * (the memo key is (endpoint, runId)). `tls` is the production mTLS
+  * seam; None keeps the plain client for stub-server tests.
   */
 final class HttpKeyService(baseUrl: String,
     policy: Retry.Policy = Retry.Policy(),
-    sleeper: Long => Unit = Thread.sleep) extends KeyService {
+    sleeper: Long => Unit = Thread.sleep,
+    runId: String = "local",
+    tls: Option[TlsConfig] = None) extends KeyService {
 
-  @transient private lazy val client = HttpClient.newHttpClient()
+  @transient private lazy val client =
+    tls.fold(HttpClient.newHttpClient())(_.client())
   @transient private lazy val mapper = new ObjectMapper()
   // JVM-LEVEL caches keyed by endpoint (HttpKeyService.jvmCaches):
   // instance fields would be per-deserialized-TASK copy in Spark — a
@@ -66,7 +120,7 @@ final class HttpKeyService(baseUrl: String,
   }
 
   override def batchDataKey(): DataKeyResult =
-    HttpKeyService.batchKeys.computeIfAbsent(baseUrl, _ =>
+    HttpKeyService.batchKeys.computeIfAbsent(s"$baseUrl#$runId", _ =>
       retryUnavailable {
         val correlationId = UUID.randomUUID().toString
         val response =
@@ -123,10 +177,12 @@ final class HttpKeyService(baseUrl: String,
   def cachedKeyCount: Int = cache.size()
 }
 
-/** JVM-wide cache store, one entry per DKS endpoint: every task on an
-  * executor shares the unwrap memo and the per-run batch key exactly
-  * like the reference's singleton Spring service. Test endpoints are
-  * port-unique, so suites stay isolated. */
+/** JVM-wide cache store: the unwrap memo is keyed per DKS endpoint
+  * (unwraps are content-addressed — the same wrapped key decrypts
+  * identically across runs), while batch keys are keyed
+  * (endpoint, runId) so every export run mints a fresh DEK exactly
+  * like the reference's one-Spring-singleton-per-application-run memo.
+  * Test endpoints are port-unique, so suites stay isolated. */
 object HttpKeyService {
   private val unwrapCaches =
     new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()

@@ -111,4 +111,65 @@ class HttpKeyServiceSpec extends AnyFunSuite {
       assert(svc.decryptKey("other-kek", "abc") == "plain-key")
     }
   }
+
+  test("batch key memo is scoped per run: a second run mints a fresh DEK") {
+    withServer(201) { (url, requests) =>
+      val run1 = new HttpKeyService(url, sleeper = noSleep, runId = "run-1")
+      run1.batchDataKey(); run1.batchDataKey()
+      assert(requests.get() == 1, "one run = one batch key request")
+      // same endpoint, new run: the previous run's DEK must NOT be
+      // reused (the reference memoises per application run)
+      val run2 = new HttpKeyService(url, sleeper = noSleep, runId = "run-2")
+      run2.batchDataKey()
+      assert(requests.get() == 2, "a new run must fetch its own key")
+      // while two service instances OF THE SAME run share the memo
+      // (the per-executor contract)
+      val run2b = new HttpKeyService(url, sleeper = noSleep, runId = "run-2")
+      run2b.batchDataKey()
+      assert(requests.get() == 2)
+    }
+  }
+
+  test("mTLS seam: batchDataKey over HTTPS with keystore/truststore config") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls").toFile
+    val ks = new java.io.File(dir, "identity.p12").getAbsolutePath
+    // self-signed keypair via the JDK's own keytool — serves as the
+    // server identity AND (self-signed) the client's trust anchor
+    val gen = Seq("keytool", "-genkeypair", "-alias", "dks", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", "changeit", "-keypass", "changeit",
+      "-dname", "CN=localhost", "-validity", "1",
+      "-ext", "san=dns:localhost,ip:127.0.0.1")
+    assert(gen.! == 0, "keytool must generate the test keystore")
+
+    val tls = TlsConfig(
+      identityStore = ks, identityStorePassword = "changeit",
+      identityKeyPassword = "changeit",
+      trustStore = ks, trustStorePassword = "changeit")
+
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("localhost", 0), 0)
+    server.setHttpsConfigurator(
+      new com.sun.net.httpserver.HttpsConfigurator(tls.sslContext()))
+    server.createContext("/", (exchange: HttpExchange) => {
+      val body = keyJson.getBytes("UTF-8")
+      exchange.sendResponseHeaders(201, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"https://localhost:${server.getAddress.getPort}"
+      val svc = new HttpKeyService(url, Retry.Policy(maxAttempts = 2),
+        noSleep, runId = "tls-run", tls = Some(tls))
+      assert(svc.batchDataKey() ==
+        DataKeyResult("kek-id", "plain-key", "cipher-key"))
+      // without the TLS config the self-signed server is untrusted:
+      // the default client must fail as unavailability, not succeed
+      val plain = new HttpKeyService(url, Retry.Policy(maxAttempts = 2),
+        noSleep, runId = "tls-run-plain")
+      intercept[DataKeyServiceUnavailableException](plain.batchDataKey())
+    } finally server.stop(0)
+  }
 }
