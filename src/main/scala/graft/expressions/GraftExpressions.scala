@@ -185,9 +185,21 @@ case class MinhashSignature(first: Expression, second: Expression,
     def isLongArray(t: DataType): Boolean =
       t == ArrayType(LongType) || t == ArrayType(LongType, containsNull = false)
     if (isLongArray(first.dataType) && second.foldable && third.foldable &&
-        isLongArray(second.dataType) && isLongArray(third.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        isLongArray(second.dataType) && isLongArray(third.dataType)) {
+      // both coefficient arrays are foldable, so a length mismatch is
+      // knowable NOW — reject at analysis instead of letting the
+      // kernel index b with a's length at execution time
+      val (a, b) = (second.eval(), third.eval())
+      val lens = Seq(a, b).map {
+        case d: org.apache.spark.sql.catalyst.util.ArrayData => d.numElements()
+        case _ => -1
+      }
+      if (lens(0) >= 0 && lens(1) >= 0 && lens(0) != lens(1))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName coefficient arrays must have equal length, " +
+            s"got ${lens(0)} and ${lens(1)}")
+      else TypeCheckResult.TypeCheckSuccess
+    } else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<bigint>, foldable array<bigint> x2), " +
         s"got ${children.map(_.dataType)}")
   }

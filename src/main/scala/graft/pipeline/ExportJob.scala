@@ -32,7 +32,11 @@ object ExportJob {
       outcome: Control.JobOutcome,
       completionStatus: Control.ExportCompletionStatus,
       files: Seq[SnapshotWriter.FileAccounting],
-      skips: Map[String, Long])
+      skips: Map[String, Long],
+      /** The unclassified failure behind an Export_Failed outcome —
+        * carried for callers, logged before classification (the
+        * reference logs allFailureExceptions in afterJob). */
+      failure: Option[Throwable] = None)
 
   def run(spark: SparkSession,
       source: SparkSession => DataFrame,
@@ -56,7 +60,7 @@ object ExportJob {
     // try, one of its own send failures would re-enter the catch-all
     // and fire a second, contradictory fan-out (Export_Failed over a
     // topic that exported).
-    val (outcome, files, skips) =
+    val (outcome, files, skips, failure) =
       try {
         Control.checkTopicNotBlocked(cfg.topicName, blockedTopics)
         exportStatus.setStatus(cfg.topicName, Control.CollectionStatus.Exporting)
@@ -74,17 +78,25 @@ object ExportJob {
         }
         val skipCounts = ExportPipeline.skipSummary(out).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        (Control.JobOutcome(completed = true), written, skipCounts)
+        (Control.JobOutcome(completed = true), written, skipCounts,
+          Option.empty[Throwable])
       } catch {
         case _: Control.BlockedTopicException =>
           (Control.JobOutcome(completed = false, blockedTopic = true),
-            Nil, Map.empty[String, Long])
+            Nil, Map.empty[String, Long], Option.empty[Throwable])
         case _: Control.TableUnavailableException =>
           (Control.JobOutcome(completed = false, tableUnavailable = true),
-            Nil, Map.empty[String, Long])
-        case _: Exception =>
-          (Control.JobOutcome(completed = false), Nil, Map.empty[String, Long])
+            Nil, Map.empty[String, Long], Option.empty[Throwable])
+        case e: Exception =>
+          // an Export_Failed run must be diagnosable: log the cause
+          // BEFORE classifying it away
+          // (JobCompletionNotificationListener.kt logs
+          // allFailureExceptions)
+          System.err.println(s"[export-job] ${cfg.topicName} failed: $e")
+          e.printStackTrace()
+          (Control.JobOutcome(completed = false), Nil,
+            Map.empty[String, Long], Option(e): Option[Throwable])
       }
-    Result(outcome, listener.afterJob(outcome), files, skips)
+    Result(outcome, listener.afterJob(outcome), files, skips, failure)
   }
 }

@@ -203,7 +203,14 @@ object Metrics {
       val sc = spark.sparkContext
       sc.setJobGroup(group, "graft metrics listener drain", interruptOnCancel = false)
       try sc.parallelize(Seq(1), 1).count() finally sc.clearJobGroup()
-      latch.await(30, TimeUnit.SECONDS)
+      // A dropped sentinel event (listener-bus stall/overflow) must be
+      // DETECTABLE: silently filling the registry would report
+      // partial task metrics as complete ones.
+      if (!latch.await(30, TimeUnit.SECONDS)) {
+        System.err.println(
+          "[metrics] listener drain timed out after 30s; task metrics may be incomplete")
+        reg.setGauge("graft_metrics_drain_timed_out", 1.0)
+      }
       listener.fill(reg)
       (out, reg)
     } finally spark.sparkContext.removeSparkListener(listener)

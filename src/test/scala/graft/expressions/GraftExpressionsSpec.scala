@@ -133,6 +133,19 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(!out(1).isNullAt(1))
   }
 
+  test("graft_minhash rejects mismatched coefficient array lengths at analysis time") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1, Array(42L))).toDF("i", "sh")
+    // both arrays are foldable, so the mismatch is knowable before any
+    // task runs — must fail analysis, not out-of-bounds at execution
+    val e = intercept[Exception] {
+      df.selectExpr("graft_minhash(sh, CAST(array(3, 5) AS ARRAY<BIGINT>), " +
+        "CAST(array(7) AS ARRAY<BIGINT>))").collect()
+    }
+    assert(e.getMessage.contains("equal length"), e.getMessage)
+  }
+
   test("interpreted path (eval) agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
