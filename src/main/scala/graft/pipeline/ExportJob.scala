@@ -67,8 +67,10 @@ object ExportJob {
 
         val out = ExportPipeline.run(source(spark), cfg.topicName, keys,
           cfg.snapshotType)
+        // snapshot type flows from cfg into the writer's metadata too
+        // (data_product_type): one source of truth end-to-end
         val written = SnapshotWriter.write(ExportPipeline.records(out),
-          writerCfg, keys).collect().toSeq
+          writerCfg.copy(snapshotType = cfg.snapshotType), keys).collect().toSeq
         // per-file accounting, in the writer's own order
         // (S3StreamingWriter.kt:131-132): count increment + FIFO
         // snapshot-sender message carrying the object's full path

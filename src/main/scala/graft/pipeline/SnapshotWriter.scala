@@ -55,7 +55,8 @@ object SnapshotWriter {
       topic: String,
       maxBatchBytes: Int = 100000,
       compression: String = "gz", // gz | bz2 | lz4
-      scanWidth: Int = 128) // slice width over the 256-value byte space
+      scanWidth: Int = 128, // slice width over the 256-value byte space
+      snapshotType: String = "full") // data_product_type metadata field
 
   final case class FileAccounting(
       slice: String, file: String, manifest_file: String,
@@ -173,10 +174,15 @@ object SnapshotWriter {
             Retry.withRetry(Retry.Policy()) {
               val fos = new FileOutputStream(outFile)
               try fos.write(target.toByteArray) finally fos.close()
-              // crypto metadata sidecar (S3 user-metadata analogue)
+              // metadata sidecar (S3 user-metadata analogue) — the
+              // full reference object-metadata surface
+              // (S3ObjectServiceImpl.kt:38-47): crypto fields PLUS the
+              // product fields downstream consumers key on
+              // (snapshot-sender, egress auditing)
               val iv = Base64.getEncoder.encodeToString(
                 ivFor(cfg.topic, label, manifestNum))
-              val meta = s"""{"iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}"}"""
+              val meta =
+                s"""{"contentType":"binary/octetstream","x-amz-meta-title":"$name","iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}","data_product":"${cfg.topic}","data_product_type":"${cfg.snapshotType}","contentLength":${target.size()}}"""
               java.nio.file.Files.writeString(
                 new File(cfg.outputDir, s"$name.metadata.json").toPath, meta)
             }
@@ -184,8 +190,16 @@ object SnapshotWriter {
             val mFile = new File(cfg.manifestDir, manifestName)
             mFile.getParentFile.mkdirs()
             // manifest upload retry (StreamingManifestWriter.kt:18-22)
+            // + the manifest's own metadata
+            // (StreamingManifestWriter.kt:60-65: text/plain, title,
+            // length)
             Retry.withRetry(Retry.Policy()) {
-              java.nio.file.Files.writeString(mFile.toPath, manifestBuf.toString)
+              val body = manifestBuf.toString
+              java.nio.file.Files.writeString(mFile.toPath, body)
+              val mMeta =
+                s"""{"contentType":"text/plain","x-amz-meta-title":"$manifestName","contentLength":${body.getBytes("UTF-8").length}}"""
+              java.nio.file.Files.writeString(
+                new File(cfg.manifestDir, s"$manifestName.metadata.json").toPath, mMeta)
             }
             results += FileAccounting(label, name, manifestName,
               recordsInBatch, batchSizeBytes, target.size().toLong)

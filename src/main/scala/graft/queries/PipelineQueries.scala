@@ -123,14 +123,37 @@ object PipelineQueries {
       SnapshotWriter.readBack(outDir.toString, fa.file, "gz", ks)
         .length != fa.records
     }
+    // metadata parity (S3ObjectServiceImpl.kt:38-47 +
+    // StreamingManifestWriter.kt:60-65): every object sidecar carries
+    // the product fields downstream consumers key on, every manifest
+    // has its own text/plain sidecar with the right length
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nMetaBad = acct.count { fa =>
+      val m = mapper.readTree(java.nio.file.Files.readString(
+        new java.io.File(outDir.toFile, s"${fa.file}.metadata.json").toPath))
+      m.get("data_product").asText() != Fixture.Topic ||
+        m.get("data_product_type").asText() != "full" ||
+        m.get("x-amz-meta-title").asText() != fa.file ||
+        m.get("contentType").asText() != "binary/octetstream" ||
+        m.get("contentLength").asLong() !=
+          new java.io.File(outDir.toFile, fa.file).length()
+    }
+    val nManifestMetaBad = acct.count { fa =>
+      val m = mapper.readTree(java.nio.file.Files.readString(new java.io.File(
+        manDir.toFile, s"${fa.manifest_file}.metadata.json").toPath))
+      m.get("contentType").asText() != "text/plain" ||
+        m.get("x-amz-meta-title").asText() != fa.manifest_file ||
+        m.get("contentLength").asLong() !=
+          new java.io.File(manDir.toFile, fa.manifest_file).length()
+    }
     val slices = acct.map(_.slice).distinct.sorted.mkString(",")
     deleteRecursively(outDir)
     deleteRecursively(manDir)
     import s.implicits._
     Seq((nRecords, nOversize.toLong, nManifestMismatch.toLong,
-      nRoundtripBad.toLong, slices))
+      nRoundtripBad.toLong, nMetaBad.toLong, nManifestMetaBad.toLong, slices))
       .toDF("n_records", "n_oversize", "n_manifest_mismatch",
-        "n_roundtrip_bad", "slices")
+        "n_roundtrip_bad", "n_meta_bad", "n_manifest_meta_bad", "slices")
   }
 
   val q42Sql: String =
@@ -138,6 +161,8 @@ object PipelineQueries {
       |CAST(0 AS BIGINT) AS n_oversize,
       |CAST(0 AS BIGINT) AS n_manifest_mismatch,
       |CAST(0 AS BIGINT) AS n_roundtrip_bad,
+      |CAST(0 AS BIGINT) AS n_meta_bad,
+      |CAST(0 AS BIGINT) AS n_manifest_meta_bad,
       |'000-128,128-000' AS slices""".stripMargin
 
   // ------------------------------------------- q44 incremental export
@@ -305,6 +330,110 @@ object PipelineQueries {
       |CAST(2 AS BIGINT) AS n_files,
       |'000-128,128-000' AS slices""".stripMargin
 
+  // --------------------------------------- q56 streamed-equals-batch
+  /** The SAME corpus exported twice — through the streaming sink
+    * (three micro-batches under `foreachBatch`, batch-scoped dirs) and
+    * through the batch writer in one pass — must agree on everything
+    * observable: record totals, the decrypted DOCUMENT MULTISET
+    * itself (every streamed file decrypt+decompressed and compared
+    * against the batch files' contents), manifest line parity, and
+    * slice coverage. This promotes StreamingPipelineSpec's assertions
+    * to the oracle surface: the streaming sink is end-to-end
+    * equivalent to the reference's batch semantics, not just
+    * unit-plausible. */
+  def q56StreamingParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SnapshotWriter
+    import graft.streaming.StreamingExport
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    val nPer = 1000L
+    val nBatches = 3
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    // one cell corpus feeds BOTH exports: identical input bytes
+    val cells = (0 until nBatches).map(b =>
+      ((b * nPer) until ((b + 1) * nPer)).map(i =>
+        Fixture.cell(i, dek, encKey, corrupt = false)))
+
+    val outS = java.nio.file.Files.createTempDirectory("graft-q56-sout")
+    val manS = java.nio.file.Files.createTempDirectory("graft-q56-sman")
+    val outB = java.nio.file.Files.createTempDirectory("graft-q56-bout")
+    val manB = java.nio.file.Files.createTempDirectory("graft-q56-bman")
+    try {
+      val cfgS = SnapshotWriter.Config(outS.toString, manS.toString,
+        Fixture.Topic, maxBatchBytes = 50000, compression = "gz")
+      val cfgB = cfgS.copy(outputDir = outB.toString, manifestDir = manB.toString)
+
+      val results =
+        new scala.collection.mutable.ListBuffer[StreamingExport.BatchResult]
+      val stream = MemoryStream[Fixture.RawCell]
+      val streamRecs = ExportPipeline.records(
+        ExportPipeline.run(stream.toDF(), Fixture.Topic, ks))
+      val query = StreamingExport.start(streamRecs, cfgS, ks,
+        "graft_q56_sink", r => results.synchronized { results += r })
+      try {
+        cells.foreach { batch =>
+          stream.addData(batch)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val snap = results.synchronized(results.toList)
+
+      val batchAcct = SnapshotWriter.write(
+        ExportPipeline.records(ExportPipeline.run(
+          cells.flatten.toDF(), Fixture.Topic, ks)), cfgB, ks)
+        .collect().toSeq
+
+      // (objectDir, manifestDir, accounting) per written file, per mode
+      val streamedFiles = snap.flatMap(b => b.files.map(fa =>
+        (s"$outS/batch=${b.batchId}", s"$manS/batch=${b.batchId}", fa)))
+      val batchFiles = batchAcct.map(fa => (outB.toString, manB.toString, fa))
+
+      // decrypt+decompress EVERY file in both modes; compare multisets
+      def docsOf(files: Seq[(String, String, SnapshotWriter.FileAccounting)]) =
+        files.flatMap { case (od, _, fa) =>
+          SnapshotWriter.readBack(od, fa.file, "gz", ks) }
+      val sDocs = docsOf(streamedFiles)
+      val bDocs = docsOf(batchFiles)
+      def freq(xs: Seq[String]): Map[String, Int] =
+        xs.groupBy(identity).view.mapValues(_.size).toMap
+      val (fS, fB) = (freq(sDocs), freq(bDocs))
+      val nDocsDiff = (fS.keySet ++ fB.keySet)
+        .count(k => fS.getOrElse(k, 0) != fB.getOrElse(k, 0))
+
+      val nManifestMismatch = (streamedFiles ++ batchFiles).count {
+        case (_, md, fa) =>
+          java.nio.file.Files.readString(
+            java.nio.file.Path.of(md, fa.manifest_file))
+            .split("\n").count(_.nonEmpty) != fa.records
+      }
+      def sliceSet(fs: Seq[(String, String, SnapshotWriter.FileAccounting)]) =
+        fs.map(_._3.slice).distinct.sorted.mkString(",")
+
+      Seq((sDocs.length.toLong, bDocs.length.toLong,
+        snap.map(_.batchId).distinct.size.toLong, nDocsDiff.toLong,
+        nManifestMismatch.toLong, sliceSet(streamedFiles), sliceSet(batchFiles)))
+        .toDF("n_streamed", "n_batch", "n_micro_batches", "n_docs_diff",
+          "n_manifest_mismatch", "slices_streamed", "slices_batch")
+    } finally {
+      deleteRecursively(outS); deleteRecursively(manS)
+      deleteRecursively(outB); deleteRecursively(manB)
+    }
+  }
+
+  val q56Sql: String =
+    """SELECT CAST(3000 AS BIGINT) AS n_streamed,
+      |CAST(3000 AS BIGINT) AS n_batch,
+      |CAST(3 AS BIGINT) AS n_micro_batches,
+      |CAST(0 AS BIGINT) AS n_docs_diff,
+      |CAST(0 AS BIGINT) AS n_manifest_mismatch,
+      |'000-128,128-000' AS slices_streamed,
+      |'000-128,128-000' AS slices_batch""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
@@ -313,7 +442,8 @@ object PipelineQueries {
     "q44_incremental_export" -> (q44IncrementalExport _),
     "q47_multiversion_export" -> (q47MultiversionExport _),
     "q49_business_audit" -> (q49BusinessAudit _),
-    "q50_equality_export" -> (q50EqualityExport _))
+    "q50_equality_export" -> (q50EqualityExport _),
+    "q56_streaming_export" -> (q56StreamingParity _))
 
   val oracles: Map[String, String] = Map(
     "q40_pipeline_roundtrip" -> q40Sql,
@@ -322,5 +452,6 @@ object PipelineQueries {
     "q44_incremental_export" -> q44Sql,
     "q47_multiversion_export" -> q47Sql,
     "q49_business_audit" -> q49Sql,
-    "q50_equality_export" -> q50Sql)
+    "q50_equality_export" -> q50Sql,
+    "q56_streaming_export" -> q56Sql)
 }

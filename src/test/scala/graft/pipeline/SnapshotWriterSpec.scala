@@ -31,7 +31,7 @@ class SnapshotWriterSpec extends SparkSuite {
   test("object/manifest naming + numbering quirk (UberTestSpec.kt:513-592)") {
     val (out, man, acct) = writeAll("gz")
     val objects = out.list().filter(_.endsWith(".enc")).sorted.toSeq
-    val manifests = man.list().sorted.toSeq
+    val manifests = man.list().filter(_.endsWith(".csv")).sorted.toSeq
     assert(objects.nonEmpty)
     // two slices at width 128, formatted over the SIGNED byte space
     val labels = acct.map(_.slice).distinct.sorted
@@ -93,6 +93,33 @@ class SnapshotWriterSpec extends SparkSuite {
     assert(!asText.contains("record_id") && !asText.contains("d_date"))
     // nor is it merely compressed-unencrypted: gzip magic absent
     assert(!(bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte))
+  }
+
+  test("metadata sidecars carry the reference's full surface (S3ObjectServiceImpl.kt:38-47, StreamingManifestWriter.kt:60-65)") {
+    val out = tmpDir(); val man = tmpDir()
+    val cfg = SnapshotWriter.Config(out.getAbsolutePath, man.getAbsolutePath,
+      "db.database.collection", 20000, "gz", 128,
+      snapshotType = "incremental")
+    val acct = SnapshotWriter.write(recs, cfg, Fixture.keyService).collect().toSeq
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (fa <- acct) {
+      val om = mapper.readTree(Files.readString(
+        new File(out, s"${fa.file}.metadata.json").toPath))
+      assert(om.get("contentType").asText() == "binary/octetstream")
+      assert(om.get("x-amz-meta-title").asText() == fa.file)
+      assert(om.get("data_product").asText() == "db.database.collection")
+      assert(om.get("data_product_type").asText() == "incremental")
+      assert(om.get("contentLength").asLong() == new File(out, fa.file).length())
+      // crypto fields still present for the read-back path
+      assert(om.hasNonNull("iv") && om.hasNonNull("ciphertext") &&
+        om.hasNonNull("dataKeyEncryptionKeyId"))
+      val mm = mapper.readTree(Files.readString(
+        new File(man, s"${fa.manifest_file}.metadata.json").toPath))
+      assert(mm.get("contentType").asText() == "text/plain")
+      assert(mm.get("x-amz-meta-title").asText() == fa.manifest_file)
+      assert(mm.get("contentLength").asLong() ==
+        new File(man, fa.manifest_file).length())
+    }
   }
 
   test("csv escaping quotes embedded delimiters (DomainClasses.kt:88)") {
