@@ -40,11 +40,12 @@ import graft.pipeline.Fixture
   * Scale: generation is per-partition and streaming (no
   * materialization); a real HBase-backed impl would swap the row
   * iterator for a scanner over the same slice bounds, keeping the
-  * planning + pushdown structure unchanged. NOTE for that impl: this
-  * fixture reader walks the full index range `[0, n)` per partition
-  * and filters by slice byte (cheap CRC32 skip, fixture-only) — a
-  * real scanner must instead SEEK to the slice's startRow/stopRow so
-  * total work is O(n), not O(n × slices).
+  * planning + pushdown structure unchanged. Each reader iterates ONLY
+  * its slice's id stream ([[SliceIndex]]: one memoised O(n) pass per
+  * JVM builds every slice's index — the fixture stand-in for a
+  * scanner's seek-to-startRow), so total source work is O(n), not
+  * O(n × slices). A real scanner replaces the memo with an actual
+  * seek; nothing downstream changes.
   *
   * Multi-version read semantics (`versions` option, default 1): key i
   * holds `1 + (i % versions)` cell versions at ts 1000, 1001, … (the
@@ -163,9 +164,37 @@ private[sources] class EnvelopeReaderFactory extends PartitionReaderFactory {
     new EnvelopeReader(partition.asInstanceOf[EnvelopePartition])
 }
 
-/** Streams the slice's records: like an HBase scanner over
-  * [startRow, stopRow), it yields only rows whose key's first signed
-  * byte falls in this slice, with the ts range applied "server-side". */
+/** Per-slice id streams for the fixture key space — the stand-in for a
+  * scanner's seek-to-startRow. ONE memoised O(n) pass per (n, width)
+  * per JVM routes every id to its slice (the CRC32 key prefix is not
+  * invertible, so the index is precomputed rather than derived); every
+  * reader then iterates exactly its slice's ids. Total work across a
+  * stage: one pass + Σ slice sizes = O(n). Memory: 8 bytes × n per
+  * JVM, the price of simulating a seekable store with a hash-salted
+  * one — a real HBase impl deletes this object and seeks. */
+private[sources] object SliceIndex {
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), Array[Array[Long]]]()
+  /** Full index passes performed — pinned by the partition-work spec. */
+  private[sources] val passes = new java.util.concurrent.atomic.AtomicInteger
+
+  def forSlice(n: Long, scanWidth: Int, slice: Int): Array[Long] =
+    memo.computeIfAbsent((n, scanWidth), { case (nn, w) =>
+      passes.incrementAndGet()
+      val builders = Array.fill(256 / w)(
+        new scala.collection.mutable.ArrayBuilder.ofLong)
+      var i = 0L
+      while (i < nn) {
+        builders(((Fixture.keyPrefixByte(i) + 128) & 0xff) / w) += i
+        i += 1
+      }
+      builders.map(_.result())
+    })(slice)
+}
+
+/** Streams the slice's records: like an HBase scanner positioned at
+  * [startRow, stopRow), it touches only this slice's ids, with the ts
+  * range applied "server-side". */
 private[sources] class EnvelopeReader(p: EnvelopePartition)
     extends PartitionReader[InternalRow] {
 
@@ -173,49 +202,46 @@ private[sources] class EnvelopeReader(p: EnvelopePartition)
   private val dek = ks.batchDataKey().plaintextDataKey
   private val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
 
-  private var i = -1L
+  private val ids = SliceIndex.forSlice(p.n, p.scanWidth, p.slice)
+  private var idx = -1
   private var current: Fixture.RawCell = _
   private var currentTs = 0L
 
-  private def sliceOf(firstByte: Byte): Int =
-    ((firstByte + 128) & 0xff) / p.scanWidth
-
   override def next(): Boolean = {
-    i += 1
-    while (i < p.n) {
-      // key + ts checks first: out-of-slice / out-of-range rows are
-      // skipped WITHOUT building or encrypting the cell (the scanner
-      // "server-side" pruning analogue)
-      if (sliceOf(Fixture.keyPrefixByte(i)) == p.slice) {
-        if (p.versions > 1) {
-          // Multi-version cells: key i holds 1 + (i % versions) cell
-          // versions, version v at ts = CellTimestamp + v (the
-          // reference's tables store up to 1,000,000 versions per key,
-          // images/hbase/hbase_data.py:32). Like an HBase Scan with
-          // setTimeRange + default readVersions(1)
-          // (HBaseReader.kt:145-150), the reader returns ONLY the
-          // latest version whose ts falls inside [tsLo, tsHi] — an
-          // out-of-range NEWER version loses to an in-range OLDER one,
-          // and a key with no in-range version yields nothing. The
-          // winning version index is O(1) arithmetic; losing versions
-          // are never built or encrypted.
-          val numV = 1L + (i % p.versions)
-          val vTop = math.min(numV - 1L, p.tsHi - Fixture.CellTimestamp)
-          if (vTop >= 0L && Fixture.CellTimestamp + vTop >= p.tsLo) {
-            current = Fixture.cell(i, dek, encKey, p.corrupt, vTop.toInt)
-            currentTs = current.ts
-            return true
-          }
-        } else {
-          val ts = Fixture.CellTimestamp + (if (p.tsSpread > 0) i % p.tsSpread else 0L)
-          if (ts >= p.tsLo && ts <= p.tsHi) {
-            current = Fixture.cell(i, dek, encKey, p.corrupt)
-            currentTs = ts
-            return true
-          }
+    idx += 1
+    while (idx < ids.length) {
+      val i = ids(idx)
+      // ts checks first: out-of-range rows are skipped WITHOUT
+      // building or encrypting the cell (the scanner "server-side"
+      // pruning analogue)
+      if (p.versions > 1) {
+        // Multi-version cells: key i holds 1 + (i % versions) cell
+        // versions, version v at ts = CellTimestamp + v (the
+        // reference's tables store up to 1,000,000 versions per key,
+        // images/hbase/hbase_data.py:32). Like an HBase Scan with
+        // setTimeRange + default readVersions(1)
+        // (HBaseReader.kt:145-150), the reader returns ONLY the
+        // latest version whose ts falls inside [tsLo, tsHi] — an
+        // out-of-range NEWER version loses to an in-range OLDER one,
+        // and a key with no in-range version yields nothing. The
+        // winning version index is O(1) arithmetic; losing versions
+        // are never built or encrypted.
+        val numV = 1L + (i % p.versions)
+        val vTop = math.min(numV - 1L, p.tsHi - Fixture.CellTimestamp)
+        if (vTop >= 0L && Fixture.CellTimestamp + vTop >= p.tsLo) {
+          current = Fixture.cell(i, dek, encKey, p.corrupt, vTop.toInt)
+          currentTs = current.ts
+          return true
+        }
+      } else {
+        val ts = Fixture.CellTimestamp + (if (p.tsSpread > 0) i % p.tsSpread else 0L)
+        if (ts >= p.tsLo && ts <= p.tsHi) {
+          current = Fixture.cell(i, dek, encKey, p.corrupt)
+          currentTs = ts
+          return true
         }
       }
-      i += 1
+      idx += 1
     }
     false
   }

@@ -107,4 +107,24 @@ class EnvelopeSourceSpec extends SparkSuite {
     assert(recs.count() == 1000)
     assert(recs.filter(col("doc").contains("d_oid")).count() == 500)
   }
+
+  test("total source work is O(n): one index pass, readers touch only their slice") {
+    // fresh (n, width) so the memo cannot have been built by another test
+    val n = 7777L
+    val width = 32 // 8 slices
+    val before = SliceIndex.passes.get()
+    val slices = (0 until 8).map(s => SliceIndex.forSlice(n, width, s))
+    // partition-complete: every id lands in exactly one slice stream
+    assert(slices.map(_.length.toLong).sum == n)
+    assert(slices.flatten.distinct.size.toLong == n)
+    // slice streams agree with the key-prefix routing
+    for ((ids, s) <- slices.zipWithIndex; i <- ids.take(50))
+      assert(((Fixture.keyPrefixByte(i) + 128) & 0xff) / width == s)
+    // all 8 slice reads cost ONE full pass, not 8 (the O(n × slices)
+    // walk this replaced)
+    assert(SliceIndex.passes.get() == before + 1)
+    // and a full source read over the same config adds none
+    assert(read("n" -> n.toString, "scanWidth" -> width.toString).count() == n)
+    assert(SliceIndex.passes.get() == before + 1)
+  }
 }
