@@ -190,8 +190,10 @@ object Dedup {
   // LSH bucket-join candidate pairs, verified with exact Jaccard over
   // the hashed shingle sets. Join key = band (linear-scale; never
   // all-pairs); the verify join ships 8-byte shingle ints.
-  def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = cachedSignatures(s, dir)
+  /** Band + Jaccard-verify over a prepared signature relation
+    * (doc_id, sh, band0..bandN) — the core qMinhashPairs and the
+    * general-DataFrame operators share. */
+  private def minhashPairsFrom(sig: DataFrame, threshold: Double): DataFrame = {
     val narrow = sig.drop("sh")
     val cand = graft.operators.LshBands.candidatePairs(narrow, "doc_id",
       (0 until NumBands).map(bd => s"band$bd"))
@@ -201,10 +203,13 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy("d1", "d2")
   }
+
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(cachedSignatures(s, dir), 0.3)
 
   val qMinhashPairsSql: String = {
     val bandJoins = (0 until NumBands).map { bd =>
@@ -364,6 +369,20 @@ object Dedup {
     docs(s, dir).join(kills, Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupNearLSH]] over ANY relation: `textCol` shingles, `idCol`
+    * orders the kill rule (smaller id survives), every other column
+    * rides through untouched. The signature relation is cached (it
+    * feeds NumBands band joins + 2 verify joins); re-invocation
+    * unpersists the previous call's cache ([[clearSignatureCache]] is
+    * the explicit seam). */
+  def dedupNearLSH(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val sig = generalSignatures(df, textCol, idCol)
+    val kills = minhashPairsFrom(sig, threshold)
+      .select(col("d2").as("__kill_id")).distinct()
+    df.join(kills, df(idCol) === kills("__kill_id"), "left_anti")
+  }
+
   /** Near-dedup via the simhash Hamming ball returning surviving rows —
     * the [[dedupNearLSH]] kill rule over q48's banded candidates: any
     * document within Hamming ≤ `maxHamming` of a smaller-id document
@@ -374,6 +393,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("d2").as("doc_id")).distinct()
     docs(s, dir).join(kills, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[dedupNearSimhash]] over ANY relation — same contract as the
+    * general [[dedupNearLSH]]. `maxHamming` must stay within the band
+    * guarantee's exhaustive radius (NumBands − 1 = 2): beyond it the
+    * banded candidates are not exhaustive and the kill set would
+    * silently depend on bucket luck. */
+  def dedupNearSimhash(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimhashNumBands - 1,
+      s"maxHamming $maxHamming exceeds the exhaustive Hamming-ball radius " +
+        s"${SimhashNumBands - 1}; widen the bands instead")
+    val sig = generalSignatures(df, textCol, idCol)
+      .filter(col("simhash") >= 0L).select(col("doc_id"), col("simhash"))
+    val kills = simhashBandPairs(sig)
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d2").as("__kill_id")).distinct()
+    df.join(kills, df(idCol) === kills("__kill_id"), "left_anti")
+  }
+
+  // managed cache slot for the general-API signature relation
+  // (single-slot like cachedSig: one cached set per JVM, replaced on
+  // the next call)
+  @transient private var cachedGeneralSig: Option[DataFrame] = None
+  private def generalSignatures(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = synchronized {
+    val sig = signaturesOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id") +: col("sh") +: col("simhash") +:
+        (0 until NumBands).map(bd => col(s"band$bd")): _*)
+      .cache()
+    cachedGeneralSig.foreach(_.unpersist())
+    cachedGeneralSig = Some(sig)
+    sig
+  }
+
+  /** Unpersists every signature relation this object holds. */
+  def clearSignatureCache(): Unit = synchronized {
+    cachedSig.foreach(_._2.unpersist()); cachedSig = None
+    cachedGeneralSig.foreach(_.unpersist()); cachedGeneralSig = None
   }
 
   // -------------------------------------------- q36/q37 keeper checks

@@ -28,6 +28,12 @@ object PipelineQueries {
     }
   }
 
+  /** Unpersists the clean-corpus cache (long-lived JVMs that move past
+    * the golden queries reclaim the storage here). */
+  def clearCleanCache(): Unit = synchronized {
+    cachedClean.foreach(_.unpersist()); cachedClean = None
+  }
+
   // ------------------------------------------------ q40 roundtrip
   /** Full parse → decrypt → audit-gate → validate → sanitise run;
     * aggregates the reference's golden invariants:

@@ -40,4 +40,44 @@ class DedupBandSpec extends SparkSuite {
     assert(cand.count() == 0,
       "50 short docs must produce 0 candidates, not 1225 all-pairs")
   }
+
+  // the dataset-level dedup operators work over ARBITRARY relations —
+  // caller-named id/text columns, extra columns riding through — not
+  // just the fixture `documents` table
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (101L, base, "keep-a"),
+      (102L, base, "dup-of-101"),                       // exact dup
+      (103L, base + " tail", "near-dup-of-101"),        // near dup
+      (104L, "an entirely different sentence about spark shuffles and joins", "keep-b"),
+      (105L, "zx", "short-doc")                         // no shingles
+    ).toDF("my_id", "body", "tag")
+  }
+
+  test("general dedupNearLSH: caller columns, smaller id survives, extras intact") {
+    import spark.implicits._
+    val out = Dedup.dedupNearLSH(corpus, "body", "my_id", 0.5)
+      .select($"my_id", $"tag").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(101L, 104L, 105L),
+      s"dups of 101 must die, unrelated + short docs survive: ${out.keySet}")
+    assert(out(101L) == "keep-a", "non-key columns must ride through")
+    assert(out.size == 3)
+  }
+
+  test("general dedupNearSimhash: kill rule on arbitrary relation, radius guard") {
+    import spark.implicits._
+    val out = Dedup.dedupNearSimhash(corpus, "body", "my_id", 2)
+      .select($"my_id").as[Long].collect().toSet
+    assert(out.contains(101L) && !out.contains(102L),
+      s"identical simhash must kill the larger id: $out")
+    assert(out.contains(104L) && out.contains(105L))
+    // beyond the exhaustive Hamming-ball radius the result would be
+    // bucket luck — rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.dedupNearSimhash(corpus, "body", "my_id", 3)
+    }
+    Dedup.clearSignatureCache()
+  }
 }
