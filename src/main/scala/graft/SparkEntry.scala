@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Multimodal, PipelineQueries, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, Multimodal, PipelineQueries, Relational, Similarity, StreamingQueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ PipelineQueries.queries ++ Multimodal.queries
+      Similarity.queries ++ PipelineQueries.queries ++ Multimodal.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles ++ PipelineQueries.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ PipelineQueries.oracles ++ Multimodal.oracles ++
+      StreamingQueries.oracles
 }

@@ -558,8 +558,11 @@ object Relational {
     val intervals = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("start_ts"),
         (col("ts") + hourNanos).as("end_ts"), col("event_id").as("int_id"))
+    // intervals are constructed ts + hourNanos, so the max length is
+    // known a priori: declare it and skip the eager guard scan
     graft.operators.RangeJoin.pointInInterval(points, intervals,
-      "user_id", "ts", "start_ts", "end_ts", Seq("int_id"), hourNanos)
+      "user_id", "ts", "start_ts", "end_ts", Seq("int_id"), hourNanos,
+      knownMaxInterval = Some(hourNanos))
       .select(col("p_id"), col("user_id"), col("i_int_id").as("i_id"))
       .orderBy("p_id", "i_id")
   }
@@ -571,6 +574,76 @@ object Relational {
       |  ON p.user_id = i.user_id
       | AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
       |ORDER BY p_id, i_id""".stripMargin
+
+  // --------------------------------------------------------------- Q19
+  // Skew-salted equi-join, oracle-checked for EXACTNESS: lineitem ⋈
+  // orders revenue-by-priority computed through
+  // graft.operators.SkewJoin.saltedEquiJoin must equal the plain join.
+  // Salting only re-routes rows (the left side's random salt meets a
+  // right side replicated across every salt value), so the result set
+  // is identical while one hot key spreads over `buckets` reducers —
+  // the manual fallback when AQE skew splitting can't apply.
+  def q19SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedEquiJoin(li, ord, "orderkey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q19Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |${DSUM("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- Q24
+  // Co-located join via bucketing, oracle-checked: both sides written
+  // bucketed by the join key, then joined with broadcast disabled —
+  // Spark must plan a SortMergeJoin with NO Exchange on either side
+  // (at 100 TB this is the fact⋈fact join without the double shuffle).
+  // The plan property itself is part of the oracle row (no_exchange),
+  // not just the values: a regression to a shuffling plan fails the
+  // correctness gate, not only the bench.
+  def q24BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q24")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      li.write.mode("overwrite").option("path", s"$wh/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_q24_li")
+      o.write.mode("overwrite").option("path", s"$wh/o")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_q24_o")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("graft_q24_li").join(s.table("graft_q24_o"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val noExchange =
+        if (plan.contains("SortMergeJoin") && !plan.contains("Exchange")) 1L
+        else 0L
+      val agg = joined.agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue")).head()
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getDouble(1), noExchange))
+        .toDF("n", "revenue", "no_exchange")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS graft_q24_li")
+      s.sql("DROP TABLE IF EXISTS graft_q24_o")
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile)
+    }
+  }
+
+  val q24Sql: String =
+    s"""SELECT COUNT(*) AS n, ${DSUM("l_extendedprice")} AS revenue,
+       |CAST(1 AS BIGINT) AS no_exchange
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -592,6 +665,8 @@ object Relational {
     "q16_setops" -> (q16SetOps _),
     "q17_tpch_q1" -> (q17TpchQ1 _),
     "q18_tpch_q3" -> (q18TpchQ3 _),
+    "q19_skew_join" -> (q19SkewJoin _),
+    "q24_bucketed_join" -> (q24BucketedJoin _),
     "q45_tpch_q5" -> (q45TpchQ5 _),
     "q46_tpch_q14" -> (q46TpchQ14 _),
     "q53_asof_join" -> (q53AsofJoin _),
@@ -616,6 +691,8 @@ object Relational {
     "q16_setops" -> q16Sql,
     "q17_tpch_q1" -> q17Sql,
     "q18_tpch_q3" -> q18Sql,
+    "q19_skew_join" -> q19Sql,
+    "q24_bucketed_join" -> q24Sql,
     "q45_tpch_q5" -> q45Sql,
     "q46_tpch_q14" -> q46Sql,
     "q53_asof_join" -> q53Sql,

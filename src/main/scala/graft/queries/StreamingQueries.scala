@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Oracle rows for the Structured Streaming surface: the streaming
+  * plans must agree with batch SQL on real data, not just pass unit
+  * tests on constructed rows.
+  */
+object StreamingQueries {
+
+  /** Public: Catalyst's generated projections must instantiate it. */
+  final case class StreamEvent(event_id: Long, ts: Long,
+      event_type: String, value: Double)
+
+  // --------------------------------------- q57 stream window parity
+  /** Event-time tumbling-window aggregation under Structured Streaming
+    * equals the batch SQL twin: the `events` table is replayed through
+    * a MemoryStream in three micro-batches into
+    * [[graft.streaming.StreamingOps.windowedEventCounts]]
+    * (1-hour windows, complete output mode so every window
+    * finalizes deterministically), and the per-(window, type) counts
+    * must match DuckDB's `date_trunc('hour')` GROUP BY over the same
+    * parquet. Event time is ns in Spark (`nanosAsLong`) and µs in
+    * DuckDB — both floor to the same epoch-aligned hour.
+    *
+    * The driver-side collect exists solely to FEED the in-process
+    * stream simulator (MemoryStream is the only deterministic
+    * in-process source); the windowed aggregation itself is the
+    * distributed streaming plan. A production run replaces the replay
+    * with a real source (Kafka/files) and drops the collect. */
+  def q57StreamWindowParity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+      .toSeq
+    val chunkSize = math.max(1, rows.size / 3)
+
+    val qname = "graft_q57_windows"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEvent]
+    val withTime = stream.toDF()
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val agg = graft.streaming.StreamingOps.windowedEventCounts(
+      withTime, "event_time", watermarkDelay = "10 minutes",
+      windowLength = "1 hour")
+    val query = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      rows.grouped(chunkSize).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table(qname)
+      .select(unix_timestamp(col("w_start")).as("w_start_sec"),
+        col("event_type"), col("n"))
+      .orderBy("w_start_sec", "event_type")
+  }
+
+  val q57Sql: String =
+    """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS w_start_sec,
+      |event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_stream_window" -> (q57StreamWindowParity _))
+
+  val oracles: Map[String, String] = Map(
+    "q57_stream_window" -> q57Sql)
+}
