@@ -48,21 +48,27 @@ object Dedup {
   val HashCoeffs: Seq[(Long, Long)] =
     (0 until NumHashes).map(k => (1000003L * (k + 1) + 17L, 7919L * (k + 1) + 3L))
 
-  /** Spark-side hashed 3-gram shingles of a pre-split `toks` column:
+  /** Spark-side hashed w-gram shingles of a pre-split `toks` column:
     * each shingle reduced to a 60-bit int (15 hex of md5). */
-  private[queries] val shinglesSpark: String =
-    """CASE WHEN size(toks) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(toks) - 2),
-      |    i -> CAST(conv(substring(md5(concat_ws(' ',
-      |           element_at(toks, i), element_at(toks, i + 1),
-      |           element_at(toks, i + 2))), 1, 15), 16, 10) AS BIGINT)))
-      |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+  private[queries] def shinglesSparkW(w: Int): String = {
+    val parts = (0 until w).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    s"""CASE WHEN size(toks) >= $w THEN
+       |  array_distinct(transform(sequence(1, size(toks) - ${w - 1}),
+       |    i -> CAST(conv(substring(md5(concat_ws(' ',
+       |           $parts)), 1, 15), 16, 10) AS BIGINT)))
+       |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+  }
 
-  private[queries] val shinglesDuck: String =
-    """CASE WHEN len(toks) >= 3 THEN
-      |  list_distinct(list_transform(range(1, len(toks) - 1),
-      |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15))::BIGINT))
-      |ELSE [] END""".stripMargin
+  private[queries] def shinglesDuckW(w: Int): String = {
+    val parts = (0 until w).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $w THEN
+       |  list_distinct(list_transform(range(1, len(toks) - ${w - 2}),
+       |    i -> ('0x' || substr(md5($parts), 1, 15))::BIGINT))
+       |ELSE [] END""".stripMargin
+  }
+
+  private[queries] val shinglesSpark: String = shinglesSparkW(3)
+  private[queries] val shinglesDuck: String = shinglesDuckW(3)
 
   /** doc_id + hashed shingle set `sh` + minhashes h0..h15 + band keys
     * band0..band3. Pure per-row array expressions: no shuffle. */
@@ -501,6 +507,42 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- q60 decontamination
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-8-gram with the eval set (doc_id < 5 stands in for the
+    * benchmark corpus). The standard pre-training hygiene pass: an
+    * 8-gram collision with an eval document marks contamination, and
+    * the doc is dropped or audited. Shingles reduce to 60-bit ints
+    * once (the [[shinglesSparkW]] hash design); the eval shingle set
+    * is SMALL AND FIXED (benchmarks, not corpus-sized), so it is
+    * broadcast and the flagging join is a linear scan — no shuffle of
+    * the 100 TB side beyond the per-doc aggregation. */
+  val DecontamWindow = 8
+
+  def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh8", expr(shinglesSparkW(DecontamWindow)))
+      .select(col("doc_id"), col("sh8"))
+    val evalSet = sh.filter(col("doc_id") < 5)
+      .select(explode(col("sh8")).as("sh")).distinct()
+    val train = sh.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh8")).as("sh"))
+    train.join(broadcast(evalSet), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val qDecontamSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesDuckW(DecontamWindow)} AS sh8 FROM tok),
+       |ev AS (SELECT DISTINCT unnest(sh8) AS s FROM sh WHERE doc_id < 5),
+       |tr AS (SELECT doc_id, unnest(sh8) AS s FROM sh WHERE doc_id >= 5)
+       |SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_overlap
+       |FROM tr JOIN ev ON tr.s = ev.s
+       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (qDedupExact _),
@@ -511,7 +553,8 @@ object Dedup {
     "q37_dedup_near_keep" -> (qDedupNearKeep _),
     "q43_simhash" -> (qSimhash _),
     "q48_simhash_hamming" -> (qSimhashHamming _),
-    "q52_dedup_simhash_keep" -> (qDedupSimhashKeep _))
+    "q52_dedup_simhash_keep" -> (qDedupSimhashKeep _),
+    "q60_decontam" -> (qDecontam _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
@@ -522,5 +565,6 @@ object Dedup {
     "q37_dedup_near_keep" -> qDedupNearKeepSql,
     "q43_simhash" -> qSimhashSql,
     "q48_simhash_hamming" -> qSimhashHammingSql,
-    "q52_dedup_simhash_keep" -> qDedupSimhashKeepSql)
+    "q52_dedup_simhash_keep" -> qDedupSimhashKeepSql,
+    "q60_decontam" -> qDecontamSql)
 }

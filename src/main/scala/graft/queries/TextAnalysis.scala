@@ -203,13 +203,118 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------ wiring
+  // ------------------------------------------------- q58 PII redaction
+  // PII detection + redaction — the training-data scrub pass (emails,
+  // phone numbers, IPv4s → typed placeholders). The synthetic corpus
+  // carries no real PII, so both dialects INJECT deterministic
+  // id-derived PII into a slice of documents first; the operator under
+  // test is the detect+mask chain, which must find exactly the
+  // injected spans and hash-match on the redacted text. Patterns are
+  // RE2-safe (no lookaround/backrefs) so Java regex and DuckDB agree.
+  // Pure per-row regexp expressions: linear scan at 100 TB.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private val augSpark =
+    """concat(text,
+      |CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,
+      |CASE WHEN doc_id % 7 = 0 THEN concat(' call 202-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+      |CASE WHEN doc_id % 11 = 0 THEN concat(' from 192.168.', CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING)) ELSE '' END)""".stripMargin.replace("\n", " ")
+  private val augDuck =
+    """text ||
+      |(CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||
+      |(CASE WHEN doc_id % 7 = 0 THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+      |(CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END)""".stripMargin.replace("\n", " ")
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("aug", expr(augSpark))
+      .select(
+        col("doc_id"),
+        // column API, not expr(): a SQL string literal would eat the
+        // \b/\d escapes (backspace!) before the regex ever saw them
+        size(regexp_extract_all(col("aug"), lit(EmailPat), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(PhonePat), lit(0))).as("n_phone"),
+        size(regexp_extract_all(col("aug"), lit(Ipv4Pat), lit(0))).as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          EmailPat, "[EMAIL]"), Ipv4Pat, "[IP]"), PhonePat, "[PHONE]")
+          .cast("binary")).as("redacted_fp"))
+      .orderBy("doc_id")
+
+  val qPiiRedactSql: String =
+    s"""WITH a AS (SELECT doc_id, $augDuck AS aug FROM documents)
+       |SELECT doc_id,
+       |len(regexp_extract_all(aug, '$EmailPat')) AS n_email,
+       |len(regexp_extract_all(aug, '$PhonePat')) AS n_phone,
+       |len(regexp_extract_all(aug, '$Ipv4Pat')) AS n_ip,
+       |md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |  '$EmailPat', '[EMAIL]', 'g'), '$Ipv4Pat', '[IP]', 'g'),
+       |  '$PhonePat', '[PHONE]', 'g')) AS redacted_fp
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------- q59 repetition quality gates
+  // Gopher/C4-style repetition filters: top-word fraction and duplicate
+  // word-2-gram fraction, with a keep/drop gate. Repetitious documents
+  // (boilerplate, generated spam) poison LLM training sets; these two
+  // ratios are the standard cheap screens. Token arrays are bound once
+  // per row; the distinct×filter count is O(|vocab|·n) per row — pure
+  // per-row expressions, linear at corpus scale.
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("top_word_frac", expr(
+        """CASE WHEN size(toks) > 0 THEN
+          |CAST(array_max(transform(array_distinct(toks),
+          |  w -> size(filter(toks, t -> t = w)))) AS DOUBLE) /
+          |CAST(size(toks) AS DOUBLE) ELSE 0.0 END""".stripMargin))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("dup_2gram_frac", expr(
+        """CASE WHEN size(grams) > 0 THEN
+          |1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) /
+          |CAST(size(grams) AS DOUBLE) ELSE 0.0 END""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("top_word_frac"),
+        col("dup_2gram_frac"),
+        (col("n_words") >= 20 && col("n_words") <= 100000 &&
+          col("top_word_frac") <= 0.15 && col("dup_2gram_frac") <= 0.3)
+          .as("keep"))
+      .orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id, len(toks) AS n_words,
+      |  CASE WHEN len(toks) > 0 THEN
+      |    CAST(list_max(list_transform(list_distinct(toks),
+      |      w -> len(list_filter(toks, t -> t = w)))) AS DOUBLE) /
+      |    CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS top_word_frac,
+      |  CASE WHEN len(toks) >= 2 THEN
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      |  ELSE [] END AS grams
+      |  FROM t),
+      |g AS (SELECT doc_id, n_words, top_word_frac,
+      |  CASE WHEN len(grams) > 0 THEN
+      |    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+      |    CAST(len(grams) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac
+      |  FROM m)
+      |SELECT doc_id, n_words, top_word_frac, dup_2gram_frac,
+      |(n_words >= 20 AND n_words <= 100000 AND top_word_frac <= 0.15
+      | AND dup_2gram_frac <= 0.3) AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_stats" -> (qTextStats _),
     "q26_text_quality" -> (qTextQuality _),
     "q27_lang_dist" -> (qLangDist _),
     "q28_fingerprint" -> (qFingerprint _),
     "q38_lang_detect" -> (qLangDetect _),
-    "q51_token_bpe" -> (qTokenBpe _))
+    "q51_token_bpe" -> (qTokenBpe _),
+    "q58_pii_redact" -> (qPiiRedact _),
+    "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
     "q25_text_stats" -> qTextStatsSql,
@@ -217,5 +322,7 @@ object TextAnalysis {
     "q27_lang_dist" -> qLangDistSql,
     "q28_fingerprint" -> qFingerprintSql,
     "q38_lang_detect" -> qLangDetectSql,
-    "q51_token_bpe" -> qTokenBpeSql)
+    "q51_token_bpe" -> qTokenBpeSql,
+    "q58_pii_redact" -> qPiiRedactSql,
+    "q59_repetition" -> qRepetitionSql)
 }
