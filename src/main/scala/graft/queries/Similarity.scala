@@ -257,25 +257,28 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
-  // managed caches: one banded set for the fixture path (keyed by
-  // (dir, cfg)), one for the latest general-API call
-  @transient private var cachedSrp: Option[((String, SrpConfig), DataFrame)] = None
+  // managed caches: a bounded map of banded sets for the fixture path
+  // (q55 and q62 run the operator at DIFFERENT configs — a single slot
+  // would thrash between them every bench rep), one slot for the
+  // latest general-API call
+  private val SrpCacheMax = 4
+  @transient private var cachedSrp =
+    scala.collection.mutable.LinkedHashMap.empty[(String, SrpConfig), DataFrame]
   @transient private var cachedSrpGeneral: Option[DataFrame] = None
   private def srpBanded(s: SparkSession, dir: String,
       cfg: SrpConfig): DataFrame = synchronized {
-    cachedSrp match {
-      case Some((k, df)) if k == (dir, cfg) => df
-      case prev =>
-        prev.foreach(_._2.unpersist())
-        val df = srpBandedOf(emb(s, dir), "vec_id", "embedding", cfg).cache()
-        cachedSrp = Some(((dir, cfg), df))
-        df
-    }
+    cachedSrp.getOrElseUpdate((dir, cfg), {
+      if (cachedSrp.size >= SrpCacheMax) {
+        val (k, df) = cachedSrp.head
+        df.unpersist(); cachedSrp.remove(k)
+      }
+      srpBandedOf(emb(s, dir), "vec_id", "embedding", cfg).cache()
+    })
   }
 
   /** Unpersists every banded relation this object holds. */
   def clearSrpCache(): Unit = synchronized {
-    cachedSrp.foreach(_._2.unpersist()); cachedSrp = None
+    cachedSrp.values.foreach(_.unpersist()); cachedSrp.clear()
     cachedSrpGeneral.foreach(_.unpersist()); cachedSrpGeneral = None
   }
 
@@ -315,6 +318,18 @@ object Similarity {
   }
 
   val qSrpNearDupSql: String = srpNearDupSql(SrpConfig.Default)
+
+  /** q62: the SAME operator at a second band sizing — (4 bands,
+    * 10 bits) instead of the default (8, 8) — with its oracle rendered
+    * from the same config. This pins the round-4 fix end-to-end: the
+    * sizing knob turns WITHOUT a recompile of anything but the config
+    * value, and both dialects re-derive planes, band grouping, and
+    * join shape from it. Fewer, wider bands ⇒ fewer candidates, lower
+    * recall — a different (deterministic) pair set than q55. */
+  val SrpAltConfig: SrpConfig = SrpConfig(4, 10)
+  def qSrpNearDupSized(s: SparkSession, dir: String): DataFrame =
+    qSrpNearDupWith(s, dir, SrpAltConfig)
+  val qSrpNearDupSizedSql: String = srpNearDupSql(SrpAltConfig)
 
   // ----------------------------------------------------------- IVF kNN
   // IVF-style ANN: a FIXED-SIZE coarse quantizer — exactly IvfSeedCount
@@ -515,7 +530,8 @@ object Similarity {
     "q31_cosine_neardup" -> (qCosineNearDup _),
     "q32_knn_ivf" -> (qKnnIvf _),
     "q39_cell_neardup" -> (qCellNearDup _),
-    "q55_srp_neardup" -> (qSrpNearDup _))
+    "q55_srp_neardup" -> (qSrpNearDup _),
+    "q62_srp_sized" -> (qSrpNearDupSized _))
 
   val oracles: Map[String, String] = Map(
     "q29_embed_norm" -> qEmbedNormSql,
@@ -523,5 +539,6 @@ object Similarity {
     "q31_cosine_neardup" -> qCosineNearDupSql,
     "q32_knn_ivf" -> qKnnIvfSql,
     "q39_cell_neardup" -> qCellNearDupSql,
-    "q55_srp_neardup" -> qSrpNearDupSql)
+    "q55_srp_neardup" -> qSrpNearDupSql,
+    "q62_srp_sized" -> qSrpNearDupSizedSql)
 }

@@ -72,10 +72,61 @@ object StreamingQueries {
       |event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------ q61 stream dedup parity
+  /** Stateful streaming deduplication equals batch DISTINCT: the
+    * events table replayed in three micro-batches through
+    * `dropDuplicates` on (user_id, event_type) must emit exactly the
+    * batch-distinct key set — state carries across micro-batches, so a
+    * pair seen in batch 0 must not re-emit in batch 2. Only the KEY
+    * columns are emitted (which concrete row survives per key is
+    * arrival-order-dependent; the key set is deterministic).
+    *
+    * Scale: streaming dedup state is one entry per distinct key — at
+    * 100 TB bound it with `dropDuplicatesWithinWatermark` (the
+    * event-time-bounded variant) or a key-expiry policy; the unbounded
+    * form here matches the batch-DISTINCT oracle exactly. */
+  def q61StreamDedupParity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+      .toSeq
+    val chunkSize = math.max(1, rows.size / 3)
+
+    val qname = "graft_q61_dedup"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEvent]
+    val deduped = stream.toDF()
+      .withColumn("user_id", pmod(col("event_id"), lit(100L)))
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val query = deduped.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      rows.grouped(chunkSize).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table(qname).orderBy("user_id", "event_type")
+  }
+
+  val q61Sql: String =
+    """SELECT DISTINCT event_id % 100 AS user_id, event_type
+      |FROM events ORDER BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_stream_window" -> (q57StreamWindowParity _))
+    "q57_stream_window" -> (q57StreamWindowParity _),
+    "q61_stream_dedup" -> (q61StreamDedupParity _))
 
   val oracles: Map[String, String] = Map(
-    "q57_stream_window" -> q57Sql)
+    "q57_stream_window" -> q57Sql,
+    "q61_stream_dedup" -> q61Sql)
 }
