@@ -47,6 +47,21 @@ import graft.pipeline.Fixture
   * O(n × slices). A real scanner replaces the memo with an actual
   * seek; nothing downstream changes.
   *
+  * Partial-progress / retry design (the reference's resume-at-key,
+  * HBaseReader.kt:62-90, translated to Spark's execution model): the
+  * reference reopens its scanner at the last-seen key, which is sound
+  * there because Spring Batch commits progress per chunk — resume
+  * lands after the last committed chunk. Spark's commit unit is the
+  * TASK: a failed attempt's output is never visible, so the correct
+  * resume point is the whole partition, and resuming mid-slice would
+  * double-emit everything the dead attempt produced. Accordingly a
+  * real source should (a) reopen-at-key only WITHIN one task attempt
+  * (transient scanner drop — same attempt, same uncommitted output,
+  * no duplication) and (b) bound re-work across attempts by slice
+  * width, not in-task checkpoints. Per-record faults stay in the
+  * pipeline's typed `err` column — data survives retries, side
+  * effects don't.
+  *
   * Multi-version read semantics (`versions` option, default 1): key i
   * holds `1 + (i % versions)` cell versions at ts 1000, 1001, … (the
   * reference stores up to 1,000,000 versions per key,
