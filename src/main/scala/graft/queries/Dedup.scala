@@ -436,10 +436,11 @@ object Dedup {
     sig
   }
 
-  /** Unpersists every signature relation this object holds. */
+  /** Unpersists every signature/shingle relation this object holds. */
   def clearSignatureCache(): Unit = synchronized {
     cachedSig.foreach(_._2.unpersist()); cachedSig = None
     cachedGeneralSig.foreach(_.unpersist()); cachedGeneralSig = None
+    cachedSh8.foreach(_._2.unpersist()); cachedSh8 = None
   }
 
   // -------------------------------------------- q36/q37 keeper checks
@@ -507,6 +508,79 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------- q63 duplicate-group CC
+  /** Connected-components duplicate groups over the verified LSH pair
+    * graph — the principled upgrade over the one-pass kill rule
+    * (q37 drops any doc with a smaller-id near-dup; CC additionally
+    * yields the GROUP structure, so "keep one per group" and
+    * group-size audits become exact even for chains a–b–c where a,c
+    * never pair directly).
+    *
+    * Algorithm: iterative min-label propagation on the undirected pair
+    * graph — each round every node takes the min label among itself
+    * and its neighbors; converges to the component minimum in
+    * O(diameter) rounds (duplicate clusters are near-cliques, so 2–3).
+    * Each round is one shuffle over the narrow (id, label) + edge
+    * relation; the driver sees only the one-row convergence count.
+    * At extreme skew (a viral near-dup cluster) switch to the
+    * large-star/small-star variant — same label semantics, balanced
+    * shuffle keys. The DuckDB twin is a recursive CTE computing min
+    * reachable id, so the fixpoint itself is oracle-checked. */
+  def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    // verified near-dup edges at the q37 threshold, both directions
+    val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2")).cache()
+    try {
+      val edges = pairs.union(pairs.select(col("d2").as("d1"),
+        col("d1").as("d2")))
+      var labels = edges.select(col("d1").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val neighborMin = edges.join(labels, edges("d2") === labels("id"))
+          .groupBy(edges("d1").as("id")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+        .orderBy("doc_id")
+    } finally pairs.unpersist()
+  }
+
+  val qDedupGroupsSql: String = {
+    val bandJoins = (0 until NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""${sigSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (
+       |$bandJoins),
+       |verified AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id),
+       |edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.5
+       |  UNION ALL SELECT d2, d1 FROM verified WHERE jaccard >= 0.5),
+       |comp AS (
+       |  SELECT DISTINCT d1 AS id, d1 AS lbl FROM edges
+       |  UNION
+       |  SELECT e.d2 AS id, c.lbl FROM comp c JOIN edges e ON e.d1 = c.id)
+       |SELECT id AS doc_id, MIN(lbl) AS group_id FROM comp
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- q60 decontamination
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the eval set (doc_id < 5 stands in for the
@@ -519,11 +593,34 @@ object Dedup {
     * the 100 TB side beyond the per-doc aggregation. */
   val DecontamWindow = 8
 
+  // Managed cache for the 8-gram relation (cachedSignatures pattern).
+  // NOT an optimization nicety: explode() plants an implicit
+  // `size(child) > 0 AND isnotnull(child)` filter that duplicates
+  // references to the generator child, which defeats the bind-toks-
+  // once guard — CollapseProject then inlines `split(text)` into every
+  // element_at inside the shingle lambda, re-splitting each document
+  // HUNDREDS of times (measured 14 s vs 0.15 s over materialized
+  // arrays at sf0.1). Caching materializes the arrays once; the
+  // explode then only expands them.
+  @transient private var cachedSh8: Option[(String, DataFrame)] = None
+  private def decontamShingles(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      cachedSh8 match {
+        case Some((d, df)) if d == dir => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val sh = docs(s, dir)
+            .withColumn("toks", split(col("text"), " "))
+            .withColumn("sh8", expr(shinglesSparkW(DecontamWindow)))
+            .select(col("doc_id"), col("sh8"))
+            .cache()
+          cachedSh8 = Some((dir, sh))
+          sh
+      }
+    }
+
   def qDecontam(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh8", expr(shinglesSparkW(DecontamWindow)))
-      .select(col("doc_id"), col("sh8"))
+    val sh = decontamShingles(s, dir)
     val evalSet = sh.filter(col("doc_id") < 5)
       .select(explode(col("sh8")).as("sh")).distinct()
     val train = sh.filter(col("doc_id") >= 5)
@@ -554,7 +651,8 @@ object Dedup {
     "q43_simhash" -> (qSimhash _),
     "q48_simhash_hamming" -> (qSimhashHamming _),
     "q52_dedup_simhash_keep" -> (qDedupSimhashKeep _),
-    "q60_decontam" -> (qDecontam _))
+    "q60_decontam" -> (qDecontam _),
+    "q63_dedup_groups" -> (qDedupGroups _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
@@ -566,5 +664,6 @@ object Dedup {
     "q43_simhash" -> qSimhashSql,
     "q48_simhash_hamming" -> qSimhashHammingSql,
     "q52_dedup_simhash_keep" -> qDedupSimhashKeepSql,
-    "q60_decontam" -> qDecontamSql)
+    "q60_decontam" -> qDecontamSql,
+    "q63_dedup_groups" -> qDedupGroupsSql)
 }

@@ -111,4 +111,40 @@ class MultimodalDecodeSpec extends SparkSuite {
         col("d.size_bytes") =!= col("m.size_bytes"))
     assert(joined.count() == 0)
   }
+
+  /** 16-bit PCM mono WAV of a full-scale-ish sine at `freqHz`. */
+  private def sineWav(freqHz: Double, rateHz: Float, nFrames: Int,
+      amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / rateHz) * amplitude *
+        32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rateHz, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WavDecoder decodes a real generated WAV: rate/channels/frames/duration/RMS") {
+    import spark.implicits._
+    val wav = sineWav(440.0, 8000f, 8000, amplitude = 0.8)
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val out = MultimodalDecode.decodeAudioFeatures(
+      Seq((1L, wav), (2L, junk)).toDF("doc_id", "blob"))
+      .collect().map(d => d.doc_id -> d).toMap
+    val a = out(1L)
+    assert(a.decode_ok)
+    assert(a.sample_rate_hz == 8000 && a.channels == 1)
+    assert(a.frames == 8000L && a.duration_ms == 1000L)
+    // RMS of a sine at amplitude A is A/sqrt(2) ≈ 0.5657 for A = 0.8
+    assert(math.abs(a.rms - 0.8 / math.sqrt(2)) < 0.01, a.rms)
+    // non-audio bytes fail soft, same contract as the image path
+    assert(!out(2L).decode_ok && out(2L).size_bytes == 5)
+  }
 }
