@@ -61,6 +61,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(usesNative, "q48 lost the native simhash kernel")
   }
 
+  test("q60 broadcasts the eval shingle set into the flagging join") {
+    val p = graft.SparkEntry.queries("q60_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontamination must broadcast the small eval side:\n${p.take(2000)}")
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
