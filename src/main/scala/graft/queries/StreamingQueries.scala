@@ -15,6 +15,10 @@ object StreamingQueries {
   final case class StreamEvent(event_id: Long, ts: Long,
       event_type: String, value: Double)
 
+  /** Event row carrying the real user_id (q64's join key). */
+  final case class StreamEventU(event_id: Long, ts: Long, user_id: Long,
+      event_type: String)
+
   // --------------------------------------- q57 stream window parity
   /** Event-time tumbling-window aggregation under Structured Streaming
     * equals the batch SQL twin: the `events` table is replayed through
@@ -121,12 +125,80 @@ object StreamingQueries {
     """SELECT DISTINCT event_id % 100 AS user_id, event_type
       |FROM events ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------- q64 stream-stream join parity
+  /** Watermarked stream-stream interval join equals the batch
+    * inequality join: clicks joined to errors by the same user within
+    * the hour after the error (q54's range-join shape, now as TWO
+    * live streams self-derived from one replay). Inner stream-stream
+    * joins emit each match as soon as both sides have arrived — the
+    * watermark bounds join STATE, not the result set — so the emitted
+    * pair set is deterministic under any micro-batching and must
+    * equal DuckDB's plain inequality join.
+    *
+    * Scale: state per side is bounded by the watermark horizon (2 h of
+    * events), keyed by user_id — the standard Spark stream-stream
+    * join; at 100 TB/day the horizon × event-rate product sizes state,
+    * and the time-range condition lets Spark expire rows as the
+    * watermark passes. */
+  def q64StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => StreamEventU(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .toSeq
+    val chunkSize = math.max(1, rows.size / 3)
+
+    val qname = "graft_q64_ssjoin"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEventU]
+    val ev = stream.toDF()
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "2 hours")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("i_id"), col("user_id").as("e_user"),
+        col("event_time").as("e_time"))
+      .withWatermark("e_time", "2 hours")
+    val joined = clicks.join(errors,
+      col("user_id") === col("e_user") &&
+        col("p_time") >= col("e_time") &&
+        col("p_time") <= col("e_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("user_id"), col("i_id"))
+    val query = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      rows.grouped(chunkSize).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table(qname).orderBy("p_id", "i_id")
+  }
+
+  val q64Sql: String =
+    """SELECT p.event_id AS p_id, p.user_id AS user_id, i.event_id AS i_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') i
+      |  ON p.user_id = i.user_id
+      | AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
+      |ORDER BY p_id, i_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stream_window" -> (q57StreamWindowParity _),
-    "q61_stream_dedup" -> (q61StreamDedupParity _))
+    "q61_stream_dedup" -> (q61StreamDedupParity _),
+    "q64_stream_join" -> (q64StreamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q57_stream_window" -> q57Sql,
-    "q61_stream_dedup" -> q61Sql)
+    "q61_stream_dedup" -> q61Sql,
+    "q64_stream_join" -> q64Sql)
 }
