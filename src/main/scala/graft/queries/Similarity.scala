@@ -523,6 +523,147 @@ object Similarity {
        |SELECT cell, d1, d2, cosine FROM p WHERE cosine > 0.5
        |ORDER BY cell, d1, d2""".stripMargin
 
+  // ------------------------------------------------ q65 PQ ANN (ADC)
+  /** Product quantization — the memory-compression ANN path beside IVF
+    * (cell pruning, q32) and SRP (hash bucketing, q55/q62): each
+    * 64-dim vector is split into [[PqM]] 8-dim subvectors, each
+    * encoded as the id of its nearest codebook centroid ([[PqK]] per
+    * subspace → 8 × 4 bits = 4 bytes per vector instead of 256), and
+    * search runs by Asymmetric Distance Computation: the query's
+    * per-(subspace, centroid) distance table is precomputed (M×K
+    * entries), a candidate's approximate distance is the sum of M
+    * table lookups — no candidate vector is ever read.
+    *
+    * Codebook: Lloyd's k-means, [[PqIters]] fixed iterations, trained
+    * on the FIXED sf0.001 sample corpus ([[PqSampleN]] hash-sampled
+    * vectors) — training on a small sample and encoding the full
+    * corpus is standard PQ practice, and it makes the codebook a
+    * CONSTANT: both dialects embed the identical centroid literals
+    * (Double.toString round-trips exactly), so encode, ADC tables and
+    * ranking are bit-reproducible. Ties everywhere break to the
+    * lowest centroid/candidate id; the per-candidate ADC sum routes
+    * through DECIMAL(25,6) (the dsum pattern) so shuffle order cannot
+    * flip ranks.
+    *
+    * Scale: encoding is a broadcast join against M×K centroid rows +
+    * one windowed argmin per (vector, subspace); at 10^9 vectors the
+    * 4-byte codes replace the 256-byte vectors in memory, the ADC
+    * table is per-query constant work, and the scan is linear over
+    * codes — combine with the IVF cells of q32 for IVF-PQ. */
+  val PqM = 8 // subspaces
+  val PqK = 16 // centroids per subspace
+  val PqSubDim: Int = SrpDim / PqM // 8
+  val PqSampleN = 256
+  val PqIters = 5
+  private val PqTrainDir = "/root/testdata/sf0.001"
+
+  /** [m][k][PqSubDim] centroids, deterministic (fixed sample order,
+    * fixed iterations, ties to lowest id, empty clusters keep their
+    * previous centroid). */
+  private lazy val pqCentroids: Array[Array[Array[Double]]] = {
+    val s = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(graft.core.Sessions.local("4"))
+    val sample: Array[Array[Double]] = emb(s, PqTrainDir)
+      .orderBy(ivfHash(col("vec_id")), col("vec_id"))
+      .limit(PqSampleN)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(PqM) { m =>
+      val subs = sample.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      var cents = Array.tabulate(PqK)(k => subs(k % subs.length).clone())
+      for (_ <- 0 until PqIters) {
+        val sums = Array.fill(PqK, PqSubDim)(0.0)
+        val counts = Array.fill(PqK)(0)
+        for (v <- subs) {
+          var best = 0; var bestD = Double.MaxValue
+          for (k <- 0 until PqK) {
+            var d = 0.0; var i = 0
+            while (i < PqSubDim) {
+              val x = v(i) - cents(k)(i); d += x * x; i += 1
+            }
+            if (d < bestD) { bestD = d; best = k }
+          }
+          counts(best) += 1
+          for (i <- 0 until PqSubDim) sums(best)(i) += v(i)
+        }
+        cents = Array.tabulate(PqK)(k =>
+          if (counts(k) == 0) cents(k)
+          else Array.tabulate(PqSubDim)(i => sums(k)(i) / counts(k)))
+      }
+      cents
+    }
+  }
+
+  def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = pqCentroids
+    val centDf = broadcast(
+      (for (m <- 0 until PqM; k <- 0 until PqK)
+        yield (m, k, cents(m)(k).toSeq)).toDF("m", "k", "c"))
+    // squared distance subvec↔centroid, left-to-right double (both
+    // dialects evaluate the identical addition order)
+    val distExpr = expr(
+      """aggregate(zip_with(sv, c,
+        |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val sub = emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+    val scored = sub.join(centDf, "m").withColumn("dist", distExpr)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("k"))
+    val codes = scored.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    // query-side ADC table: all (m, k) distances for each query vector
+    val qd = broadcast(scored.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("m"), col("k"),
+        col("dist").as("qdist")))
+    val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    codes.join(qd, Seq("m")).filter(col("k") === col("code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(graft.queries.Relational.dsum(col("qdist")).as("adist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("rn"), col("adist"))
+      .orderBy("qid", "rn")
+  }
+
+  def qKnnPqSql: String = {
+    val centRows = (for (m <- 0 until PqM; k <- 0 until PqK) yield {
+      val c = pqCentroids(m)(k).map(_.toString).mkString(", ")
+      s"($m, $k, [$c])"
+    }).mkString(",\n")
+    val distDuck =
+      "list_sum(list_transform(range(1, 9), i -> " +
+        "(CAST(sv[i] AS DOUBLE) - c[i]) * (CAST(sv[i] AS DOUBLE) - c[i])))"
+    s"""WITH cent(m, k, c) AS (VALUES
+       |$centRows),
+       |sub AS (SELECT vec_id, t.m AS m,
+       |  embedding[(t.m * $PqSubDim + 1):(t.m * $PqSubDim + $PqSubDim)] AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) t),
+       |scored AS (SELECT vec_id, sub.m AS m, k, $distDuck AS dist
+       |  FROM sub JOIN cent ON sub.m = cent.m),
+       |codes AS (SELECT vec_id, m, k AS code FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |     ORDER BY dist, k) AS rn FROM scored) WHERE rn = 1),
+       |qd AS (SELECT vec_id AS qid, m, k, dist AS qdist FROM scored
+       |  WHERE vec_id < 8),
+       |adc AS (SELECT qid, codes.vec_id AS cid,
+       |  CAST(SUM(CAST(qdist AS DECIMAL(25,6))) AS DOUBLE) AS adist
+       |  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.k
+       |  WHERE qd.qid <> codes.vec_id
+       |  GROUP BY qid, codes.vec_id)
+       |SELECT qid, cid, rn, adist FROM
+       |(SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |   ORDER BY adist, cid) AS rn FROM adc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_embed_norm" -> (qEmbedNorm _),
@@ -531,14 +672,19 @@ object Similarity {
     "q32_knn_ivf" -> (qKnnIvf _),
     "q39_cell_neardup" -> (qCellNearDup _),
     "q55_srp_neardup" -> (qSrpNearDup _),
-    "q62_srp_sized" -> (qSrpNearDupSized _))
+    "q62_srp_sized" -> (qSrpNearDupSized _),
+    "q65_knn_pq" -> (qKnnPq _))
 
-  val oracles: Map[String, String] = Map(
+  // lazy: q65's oracle embeds the trained codebook literals, and
+  // training needs a live SparkSession (Verify/compare access oracles
+  // only after building one)
+  lazy val oracles: Map[String, String] = Map(
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,
     "q31_cosine_neardup" -> qCosineNearDupSql,
     "q32_knn_ivf" -> qKnnIvfSql,
     "q39_cell_neardup" -> qCellNearDupSql,
     "q55_srp_neardup" -> qSrpNearDupSql,
-    "q62_srp_sized" -> qSrpNearDupSizedSql)
+    "q62_srp_sized" -> qSrpNearDupSizedSql,
+    "q65_knn_pq" -> qKnnPqSql)
 }
