@@ -209,4 +209,70 @@ object MultimodalDecode {
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
   }
+
+  // --------------------------------------------------------- video
+
+  /** One sampled video frame: the ONE-TO-MANY decode shape (a video
+    * row fans out to N frame rows) — different plumbing than the 1:1
+    * image/audio stages, which is the point of having it. */
+  final case class SampledFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      ts_ms: Long,
+      // per-frame content fingerprint (what a keyframe-dedup or an
+      // embedding stage would consume next)
+      frame_fp: Long)
+
+  /** Frame-sampler contract: iterate a container's frames LAZILY and
+    * emit every `stride`-th one — a real codec must never materialize
+    * the whole video. */
+  trait FrameSampler extends Serializable {
+    def init(): Unit
+    def sample(docId: Long, bytes: Array[Byte],
+        stride: Int): Iterator[SampledFrame]
+  }
+
+  /** STUB video codec — no video codec ships in this container, so the
+    * container format is a deterministic fake: byte 0 = frame count,
+    * byte 1 = frame-interval ms, frame i's fingerprint = FNV-1a over
+    * (payload, i). Everything AROUND the codec is the real design:
+    * lazy frame iteration (no per-video materialization), stride
+    * sampling, per-task init, and the one-to-many flatMap plumbing —
+    * swap in a JavaCV/FFmpeg sampler behind the same trait and
+    * nothing else changes. */
+  final class StubFrameSampler extends FrameSampler {
+    @transient private var initialized = false
+    override def init(): Unit = { initialized = true }
+    override def sample(docId: Long, bytes: Array[Byte],
+        stride: Int): Iterator[SampledFrame] = {
+      require(initialized, "sampler used before init()")
+      if (bytes == null || bytes.length < 2) Iterator.empty
+      else {
+        val nFrames = bytes(0) & 0xff
+        val intervalMs = (bytes(1) & 0xff).toLong
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+          var h = 0xcbf29ce484222325L
+          bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+          h ^= i.toLong; h *= 0x100000001b3L
+          SampledFrame(docId, i.toLong, i * intervalMs, h)
+        }
+      }
+    }
+  }
+
+  /** Run the frame-sampling stage over (doc_id: long, blob: binary):
+    * one input row fans out to ceil(frames/stride) frame rows. The
+    * blob is dropped at the stage boundary — downstream sees only
+    * narrow fixed-width frame rows, never media bytes. */
+  def sampleFrames(blobs: DataFrame, stride: Int,
+      sampler: FrameSampler = new StubFrameSampler): Dataset[SampledFrame] = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        sampler.init()
+        rows.flatMap { case (id, bytes) => sampler.sample(id, bytes, stride) }
+      }
+  }
 }

@@ -147,4 +147,29 @@ class MultimodalDecodeSpec extends SparkSuite {
     // non-audio bytes fail soft, same contract as the image path
     assert(!out(2L).decode_ok && out(2L).size_bytes == 5)
   }
+
+  test("frame sampling fans one video row out to every stride-th frame") {
+    import spark.implicits._
+    // fake container: 10 frames at 40 ms interval; second video 3 frames
+    val vids = Seq(
+      (1L, Array[Byte](10, 40, 7, 7, 7)),
+      (2L, Array[Byte](3, 100, 9)),
+      (3L, Array[Byte](1)), // truncated header: no frames
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val frames = MultimodalDecode.sampleFrames(vids, stride = 3)
+      .collect().groupBy(_.doc_id)
+    // 10 frames, stride 3 -> indices 0, 3, 6, 9
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(frames(1L).map(f => f.frame_idx -> f.ts_ms).toMap ==
+      Map(0L -> 0L, 3L -> 120L, 6L -> 240L, 9L -> 360L))
+    assert(frames(2L).map(_.frame_idx).sorted.toSeq == Seq(0L))
+    assert(!frames.contains(3L) && !frames.contains(4L))
+    // fingerprints differ per frame and are deterministic per video
+    assert(frames(1L).map(_.frame_fp).distinct.length == 4)
+    val again = MultimodalDecode.sampleFrames(vids, stride = 3)
+      .collect().groupBy(_.doc_id)
+    assert(again(1L).map(f => f.frame_idx -> f.frame_fp).toMap ==
+      frames(1L).map(f => f.frame_idx -> f.frame_fp).toMap)
+  }
 }
