@@ -537,17 +537,22 @@ object Dedup {
         col("d1").as("d2")))
       var labels = edges.select(col("d1").as("id")).distinct()
         .withColumn("lbl", col("id"))
-      var changed = 1L
+      // Convergence via the label-sum invariant: labels only ever
+      // DECREASE (least of self + neighbor minima), so Σ lbl strictly
+      // decreases until the fixpoint — one narrow aggregate per round
+      // instead of a self-join change count.
+      var prevSum = Long.MaxValue
+      var curSum = -1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      while (curSum != prevSum && rounds < 50) {
         val neighborMin = edges.join(labels, edges("d2") === labels("id"))
           .groupBy(edges("d1").as("id")).agg(min(col("lbl")).as("nlbl"))
         val next = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .cache()
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).count()
+        prevSum = curSum
+        curSum = next.agg(sum(col("lbl"))).head().getLong(0)
         labels.unpersist()
         labels = next
         rounds += 1

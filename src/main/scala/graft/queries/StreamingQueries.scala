@@ -19,6 +19,19 @@ object StreamingQueries {
   final case class StreamEventU(event_id: Long, ts: Long, user_id: Long,
       event_type: String)
 
+  /** Stateful streaming plans pay per state-store partition per
+    * micro-batch (open/commit/snapshot × partitions × batches), and
+    * the replayed fixture streams are small — 32 partitions is pure
+    * overhead there (the stream-stream join measured 23 s at 32 vs
+    * the state itself being tiny). Scope the smaller setting to the
+    * streaming plan build + run, restore after; a production job
+    * sizes this to its state volume instead. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // --------------------------------------- q57 stream window parity
   /** Event-time tumbling-window aggregation under Structured Streaming
     * equals the batch SQL twin: the `events` table is replayed through
@@ -56,14 +69,16 @@ object StreamingQueries {
     val agg = graft.streaming.StreamingOps.windowedEventCounts(
       withTime, "event_time", watermarkDelay = "10 minutes",
       windowLength = "1 hour")
-    val query = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
-    try {
-      rows.grouped(chunkSize).foreach { chunk =>
-        stream.addData(chunk)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 8) {
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table(qname)
       .select(unix_timestamp(col("w_start")).as("w_start_sec"),
@@ -109,14 +124,16 @@ object StreamingQueries {
       .withColumn("user_id", pmod(col("event_id"), lit(100L)))
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val query = deduped.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    try {
-      rows.grouped(chunkSize).foreach { chunk =>
-        stream.addData(chunk)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 8) {
+      val query = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table(qname).orderBy("user_id", "event_type")
   }
@@ -171,14 +188,16 @@ object StreamingQueries {
         col("p_time") >= col("e_time") &&
         col("p_time") <= col("e_time") + expr("INTERVAL 1 HOUR"))
       .select(col("p_id"), col("user_id"), col("i_id"))
-    val query = joined.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    try {
-      rows.grouped(chunkSize).foreach { chunk =>
-        stream.addData(chunk)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 8) {
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table(qname).orderBy("p_id", "i_id")
   }
