@@ -664,6 +664,115 @@ object Similarity {
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  // --------------------------------------------- q66 IVF-PQ (capstone)
+  /** IVF-PQ: the production ANN layout — the coarse quantizer of q32
+    * prunes the search to the query's probed cells, and within them
+    * candidates are ranked by q65's asymmetric distance over 4-byte PQ
+    * codes. At 10^9 vectors this is the memory-AND-compute story in
+    * one operator: the scan touches only probed cells, reads only
+    * codes (never vectors), and the per-query work is an M×K table +
+    * cells/K_cells of the corpus. Both building blocks are already
+    * oracle-proven deterministic; the composition is pure equi-joins,
+    * so the combined row set is too. */
+  def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = new IvfQuantizer(s, dir)
+    val assigned = q.assigned // (vec_id, embedding, nrm, cell)
+
+    val cents = pqCentroids
+    val centDf = broadcast(
+      (for (m <- 0 until PqM; k <- 0 until PqK)
+        yield (m, k, cents(m)(k).toSeq)).toDF("m", "k", "c"))
+    val distExpr = expr(
+      """aggregate(zip_with(sv, c,
+        |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val sub = emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+    val scored = sub.join(centDf, "m").withColumn("dist", distExpr)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("k"))
+    val codes = scored.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+
+    // probe side: each query's top-IvfProbes cells + its ADC table
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        explode(q.probeCells(col("embedding"), col("nrm"), IvfProbes))
+          .as("cell"))
+    val qd = scored.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("m"), col("k"),
+        col("dist").as("qdist"))
+
+    // candidates = vectors in a probed cell of that query
+    val cand = assigned.select(col("vec_id").as("cid"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+
+    val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+      .join(broadcast(qd), Seq("qid", "m"))
+      .filter(col("k") === col("code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(graft.queries.Relational.dsum(col("qdist")).as("adist"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("rn"), col("adist"))
+      .orderBy("qid", "rn")
+  }
+
+  def qKnnIvfPqSql: String = {
+    val centRows = (for (m <- 0 until PqM; k <- 0 until PqK) yield {
+      val c = pqCentroids(m)(k).map(_.toString).mkString(", ")
+      s"($m, $k, [$c])"
+    }).mkString(",\n")
+    val distDuck =
+      "list_sum(list_transform(range(1, 9), i -> " +
+        "(CAST(sv[i] AS DOUBLE) - c[i]) * (CAST(sv[i] AS DOUBLE) - c[i])))"
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |cellscored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM cellscored) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM cellscored
+       |   WHERE vec_id < 8) WHERE rn <= $IvfProbes),
+       |cent(m, k, c) AS (VALUES
+       |$centRows),
+       |sub AS (SELECT vec_id, t.m AS m,
+       |  embedding[(t.m * $PqSubDim + 1):(t.m * $PqSubDim + $PqSubDim)] AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) t),
+       |pqs AS (SELECT vec_id, sub.m AS m, k, $distDuck AS dist
+       |  FROM sub JOIN cent ON sub.m = cent.m),
+       |codes AS (SELECT vec_id, m, k AS code FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |     ORDER BY dist, k) AS rn FROM pqs) WHERE rn = 1),
+       |qd AS (SELECT vec_id AS qid, m, k, dist AS qdist FROM pqs
+       |  WHERE vec_id < 8),
+       |cand AS (SELECT p.qid, a.vec_id AS cid
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE p.qid <> a.vec_id),
+       |adc AS (SELECT cand.qid, cand.cid,
+       |  CAST(SUM(CAST(qdist AS DECIMAL(25,6))) AS DOUBLE) AS adist
+       |  FROM cand
+       |  JOIN codes ON codes.vec_id = cand.cid
+       |  JOIN qd ON qd.qid = cand.qid AND qd.m = codes.m AND qd.k = codes.code
+       |  GROUP BY cand.qid, cand.cid)
+       |SELECT qid, cid, rn, adist FROM
+       |(SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |   ORDER BY adist, cid) AS rn FROM adc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_embed_norm" -> (qEmbedNorm _),
@@ -673,7 +782,8 @@ object Similarity {
     "q39_cell_neardup" -> (qCellNearDup _),
     "q55_srp_neardup" -> (qSrpNearDup _),
     "q62_srp_sized" -> (qSrpNearDupSized _),
-    "q65_knn_pq" -> (qKnnPq _))
+    "q65_knn_pq" -> (qKnnPq _),
+    "q66_knn_ivfpq" -> (qKnnIvfPq _))
 
   // lazy: q65's oracle embeds the trained codebook literals, and
   // training needs a live SparkSession (Verify/compare access oracles
@@ -686,5 +796,6 @@ object Similarity {
     "q39_cell_neardup" -> qCellNearDupSql,
     "q55_srp_neardup" -> qSrpNearDupSql,
     "q62_srp_sized" -> qSrpNearDupSizedSql,
-    "q65_knn_pq" -> qKnnPqSql)
+    "q65_knn_pq" -> qKnnPqSql,
+    "q66_knn_ivfpq" -> qKnnIvfPqSql)
 }
