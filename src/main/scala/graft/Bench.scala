@@ -91,13 +91,20 @@ object Bench {
     val nFailed = names.count(!ok(_))
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed queries failed (reported as -1)")
+    // stdout gets the COMPACT line only: the driver tail-captures ~4 KB
+    // of stdout and parses the JSON from that window, so the printed
+    // line must stay small (round 5 shipped `parsed: null` because the
+    // spread+warmup maps pushed the line past the capture buffer).
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
-    // Also land the line in a file: the driver's stdout tail-capture
-    // truncated BENCH_r03.json, so the canonical copy parses standalone.
+    // The file copy carries the full diagnostics (spread = max-min per
+    // query; warmup = the one cold pass — a cold-path regression moves
+    // warmup_total even when warm mins hold steady).
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)},"reps":$reps,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Path.of(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Path.of(outFile), full + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
   }

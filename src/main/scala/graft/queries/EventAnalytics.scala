@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Relational.dsum
+
+/** Event-stream analytics over `events`: sessionization, exact
+  * grouped quantiles, z-score outlier gating, exact per-group heavy
+  * hitters, and semi-structured JSON extraction. These are the
+  * behavioral-telemetry operators a training-data pipeline runs
+  * upstream of corpus selection (e.g. sessionizing interaction logs
+  * into dialogue episodes, gating anomalous metric rows, extracting
+  * typed fields from raw JSON payloads).
+  *
+  * Scale notes (100 TB):
+  *  - Every operator here shuffles at most ONCE, on its natural key
+  *    (`user_id` for sessions, `event_type` for the grouped stats);
+  *    window functions then run inside the shuffled partitions.
+  *  - The z-score gate joins per-GROUP stats (|event_type| rows)
+  *    back to the fact side via broadcast — the 100 TB side never
+  *    reshuffles.
+  *  - Heavy hitters is partial-agg-friendly (map-side combine on
+  *    (type, user)) and the per-group top-k is a window over the
+  *    already-grouped counts, NOT a global sort. For cardinality
+  *    beyond memory per group, swap in a sketch (Misra-Gries /
+  *    count-min) — exact form here is the oracle-checkable variant.
+  *
+  * `events.ts` is epoch-nanos LongType on the Spark side and µs
+  * TIMESTAMP in DuckDB — see [[graft.core.Tables]]; all event-time
+  * math below goes through `ts div 1000` ≡ `epoch_us(ts)`.
+  */
+object EventAnalytics {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ----------------------------------------------------- q67 sessions
+  /** Sessionization: per user, a new session starts when the gap to
+    * the previous event exceeds 3 hours. The classic telemetry
+    * operator (and the dialogue-episode splitter in conversation-log
+    * curation). One shuffle on `user_id`; the lag + running-sum
+    * windows and the per-session aggregation all share that
+    * partitioning (Catalyst plans a single Exchange; the final
+    * groupBy on (user_id, session_idx) is a sub-key of the window
+    * partitioning so AQE keeps it co-located). */
+  val SessionGapUs: Long = 3L * 3600 * 1000000
+
+  def q67Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts_us) div 1000000").as("start_sec"),
+        expr("max(ts_us) div 1000000").as("end_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q67Sql: String =
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+       |g AS (SELECT user_id, ts_us, event_id,
+       |  CASE WHEN lag(ts_us) OVER w IS NULL
+       |       OR ts_us - lag(ts_us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sx AS (SELECT user_id, ts_us,
+       |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  MIN(ts_us) // 1000000 AS start_sec, MAX(ts_us) // 1000000 AS end_sec
+       |FROM sx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------- q69 quantiles
+  /** Exact grouped percentiles (linear interpolation — Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). One shuffle on the group
+    * key; within a group the values sort locally. At 100 TB per-group
+    * value sets that exceed executor memory move to
+    * `percentile_approx` (t-digest) — the exact form is the
+    * oracle-checkable variant and the accuracy baseline. */
+  def q69Quantiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  val q69Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |round(quantile_cont(value, 0.5), 4) AS p50,
+      |round(quantile_cont(value, 0.9), 4) AS p90,
+      |round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------- q71 outliers
+  /** Z-score outlier gate: flag events whose value sits more than 3
+    * sample standard deviations from its event-type mean — the
+    * numeric-quality filter of a metrics-ingest pipeline. Mean and
+    * variance derive from order-independent decimal sums
+    * ([[Relational.dsum]]: Σv and Σv² at DECIMAL(25,6)), so the
+    * per-group stats are bit-identical across partitionings AND
+    * engines — a plain double `stddev` would be partition-order
+    * dependent and could flip rows sitting exactly at the threshold.
+    * The stats side is |event_type| rows → broadcast back onto the
+    * fact scan; the big side never shuffles. */
+  val OutlierZ: Double = 3.0
+
+  def q71OutlierZscore(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val st = e.groupBy(col("event_type")).agg(
+      dsum(col("value")).as("sv"),
+      dsum(col("value") * col("value")).as("svv"),
+      count(lit(1)).as("n"))
+    val z: Column = (col("value") - col("sv") / col("n")) /
+      sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+    e.join(broadcast(st), "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) > OutlierZ)
+      .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val q71Sql: String =
+    s"""WITH st AS (SELECT event_type,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sv,
+       |  CAST(SUM(CAST(value*value AS DECIMAL(25,6))) AS DOUBLE) AS svv,
+       |  COUNT(*) AS n FROM events GROUP BY event_type)
+       |SELECT event_id, event_type,
+       |  round((value - sv/n) / sqrt((svv - sv*sv/n)/(n-1)), 4) AS z
+       |FROM events JOIN st USING (event_type)
+       |WHERE abs((value - sv/n) / sqrt((svv - sv*sv/n)/(n-1))) > $OutlierZ
+       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------ q72 heavy hitters
+  /** Exact per-group top-k: the 5 most active users per event type,
+    * ties broken by user_id. Map-side combine collapses the fact scan
+    * to |type × user| counts before the one shuffle; the top-k is a
+    * window over the grouped counts (partition-local sort), never a
+    * global sort. */
+  val HeavyHittersK: Int = 5
+
+  def q72HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val cnt = events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    cnt.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HeavyHittersK)
+      .orderBy("event_type", "rnk")
+  }
+
+  val q72Sql: String =
+    s"""SELECT event_type, user_id, n_events, rnk FROM (
+       |  SELECT event_type, user_id, COUNT(*) AS n_events,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY COUNT(*) DESC, user_id) AS rnk
+       |  FROM events GROUP BY event_type, user_id)
+       |WHERE rnk <= $HeavyHittersK ORDER BY event_type, rnk""".stripMargin
+
+  // ------------------------------------------------- q73 json extract
+  /** Semi-structured extraction: pull the typed `$$.k` field out of
+    * the raw JSON `props` payload and aggregate it per event type.
+    * `get_json_object` is a scan-local expression (no UDF, no
+    * shuffle); the aggregate is one map-side-combined shuffle on
+    * `event_type`. Long sums are exact, so no decimal detour is
+    * needed. At scale, repeated extraction of many fields moves to a
+    * single `from_json` with an explicit schema (one parse per row
+    * instead of one per field). */
+  def q73JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val q73Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_sessionize" -> (q67Sessionize _),
+    "q69_quantiles" -> (q69Quantiles _),
+    "q71_outlier_z" -> (q71OutlierZscore _),
+    "q72_heavy_hitters" -> (q72HeavyHitters _),
+    "q73_json_extract" -> (q73JsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "q67_sessionize" -> q67Sql,
+    "q69_quantiles" -> q69Sql,
+    "q71_outlier_z" -> q71Sql,
+    "q72_heavy_hitters" -> q72Sql,
+    "q73_json_extract" -> q73Sql)
+}

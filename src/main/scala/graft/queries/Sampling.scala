@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic sampling operators over `documents` — the
+  * data-mixing primitives of a pre-training pipeline: per-source rate
+  * sampling (upweight books, downweight crawl) and fixed-size
+  * per-stratum sampling (balanced eval slices, per-language probes).
+  *
+  * Determinism is the design constraint: `Dataset.sample` draws from
+  * a per-partition RNG, so its row set changes with partitioning and
+  * cannot be oracle-checked or reproduced across reruns — a pipeline
+  * rerun would train on a different corpus. Both operators instead
+  * key the draw on a multiplicative hash of the row's stable id
+  * (Knuth's 2654435761, the same scheme the IVF seed sampler uses —
+  * `Similarity.scala` q32), so the sample is a pure function of the
+  * data: re-runnable, engine-independent, and auditable. At larger id
+  * domains swap in `xxhash64(id)` (also a fixed pure function);
+  * the modulus arithmetic below is exact for ids < 2^31.
+  *
+  * Scale: rate sampling is a scan-local filter (no shuffle at all —
+  * it composes with pushdown and pruning). Fixed-k sampling shuffles
+  * once on the stratum key and takes a window top-k inside each
+  * stratum (partial per-partition top-k would be the next refinement
+  * at extreme per-stratum volume, same as TakeOrderedAndProject).
+  */
+object Sampling {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Knuth multiplicative hash of the doc id into [0, m). */
+  private def hmod(m: Long): Column =
+    pmod(col("doc_id") * lit(2654435761L), lit(m))
+
+  // ------------------------------------------- q68 stratified by rate
+  /** Per-source rate sampling: each source keeps `5·(1 + src# mod 6)`
+    * percent of its documents (5%–30% — a stand-in for a real mixing
+    * recipe's per-source weights). The keep decision is
+    * `hash(doc_id) mod 1000 < 10·rate_pct` — scan-local, zero
+    * shuffle, stable under repartitioning. */
+  def q68StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val ratePct = lit(5) * (lit(1) +
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(6)))
+    docs(s, dir)
+      .filter(hmod(1000L) < ratePct * lit(10))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 <
+      |  (5 * (1 + (CAST(SUBSTR(source, 4, 10) AS INT) % 6))) * 10
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- q74 fixed-k per stratum
+  /** Deterministic "reservoir": exactly k = 20 documents per language,
+    * chosen by hash order (uniform over the stratum, reproducible).
+    * One shuffle on `lang`; rank is a window inside the stratum with
+    * `doc_id` as the total-order tie-break. */
+  val ReservoirK: Int = 20
+
+  def q74ReservoirPerLang(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .withColumn("h", hmod(1000000007L))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ReservoirK)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("source"))
+      .orderBy("lang", "rnk")
+  }
+
+  val q74Sql: String =
+    s"""SELECT lang, rnk, doc_id, source FROM (
+       |  SELECT lang, doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $ReservoirK ORDER BY lang, rnk""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_sample_stratified" -> (q68StratifiedSample _),
+    "q74_sample_reservoir" -> (q74ReservoirPerLang _))
+
+  val oracles: Map[String, String] = Map(
+    "q68_sample_stratified" -> q68Sql,
+    "q74_sample_reservoir" -> q74Sql)
+}

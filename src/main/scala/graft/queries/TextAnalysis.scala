@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -306,7 +307,65 @@ object TextAnalysis {
       | AND dup_2gram_frac <= 0.3) AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- q70 tf-idf
+  /** TF-IDF keyword extraction: the top-3 terms per document by
+    * `tf · ln(N/df)` — the classic relevance signal (used here as a
+    * corpus-curation feature: keyword profiles per doc/source).
+    *
+    * Plan shape: one explode over whitespace tokens feeds BOTH the
+    * per-doc term counts and the document-frequency table; `df` is
+    * vocabulary-sized (≪ corpus), so it broadcasts back onto the tf
+    * side, and the corpus size N is a one-row aggregate broadcast
+    * into the scoring projection (BroadcastNestedLoopJoin over a
+    * single row — NOT a cartesian). The only all-data shuffles are
+    * the two token aggregations; the final top-3 is a window inside
+    * each doc partition.
+    *
+    * Determinism: tf, df, N are integers, so `tf·ln(N/df)` is the
+    * same double in both engines (ties ⇒ identical (tf, df) ⇒
+    * identical score; rank tie-break on term). Scores round to 4 dp
+    * on OUTPUT only — ranking uses the raw double. */
+  val TfidfK: Int = 3
+
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("raw_score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("raw_score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfK)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        round(col("raw_score"), 4).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val qTfidfSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tkn AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tkn GROUP BY 1, 2),
+       |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tkn GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS raw_score,
+       |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |    ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term) AS rnk
+       |  FROM tf JOIN dfr USING (term) CROSS JOIN nd)
+       |SELECT doc_id, rnk, term, round(raw_score, 4) AS score
+       |FROM sc WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_tfidf" -> (qTfidf _),
     "q25_text_stats" -> (qTextStats _),
     "q26_text_quality" -> (qTextQuality _),
     "q27_lang_dist" -> (qLangDist _),
@@ -317,6 +376,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q70_tfidf" -> qTfidfSql,
     "q25_text_stats" -> qTextStatsSql,
     "q26_text_quality" -> qTextQualitySql,
     "q27_lang_dist" -> qLangDistSql,

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantics + plan-shape checks for the event-analytics surface
+  * (q67/q69/q71/q72/q73) and the sampling operators (q68/q74). The
+  * value-level oracle is DuckDB (CORRECTNESS gate); these pin the
+  * invariants that a hash-match can't localize when it breaks. */
+class EventAnalyticsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q67 sessions partition the event stream exactly") {
+    val sessions = EventAnalytics.q67Sessionize(spark, dir).cache()
+    try {
+      val total = graft.core.Tables.load(spark, dir, "events").count()
+      val sessed = sessions.agg(sum("n_events")).head().getLong(0)
+      assert(sessed == total, s"sessions must cover every event: $sessed != $total")
+      // session_idx is dense from 1 per user
+      val bad = sessions.groupBy("user_id")
+        .agg(min("session_idx").as("mn"), max("session_idx").as("mx"),
+          count(lit(1)).as("n"))
+        .filter(col("mn") =!= 1L || col("mx") =!= col("n"))
+        .count()
+      assert(bad == 0, "session_idx must be dense 1..n per user")
+      // no session spans a gap larger than the cutoff without breaking:
+      // within a session, end-start <= n_events * anything is loose, so
+      // instead assert inter-session ordering: sessions of one user
+      // don't overlap
+      val overlaps = sessions.as("a").join(sessions.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          (col("a.session_idx") + 1) === col("b.session_idx") &&
+          col("a.end_sec") >= col("b.start_sec"))
+        .count()
+      assert(overlaps == 0, "consecutive sessions must not overlap")
+    } finally sessions.unpersist()
+  }
+
+  test("q67 breaks sessions at the 3-hour gap on constructed data") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000
+    // user 1: events at 0h, 1h, 5h (gap 4h > 3h cutoff => 2 sessions)
+    val rows = Seq(
+      (1L, 0L * hourUs * 1000, 1L),
+      (2L, 1L * hourUs * 1000, 1L),
+      (3L, 5L * hourUs * 1000, 1L))
+      .toDF("event_id", "ts", "user_id")
+    // run the real operator over a temp parquet dir shaped like the fixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ea").toString
+    rows.withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{\"k\": 1}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventAnalytics.q67Sessionize(spark, tmp)
+      .select("user_id", "session_idx", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L)),
+      s"expected two sessions (2 events, 1 event), got ${out.toSeq}")
+  }
+
+  test("q71 broadcasts the per-type stats side") {
+    val p = EventAnalytics.q71OutlierZscore(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q71 z-scores are symmetric-ish: flagged rows sit beyond 3 sigma") {
+    val out = EventAnalytics.q71OutlierZscore(spark, dir).collect()
+    assert(out.forall(r => math.abs(r.getDouble(2)) > 3.0),
+      "every emitted row must exceed the z threshold")
+  }
+
+  test("q72 emits at most k rows per group, rank-dense") {
+    val out = EventAnalytics.q72HeavyHitters(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) <= EventAnalytics.HeavyHittersK &&
+      r.getInt(2).toLong == r.getLong(1)),
+      "per-group row count must equal max rank and be <= k")
+  }
+
+  test("q68 sampling is scan-local: no shuffle in the plan") {
+    val p = Sampling.q68StratifiedSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the output ordering's range exchange
+    val shuffles = "Exchange".r.findAllIn(p).size
+    assert(shuffles <= 1, s"rate sampling must not shuffle the data side:\n${p.take(2000)}")
+  }
+
+  test("q74 yields exactly k rows per stratum (when stratum is large enough)") {
+    val out = Sampling.q74ReservoirPerLang(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) <= Sampling.ReservoirK))
+  }
+
+  test("q74 sample is stable under repartitioning") {
+    val a = Sampling.q74ReservoirPerLang(spark, dir).collect().toSeq
+    val b = Sampling.q74ReservoirPerLang(spark, dir).repartition(7).collect()
+      .toSeq.sortBy(r => (r.getString(0), r.getInt(1)))
+    assert(a.map(_.toString) == b.map(_.toString),
+      "deterministic sample must not depend on partitioning")
+  }
+
+  test("q70 tfidf ranks exactly k terms per doc with ties broken by term") {
+    val out = TextAnalysis.qTfidf(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+      .collect()
+    assert(out.forall(r => r.getLong(1) <= TextAnalysis.TfidfK))
+  }
+}
