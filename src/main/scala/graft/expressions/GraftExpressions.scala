@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, NullType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -224,6 +224,85 @@ case class MinhashSignature(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** All SRP-LSH band keys in one pass —
+  * `graft_srp_bands(emb, negIdx, dim, bitsPerBand)` → array<int>.
+  * `negIdx` is the foldable per-plane negative-index nested array
+  * (1-based), `dim` the expected embedding length, `bitsPerBand` the
+  * band grouping; `len(negIdx) / bitsPerBand` bands come back. The
+  * rendered-SQL form costs ~(planes × dims) expression nodes PER BAND
+  * and every LSH band self-join duplicates the tree — plan analysis +
+  * codegen, not execution, dominated q55. Null or `len != dim`
+  * embeddings yield NULL (NULL bands never equi-join — the LshBands
+  * degenerate-row rule; the DuckDB twin renders the same guard). */
+case class SrpBandKeys(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean =
+      t == ArrayType(FloatType) || t == ArrayType(FloatType, containsNull = false)
+    def isNestedIntArray(t: DataType): Boolean = t match {
+      case ArrayType(ArrayType(IntegerType, _), _) => true
+      case _ => false
+    }
+    if ((isFloatArray(first.dataType) || first.dataType == NullType) &&
+        second.foldable && isNestedIntArray(second.dataType) &&
+        third.foldable && third.dataType == IntegerType &&
+        fourth.foldable && fourth.dataType == IntegerType) {
+      // the plane table and sizes are foldable — validate NOW so a bad
+      // config is an analysis error, not a per-row OOB at execution
+      val (negV, dimV, bitsV) = (second.eval(), third.eval(), fourth.eval())
+      (negV, dimV, bitsV) match {
+        case (neg: org.apache.spark.sql.catalyst.util.ArrayData,
+            dim: java.lang.Integer, bits: java.lang.Integer) =>
+          val planes = neg.numElements()
+          if (bits < 1 || bits > 31)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName bitsPerBand must be in [1, 31], got $bits")
+          else if (planes == 0 || planes % bits != 0)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName needs planes (${planes}) to be a positive " +
+                s"multiple of bitsPerBand ($bits)")
+          else {
+            val oob = (0 until planes).exists { p =>
+              val a = neg.getArray(p)
+              (0 until a.numElements()).exists { k =>
+                val i = a.getInt(k); i < 1 || i > dim
+              }
+            }
+            if (oob) TypeCheckResult.TypeCheckFailure(
+              s"$prettyName negIdx entries must be 1-based dims within $dimV")
+            else TypeCheckResult.TypeCheckSuccess
+          }
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName negIdx/dim/bitsPerBand must not be null")
+      }
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, foldable array<array<int>>, " +
+        s"foldable int, foldable int), got ${children.map(_.dataType)}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_srp_bands"
+
+  protected override def nullSafeEval(emb: Any, neg: Any, dim: Any,
+      bits: Any): Any =
+    ExprRuntime.srpBands(
+      emb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      neg.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dim.asInstanceOf[Int], bits.asInstanceOf[Int])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, neg, dim, bits) => s"""
+      ${ev.value} = graft.expressions.ExprRuntime.srpBands($emb, $neg, $dim, $bits);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SrpBandKeys =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Function registration: imperative (works on any live session, used
   * by the pipeline defensively) and declarative (SparkSessionExtensions
   * for `spark.sql.extensions` configs). */
@@ -244,7 +323,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Simhash(args(0), args(1))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinhashSignature(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => MinhashSignature(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_srp_bands"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "graft_srp_bands"),
+      (args: Seq[Expression]) => SrpBandKeys(args(0), args(1), args(2), args(3))))
 
   /** Idempotent runtime registration into a session's registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -274,5 +356,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinhashSignature(args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("graft_srp_bands"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "graft_srp_bands"),
+      (args: Seq[Expression]) => SrpBandKeys(args(0), args(1), args(2), args(3))))
   }
 }

@@ -187,39 +187,45 @@ object Similarity {
       }
     }
 
-  /** Band b's integer key: `bitsPerBand` sign bits of
-    * `total − 2·Σ v[neg]` plane dots, rendered per dialect with the
-    * identical addition order. */
-  private def srpBandSpark(cfg: SrpConfig, embCol: String, dim: Int,
-      b: Int): String = {
-    val neg = srpNegIdx(cfg.planes, dim)
-    (0 until cfg.bitsPerBand).map { j =>
-      val negSum = neg(b * cfg.bitsPerBand + j)
-        .map(i => s"CAST(element_at($embCol, $i) AS DOUBLE)").mkString(" + ")
-      s"IF((srp_total - 2.0 * ($negSum)) >= 0.0, ${1 << j}, 0)"
-    }.mkString(" + ")
-  }
+  /** Band b's integer key in the DuckDB dialect: `bitsPerBand` sign
+    * bits of `total − 2·Σ v[neg]` plane dots (per-plane neg sums
+    * accumulated left-to-right, ascending indices), NULL when the
+    * embedding is not `dim`-long — NULL band keys never equi-join, so
+    * degenerate rows drop out of candidate generation instead of
+    * colliding in one all-pairs bucket (the LshBands NULL-band rule).
+    * The Spark side computes the identical doubles in the identical
+    * order inside the native one-pass `graft_srp_bands` kernel
+    * ([[graft.expressions.SrpBandKeys]]). */
   private def srpBandDuck(cfg: SrpConfig, dim: Int, b: Int): String = {
     val neg = srpNegIdx(cfg.planes, dim)
-    (0 until cfg.bitsPerBand).map { j =>
+    val bits = (0 until cfg.bitsPerBand).map { j =>
       val negSum = neg(b * cfg.bitsPerBand + j)
         .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
       s"CASE WHEN (srp_total - 2.0 * ($negSum)) >= 0.0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
+    s"CASE WHEN len(embedding) = $dim THEN $bits ELSE NULL END"
   }
 
   /** id + embedding + norm + `cfg.bands` integer band keys over ANY
     * relation with an `Array[Float]` embedding column — the banded
-    * seam the scale spec and the general operator share. */
+    * seam the scale spec and the general operator share. All keys come
+    * from ONE `graft_srp_bands` call per row: the previous rendered-
+    * SQL form was ~(planes × dims) expression nodes per band, and the
+    * band self-joins + verify joins duplicate the banded subtree, so
+    * ANALYSIS + CODEGEN (not execution) dominated q55 — 5.5 s at 500
+    * vectors, flat in SF. The native kernel makes plan size O(1) in
+    * (planes, dims). */
   private[queries] def srpBandedOf(df: DataFrame, idCol: String,
       embCol: String, cfg: SrpConfig, dim: Int = SrpDim): DataFrame = {
-    val onesSum = (1 to dim)
-      .map(i => s"CAST(element_at($embCol, $i) AS DOUBLE)").mkString(" + ")
+    val negLit = srpNegIdx(cfg.planes, dim)
+      .map(_.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
     val base = df.select(col(idCol), col(embCol),
       expr(s"sqrt(vec_dot($embCol, $embCol))").as("nrm"),
-      expr(s"($onesSum)").as("srp_total"))
+      expr(s"graft_srp_bands($embCol, $negLit, $dim, ${cfg.bitsPerBand})")
+        .as("srp_keys"))
     (0 until cfg.bands).foldLeft(base) { (acc, b) =>
-      acc.withColumn(s"srp$b", expr(srpBandSpark(cfg, embCol, dim, b)))
+      acc.withColumn(s"srp$b", element_at(col("srp_keys"), b + 1))
     }.select(col(idCol) +: col(embCol) +: col("nrm") +:
       (0 until cfg.bands).map(b => col(s"srp$b")): _*)
   }
