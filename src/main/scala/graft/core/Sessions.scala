@@ -14,6 +14,32 @@ import org.apache.spark.sql.SparkSession
   *    cluster this would be set per-job (or left to AQE coalescing).
   */
 object Sessions {
+
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the previous value after. For plans whose per-shuffle
+    * data is tiny but whose FIXED per-partition cost is not — state
+    * stores pay open/commit/snapshot per partition per micro-batch,
+    * iterative loops pay task-launch per partition per round — the
+    * session-wide setting is pure overhead. Production jobs size this
+    * to their data volume instead (or leave it to AQE coalescing; AQE
+    * cannot shrink stateful-streaming or already-running stages). */
+  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Run `body` with scoped SQL confs, restoring previous values
+    * after ([[withShufflePartitions]] generalized). */
+  def withConfs[A](s: SparkSession, confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -26,11 +26,8 @@ object StreamingQueries {
     * the state itself being tiny). Scope the smaller setting to the
     * streaming plan build + run, restore after; a production job
     * sizes this to its state volume instead. */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    graft.core.Sessions.withShufflePartitions(s, n)(body)
 
   // --------------------------------------- q57 stream window parity
   /** Event-time tumbling-window aggregation under Structured Streaming
