@@ -617,6 +617,40 @@ object Dedup {
        |GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- q79 dup-graph degree
+  /** Degree of each document in the verified near-dup graph — the
+    * audit view of dedup pressure (hubs = template/boilerplate
+    * families; the degree distribution decides between the one-pass
+    * kill rule and full CC grouping, and flags the skew that would
+    * motivate the large-star/small-star switch in q63). Rides the same
+    * memoized edge relation as q63: one count aggregate over narrow
+    * (src, dst) rows. */
+  def qDupDegree(s: SparkSession, dir: String): DataFrame =
+    ccEdges(s, dir)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("doc_id")
+
+  val qDupDegreeSql: String = {
+    val bandJoins = (0 until NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""$sigSqlCte,
+       |cand AS (
+       |$bandJoins),
+       |verified AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id),
+       |edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.5
+       |  UNION ALL SELECT d2, d1 FROM verified WHERE jaccard >= 0.5)
+       |SELECT d1 AS doc_id, COUNT(*) AS degree FROM edges
+       |GROUP BY d1 ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- q60 decontamination
   /** Benchmark decontamination: flag training documents sharing any
     * word-8-gram with the eval set (doc_id < 5 stands in for the
@@ -688,7 +722,8 @@ object Dedup {
     "q48_simhash_hamming" -> (qSimhashHamming _),
     "q52_dedup_simhash_keep" -> (qDedupSimhashKeep _),
     "q60_decontam" -> (qDecontam _),
-    "q63_dedup_groups" -> (qDedupGroups _))
+    "q63_dedup_groups" -> (qDedupGroups _),
+    "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> qDedupExactSql,
@@ -701,5 +736,6 @@ object Dedup {
     "q48_simhash_hamming" -> qSimhashHammingSql,
     "q52_dedup_simhash_keep" -> qDedupSimhashKeepSql,
     "q60_decontam" -> qDecontamSql,
-    "q63_dedup_groups" -> qDedupGroupsSql)
+    "q63_dedup_groups" -> qDedupGroupsSql,
+    "q79_dup_degree" -> qDupDegreeSql)
 }

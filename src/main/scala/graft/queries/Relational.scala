@@ -660,8 +660,107 @@ object Relational {
        |CAST(1 AS BIGINT) AS no_exchange
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  // -------------------------------------------------------- q75 pivot
+  /** Pivot: per-user event counts spread into one column per event
+    * type (the reshape step of a feature table). Spark's `pivot` with
+    * an EXPLICIT value list — the values become output columns, so at
+    * scale the list must be bounded and known (with an implicit list
+    * Spark runs a distinct scan first and the schema becomes
+    * data-dependent; both are wrong for a 100 TB pipeline). One
+    * shuffle on the group key; counts fill 0 for absent combos (the
+    * conditional-aggregation twin's semantic). */
+  val PivotEventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  def q75Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotEventTypes)
+      .orderBy("user_id")
+
+  val q75Sql: String = {
+    val cols = PivotEventTypes.map(et =>
+      s"""COUNT(*) FILTER (WHERE event_type = '$et') AS "$et"""").mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ q76 unpivot
+  /** Unpivot (melt): the wide per-user feature table back to long
+    * (user_id, event_type, n_events) rows — Spark's `unpivot` against
+    * a UNION ALL twin. Scan-local (no shuffle beyond the upstream
+    * pivot's): each wide row explodes to `|value columns|` narrow
+    * rows in place. */
+  def q76Unpivot(s: SparkSession, dir: String): DataFrame =
+    q75Pivot(s, dir)
+      .unpivot(Array(col("user_id")),
+        PivotEventTypes.map(col).toArray, "event_type", "n_events")
+      .orderBy("user_id", "event_type")
+
+  val q76Sql: String = {
+    val branches = PivotEventTypes.map(et =>
+      s"""SELECT user_id, '$et' AS event_type, "$et" AS n_events FROM wide""")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH wide AS (${q75Sql.replace("ORDER BY user_id", "")})
+       |$branches
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
+  // --------------------------------------------------------- q77 cube
+  /** CUBE grouping over (lang, source): all four aggregation levels in
+    * one pass (per-cell, per-lang, per-source, grand total) with
+    * `grouping(...)` flags disambiguating rolled-up NULLs from data
+    * NULLs. Spark expands the cube in the partial aggregate —
+    * map-side combine still applies, one shuffle. */
+  def q77Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (grouping(col("lang")) * 2 + grouping(col("source")))
+          .cast(LongType).as("gid"))
+      .orderBy("gid", "lang", "source")
+
+  val q77Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY gid, lang, source""".stripMargin
+
+  // -------------------------------------------------------- q78 ntile
+  /** Ranking-window battery: quartile (`ntile`) and `percent_rank` of
+    * order value within each priority class. The ORDER BY carries the
+    * unique key as tie-break, so both rank functions are total-order
+    * deterministic in both engines. One shuffle on the partition key. */
+  def q78Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_orderkey")
+  }
+
+  val q78Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |NTILE(4) OVER w AS quartile,
+      |round(PERCENT_RANK() OVER w, 6) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_pivot" -> (q75Pivot _),
+    "q76_unpivot" -> (q76Unpivot _),
+    "q77_cube" -> (q77Cube _),
+    "q78_ntile" -> (q78Ntile _),
     "q01_scan" -> (q01Scan _),
     "q02_proj_filter" -> (q02ProjFilter _),
     "q03_range_prune" -> (q03RangePrune _),
@@ -688,6 +787,10 @@ object Relational {
     "q54_range_join" -> (q54RangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q75_pivot" -> q75Sql,
+    "q76_unpivot" -> q76Sql,
+    "q77_cube" -> q77Sql,
+    "q78_ntile" -> q78Sql,
     "q01_scan" -> q01Sql,
     "q02_proj_filter" -> q02Sql,
     "q03_range_prune" -> q03Sql,

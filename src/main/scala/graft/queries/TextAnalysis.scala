@@ -364,8 +364,39 @@ object TextAnalysis {
        |SELECT doc_id, rnk, term, round(raw_score, 4) AS score
        |FROM sc WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
 
+  // --------------------------------------------------- q80 mix report
+  /** Corpus-mix report: per (source, lang) document and token volumes
+    * with each cell's share of the global token budget — the
+    * bookkeeping table behind a mixing recipe (and the denominators
+    * q68's per-source rates act on). Token counts are exact longs, so
+    * the share division is deterministic; the global total comes from
+    * an unpartitioned window over the |source × lang|-row aggregate
+    * (tiny — the window runs AFTER the one map-side-combined shuffle,
+    * never over the corpus). */
+  def qMixReport(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    cells
+      .withColumn("share", round(
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy("source", "lang")
+  }
+
+  val qMixReportSql: String =
+    """WITH cells AS (SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source, lang)
+      |SELECT source, lang, n_docs, n_tokens,
+      |round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS share
+      |FROM cells ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_tfidf" -> (qTfidf _),
+    "q80_mix_report" -> (qMixReport _),
     "q25_text_stats" -> (qTextStats _),
     "q26_text_quality" -> (qTextQuality _),
     "q27_lang_dist" -> (qLangDist _),
@@ -377,6 +408,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q70_tfidf" -> qTfidfSql,
+    "q80_mix_report" -> qMixReportSql,
     "q25_text_stats" -> qTextStatsSql,
     "q26_text_quality" -> qTextQualitySql,
     "q27_lang_dist" -> qLangDistSql,
