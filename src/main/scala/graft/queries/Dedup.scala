@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -711,7 +712,56 @@ object Dedup {
        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ wiring
+  // ------------------------------------------ q81 paragraph-level dedup
+  /** Paragraph-level exact-dup statistics — the fine-grained
+    * complement to document-level MinHash (boilerplate sentences and
+    * repeated paragraphs survive doc-level dedup; web-corpus curation
+    * measures and strips them at this granularity). Sentences split on
+    * '. ' stand in for paragraphs in the fixture. A span is a DUP if
+    * an identical span occurs earlier in corpus order (doc_id, pos) —
+    * the first occurrence stays clean, so "drop dups" keeps exactly
+    * one copy.
+    *
+    * Scale: spans reduce to md5 hashes BEFORE the shuffle (narrow
+    * keys, never the text); one shuffle on span hash for the
+    * first-occurrence window, one map-side-combined shuffle on doc_id
+    * for the per-doc rollup. */
+  def qParaDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "para")
+      .filter(length(col("para")) > 0)
+      .select(col("doc_id"), col("p"), md5(col("para")).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id", "p")
+    spans
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_ratio", round(
+        col("n_dup_paras").cast("double") / col("n_paras").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  val qParaDedupSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, '. ') AS toks
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |    i -> {'p': i - 1, 'v': toks[i]})) AS s FROM tok),
+      |spans AS (
+      |  SELECT doc_id, s.p AS p, md5(s.v) AS h FROM ex
+      |  WHERE length(s.v) > 0),
+      |ranked AS (SELECT doc_id, p,
+      |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+      |  FROM spans)
+      |SELECT doc_id, COUNT(*) AS n_paras,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+      |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_para_dedup" -> (qParaDedup _),
     "q20_dedup_exact" -> (qDedupExact _),
     "q21_dedup_ngram" -> (qDedupNgram _),
     "q22_minhash_sig" -> (qMinhashSig _),
@@ -737,5 +787,6 @@ object Dedup {
     "q52_dedup_simhash_keep" -> qDedupSimhashKeepSql,
     "q60_decontam" -> qDecontamSql,
     "q63_dedup_groups" -> qDedupGroupsSql,
-    "q79_dup_degree" -> qDupDegreeSql)
+    "q79_dup_degree" -> qDupDegreeSql,
+    "q81_para_dedup" -> qParaDedupSql)
 }

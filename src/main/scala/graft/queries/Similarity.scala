@@ -780,7 +780,41 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ wiring
+  // ------------------------------------------- q82 label centroids
+  /** Per-label embedding centroids (mean pooling) — the distributed
+    * vector aggregation behind class prototypes, IVF coarse-quantizer
+    * retraining, and embedding-drift monitoring. Emitted long-form
+    * (label, pos, c) rather than as an array column so the oracle
+    * can compare scalar cells.
+    *
+    * Determinism: each dimension's sum routes through DECIMAL(25,6)
+    * (the [[Relational.dsum]] rule — float→double is exact, the
+    * decimal quantization is the same half-up in both engines), so
+    * the centroid is bit-identical under any partitioning. Plan:
+    * posexplode fans each vector into (label, pos, v) rows —
+    * scan-local — then ONE map-side-combined shuffle on
+    * (label, pos); |labels|·dim result rows. */
+  def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "v")
+      .groupBy(col("label"), col("p"))
+      .agg(count(lit(1)).as("n"),
+        round(Relational.dsum(col("v").cast("double")) / count(lit(1)), 6)
+          .as("c"))
+      .orderBy("label", "p")
+
+  val qLabelCentroidsSql: String =
+    """WITH ex AS (SELECT label,
+      |  unnest(list_transform(range(1, len(embedding) + 1),
+      |    i -> {'p': i - 1, 'v': embedding[i]})) AS s FROM embeddings)
+      |SELECT label, s.p AS p, COUNT(*) AS n,
+      |round(CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+      |      / COUNT(*), 6) AS c
+      |FROM ex GROUP BY label, p ORDER BY label, p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_label_centroids" -> (qLabelCentroids _),
     "q29_embed_norm" -> (qEmbedNorm _),
     "q30_knn_brute" -> (qKnnBrute _),
     "q31_cosine_neardup" -> (qCosineNearDup _),
@@ -795,6 +829,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q82_label_centroids" -> qLabelCentroidsSql,
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,
     "q31_cosine_neardup" -> qCosineNearDupSql,
