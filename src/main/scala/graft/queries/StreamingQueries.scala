@@ -236,14 +236,99 @@ object StreamingQueries {
       | AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
       |ORDER BY p_id, i_id""".stripMargin
 
+  // ---------------------------------------- q83 stream sessionization
+  /** Streaming sessionization via Spark's native `session_window`
+    * equals the batch gap-split: per user, events merge into a session
+    * while the gap to the previous event is < 3 h (session_window's
+    * end is exclusive, so a gap of EXACTLY the cutoff starts a new
+    * session — the batch twin therefore breaks on `>=`, unlike q67's
+    * strict `>`; both conventions are valid sessionizations, this
+    * query pins Spark's).
+    *
+    * Append-mode session aggregates only emit once the WATERMARK
+    * passes the session end. The replay therefore pushes two
+    * far-future sentinel rows (user_id −1, excluded from output)
+    * through two extra micro-batches after the data: the first
+    * advances the max event time, the second's batch carries the
+    * advanced watermark, closing every real session deterministically.
+    * A production stream doesn't need this — live data advances the
+    * watermark continuously; the sentinel is purely the determinism
+    * seam of a FINITE replay.
+    *
+    * Scale: session_window state is one open session per active user
+    * key, expired as the watermark passes — the canonical Spark
+    * sessionization; one shuffle on user_id. */
+  val StreamSessionGap: String = "3 hours"
+
+  def q83StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = eventRowsU(s, dir)
+    val chunkSize = math.max(1, rows.size / 3)
+    val maxTs = rows.map(_.ts).max
+
+    val qname = "graft_q83_sessions"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEventU]
+    val ev = stream.toDF()
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", "1 minute")
+    val sessions = ev
+      .groupBy(session_window(col("event_time"), StreamSessionGap),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    withShufflePartitions(s, 4) {
+      val query = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+        // two sentinel rounds: advance max event time, then let the
+        // advanced watermark close every real session
+        for (k <- 1 to 2) {
+          stream.addData(Seq(StreamEventU(-k.toLong,
+            maxTs + k.toLong * 365L * 24 * 3600 * 1000000000L, -1L, "x")))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("n_events"))
+      .orderBy("user_id", "start_sec")
+  }
+
+  val q83Sql: String =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+      |g AS (SELECT user_id, ts_us, event_id,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL
+      |       OR ts_us - lag(ts_us) OVER w >= 10800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sx AS (SELECT user_id, ts_us,
+      |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+      |SELECT user_id, MIN(ts_us) // 1000000 AS start_sec,
+      |  COUNT(*) AS n_events
+      |FROM sx GROUP BY user_id, session_idx
+      |ORDER BY user_id, start_sec""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stream_window" -> (q57StreamWindowParity _),
     "q61_stream_dedup" -> (q61StreamDedupParity _),
-    "q64_stream_join" -> (q64StreamStreamJoin _))
+    "q64_stream_join" -> (q64StreamStreamJoin _),
+    "q83_stream_sessions" -> (q83StreamSessions _))
 
   val oracles: Map[String, String] = Map(
     "q57_stream_window" -> q57Sql,
     "q61_stream_dedup" -> q61Sql,
-    "q64_stream_join" -> q64Sql)
+    "q64_stream_join" -> q64Sql,
+    "q83_stream_sessions" -> q83Sql)
 }

@@ -83,4 +83,49 @@ class PlanAuditSpec extends SparkSuite {
       assert(p.contains("vec_dot"), s"$name lost the vec_dot kernel")
     }
   }
+
+  test("q55/q62 band keys come from the native one-pass srp kernel") {
+    for (name <- Seq("q55_srp_neardup", "q62_srp_sized")) {
+      val analyzed = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.analyzed
+      val usesNative = analyzed.collect { case node =>
+        node.expressions.exists(
+          _.exists(_.isInstanceOf[graft.expressions.SrpBandKeys]))
+      }.exists(identity)
+      assert(usesNative, s"$name lost the native graft_srp_bands kernel")
+    }
+  }
+
+  test("q75 pivot with an explicit value list plans no distinct pre-scan") {
+    // an implicit pivot runs a values-discovery aggregate first; the
+    // explicit list keeps the plan at ONE aggregate over one scan
+    val p = graft.SparkEntry.queries("q75_pivot")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val scans = "Relation".r.findAllIn(p).size
+    assert(scans == 1, s"pivot must scan events exactly once:\n${p.take(2000)}")
+  }
+
+  test("q70 tfidf broadcasts the vocabulary and the corpus-size sides") {
+    val p = graft.SparkEntry.queries("q70_tfidf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"df must broadcast-hash-join and N must broadcast as one row:\n${p.take(3000)}")
+  }
+
+  test("q71 never reshuffles the fact side (stats broadcast back)") {
+    val p = graft.SparkEntry.queries("q71_outlier_z")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q82 centroid aggregation is a single combined shuffle") {
+    val p = graft.SparkEntry.queries("q82_label_centroids")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial + final HashAggregate around exactly one exchange (plus
+    // the output-order range exchange)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"centroids must shuffle once:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
 }
