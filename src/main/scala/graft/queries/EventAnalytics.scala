@@ -196,8 +196,32 @@ object EventAnalytics {
       |COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------- q84 pruned top-k
+  /** The 5 highest-value events per type via
+    * [[graft.operators.TopKPerGroup]] — the map-side-pruned exact
+    * top-k. Same result as the q72-style window form, but the shuffle
+    * carries ≤ k·partitions·groups rows instead of the corpus (the
+    * per-group analogue of TakeOrderedAndProject; see the operator's
+    * scaladoc). The oracle is the plain window SQL — the pruned plan
+    * must equal it row for row. */
+  def q84TopkPruned(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopKPerGroup(
+      events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+      Seq("event_type"), "value", "event_id", k = 5)
+      .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+      .orderBy("event_type", "rnk")
+
+  val q84Sql: String =
+    """SELECT event_type, rnk, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS rnk
+      |  FROM events)
+      |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_topk_pruned" -> (q84TopkPruned _),
     "q67_sessionize" -> (q67Sessionize _),
     "q69_quantiles" -> (q69Quantiles _),
     "q71_outlier_z" -> (q71OutlierZscore _),
@@ -205,6 +229,7 @@ object EventAnalytics {
     "q73_json_extract" -> (q73JsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q84_topk_pruned" -> q84Sql,
     "q67_sessionize" -> q67Sql,
     "q69_quantiles" -> q69Sql,
     "q71_outlier_z" -> q71Sql,
