@@ -219,8 +219,28 @@ object EventAnalytics {
       |  FROM events)
       |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin
 
+  // -------------------------------------------- q85 approx distinct
+  /** HyperLogLog++ distinct-user counts per event type beside the
+    * exact counts — THE cardinality operator at 100 TB (exact
+    * distinct shuffles every key; the sketch is constant-size per
+    * group and merges associatively, so it map-side combines). The
+    * sketch is deterministic for a given dataset (hash-based, no
+    * RNG), but its estimate has no SQL-expressible twin — this query
+    * intentionally has NO oracleSql entry, exercising the driver's
+    * weaker rows-only check; the EXACT column rides beside it so the
+    * error is self-auditing (spec pins relative error < 5% at the
+    * 1% rsd setting). */
+  def q85ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_approx_distinct" -> (q85ApproxDistinct _),
     "q84_topk_pruned" -> (q84TopkPruned _),
     "q67_sessionize" -> (q67Sessionize _),
     "q69_quantiles" -> (q69Quantiles _),

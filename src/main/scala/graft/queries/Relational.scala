@@ -755,8 +755,45 @@ object Relational {
       |             ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------- q86 bloom-join
+  /** Bloom-prefiltered join: build a Bloom filter over the (filtered)
+    * dimension keys, prefilter the fact scan with it, then run the
+    * EXACT join on the survivors. False positives pass the prefilter
+    * but are dropped by the verify join, so the result is exactly the
+    * plain join's — the filter only cuts what crosses the shuffle.
+    * At 100 TB this is the difference between shuffling the corpus
+    * and shuffling the ~matching fraction: the sketch is a few
+    * hundred KB broadcast regardless of key count (a broadcast HASH
+    * side needs the actual keys), and Spark's own runtime bloom
+    * pushdown (`spark.sql.optimizer.runtime.bloomFilter.*`) applies
+    * the same trick automatically when stats justify it — this
+    * operator is the explicit, caller-controlled form. The
+    * driver-side `stat.bloomFilter` build is a bounded-size sketch
+    * aggregation (like any broadcast build), not a data collect. */
+  def q86BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey",
+      expectedNumItems = 100000L, fpp = 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+
+  val q86Sql: String =
+    s"""SELECT COUNT(*) AS n, ${DSUM("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_bloom_join" -> (q86BloomJoin _),
     "q75_pivot" -> (q75Pivot _),
     "q76_unpivot" -> (q76Unpivot _),
     "q77_cube" -> (q77Cube _),
@@ -787,6 +824,7 @@ object Relational {
     "q54_range_join" -> (q54RangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q86_bloom_join" -> q86Sql,
     "q75_pivot" -> q75Sql,
     "q76_unpivot" -> q76Sql,
     "q77_cube" -> q77Sql,

@@ -110,4 +110,28 @@ class EventAnalyticsSpec extends SparkSuite {
       .collect()
     assert(out.forall(r => r.getLong(1) <= TextAnalysis.TfidfK))
   }
+
+  test("q85 HLL estimate stays within 5% of the exact count (rows-only oracle)") {
+    val rows = EventAnalytics.q85ApproxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_users"),
+        r.getAs[Long]("exact_users"))
+      assert(exact > 0 &&
+        math.abs(approx - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q86 bloom prefilter changes nothing about the join result") {
+    val pre = Relational.q86BloomJoin(spark, dir).head()
+    val urgent = graft.core.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plain = graft.core.Tables.load(spark, dir, "lineitem")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(pre.getAs[Long]("n") == plain,
+      "false positives must be dropped by the verify join")
+  }
 }
