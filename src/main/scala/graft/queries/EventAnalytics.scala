@@ -238,8 +238,56 @@ object EventAnalytics {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  // ------------------------------------------------ q87 gap fill
+  /** Time-series densify + forward-fill: hourly per-type activity on a
+    * complete (hour × type) spine — absent cells get count 0 and carry
+    * the last seen hourly average forward (the standard prep before
+    * feeding metrics to anomaly detection or training curves; gaps
+    * would otherwise read as missing rows, not as zeros).
+    *
+    * Plan: the corpus aggregates FIRST (one map-side-combined shuffle
+    * to |hours × types| rows); the spine is the cross of two tiny
+    * distincts (broadcast nested-loop over a handful of rows — never
+    * the corpus), the left join back is hash, and the forward-fill
+    * window runs over spine-sized data. Leading cells before a type's
+    * first event keep NULL fill — both engines agree. */
+  def q87GapFill(s: SparkSession, dir: String): DataFrame = {
+    val agg = events(s, dir)
+      .select(expr("((ts div 1000) div 3600000000) * 3600").as("h_sec"),
+        col("event_type"), col("value"))
+      .groupBy(col("h_sec"), col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("avg_v"))
+    val hrs = agg.select(col("h_sec")).distinct()
+    val typ = agg.select(col("event_type")).distinct()
+    val spine = hrs.crossJoin(broadcast(typ))
+    val w = Window.partitionBy("event_type").orderBy("h_sec")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(agg, Seq("h_sec", "event_type"), "left")
+      .select(col("h_sec"), col("event_type"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("v_ff"))
+      .orderBy("event_type", "h_sec")
+  }
+
+  val q87Sql: String =
+    """WITH agg AS (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS h_sec,
+      |  event_type, COUNT(*) AS n_raw,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_v
+      |  FROM events GROUP BY 1, 2),
+      |hrs AS (SELECT DISTINCT h_sec FROM agg),
+      |typ AS (SELECT DISTINCT event_type FROM agg),
+      |spine AS (SELECT h_sec, event_type FROM hrs CROSS JOIN typ)
+      |SELECT s.h_sec, s.event_type, COALESCE(a.n_raw, 0) AS n,
+      |  last_value(a.avg_v IGNORE NULLS) OVER (PARTITION BY s.event_type
+      |    ORDER BY s.h_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+      |FROM spine s LEFT JOIN agg a
+      |  ON s.h_sec = a.h_sec AND s.event_type = a.event_type
+      |ORDER BY s.event_type, s.h_sec""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_gap_fill" -> (q87GapFill _),
     "q85_approx_distinct" -> (q85ApproxDistinct _),
     "q84_topk_pruned" -> (q84TopkPruned _),
     "q67_sessionize" -> (q67Sessionize _),
@@ -249,6 +297,7 @@ object EventAnalytics {
     "q73_json_extract" -> (q73JsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q87_gap_fill" -> q87Sql,
     "q84_topk_pruned" -> q84Sql,
     "q67_sessionize" -> q67Sql,
     "q69_quantiles" -> q69Sql,
