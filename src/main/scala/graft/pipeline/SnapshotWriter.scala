@@ -89,7 +89,7 @@ object SnapshotWriter {
       case other => throw new IllegalArgumentException(s"compression: $other")
     }
 
-  private[pipeline] def decompressor(kind: String, in: java.io.InputStream): java.io.InputStream =
+  private[graft] def decompressor(kind: String, in: java.io.InputStream): java.io.InputStream =
     kind match {
       case "gz" => new java.util.zip.GZIPInputStream(in)
       case "bz2" => new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(in)

@@ -441,7 +441,61 @@ object PipelineQueries {
       |'000-128,128-000' AS slices_batch""".stripMargin
 
   // ------------------------------------------------------------ wiring
+  // ------------------------------------------- q88 snapshot reimport
+  /** Round-trip through the DISTRIBUTED snapshot read path: export the
+    * clean corpus with [[graft.pipeline.SnapshotWriter]], re-import it
+    * with [[graft.sources.SnapshotSource]] (binaryFile scan → per-task
+    * sidecar read + key unwrap + decrypt/decompress/line-split — the
+    * scale path, vs the driver-side `readBack` golden seam), and pin
+    * that the re-imported LINE MULTISET equals the exported `doc`
+    * multiset exactly (full-outer count join, zero tolerance), every
+    * file contributes, and nothing was dropped or duplicated. This is
+    * the consumer side of the snapshot format — what snapshot-sender /
+    * re-ingest does with HTME's objects. */
+  def q88SnapshotReimport(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SnapshotWriter
+    import graft.sources.SnapshotSource
+    val ks = Fixture.keyService
+    val recs = cleanRecords(s)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q88-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-q88-man")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 100000, compression = "gz")
+    try {
+      val acct = SnapshotWriter.write(recs, cfg, ks).collect().toSeq
+      val nFiles = acct.size.toLong
+      val imported = SnapshotSource.read(s, outDir.toString, "gz", ks)
+        .cache()
+      try {
+        val nLines = imported.count()
+        val nFilesSeen = imported.select(countDistinct(col("file")))
+          .head().getLong(0)
+        val mismatch = imported
+          .groupBy(col("line")).agg(count(lit(1)).as("ni"))
+          .join(recs.select(col("doc").as("line"))
+            .groupBy(col("line")).agg(count(lit(1)).as("ns")),
+            Seq("line"), "full_outer")
+          .filter(coalesce(col("ni"), lit(0L)) =!=
+            coalesce(col("ns"), lit(0L)))
+          .count()
+        import s.implicits._
+        Seq((nFiles, nFilesSeen, nLines, mismatch))
+          .toDF("n_files", "n_files_seen", "n_lines", "n_multiset_mismatch")
+      } finally imported.unpersist()
+    } finally {
+      deleteRecursively(outDir)
+      deleteRecursively(manDir)
+    }
+  }
+
+  val q88Sql: String =
+    """SELECT CAST(16 AS BIGINT) AS n_files,
+      |CAST(16 AS BIGINT) AS n_files_seen,
+      |CAST(10000 AS BIGINT) AS n_lines,
+      |CAST(0 AS BIGINT) AS n_multiset_mismatch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_snapshot_reimport" -> (q88SnapshotReimport _),
     "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
     "q41_pipeline_skips" -> (q41PipelineSkips _),
     "q42_writer_golden" -> (q42WriterGolden _),
@@ -452,6 +506,7 @@ object PipelineQueries {
     "q56_streaming_export" -> (q56StreamingParity _))
 
   val oracles: Map[String, String] = Map(
+    "q88_snapshot_reimport" -> q88Sql,
     "q40_pipeline_roundtrip" -> q40Sql,
     "q41_pipeline_skips" -> q41Sql,
     "q42_writer_golden" -> q42Sql,
