@@ -285,8 +285,42 @@ object EventAnalytics {
       |  ON s.h_sec = a.h_sec AND s.event_type = a.event_type
       |ORDER BY s.event_type, s.h_sec""".stripMargin
 
+  // ------------------------------------------------- q90 histogram
+  /** Fixed-width value histogram with the cumulative distribution —
+    * the one-pass shape summary behind threshold picking and drift
+    * monitoring. The corpus collapses to |bins| rows in one map-side-
+    * combined shuffle; the running-total window then runs over the
+    * BINS (bounded by value-range/width, here ~20 rows), so the
+    * unpartitioned window is deliberate, not a scale bug. Bin edges
+    * are exact (floor of value/width on doubles — same IEEE op in
+    * both engines). */
+  val HistWidth: Double = 25.0
+
+  def q90Histogram(s: SparkSession, dir: String): DataFrame = {
+    val bins = events(s, dir)
+      .select(floor(col("value") / HistWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bins
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_frac", round(
+        col("cum_n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy("bin")
+  }
+
+  val q90Sql: String =
+    s"""WITH b AS (SELECT CAST(floor(value / $HistWidth) AS BIGINT) AS bin,
+       |  COUNT(*) AS n FROM events GROUP BY 1)
+       |SELECT bin, n,
+       |CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       |round(CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+       |      CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_frac
+       |FROM b ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_histogram" -> (q90Histogram _),
     "q87_gap_fill" -> (q87GapFill _),
     "q85_approx_distinct" -> (q85ApproxDistinct _),
     "q84_topk_pruned" -> (q84TopkPruned _),
@@ -297,6 +331,7 @@ object EventAnalytics {
     "q73_json_extract" -> (q73JsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q90_histogram" -> q90Sql,
     "q87_gap_fill" -> q87Sql,
     "q84_topk_pruned" -> q84Sql,
     "q67_sessionize" -> q67Sql,

@@ -83,12 +83,48 @@ object Sampling {
        |  FROM documents)
        |WHERE rnk <= $ReservoirK ORDER BY lang, rnk""".stripMargin
 
+  // ------------------------------------------- q89 weighted sample
+  /** Deterministic weighted sampling without replacement (the A-ES /
+    * Efraimidis–Spirakis scheme made reproducible): each doc draws a
+    * pseudo-uniform u from the hash of its stable id and competes on
+    * key = ln(u)/weight — larger weights pull the key toward 0, so the
+    * top-k by key is a weight-proportional sample, here weighted by
+    * document length (the "sample long documents preferentially"
+    * recipe). Deterministic: u is a pure function of doc_id, so the
+    * sample reproduces across runs, engines, and partitionings.
+    *
+    * Engine parity: ln comes from each engine's libm (1-ulp
+    * differences allowed), so the SORT KEY is quantized to 9 dp with
+    * the unique doc_id as tie-break — a 1-ulp wobble cannot flip
+    * membership or order. Scale: per-row key + global top-k =
+    * TakeOrderedAndProject (per-partition partial top-k), never a
+    * full sort. */
+  val WeightedK: Int = 20
+
+  def q89WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (hmod(1000000007L) + lit(1)).cast("double") / lit(1000000008.0)
+    docs(s, dir)
+      .withColumn("skey", round(log(u) / col("n_chars").cast("double"), 9))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(WeightedK)
+      .select(col("doc_id"), col("n_chars"), col("skey"))
+  }
+
+  val q89Sql: String =
+    s"""SELECT doc_id, n_chars,
+       |round(ln((((doc_id * 2654435761) % 1000000007) + 1) / 1000000008.0)
+       |      / CAST(n_chars AS DOUBLE), 9) AS skey
+       |FROM documents
+       |ORDER BY skey DESC, doc_id LIMIT $WeightedK""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_sample_stratified" -> (q68StratifiedSample _),
-    "q74_sample_reservoir" -> (q74ReservoirPerLang _))
+    "q74_sample_reservoir" -> (q74ReservoirPerLang _),
+    "q89_weighted_sample" -> (q89WeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "q68_sample_stratified" -> q68Sql,
-    "q74_sample_reservoir" -> q74Sql)
+    "q74_sample_reservoir" -> q74Sql,
+    "q89_weighted_sample" -> q89Sql)
 }
