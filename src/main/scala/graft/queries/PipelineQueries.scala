@@ -494,7 +494,70 @@ object PipelineQueries {
       |CAST(10000 AS BIGINT) AS n_lines,
       |CAST(0 AS BIGINT) AS n_multiset_mismatch""".stripMargin
 
+  // ------------------------------------------- q92 manifest reimport
+  /** Distributed re-read of the paired pipe-CSV manifests — the
+    * consumer side of the manifest format (reconciliation jobs join
+    * manifests against the export to find drift). Spark's CSV reader
+    * parses the reference dialect directly (pipe separator,
+    * commons-text quote-doubling — `escape` set to the quote char),
+    * so the manifest relation is a first-class DataFrame: the query
+    * pins row count, id uniqueness, the constant manifest fields, and
+    * EXACT id-multiset equality against the exported records (the
+    * reconciliation join itself). */
+  def q92ManifestReimport(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SnapshotWriter
+    val ks = Fixture.keyService
+    val recs = cleanRecords(s)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q92-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-q92-man")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 100000, compression = "gz")
+    try {
+      SnapshotWriter.write(recs, cfg, ks).collect()
+      val manifests = s.read
+        .option("sep", "|").option("quote", "\"").option("escape", "\"")
+        .option("pathGlobFilter", "*.csv")
+        .schema("id STRING, ts LONG, db STRING, collection STRING, " +
+          "source STRING, outer_type STRING, original_id STRING, " +
+          "inner_type STRING")
+        .csv(manDir.toString)
+        .cache()
+      try {
+        val nRows = manifests.count()
+        val nIds = manifests.select(countDistinct(col("id"))).head().getLong(0)
+        val nFieldsOk = manifests.filter(
+          col("ts") === Fixture.CellTimestamp &&
+            col("db") === Fixture.Db &&
+            col("collection") === Fixture.Collection &&
+            col("source") === "EXPORT" &&
+            col("outer_type") === "OUTER_TYPE" &&
+            col("inner_type") === "INNER_TYPE").count()
+        val mismatch = manifests
+          .groupBy(col("id")).agg(count(lit(1)).as("nm"))
+          .join(recs.select(col("m_id").as("id"))
+            .groupBy(col("id")).agg(count(lit(1)).as("nr")),
+            Seq("id"), "full_outer")
+          .filter(coalesce(col("nm"), lit(0L)) =!=
+            coalesce(col("nr"), lit(0L)))
+          .count()
+        import s.implicits._
+        Seq((nRows, nIds, nFieldsOk, mismatch))
+          .toDF("n_rows", "n_ids", "n_fields_ok", "n_id_mismatch")
+      } finally manifests.unpersist()
+    } finally {
+      deleteRecursively(outDir)
+      deleteRecursively(manDir)
+    }
+  }
+
+  val q92Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_rows,
+      |CAST(10000 AS BIGINT) AS n_ids,
+      |CAST(10000 AS BIGINT) AS n_fields_ok,
+      |CAST(0 AS BIGINT) AS n_id_mismatch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_manifest_reimport" -> (q92ManifestReimport _),
     "q88_snapshot_reimport" -> (q88SnapshotReimport _),
     "q40_pipeline_roundtrip" -> (q40PipelineRoundtrip _),
     "q41_pipeline_skips" -> (q41PipelineSkips _),
@@ -506,6 +569,7 @@ object PipelineQueries {
     "q56_streaming_export" -> (q56StreamingParity _))
 
   val oracles: Map[String, String] = Map(
+    "q92_manifest_reimport" -> q92Sql,
     "q88_snapshot_reimport" -> q88Sql,
     "q40_pipeline_roundtrip" -> q40Sql,
     "q41_pipeline_skips" -> q41Sql,

@@ -319,14 +319,66 @@ object StreamingQueries {
       |FROM sx GROUP BY user_id, session_idx
       |ORDER BY user_id, start_sec""".stripMargin
 
+  // --------------------------------------- q91 custom-state parity
+  /** Arbitrary stateful streaming (`mapGroupsWithState`) equals batch
+    * aggregation: the events table replays through
+    * [[graft.streaming.StreamingOps.sessionize]] — per-user state
+    * accumulating (event count, max event id) across micro-batches —
+    * in UPDATE output mode, and the LATEST state per user must equal
+    * the batch `GROUP BY user_id` counts and maxima. Update mode
+    * appends one row per user per batch it appeared in; counts only
+    * grow, so `max(events)` per user IS the final state — no
+    * row-versioning bookkeeping needed. This promotes the custom-state
+    * operator class (the `GroupState` API q57/q61/q64 don't touch)
+    * onto the oracle gate. State is one small struct per user key,
+    * the mapGroupsWithState contract at any scale. */
+  def q91StreamStateCount(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = eventRowsU(s, dir)
+    val chunkSize = math.max(1, rows.size / 3)
+
+    val qname = "graft_q91_state"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEventU]
+    val updates = graft.streaming.StreamingOps.sessionize(
+      stream.toDS().map(e => graft.streaming.StreamingOps.UserEvent(
+        e.user_id, e.event_id,
+        new java.sql.Timestamp(e.ts / 1000000L))))
+    withShufflePartitions(s, 4) {
+      val query = updates.toDF().writeStream.format("memory")
+        .queryName(qname).outputMode("update").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table(qname)
+      .groupBy(col("user_id"))
+      .agg(max(col("events")).as("n_events"),
+        max(col("max_event_id")).as("max_event_id"))
+      .orderBy("user_id")
+  }
+
+  val q91Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_event_id
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_stream_state" -> (q91StreamStateCount _),
     "q57_stream_window" -> (q57StreamWindowParity _),
     "q61_stream_dedup" -> (q61StreamDedupParity _),
     "q64_stream_join" -> (q64StreamStreamJoin _),
     "q83_stream_sessions" -> (q83StreamSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q91_stream_state" -> q91Sql,
     "q57_stream_window" -> q57Sql,
     "q61_stream_dedup" -> q61Sql,
     "q64_stream_join" -> q64Sql,
