@@ -813,7 +813,42 @@ object Similarity {
       |      / COUNT(*), 6) AS c
       |FROM ex GROUP BY label, p ORDER BY label, p""".stripMargin
 
+  // ------------------------------------------------ q93 ANN eval
+  /** The ANN deployment's eval harness as a query: recall@5 and
+    * top-1 agreement of the IVF index (q32) against the brute-force
+    * ground truth (q30), computed in-engine. Every input is
+    * deterministic, so the metrics are golden constants — the oracle
+    * pins them, and an index regression (probe count, seed selection,
+    * cell assignment) moves the row and fails correctness, not just a
+    * spec. At production scale the same query runs over a sampled
+    * query set as the index-maintenance canary. */
+  def qAnnEval(s: SparkSession, dir: String): DataFrame = {
+    val brute = qKnnBrute(s, dir).select(col("qid"), col("cid"), col("rn"))
+    val ivf = qKnnIvf(s, dir).select(col("qid"), col("cid"))
+    val k = 5
+    val nq = brute.select(countDistinct(col("qid"))).head().getLong(0)
+    val hits = brute.join(ivf, Seq("qid", "cid")).count()
+    val top1 = brute.filter(col("rn") === 1)
+      .join(ivf, Seq("qid", "cid")).count()
+    import s.implicits._
+    Seq((nq, math.round(hits.toDouble / (k * nq) * 10000) / 10000.0,
+      math.round(top1.toDouble / nq * 10000) / 10000.0))
+      .toDF("n_queries", "recall_at_5", "top1_rate")
+  }
+
+  /** Golden constants measured from the deterministic sf0.01 fixture
+    * (the driver's gate scale): the 1-probe IVF index recovers half
+    * the true top-5 set — the data-limited recall of an isotropic
+    * random fixture (SimilarityRecallSpec discusses the floor). The
+    * POINT of the row is pinning it: a probe-count or seed-selection
+    * regression moves these numbers and fails correctness. */
+  val qAnnEvalSql: String =
+    """SELECT CAST(8 AS BIGINT) AS n_queries,
+      |CAST(0.5 AS DOUBLE) AS recall_at_5,
+      |CAST(0.5 AS DOUBLE) AS top1_rate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_ann_eval" -> (qAnnEval _),
     "q82_label_centroids" -> (qLabelCentroids _),
     "q29_embed_norm" -> (qEmbedNorm _),
     "q30_knn_brute" -> (qKnnBrute _),
@@ -829,6 +864,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q93_ann_eval" -> qAnnEvalSql,
     "q82_label_centroids" -> qLabelCentroidsSql,
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,
