@@ -791,8 +791,50 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  // ----------------------------------------------- q94 data profile
+  /** Column-profiling battery — the first pass over any new dataset
+    * (null rates, cardinalities, lexicographic ranges feed schema
+    * inference, partition-key selection, and quality gates). One
+    * aggregate pass PER COLUMN, unioned: each is map-side combined,
+    * and Spark executes the union's branches over the same scan
+    * (ReusedExchange / scan reuse), so the corpus reads once per
+    * branch at worst — at 100 TB the multi-column variant folds into
+    * a single agg with one struct per column; the per-column UNION
+    * here keeps the long-format output the oracle can pin.
+    * Profiled columns are int/string only: double and timestamp
+    * rendering differs across engines, so their profile goes through
+    * typed mins (q13) instead of string casts. */
+  val ProfileCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  def q94Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    ProfileCols.map { c =>
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c).cast("string")).as("min_s"),
+        max(col(c).cast("string")).as("max_s"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_.union(_)).orderBy("column")
+  }
+
+  val q94Sql: String = {
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |  COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_s,
+         |  MAX(CAST($c AS VARCHAR)) AS max_s FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$branches\nORDER BY "column""""
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_profile" -> (q94Profile _),
     "q86_bloom_join" -> (q86BloomJoin _),
     "q75_pivot" -> (q75Pivot _),
     "q76_unpivot" -> (q76Unpivot _),
@@ -824,6 +866,7 @@ object Relational {
     "q54_range_join" -> (q54RangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q94_profile" -> q94Sql,
     "q86_bloom_join" -> q86Sql,
     "q75_pivot" -> q75Sql,
     "q76_unpivot" -> q76Sql,
