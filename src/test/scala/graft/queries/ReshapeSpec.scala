@@ -57,6 +57,19 @@ class ReshapeSpec extends SparkSuite {
     assert(math.abs(s - 1.0) < 1e-3, s"shares must sum to ~1, got $s")
   }
 
+  test("q89 weighted sample is stable under repartitioning") {
+    val a = Sampling.q89WeightedSample(spark, dir).collect().map(_.toString)
+    val b = Sampling.q89WeightedSample(spark, dir).collect().map(_.toString)
+    assert(a.sameElements(b))
+    assert(a.length == Sampling.WeightedK)
+  }
+
+  test("q90 cumulative distribution ends at exactly 1") {
+    val rows = EventAnalytics.q90Histogram(spark, dir)
+      .orderBy(col("bin").desc).limit(1).collect()
+    assert(rows.head.getAs[Double]("cum_frac") == 1.0)
+  }
+
   test("q79 degree totals equal twice the verified pair count") {
     val degSum = Dedup.qDupDegree(spark, dir)
       .agg(sum("degree")).head().getLong(0)
