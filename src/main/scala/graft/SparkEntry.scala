@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, EventAnalytics, Multimodal, PipelineQueries, Relational, Sampling, Similarity, StreamingQueries, TextAnalysis}
+import graft.queries.{Curation, Dedup, EventAnalytics, Multimodal, PipelineQueries, Relational, Sampling, Similarity, StreamingQueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ PipelineQueries.queries ++ Multimodal.queries ++
-      StreamingQueries.queries ++ EventAnalytics.queries ++ Sampling.queries
+      StreamingQueries.queries ++ EventAnalytics.queries ++ Sampling.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ PipelineQueries.oracles ++ Multimodal.oracles ++
-      StreamingQueries.oracles ++ EventAnalytics.oracles ++ Sampling.oracles
+      StreamingQueries.oracles ++ EventAnalytics.oracles ++ Sampling.oracles ++
+      Curation.oracles
 }

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-curation and data-lifecycle operators: SCD2 change history,
+  * funnel analysis, fixed-weight model-inference scoring, Z-order
+  * layout for data skipping, inverted-index posting lists, bigram
+  * language-model frequency filtering, and two sketch-vs-exact rows
+  * (CountMinSketch heavy hitters, approximate quantiles).
+  *
+  * Scale notes (100 TB):
+  *  - q95/q96 shuffle once on `user_id`; every later stage (windows,
+  *    the funnel's three per-stage aggregations) reuses that key, so
+  *    AQE keeps the stages co-partitioned — no second wide exchange.
+  *  - q97 is a pure scan-local linear-model inference pass: zero
+  *    shuffles, whole-stage codegen, and ONLY exactly-specified IEEE
+  *    ops (+ - * /) in a fixed evaluation order, so the logit is
+  *    bit-identical across engines and partitionings. The sigmoid is
+  *    monotone, so thresholding the logit IS thresholding the
+  *    probability — we never call `exp` (libm, not exactly specified).
+  *  - q98's Morton code is the LAYOUT operator: sort 100 TB by `z`
+  *    once at write time and parquet row-group min/max stats prune
+  *    BOTH dimensions of a rectangle probe; the per-bucket span
+  *    columns are exactly those stats, and `probe_hit` counts the
+  *    row groups a probe would actually read.
+  *  - q99 ranks tokens by document frequency FIRST (one token-keyed
+  *    shuffle + TakeOrderedAndProject for the top-k), then builds
+  *    posting lists only for the winners via a broadcast semi-join —
+  *    the full posting table (corpus-sized) is never materialized.
+  *  - q100's bigram table is vocabulary-squared-bounded, far smaller
+  *    than the corpus; the join back to doc bigrams shuffles on the
+  *    bigram key. Beyond-memory vocabularies swap the exact count
+  *    relation for a broadcast count-min sketch (q101 is that sketch,
+  *    oracle-checked against its own exact twin).
+  */
+object Curation {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------- q95 scd2
+  /** Slowly-changing-dimension type-2 history from an event log: per
+    * user, each run of consecutive equal `event_type` becomes one
+    * validity period `[valid_from_us, valid_to_us)`; the open period
+    * has NULL valid_to. This is the CDC/merge primitive a pipeline
+    * uses to snapshot mutable upstream state (the reference's
+    * incremental export is the degenerate "latest only" case of it).
+    * One shuffle on user_id; both windows and the filter run inside
+    * that partitioning. */
+  def q95Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+  }
+
+  val q95Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |c AS (SELECT *, lag(event_type) OVER
+      |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+      |f AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from_us,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM f""".stripMargin
+
+  // -------------------------------------------------------- q96 funnel
+  /** Ordered funnel: users whose first `view` precedes a `click`
+    * precedes a `purchase`, each stage strictly after the previous
+    * stage's first hit. Three aggregations all keyed on user_id — at
+    * 100 TB the three stages share one hash partitioning (the joins
+    * are key-to-key; AQE broadcasts the shrinking stage sets at small
+    * SF, co-partitions them at scale). */
+  def q96Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  val q96Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts_us) AS t_click FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts_us > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts_us) AS t_purchase FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_click,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin
+
+  // --------------------------------------------------- q97 model score
+  /** Fixed-weight linear-model quality filter (the fasttext-style
+    * classifier gate every corpus pipeline runs): hand-shipped weights
+    * over cheap text features, emitted as a LOGIT (sigmoid is
+    * monotone; thresholding the logit avoids libm `exp`, keeping the
+    * score bit-identical across engines). Scan-local, zero shuffle. */
+  def q97ModelScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars_d", length(col("text")).cast("double"))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t IN ('the','a','of','to','and')))")
+          .cast("double") / col("n_tokens").cast("double"))
+      .withColumn("digit_ratio",
+        (col("n_chars_d") -
+          length(regexp_replace(col("text"), "[0-9]", "")).cast("double")) /
+          col("n_chars_d"))
+      .withColumn("upper_ratio",
+        (col("n_chars_d") -
+          length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")) /
+          col("n_chars_d"))
+      .withColumn("logit", round(
+        lit(-1.5) + lit(6.0) * col("stop_ratio") - lit(8.0) * col("digit_ratio")
+          - lit(4.0) * col("upper_ratio")
+          + lit(0.01) * col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("logit"),
+        when(col("logit") >= 0.5, "keep")
+          .when(col("logit") >= -0.5, "review")
+          .otherwise("drop").as("decision"))
+      .orderBy("doc_id")
+
+  val q97Sql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, len(toks) AS n_tokens,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+      |  (CAST(length(text) AS DOUBLE) -
+      |    CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE))
+      |    / CAST(length(text) AS DOUBLE) AS digit_ratio,
+      |  (CAST(length(text) AS DOUBLE) -
+      |    CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE))
+      |    / CAST(length(text) AS DOUBLE) AS upper_ratio
+      | FROM t),
+      |l AS (SELECT doc_id, round(-1.5 + 6.0 * stop_ratio - 8.0 * digit_ratio
+      |  - 4.0 * upper_ratio + 0.01 * CAST(n_tokens AS DOUBLE), 6) AS logit FROM f)
+      |SELECT doc_id, logit,
+      |  CASE WHEN logit >= 0.5 THEN 'keep'
+      |       WHEN logit >= -0.5 THEN 'review' ELSE 'drop' END AS decision
+      |FROM l ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- q98 zorder
+  /** Z-order (Morton) layout audit: interleave the low 8 bits of two
+    * scan dimensions, bucket by the high Z bits (a stand-in for a
+    * parquet row group after a global sort on `z`), and report each
+    * bucket's per-dimension min/max — exactly the stats a reader uses
+    * to skip row groups. `probe_hit` marks buckets a rectangle probe
+    * (px∈[32,47], sx∈[96,127]) would actually read; the Z-curve keeps
+    * both spans ≤ 7 per bucket so the hit fraction ≈ the probe's area
+    * fraction, not a full-dimension stripe. */
+  private val MortonBits = 8
+
+  private def mortonSparkExpr(x: String, y: String): String =
+    (0 until MortonBits).map { i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+
+  private def mortonDuckExpr(x: String, y: String): String =
+    (0 until MortonBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  def q98Zorder(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sx"))
+      .withColumn("z", expr(mortonSparkExpr("px", "sx")))
+      .withColumn("bucket", expr("z div 64"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("px").as("min_px"), max("px").as("max_px"),
+        min("sx").as("min_sx"), max("sx").as("max_sx"))
+      .withColumn("probe_hit",
+        (col("min_px") <= 47 && col("max_px") >= 32 &&
+          col("min_sx") <= 127 && col("max_sx") >= 96).cast("int"))
+      .orderBy("bucket")
+
+  val q98Sql: String =
+    s"""WITH b AS (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx FROM lineitem),
+       |z AS (SELECT px, sx, ${mortonDuckExpr("px", "sx")} AS z FROM b),
+       |g AS (SELECT z // 64 AS bucket, COUNT(*) AS n,
+       |  MIN(px) AS min_px, MAX(px) AS max_px,
+       |  MIN(sx) AS min_sx, MAX(sx) AS max_sx FROM z GROUP BY 1)
+       |SELECT bucket, n, min_px, max_px, min_sx, max_sx,
+       |  CAST(min_px <= 47 AND max_px >= 32 AND min_sx <= 127 AND max_sx >= 96
+       |       AS INTEGER) AS probe_hit
+       |FROM g ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------- q99 posting lists
+  /** Inverted-index build for the highest-document-frequency tokens:
+    * rank tokens by df first (one token-keyed shuffle, top-k via
+    * TakeOrderedAndProject), then assemble sorted posting lists ONLY
+    * for the winners through a broadcast semi-join — the corpus-sized
+    * posting table is never materialized. The search-index primitive
+    * of corpus tooling (and the provenance index for dedup audits). */
+  def q99PostingLists(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+    val top = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(10)
+    pairs.join(broadcast(top), "token")
+      .groupBy("token", "df")
+      .agg(array_join(
+        transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
+        ",").as("postings"))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
+  val q99Sql: String =
+    """WITH p AS (SELECT DISTINCT doc_id, t.token
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      |  WHERE length(t.token) > 0),
+      |top AS (SELECT token, COUNT(*) AS df FROM p GROUP BY 1
+      |  ORDER BY df DESC, token LIMIT 10)
+      |SELECT p.token, top.df,
+      |  string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+      |FROM p JOIN top ON p.token = top.token
+      |GROUP BY 1, 2 ORDER BY top.df DESC, p.token""".stripMargin
+
+  // ----------------------------------------------------- q100 bigram lm
+  /** Bigram language-model frequency filter: each document's mean
+    * corpus frequency of its bigrams — the exact-arithmetic stand-in
+    * for perplexity filtering (low mean bigram frequency ≈ improbable
+    * text ≈ boilerplate/garble; no libm log, so the score is exact).
+    * Docs with fewer than two tokens have no bigrams and drop out in
+    * both engines. */
+  def q100BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bigrams", expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
+      .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("freq"))
+    bg.join(counts, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("freq")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_freq"))
+      .orderBy("doc_id")
+  }
+
+  val q100Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, b.bigram FROM t, unnest(
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      |  ) AS b(bigram)),
+      |c AS (SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY 1)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(c.freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_freq
+      |FROM bg JOIN c ON bg.bigram = c.bigram GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------- q101 cms heavy
+  /** CountMinSketch heavy hitters beside their exact counts (rows-only
+    * oracle channel, like q85's HLL): the sketch is a constant-size
+    * mergeable summary (depth × width longs) built in one distributed
+    * pass — the structure that replaces q100's exact count relation
+    * when the key space outgrows memory. Driver state is the sketch
+    * plus k result rows, both bounded. CurationSpec pins the CMS
+    * guarantee (est ≥ exact; overestimate ≤ eps·N at the configured
+    * confidence). */
+  def q101CmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val sketch = ev.stat.countMinSketch(col("user_id"), 0.001, 0.99, 42)
+    val topExact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10).collect()
+    topExact.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), sketch.estimateCount(r.getLong(0))))
+      .toDF("user_id", "exact_n", "est_n")
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  // ------------------------------------------------ q102 approx quantile
+  /** Approximate vs exact grouped quantiles side by side (rows-only
+    * channel: the GK-sketch merge is order-sensitive, so approx values
+    * are not bit-stable across partitionings — the paired exact column
+    * and CurationSpec's error-bound assertion are the contract). At
+    * 100 TB the exact column is the one that goes away; the sketch
+    * column is the survivor, with its accuracy pinned here. */
+  def q102ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile_approx(value, 0.99, 1000)").as("p99_approx"),
+        expr("percentile(value, 0.99)").as("p99_exact"),
+        expr("percentile(value, 0.97)").as("p97_exact"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_scd2" -> (q95Scd2 _),
+    "q96_funnel" -> (q96Funnel _),
+    "q97_model_score" -> (q97ModelScore _),
+    "q98_zorder" -> (q98Zorder _),
+    "q99_posting_lists" -> (q99PostingLists _),
+    "q100_bigram_lm" -> (q100BigramLm _),
+    "q101_cms_heavy" -> (q101CmsHeavy _),
+    "q102_approx_quantile" -> (q102ApproxQuantile _))
+
+  val oracles: Map[String, String] = Map(
+    "q95_scd2" -> q95Sql,
+    "q96_funnel" -> q96Sql,
+    "q97_model_score" -> q97Sql,
+    "q98_zorder" -> q98Sql,
+    "q99_posting_lists" -> q99Sql,
+    "q100_bigram_lm" -> q100Sql)
+}
