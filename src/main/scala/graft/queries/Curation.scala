@@ -312,6 +312,160 @@ object Curation {
         max(col("value")).as("max_value"))
       .orderBy("event_type")
 
+  // ------------------------------------------------------ q103 seq pack
+  /** Sequence packing — the pretraining batch-assembly primitive:
+    * concatenate all documents in doc_id order and chunk the token
+    * stream into fixed-capacity training sequences; each document
+    * reports its global token offset and the sequence ids it lands in.
+    *
+    * The global prefix sum is TWO-LEVEL, not a single global window
+    * (Window.orderBy without partitionBy collapses to one partition —
+    * wrong at 100 TB): a within-bucket running sum partitioned by a
+    * doc_id bucket, plus bucket totals whose own prefix sum runs over
+    * |buckets| rows (bounded, driver-safe) and broadcasts back. The
+    * DuckDB twin uses the plain global window — same arithmetic. */
+  val SeqCapacity = 512
+  private val PackBucket = 100
+
+  def q103SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr(s"doc_id div $PackBucket").as("bkt"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+    val inBkt = t.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = t.groupBy("bkt").agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    inBkt.join(broadcast(bktOff), "bkt")
+      .withColumn("start_off", col("boff") + col("cum_in") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_off div $SeqCapacity"))
+      .withColumn("last_seq",
+        expr(s"(start_off + n_tokens - 1) div $SeqCapacity"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  val q103Sql: String =
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    AS start_off FROM t)
+       |SELECT doc_id, n_tokens, start_off,
+       |  start_off // $SeqCapacity AS first_seq,
+       |  (start_off + n_tokens - 1) // $SeqCapacity AS last_seq,
+       |  (start_off + n_tokens - 1) // $SeqCapacity
+       |    - start_off // $SeqCapacity + 1 AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- q104 incremental dedup
+  /** Incremental (asymmetric) near-dedup: a NEW increment of documents
+    * (doc_id % 10 ∈ {8,9} — the fresh crawl) is deduplicated AGAINST
+    * the existing corpus (doc_id % 10 < 8), never against itself —
+    * the production shape where yesterday's corpus is immutable and
+    * only new arrivals are gated. Reuses the MinHash/LSH machinery of
+    * q37 (same shingles, signatures, band keys, Jaccard ≥ 0.5
+    * verify) but the band join is new×old only: candidate volume is
+    * |new| × collision rate, not corpus². Docs with no shingles get
+    * NULL band keys in both engines and are never candidates. */
+  def q104IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.signaturesOf(docs(s, dir))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until Dedup.NumBands).map(b => col(s"band$b")): _*)
+      .cache()
+    try {
+      val newSig = sig.filter(col("doc_id") % 10 >= 8)
+      val oldSig = sig.filter(col("doc_id") % 10 < 8)
+      val cand = (0 until Dedup.NumBands).map { b =>
+        newSig.select(col("doc_id").as("nid"), col(s"band$b").as("bk"))
+          .join(oldSig.select(col("doc_id").as("oid"), col(s"band$b").as("bk")),
+            "bk")
+          .select(col("nid"), col("oid"))
+      }.reduce(_ union _).distinct()
+      val kills = cand
+        .join(sig.select(col("doc_id").as("nid"), col("sh").as("sh_n")), "nid")
+        .join(sig.select(col("doc_id").as("oid"), col("sh").as("sh_o")), "oid")
+        .withColumn("jaccard",
+          expr("CAST(size(array_intersect(sh_n, sh_o)) AS DOUBLE) / " +
+            "CAST(size(array_distinct(concat(sh_n, sh_o))) AS DOUBLE)"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("nid")).distinct()
+      docs(s, dir).filter(col("doc_id") % 10 >= 8)
+        .join(kills.withColumn("killed", lit(1)),
+          col("doc_id") === col("nid"), "left")
+        .select(col("doc_id"), coalesce(col("killed"), lit(0)).as("killed"))
+        .orderBy("doc_id")
+    } finally sig.unpersist()
+  }
+
+  val q104Sql: String = {
+    val bandJoins = (0 until Dedup.NumBands).map { b =>
+      s"""  SELECT n.doc_id AS nid, o.doc_id AS oid
+         |    FROM banded n JOIN banded o ON n.band$b = o.band$b
+         |   WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""${Dedup.sigSqlCte},
+       |cand AS (
+       |$bandJoins),
+       |kills AS (SELECT DISTINCT nid FROM cand
+       |  JOIN banded x ON cand.nid = x.doc_id
+       |  JOIN banded y ON cand.oid = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5)
+       |SELECT d.doc_id, CASE WHEN k.nid IS NULL THEN 0 ELSE 1 END AS killed
+       |FROM documents d LEFT JOIN kills k ON d.doc_id = k.nid
+       |WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- q105 mix weights
+  /** Training-mix reweighting: per-source token shares against a
+    * declared target mix, emitting the sampling weight that moves the
+    * corpus to the target (weight > 1 = upsample, < 1 = downsample).
+    * The mixing step every pretraining run performs after curation.
+    * One map-side-combined aggregation to |sources| rows; the global
+    * total is a window over those bounded rows, never the corpus. */
+  private val BoostedSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  def q105MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val boosted = BoostedSources.map(x => s"'$x'").mkString(",")
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("total",
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("target",
+        expr(s"CASE WHEN source IN ($boosted) THEN CAST(0.08 AS DOUBLE) " +
+          "ELSE CAST(0.04 AS DOUBLE) END"))
+      .withColumn("cur_share", round(
+        col("n_tokens").cast("double") / col("total").cast("double"), 6))
+      .withColumn("weight", round(
+        col("target") * col("total").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("cur_share"), col("weight"))
+      .orderBy("source")
+  }
+
+  val q105Sql: String = {
+    val boosted = BoostedSources.map(x => s"'$x'").mkString(",")
+    s"""WITH t AS (SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |g AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+       |  CASE WHEN source IN ($boosted) THEN CAST(0.08 AS DOUBLE)
+       |       ELSE CAST(0.04 AS DOUBLE) END AS target FROM t)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cur_share,
+       |  round(target * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS weight
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_scd2" -> (q95Scd2 _),
@@ -321,7 +475,10 @@ object Curation {
     "q99_posting_lists" -> (q99PostingLists _),
     "q100_bigram_lm" -> (q100BigramLm _),
     "q101_cms_heavy" -> (q101CmsHeavy _),
-    "q102_approx_quantile" -> (q102ApproxQuantile _))
+    "q102_approx_quantile" -> (q102ApproxQuantile _),
+    "q103_seq_pack" -> (q103SeqPack _),
+    "q104_incremental_dedup" -> (q104IncrementalDedup _),
+    "q105_mix_weights" -> (q105MixWeights _))
 
   val oracles: Map[String, String] = Map(
     "q95_scd2" -> q95Sql,
@@ -329,5 +486,8 @@ object Curation {
     "q97_model_score" -> q97Sql,
     "q98_zorder" -> q98Sql,
     "q99_posting_lists" -> q99Sql,
-    "q100_bigram_lm" -> q100Sql)
+    "q100_bigram_lm" -> q100Sql,
+    "q103_seq_pack" -> q103Sql,
+    "q104_incremental_dedup" -> q104Sql,
+    "q105_mix_weights" -> q105Sql)
 }

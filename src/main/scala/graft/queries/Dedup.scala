@@ -109,7 +109,7 @@ object Dedup {
     }.withColumn("simhash", expr(simhashSpark))
   }
 
-  private def sigSqlCte: String = {
+  private[queries] def sigSqlCte: String = {
     val hs = HashCoeffs.zipWithIndex.map { case ((a, b), k) =>
       s"list_min(list_transform(sh, x -> ($a * (x % $P) + $b) % $P)) AS h$k"
     }.mkString(",\n")

@@ -117,6 +117,55 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q103 packed sequences are contiguous and conserve the token stream") {
+    val df = Curation.q103SeqPack(spark, dir).cache()
+    try {
+      val totalTokens = graft.core.Tables.load(spark, dir, "documents")
+        .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+      // conservation: the last doc ends exactly at the stream length
+      val end = df.agg(max(col("start_off") + col("n_tokens"))).head().getLong(0)
+      assert(end == totalTokens)
+      // contiguity: each doc starts where the previous one ended —
+      // the two-level prefix sum must equal the naive global one
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val gaps = df.withColumn("prev_end",
+          lag(col("start_off") + col("n_tokens"), 1, 0L).over(w))
+        .filter(col("start_off") =!= col("prev_end")).count()
+      assert(gaps == 0, "two-level prefix sum must be gap-free")
+      // a doc spans ceil-ish sequence count
+      assert(df.filter(col("n_seqs") < 1 ||
+        col("last_seq") < col("first_seq")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("q104 incremental dedup kills only new docs, and some of them") {
+    val df = Curation.q104IncrementalDedup(spark, dir).cache()
+    try {
+      val nNew = graft.core.Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 >= 8).count()
+      assert(df.count() == nNew, "every new doc must be reported")
+      val killed = df.filter(col("killed") === 1).count()
+      assert(killed > 0, "fixture contains near-dups of the old corpus")
+      assert(killed < nNew, "not every new doc is a duplicate")
+    } finally df.unpersist()
+  }
+
+  test("q105 mix weights move the corpus to the declared target") {
+    val rows = Curation.q105MixWeights(spark, dir).collect()
+    val shareSum = rows.map(_.getAs[Double]("cur_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares must sum to 1: $shareSum")
+    for (r <- rows) {
+      // weight * current share recovers the target share (up to the
+      // 6-dp rounding of both factors)
+      val target = if (Seq("src0", "src1", "src2", "src3", "src4")
+        .contains(r.getAs[String]("source"))) 0.08 else 0.04
+      val recovered = r.getAs[Double]("weight") * r.getAs[Double]("cur_share")
+      assert(math.abs(recovered - target) < 1e-4,
+        s"${r.getAs[String]("source")}: $recovered != $target")
+    }
+  }
+
   test("q102 approximate quantiles stay near their exact twins") {
     val rows = Curation.q102ApproxQuantile(spark, dir).collect()
     assert(rows.nonEmpty)
