@@ -466,8 +466,83 @@ object Curation {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  // ----------------------------------------- q107 leakage-safe split
+  /** Group-aware train/test split: a document's split is a
+    * deterministic hash of its DUPLICATE GROUP, not of the doc itself
+    * — near-identical docs never straddle train/test (the eval-
+    * leakage bug a per-doc split has by construction; every serious
+    * pretraining pipeline splits by cluster). Groups come from q63's
+    * connected components over the verified LSH near-dup graph;
+    * singleton docs (no near-dup) are their own group. The components
+    * relation is |docs-in-the-dup-graph|-sized — one doc_id equi-join
+    * against the corpus, then the split is scan-local integer
+    * arithmetic (identical in both engines; no salt/RNG, so the split
+    * is reproducible run-over-run — an audit requirement). */
+  def q107LeakSplit(s: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.qDedupGroups(s, dir)
+      .select(col("doc_id"), col("group_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("split",
+        when(expr("(grp * 1000003) % 10") < 8, lit("train"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("grp"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val q107Sql: String =
+    s"""WITH groups AS (
+       |  SELECT doc_id, group_id FROM (${Dedup.qDedupGroupsSql}) g),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id)
+       |SELECT doc_id, grp,
+       |  CASE WHEN (grp * 1000003) % 10 < 8 THEN 'train' ELSE 'test' END AS split
+       |FROM assigned ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- q109 doc chunking
+  /** Fixed-window document chunking with overlap (the RAG / context-
+    * window splitter): token windows of [[ChunkWindow]] at stride
+    * [[ChunkStride]], emitting per-chunk offsets and an md5 of the
+    * chunk text (narrow output; the text itself would multiply the
+    * corpus by window/stride). Entirely scan-local — the sequence
+    * fan-out explodes in place, no shuffle, no window function — so
+    * it pipelines into whatever writes the chunk table. Token = the
+    * q51 whitespace convention shared by every text query. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  def q109Chunk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tok_start",
+        explode(expr(s"sequence(0L, n_tokens - 1, $ChunkStride)")))
+      .withColumn("tok_len",
+        least(lit(ChunkWindow.toLong), col("n_tokens") - col("tok_start")))
+      .select(col("doc_id"),
+        expr(s"tok_start div $ChunkStride").as("chunk_idx"),
+        col("tok_start"), col("tok_len"),
+        md5(concat_ws(" ",
+          expr("slice(toks, tok_start + 1, tok_len)"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q109Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+       |c AS (SELECT doc_id, toks, n_tokens,
+       |  unnest(range(0, n_tokens, $ChunkStride)) AS tok_start FROM n)
+       |SELECT doc_id, tok_start // $ChunkStride AS chunk_idx, tok_start,
+       |  least($ChunkWindow, n_tokens - tok_start) AS tok_len,
+       |  md5(array_to_string(list_slice(toks, tok_start + 1,
+       |    tok_start + least($ChunkWindow, n_tokens - tok_start)), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_leak_split" -> (q107LeakSplit _),
+    "q109_chunk" -> (q109Chunk _),
     "q95_scd2" -> (q95Scd2 _),
     "q96_funnel" -> (q96Funnel _),
     "q97_model_score" -> (q97ModelScore _),
@@ -481,6 +556,8 @@ object Curation {
     "q105_mix_weights" -> (q105MixWeights _))
 
   val oracles: Map[String, String] = Map(
+    "q107_leak_split" -> q107Sql,
+    "q109_chunk" -> q109Sql,
     "q95_scd2" -> q95Sql,
     "q96_funnel" -> q96Sql,
     "q97_model_score" -> q97Sql,

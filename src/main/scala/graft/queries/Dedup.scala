@@ -532,7 +532,7 @@ object Dedup {
   // qDedupGroups calls (bench reps) would otherwise re-verify the LSH
   // pair graph each time.
   @transient private var cachedCcEdges: Option[(String, DataFrame)] = None
-  private def ccEdges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def ccEdges(s: SparkSession, dir: String): DataFrame =
     synchronized {
       cachedCcEdges match {
         case Some((d, df)) if d == dir => df
@@ -632,7 +632,10 @@ object Dedup {
       .agg(count(lit(1)).as("degree"))
       .orderBy("doc_id")
 
-  val qDupDegreeSql: String = {
+  /** WITH-prefix ending in the bidirectional verified edge relation
+    * `edges(d1, d2)` — the SQL twin of [[ccEdges]], shared by the
+    * degree (q79) and PageRank (q111) oracles. */
+  private[queries] val edgesSqlCte: String = {
     val bandJoins = (0 until NumBands).map { bd =>
       s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
          |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
@@ -647,10 +650,13 @@ object Dedup {
        |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
        |            JOIN banded y ON cand.d2 = y.doc_id),
        |edges AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.5
-       |  UNION ALL SELECT d2, d1 FROM verified WHERE jaccard >= 0.5)
+       |  UNION ALL SELECT d2, d1 FROM verified WHERE jaccard >= 0.5)""".stripMargin
+  }
+
+  val qDupDegreeSql: String =
+    s"""$edgesSqlCte
        |SELECT d1 AS doc_id, COUNT(*) AS degree FROM edges
        |GROUP BY d1 ORDER BY doc_id""".stripMargin
-  }
 
   // ------------------------------------------- q60 decontamination
   /** Benchmark decontamination: flag training documents sharing any

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.queries.Relational.dsum
@@ -318,8 +319,86 @@ object EventAnalytics {
        |      CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_frac
        |FROM b ORDER BY bin""".stripMargin
 
+  // ------------------------------------------- q108 trailing window
+  /** Trailing time-RANGE window: for every event, the count and exact
+    * sum of `value` over the same user's preceding hour (including
+    * the row) — the rolling-feature primitive (rate limiting, burst
+    * detection, per-entity trailing stats). A rows-frame can't
+    * express "the last hour" (event spacing is irregular); Spark's
+    * `rangeBetween` over epoch-micros is the native form, and the
+    * frame attaches to the one user_id shuffle — no self-join, no
+    * interval explosion (the self-join rewrite of this query is q54's
+    * BNLJ trap). The framed sum routes through DECIMAL(25,6): range
+    * frames are evaluated by retracting/segment-tree strategies that
+    * differ between engines, so only an order-independent-exact sum
+    * is comparable. Ties at the same microsecond are fine: a RANGE
+    * frame includes ALL peers of the current timestamp in both
+    * engines. */
+  def q108TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000L * 1000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-hourUs, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("value").cast(DecimalType(25, 6)).as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("v")).over(w).cast("double"))
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
+  val q108Sql: String =
+    """SELECT event_id, user_id,
+      |COUNT(*) OVER w AS n_1h,
+      |CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------- q110 winsorize
+  /** Winsorized per-group statistics: clip `value` to its group's
+    * [p05, p95] (exact interpolated percentiles — the q69 primitive),
+    * then report the clipped mean beside the raw mean — the robust-
+    * stats gate that tames heavy tails before z-scoring or model
+    * features. Two passes over one user-invisible shuffle key
+    * (event_type): pass 1 aggregates the clip bounds (map-side
+    * combined), pass 2 re-scans with the BOUNDS BROADCAST back — the
+    * fact side never reshuffles (the q71 stats-broadcast shape).
+    * Clipping compares doubles against the interpolated bound — the
+    * same IEEE compare in both engines; the clipped sum then routes
+    * through DECIMAL so the means are bit-stable. */
+  def q110Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(first(col("p05")), 4).as("p05"),
+        round(first(col("p95")), 4).as("p95"),
+        round(dsum(col("value")) / count(lit(1)), 4).as("mean_raw"),
+        round(dsum(col("clipped")) / count(lit(1)), 4).as("mean_wins"))
+      .orderBy("event_type")
+  }
+
+  val q110Sql: String =
+    """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
+      |  quantile_cont(value, 0.95) AS p95 FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |round(ANY_VALUE(b.p05), 4) AS p05, round(ANY_VALUE(b.p95), 4) AS p95,
+      |round(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+      |round(CAST(SUM(CAST(least(greatest(e.value, b.p05), b.p95) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_wins
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_trailing_window" -> (q108TrailingWindow _),
+    "q110_winsorize" -> (q110Winsorize _),
     "q90_histogram" -> (q90Histogram _),
     "q87_gap_fill" -> (q87GapFill _),
     "q85_approx_distinct" -> (q85ApproxDistinct _),
@@ -331,6 +410,8 @@ object EventAnalytics {
     "q73_json_extract" -> (q73JsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q108_trailing_window" -> q108Sql,
+    "q110_winsorize" -> q110Sql,
     "q90_histogram" -> q90Sql,
     "q87_gap_fill" -> q87Sql,
     "q84_topk_pruned" -> q84Sql,

@@ -575,6 +575,88 @@ object Relational {
       | AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
       |ORDER BY p_id, i_id""".stripMargin
 
+  // -------------------------------------------------------------- Q106
+  // Interval-OVERLAP join (interval×interval, vs q54's point-in-
+  // interval): error windows [ts, ts+1h] × purchase windows
+  // [ts-30m, ts+30m] for the same user — "which purchases happened
+  // close enough to an error to be affected". The naive double-
+  // inequality join is a BroadcastNestedLoopJoin;
+  // graft.operators.OverlapJoin buckets BOTH sides at the max
+  // interval length so it runs as a hash equi-join on (user_id,
+  // bucket) with ≤2× replication and a canonical-bucket filter in
+  // place of a dedup shuffle. Both windows are constructed with a
+  // known span, so the guard scans are skipped via knownMaxInterval.
+  // Oracle = DuckDB's plain inequality join over the same windows.
+  def q106OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourNanos = 3600L * 1000L * 1000L * 1000L
+    val halfHourNanos = hourNanos / 2
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_start"), (col("ts") + hourNanos).as("l_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (col("ts") - halfHourNanos).as("p_start"),
+        (col("ts") + halfHourNanos).as("p_end"))
+    graft.operators.OverlapJoin.overlap(errors, purchases, "user_id",
+      "l_start", "l_end", "p_start", "p_end", Seq("event_id"),
+      bucketWidth = hourNanos, knownMaxInterval = Some(hourNanos))
+      .select(col("l_id"), col("user_id"), col("r_event_id").as("r_id"))
+      .orderBy("l_id", "r_id")
+  }
+
+  val q106Sql: String =
+    """SELECT e.event_id AS l_id, e.user_id AS user_id, p.event_id AS r_id
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND e.ts <= p.ts + INTERVAL 30 MINUTE
+      | AND p.ts - INTERVAL 30 MINUTE <= e.ts + INTERVAL 1 HOUR
+      |ORDER BY l_id, r_id""".stripMargin
+
+  // -------------------------------------------------------------- Q112
+  // 2-D skyline (Pareto frontier): customers not dominated on
+  // (order count, total spend) — dominated = another customer ≥ on
+  // both and > on one. The quadratic NOT EXISTS form never runs on
+  // the big side: dominance against the whole set only needs, per
+  // distinct x, the max y at that x and the strict-prefix max over
+  // larger x. So: one map-side-combined aggregation to per-customer
+  // points, one tiny aggregation to |distinct n_orders| rows, a
+  // window over THOSE (bounded by construction — order counts, not
+  // customers), and a broadcast join back. Spend stays DECIMAL
+  // through every comparison (bit-stable across engines/partition-
+  // ings); the oracle is DuckDB's literal NOT-EXISTS-free rewrite of
+  // the same frontier.
+  def q112Skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(25, 6))).as("spend_d"))
+    val perX = pts.groupBy(col("n_orders"))
+      .agg(max(col("spend_d")).as("max_y"))
+      .withColumn("m", max(col("max_y")).over(
+        Window.orderBy(col("n_orders").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    pts.join(broadcast(perX), "n_orders")
+      .filter(col("spend_d") === col("max_y") &&
+        (col("m").isNull || col("spend_d") > col("m")))
+      .select(col("custkey"), col("n_orders"),
+        col("spend_d").cast(DoubleType).as("spend"))
+      .orderBy("custkey")
+  }
+
+  val q112Sql: String =
+    """WITH pts AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |  SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS spend_d FROM orders GROUP BY 1),
+      |px AS (SELECT n_orders, MAX(spend_d) AS max_y FROM pts GROUP BY 1),
+      |pm AS (SELECT n_orders, max_y, MAX(max_y) OVER
+      |  (ORDER BY n_orders DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      |  FROM px)
+      |SELECT custkey, pts.n_orders, CAST(spend_d AS DOUBLE) AS spend
+      |FROM pts JOIN pm ON pts.n_orders = pm.n_orders
+      |WHERE spend_d = max_y AND (m IS NULL OR spend_d > m)
+      |ORDER BY custkey""".stripMargin
+
   // --------------------------------------------------------------- Q19
   // Skew-salted equi-join, oracle-checked for EXACTNESS: lineitem ⋈
   // orders revenue-by-priority computed through
@@ -863,7 +945,9 @@ object Relational {
     "q45_tpch_q5" -> (q45TpchQ5 _),
     "q46_tpch_q14" -> (q46TpchQ14 _),
     "q53_asof_join" -> (q53AsofJoin _),
-    "q54_range_join" -> (q54RangeJoin _))
+    "q54_range_join" -> (q54RangeJoin _),
+    "q106_overlap_join" -> (q106OverlapJoin _),
+    "q112_skyline" -> (q112Skyline _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -895,5 +979,7 @@ object Relational {
     "q45_tpch_q5" -> q45Sql,
     "q46_tpch_q14" -> q46Sql,
     "q53_asof_join" -> q53Sql,
-    "q54_range_join" -> q54Sql)
+    "q54_range_join" -> q54Sql,
+    "q106_overlap_join" -> q106Sql,
+    "q112_skyline" -> q112Sql)
 }
