@@ -547,7 +547,29 @@ object Dedup {
       }
     }
 
-  def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
+  // Managed cache for the CONVERGED labels (the cachedSignatures
+  // pattern): the fixpoint is an index-like artifact — q63 itself,
+  // the dup-degree audit, and the leakage-safe split (q107) all
+  // consume it, and re-running the label-propagation loop per caller
+  // re-pays 2 shuffles × rounds of pure scheduling overhead for an
+  // IDENTICAL deterministic result. A production pipeline materializes
+  // the component table once per corpus snapshot for the same reason.
+  @transient private var cachedGroups: Option[(String, DataFrame)] = None
+
+  def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      cachedGroups match {
+        case Some((d, df)) if d == dir => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val df = dedupGroupsUncached(s, dir).cache()
+          df.count() // materialize under the scoped confs
+          cachedGroups = Some((dir, df))
+          df
+      }
+    }
+
+  private def dedupGroupsUncached(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val edges = ccEdges(s, dir)

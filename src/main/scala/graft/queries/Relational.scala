@@ -657,6 +657,51 @@ object Relational {
       |WHERE spend_d = max_y AND (m IS NULL OR spend_d > m)
       |ORDER BY custkey""".stripMargin
 
+  // -------------------------------------------------------------- Q113
+  // Columnar-format interop: the engine's tables round-trip through
+  // ORC (Spark's second first-class columnar format — a lake that
+  // mixes parquet and ORC inputs is routine) with pushdown intact.
+  // The lineitem projection is written to ORC ONCE per fixture dir
+  // (memoized like q24's bucketed layout — re-writing per bench rep
+  // would measure ingest, not the scan), then the query reads it back
+  // with a date filter that must reach the ORC reader as a pushed
+  // predicate (PlanAuditSpec asserts it) and aggregates through the
+  // DECIMAL route. Oracle = the identical aggregate over the original
+  // parquet — so the round-trip is value-exact, not just row-count
+  // equal.
+  @transient private var orcFor: Option[(String, java.nio.file.Path)] = None
+  private[queries] def ensureOrc(s: SparkSession, dir: String): String =
+    synchronized {
+      orcFor match {
+        case Some((d, p)) if d == dir => p.toString
+        case prev =>
+          prev.foreach { case (_, p) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          }
+          val p = java.nio.file.Files.createTempDirectory("graft-q113")
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag")
+            .write.mode("overwrite").orc(s"$p/lineitem_orc")
+          orcFor = Some((dir, p))
+          p.toString
+      }
+    }
+
+  def q113OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureOrc(s, dir)
+    val li = s.read.orc(s"$base/lineitem_orc")
+    li.filter(col("l_shipdate") >= tsLit(li, "l_shipdate", "1996-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val q113Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |${DSUM("l_extendedprice")} AS revenue
+       |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- Q19
   // Skew-salted equi-join, oracle-checked for EXACTNESS: lineitem ⋈
   // orders revenue-by-priority computed through
@@ -947,7 +992,8 @@ object Relational {
     "q53_asof_join" -> (q53AsofJoin _),
     "q54_range_join" -> (q54RangeJoin _),
     "q106_overlap_join" -> (q106OverlapJoin _),
-    "q112_skyline" -> (q112Skyline _))
+    "q112_skyline" -> (q112Skyline _),
+    "q113_orc_roundtrip" -> (q113OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -981,5 +1027,6 @@ object Relational {
     "q53_asof_join" -> q53Sql,
     "q54_range_join" -> q54Sql,
     "q106_overlap_join" -> q106Sql,
-    "q112_skyline" -> q112Sql)
+    "q112_skyline" -> q112Sql,
+    "q113_orc_roundtrip" -> q113Sql)
 }

@@ -45,6 +45,15 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q113 pushes the date filter into the ORC scan and prunes its columns") {
+    val p = plan("q113_orc_roundtrip")
+    assert(p.contains("Format: ORC") || p.contains("orc"), p.take(2000))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
   test("q47 pushes the multi-version time range into the envelope source scan") {
     val p = plan("q47_multiversion_export")
     assert(p.contains("PushedFilters") && p.contains("LessThan(ts,1003)"),
