@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally routes through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is what broke the
+// driver's last-line JSON parse of Bench/Verify stdout in every
+// shipped BENCH_r*.json. StdoutOutput inherits the parent stdout
+// directly: no prefix, no re-buffering.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time ..." banner lands after our printed
+// line and defeats that parse (every shipped BENCH_r*.json carries
+// `parsed: null`). Suppress the banner so the program's own final
+// println IS the last line of stdout.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

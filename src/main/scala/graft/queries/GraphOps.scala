@@ -71,10 +71,63 @@ object GraphOps {
        |SELECT id AS doc_id, pr AS rank_e9 FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- q114 triangles
+  /** Triangle census of the near-dup graph: triangle count, wedge
+    * (open-triad) count, and the global clustering coefficient — the
+    * structural audit that separates clique-like template families
+    * (closure → 1) from chain/star link patterns (closure → 0), which
+    * decides whether q63's group-level "keep one" is safe or splits
+    * real content.
+    *
+    * Shape: each undirected edge is enumerated once as (lo, hi); the
+    * path join canon(a,b)⋈canon(b,c) builds each ordered wedge a<b<c
+    * exactly once and the closing-edge join on (a,c) verifies the
+    * triangle — two hash joins over narrow int pairs, so each triangle
+    * is counted exactly once with no post-hoc /6. Wedges come from the
+    * bidirectional degree in one map-side-combined aggregate. At
+    * production scale the orientation should be by DEGREE (low-degree
+    * → high-degree node), which bounds the path join's fan-out per
+    * node by sqrt(|E|) even on viral hubs; the id orientation used
+    * here keeps the oracle join order deterministic and is identical
+    * in cost on the near-uniform fixture graph. The closure ratio is
+    * a single IEEE divide of two exact integers — deterministic across
+    * engines (no libm). */
+  def q114Triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ccEdges(s, dir)
+    val canon = edges.filter(col("d1") < col("d2"))
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.d2") === col("e2.d1"))
+      .select(col("e1.d1").as("a"), col("e2.d2").as("c"))
+      .join(canon.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("triangles"))
+    val wedges = edges.groupBy("d1").agg(count(lit(1)).as("deg"))
+      .agg(expr("sum(deg * (deg - 1) div 2)").cast("long").as("wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("triangles"), col("wedges"),
+        when(col("wedges") === 0L, lit(0.0))
+          .otherwise(lit(3.0) * col("triangles") / col("wedges"))
+          .as("closure"))
+  }
+
+  val q114Sql: String =
+    s"""${Dedup.edgesSqlCte},
+       |canon AS (SELECT d1, d2 FROM edges WHERE d1 < d2),
+       |tri AS (SELECT COUNT(*) AS triangles
+       |  FROM canon e1 JOIN canon e2 ON e1.d2 = e2.d1
+       |  JOIN canon e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+       |wd AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM
+       |  (SELECT d1, COUNT(*) AS deg FROM edges GROUP BY 1))
+       |SELECT triangles, wedges,
+       |  CASE WHEN wedges = 0 THEN 0.0
+       |       ELSE 3.0 * triangles / wedges END AS closure
+       |FROM tri, wd""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q111_pagerank" -> (q111Pagerank _))
+    "q111_pagerank" -> (q111Pagerank _),
+    "q114_triangles" -> (q114Triangles _))
 
   val oracles: Map[String, String] = Map(
-    "q111_pagerank" -> q111Sql)
+    "q111_pagerank" -> q111Sql,
+    "q114_triangles" -> q114Sql)
 }

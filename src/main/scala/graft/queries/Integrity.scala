@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** Data-lifecycle integrity operators: CDC merge (upsert-apply), a
+  * declarative data-quality audit, an exact edit-distance-1 fuzzy
+  * self-join, and exact Spearman rank correlation.
+  *
+  * Scale notes (100 TB):
+  *  - q115's merge is ONE full-outer hash join between the base table
+  *    and the (much smaller) deduplicated change set; latest-change-
+  *    wins is a window over the change set only, never the base. At
+  *    warehouse scale the change side is typically < 1% of base, so
+  *    AQE broadcasts it and the base never shuffles.
+  *  - q116's checks are map-side-combined conditional counts (one
+  *    scan per table) plus NOT-EXISTS anti-joins whose key sides are
+  *    dimension-sized → broadcast; nothing wide ever shuffles.
+  *  - q120 is the deletion-neighborhood trick (SymSpell): a word of
+  *    length L expands to L+1 variant keys, so the candidate join is
+  *    a hash equi-join on variants — |vocab|·avg_len keys total —
+  *    instead of the |vocab|² cross product; `levenshtein` verifies
+  *    survivors. Deletion neighborhoods of radius 1 intersect IFF
+  *    edit distance ≤ 1, so the join is exact, not approximate.
+  *  - q122 shuffles once on the group key; both rank windows sort
+  *    locally inside that partitioning, and rho comes from exact
+  *    integer aggregates through single correctly-rounded IEEE
+  *    divides — bit-identical across engines (no libm).
+  */
+object Integrity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------ q115 merge
+  /** CDC merge / upsert-apply: a deterministic change feed (inserts,
+    * updates with a later-wins sequence, deletes) derived from
+    * `orders` is applied to the base table — the MERGE INTO primitive
+    * every mutable-source ingest needs (the reference's incremental
+    * export ships the change feed; this operator is the consumer
+    * side). Change rows: key%10==1 gets TWO updates (seq 2 wins),
+    * %10==3 one update, %10==2 a delete, %10==7 an insert under a
+    * fresh key. All price arithmetic stays DECIMAL so applied values
+    * are bit-stable across engines. */
+  def q115CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(26, 6)
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_totalprice").cast(DecimalType(25, 6)).as("bp"),
+      col("o_orderstatus").as("bs"))
+    def change(filterMod: Int, seq: Int, op: String,
+        nPrice: DataFrame => org.apache.spark.sql.Column,
+        nStatus: String, keyShift: Long = 0L): DataFrame = {
+      val src = ord.filter(col("k") % 10 === filterMod)
+      src.select((col("k") + keyShift).as("k"), lit(seq).as("seq"),
+        lit(op).as("op"), nPrice(src).cast(dec).as("np"),
+        (if (nStatus == null) lit(null).cast("string") else lit(nStatus)).as("ns"))
+    }
+    val changes =
+      change(1, 1, "U", _ => col("bp") + lit(BigDecimal("100.50")), "X")
+        .union(change(1, 2, "U", _ => col("bp") + lit(BigDecimal("200.25")), "Y"))
+        .union(change(3, 1, "U", _ => col("bp") + lit(BigDecimal("100.50")), "X"))
+        .union(change(2, 1, "D", _ => lit(null).cast(dec), null))
+        .union(change(7, 1, "I", _ => lit(BigDecimal("1000.99")), "N",
+          keyShift = 100000000L))
+    val latest = changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    ord.join(latest, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("k").as("o_orderkey"),
+        coalesce(col("np"), col("bp")).cast(DoubleType).as("price"),
+        coalesce(col("ns"), col("bs")).as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  val q115Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |  CAST(o_totalprice AS DECIMAL(25,6)) AS bp, o_orderstatus AS bs FROM orders),
+      |ch AS (
+      |  SELECT k, 1 AS seq, 'U' AS op, CAST(bp + 100.50 AS DECIMAL(26,6)) AS np,
+      |    'X' AS ns FROM base WHERE k % 10 = 1
+      |  UNION ALL SELECT k, 2, 'U', CAST(bp + 200.25 AS DECIMAL(26,6)), 'Y'
+      |    FROM base WHERE k % 10 = 1
+      |  UNION ALL SELECT k, 1, 'U', CAST(bp + 100.50 AS DECIMAL(26,6)), 'X'
+      |    FROM base WHERE k % 10 = 3
+      |  UNION ALL SELECT k, 1, 'D', CAST(NULL AS DECIMAL(26,6)), CAST(NULL AS VARCHAR)
+      |    FROM base WHERE k % 10 = 2
+      |  UNION ALL SELECT k + 100000000, 1, 'I', CAST(1000.99 AS DECIMAL(26,6)), 'N'
+      |    FROM base WHERE k % 10 = 7),
+      |latest AS (SELECT * FROM (SELECT *, row_number() OVER
+      |  (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+      |SELECT COALESCE(b.k, c.k) AS o_orderkey,
+      |  CAST(COALESCE(c.np, b.bp) AS DOUBLE) AS price,
+      |  COALESCE(c.ns, b.bs) AS status
+      |FROM base b FULL OUTER JOIN latest c ON b.k = c.k
+      |WHERE COALESCE(c.op, '') <> 'D' ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ q116 audit
+  /** Declarative data-quality audit (the Deequ/expectations pattern):
+    * each constraint yields one (check, violations) row — primary-key
+    * uniqueness, referential integrity, mandatory-field nulls, value
+    * ranges, empty documents. Violation COUNTS (not violating rows)
+    * so the output is bounded by the checklist, never the data. */
+  def q116QualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val lineitem = t(s, dir, "lineitem")
+    val events = t(s, dir, "events")
+    val docs = t(s, dir, "documents")
+    def row(name: String, d: DataFrame): DataFrame =
+      d.select(lit(name).as("check"), col("violations").cast("long"))
+    val pkDup = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("violations"))
+    val fkCust = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val fkOrd = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val qtyRange = lineitem
+      .agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("violations"))
+    val evNull = events
+      .agg(sum(when(col("user_id").isNull || col("event_type").isNull, 1L)
+        .otherwise(0L)).as("violations"))
+    val docEmpty = docs
+      .agg(sum(when(length(col("text")) === 0, 1L).otherwise(0L))
+        .as("violations"))
+    row("documents_empty_text", docEmpty)
+      .union(row("events_null_mandatory", evNull))
+      .union(row("lineitem_fk_orders", fkOrd))
+      .union(row("lineitem_qty_range", qtyRange))
+      .union(row("orders_fk_customer", fkCust))
+      .union(row("orders_pk_dup", pkDup))
+      .orderBy("check")
+  }
+
+  val q116Sql: String =
+    """SELECT 'documents_empty_text' AS check, CAST(
+      |  (SELECT COALESCE(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), 0)
+      |   FROM documents) AS BIGINT) AS violations
+      |UNION ALL SELECT 'events_null_mandatory', CAST(
+      |  (SELECT COALESCE(SUM(CASE WHEN user_id IS NULL OR event_type IS NULL
+      |   THEN 1 ELSE 0 END), 0) FROM events) AS BIGINT)
+      |UNION ALL SELECT 'lineitem_fk_orders', CAST(
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |UNION ALL SELECT 'lineitem_qty_range', CAST(
+      |  (SELECT COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |   THEN 1 ELSE 0 END), 0) FROM lineitem) AS BIGINT)
+      |UNION ALL SELECT 'orders_fk_customer', CAST(
+      |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |UNION ALL SELECT 'orders_pk_dup', CAST(
+      |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+      |   GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+      |ORDER BY "check"""".stripMargin
+
+  // ------------------------------------------------- q120 fuzzy join
+  /** Exact edit-distance-1 fuzzy self-join over the document token
+    * vocabulary — the typo-clustering/entity-blocking primitive. The
+    * deletion-neighborhood expansion makes it a hash equi-join (see
+    * the object scaladoc); the DuckDB twin is the brute-force
+    * quadratic join with the same predicates, so the oracle proves
+    * the expansion loses nothing. Bounded to lengths 4..12 (shorter
+    * words near-dup everything; the bound is a caller policy, not a
+    * correctness device). */
+  val FuzzyMinLen = 3
+  val FuzzyMaxLen = 12
+
+  def q120FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .union(t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w")))
+      .filter(length(col("w")).between(FuzzyMinLen, FuzzyMaxLen))
+      .distinct()
+    // w itself + each single-deletion variant: radius-1 neighborhoods
+    // intersect iff levenshtein <= 1 (identity covered by `w` itself).
+    val keyed = vocab.select(col("w"), explode(expr(
+      "array_union(array(w), transform(sequence(0, length(w) - 1), " +
+        "i -> concat(substring(w, 1, i), substring(w, i + 2))))")).as("v"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .orderBy("w1", "w2")
+  }
+
+  val q120Sql: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    UNION SELECT unnest(string_split(p_name, ' ')) FROM part)),
+       |v AS (SELECT w FROM tok
+       |  WHERE length(w) BETWEEN $FuzzyMinLen AND $FuzzyMaxLen)
+       |SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b
+       |  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+       |  AND levenshtein(a.w, b.w) <= 1
+       |ORDER BY w1, w2""".stripMargin
+
+  // -------------------------------------------------- q122 spearman
+  /** Exact Spearman rank correlation of `value` vs event time per
+    * event_type — the monotone-association check a feature pipeline
+    * runs before trusting a drift metric. Ranks are `row_number` with
+    * a total order (value/ts, then event_id), so both engines agree
+    * on every rank; rho = 1 − 6Σd²/(n(n²−1)) from exact integer
+    * aggregates through one mul + one divide in doubles (correctly
+    * rounded, engine-independent). */
+  def q122Spearman(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    val wv = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val wt = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    e.withColumn("rx", row_number().over(wv))
+      .withColumn("ry", row_number().over(wt))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+      .select(col("event_type"), col("n"), col("sd2"),
+        (lit(1.0) - lit(6.0) * col("sd2").cast(DoubleType) /
+          (col("n") * (col("n") * col("n") - 1)).cast(DoubleType)).as("rho"))
+      .orderBy("event_type")
+  }
+
+  val q122Sql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rx,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS ry
+      |  FROM e),
+      |a AS (SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2 FROM r GROUP BY 1)
+      |SELECT event_type, n, sd2,
+      |  1.0 - 6.0 * CAST(sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_cdc_merge" -> (q115CdcMerge _),
+    "q116_quality_audit" -> (q116QualityAudit _),
+    "q120_fuzzy_join" -> (q120FuzzyJoin _),
+    "q122_spearman" -> (q122Spearman _))
+
+  val oracles: Map[String, String] = Map(
+    "q115_cdc_merge" -> q115Sql,
+    "q116_quality_audit" -> q116Sql,
+    "q120_fuzzy_join" -> q120Sql,
+    "q122_spearman" -> q122Sql)
+}

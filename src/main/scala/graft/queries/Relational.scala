@@ -959,6 +959,178 @@ object Relational {
     s"""$branches\nORDER BY "column""""
   }
 
+  // -------------------------------------------------------------- Q117
+  // GROUPING SETS — the general form rollup/cube (q14/q77) specialize:
+  // an EXPLICIT, non-hierarchical set list ((nation, year), (year), ())
+  // that deliberately skips the (nation) level, so neither rollup nor
+  // cube can express it. One Expand + one map-side-combined aggregate
+  // (identical physical shape to rollup — the set list only changes the
+  // projection fan-out); grouping() flags disambiguate rolled-up NULLs.
+  def q117GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_year")), Seq(col("o_year")), Seq()),
+        col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("revenue"),
+        (grouping(col("n_name")) * 2 + grouping(col("o_year")))
+          .cast(LongType).as("gid"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("grp_nation"),
+        coalesce(col("o_year"), lit("ALL")).as("grp_year"),
+        col("gid"), col("n_rows"), col("revenue"))
+      .orderBy("grp_nation", "grp_year", "gid")
+  }
+
+  val q117Sql: String =
+    s"""SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+       |  COALESCE(o_year, 'ALL') AS grp_year,
+       |  CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS gid,
+       |  COUNT(*) AS n_rows, ${DSUM("o_totalprice")} AS revenue
+       |FROM (SELECT n_name, CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+       |        o_totalprice
+       |      FROM orders JOIN customer ON o_custkey = c_custkey
+       |      JOIN nation ON c_nationkey = n_nationkey)
+       |GROUP BY GROUPING SETS ((n_name, o_year), (o_year), ())
+       |ORDER BY grp_nation, grp_year, gid""".stripMargin
+
+  // -------------------------------------------------------------- Q118
+  // Multi-DISTINCT aggregation: several COUNT(DISTINCT ...) over
+  // different columns in ONE grouped query. Catalyst lowers this to a
+  // single Expand (one replicated row per distinct-column) + two-level
+  // aggregate — one pass over the fact table instead of one scan per
+  // distinct column, which is the difference that matters at 100 TB.
+  def q118MultiDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val q118Sql: String =
+    s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       |COUNT(DISTINCT l_suppkey) AS n_supps,
+       |COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows,
+       |${DSUM("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------- Q121
+  // Row-format interop: orders round-trips through gzip'd JSON-lines —
+  // the interchange format of every crawl/export pipeline (and the
+  // reference's own output format, README.md:5-6) — then reads back
+  // under an EXPLICIT schema (schema inference would burn a full scan
+  // before the real one; at 100 TB the contract travels with the data,
+  // never derived from it). JSON carries no pushdown or row-group
+  // stats, which is exactly the point of the comparison with q113/ORC:
+  // same values, no scan-level pruning — the format-choice lesson the
+  // layout docs teach. Doubles survive byte-exactly (writers emit the
+  // shortest round-trip decimal form). Oracle = the identical
+  // aggregate over the original parquet, so the round-trip is
+  // value-exact.
+  @transient private var jsonlFor: Option[(String, java.nio.file.Path)] = None
+  private def ensureJsonl(s: SparkSession, dir: String): String =
+    synchronized {
+      jsonlFor match {
+        case Some((d, p)) if d == dir => p.toString
+        case prev =>
+          prev.foreach { case (_, p) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          }
+          val p = java.nio.file.Files.createTempDirectory("graft-q121")
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .json(s"$p/orders_jsonl")
+          jsonlFor = Some((dir, p))
+          p.toString
+      }
+    }
+
+  def q121JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureJsonl(s, dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date", StringType)))
+    s.read.schema(schema).json(s"$base/orders_jsonl")
+      .filter(col("o_date") >= "1996-01-01")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+        min(col("o_date")).as("d_min"), max(col("o_date")).as("d_max"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q121Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |${DSUM("o_totalprice")} AS revenue,
+       |MIN(strftime(o_orderdate, '%Y-%m-%d')) AS d_min,
+       |MAX(strftime(o_orderdate, '%Y-%m-%d')) AS d_max
+       |FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1996-01-01'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------- Q123
+  // Hive-style partitioned layout + partition PRUNING: documents is
+  // written once per fixture dir partitioned by `lang` (the
+  // write-time layout decision for any predicate that ships with most
+  // queries — at 100 TB, lang='en' then reads ~1/5 of the files
+  // WITHOUT opening the rest, vs row-group stats which still list
+  // every file). The query filters on the partition column and the
+  // oracle row carries `pruned` = whether the scan's PartitionFilters
+  // actually captured the predicate (the q24 no_exchange pattern: a
+  // regression to a full-scan plan fails CORRECTNESS, not just the
+  // bench). PlanAuditSpec additionally pins zero data-filters — the
+  // predicate must resolve entirely at planning time.
+  @transient private var partFor: Option[(String, java.nio.file.Path)] = None
+  private def ensurePartitioned(s: SparkSession, dir: String): String =
+    synchronized {
+      partFor match {
+        case Some((d, p)) if d == dir => p.toString
+        case prev =>
+          prev.foreach { case (_, p) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          }
+          val p = java.nio.file.Files.createTempDirectory("graft-q123")
+          t(s, dir, "documents")
+            .write.mode("overwrite").partitionBy("lang")
+            .parquet(s"$p/documents_by_lang")
+          partFor = Some((dir, p))
+          p.toString
+      }
+    }
+
+  def q123PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val base = ensurePartitioned(s, dir)
+    val filtered = s.read.parquet(s"$base/documents_by_lang")
+      .filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pruned =
+      if ("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined) 1L
+      else 0L
+    filtered.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("pruned", lit(pruned))
+      .orderBy("source")
+  }
+
+  val q123Sql: String =
+    """SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+      |CAST(1 AS BIGINT) AS pruned
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile" -> (q94Profile _),
@@ -993,7 +1165,11 @@ object Relational {
     "q54_range_join" -> (q54RangeJoin _),
     "q106_overlap_join" -> (q106OverlapJoin _),
     "q112_skyline" -> (q112Skyline _),
-    "q113_orc_roundtrip" -> (q113OrcRoundtrip _))
+    "q113_orc_roundtrip" -> (q113OrcRoundtrip _),
+    "q117_grouping_sets" -> (q117GroupingSets _),
+    "q118_multi_distinct" -> (q118MultiDistinct _),
+    "q121_jsonl_roundtrip" -> (q121JsonlRoundtrip _),
+    "q123_partition_pruning" -> (q123PartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -1028,5 +1204,9 @@ object Relational {
     "q54_range_join" -> q54Sql,
     "q106_overlap_join" -> q106Sql,
     "q112_skyline" -> q112Sql,
-    "q113_orc_roundtrip" -> q113Sql)
+    "q113_orc_roundtrip" -> q113Sql,
+    "q117_grouping_sets" -> q117Sql,
+    "q118_multi_distinct" -> q118Sql,
+    "q121_jsonl_roundtrip" -> q121Sql,
+    "q123_partition_pruning" -> q123Sql)
 }

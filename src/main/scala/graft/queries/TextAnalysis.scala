@@ -394,7 +394,40 @@ object TextAnalysis {
       |round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS share
       |FROM cells ORDER BY source, lang""".stripMargin
 
+  // ------------------------------------------------ q119 array funcs
+  /** Higher-order array-function battery over the tokenized document:
+    * size / distinct / lambda filter / lambda fold / lexicographic
+    * min-max, all computed INSIDE the array column — zero explodes,
+    * zero shuffles, full whole-stage codegen (explode-then-reaggregate
+    * would manufacture |tokens| rows and a doc_id shuffle for the same
+    * answers, the classic fan-out mistake at 100 TB). Every lambda is
+    * integer/string arithmetic, so both engines agree bit-for-bit. */
+  def q119ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        expr("size(filter(toks, t -> length(t) > 4))").cast("long").as("n_long"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("sum_len"),
+        array_min(col("toks")).as("tok_min"),
+        array_max(col("toks")).as("tok_max"))
+      .orderBy("doc_id")
+
+  val q119Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+      |  list_min(toks) AS tok_min, list_max(toks) AS tok_max
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE n_chars > 0)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_array_funcs" -> (q119ArrayFuncs _),
     "q70_tfidf" -> (qTfidf _),
     "q80_mix_report" -> (qMixReport _),
     "q25_text_stats" -> (qTextStats _),
@@ -407,6 +440,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q119_array_funcs" -> q119Sql,
     "q70_tfidf" -> qTfidfSql,
     "q80_mix_report" -> qMixReportSql,
     "q25_text_stats" -> qTextStatsSql,

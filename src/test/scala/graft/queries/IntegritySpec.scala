@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavioral specs for the integrity battery (q114–q123): CDC merge
+  * semantics, fuzzy-join exactness vs brute force, Spearman bounds,
+  * triangle-census invariants, audit checklist shape, and the
+  * array-battery conservation law. */
+class IntegritySpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q115 merge: deletes drop, inserts land, latest update wins, untouched keys ride through") {
+    val merged = Integrity.q115CdcMerge(spark, dir).cache()
+    try {
+      val base = graft.core.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("bp"),
+          col("o_orderstatus").as("bs")).cache()
+      // deletes: no %10==2 base key survives
+      assert(merged.filter(col("o_orderkey") % 10 === 2 &&
+        col("o_orderkey") < 100000000L).count() === 0)
+      // inserts: every %10==7 base key reappears shifted with status N
+      val n7 = base.filter(col("k") % 10 === 7).count()
+      val ins = merged.filter(col("o_orderkey") >= 100000000L)
+      assert(ins.count() === n7)
+      assert(ins.filter(col("status") =!= "N").count() === 0)
+      // latest-wins: %10==1 keys carry the seq-2 update (status Y,
+      // price = base + 200.25 exactly)
+      val u = merged.filter(col("o_orderkey") % 10 === 1)
+        .join(base, merged("o_orderkey") === base("k"))
+      assert(u.filter(col("status") =!= "Y").count() === 0)
+      assert(u.filter(abs(col("price") - col("bp") - 200.25) > 1e-9).count() === 0)
+      // untouched keys: identical price and status
+      val un = merged.filter(
+          (col("o_orderkey") % 10).isin(0, 4, 5, 6, 8, 9))
+        .join(base, merged("o_orderkey") === base("k"))
+      assert(un.filter(col("price") =!= col("bp") ||
+        col("status") =!= col("bs")).count() === 0)
+      base.unpersist()
+    } finally merged.unpersist()
+  }
+
+  test("q120 deletion-neighborhood join equals the brute-force levenshtein join") {
+    val fast = Integrity.q120FuzzyJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val vocab = graft.core.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .union(graft.core.Tables.load(spark, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w")))
+      .filter(length(col("w"))
+        .between(Integrity.FuzzyMinLen, Integrity.FuzzyMaxLen))
+      .distinct()
+    val brute = vocab.as("a").crossJoin(vocab.as("b"))
+      .filter(col("a.w") < col("b.w") &&
+        levenshtein(col("a.w"), col("b.w")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast === brute)
+    assert(brute.nonEmpty, "fixture should yield at least one fuzzy pair")
+  }
+
+  test("q122 spearman: rho bounded, group sizes match, ranks conserve") {
+    val rows = Integrity.q122Spearman(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12, s"rho out of range: $rho")
+      assert(r.getAs[Long]("n") > 1)
+    }
+    val nFromData = graft.core.Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows)
+      assert(r.getAs[Long]("n") === nFromData(r.getAs[String]("event_type")))
+  }
+
+  test("q114 triangle census: 3T <= W and closure in [0,1]") {
+    val r = GraphOps.q114Triangles(spark, dir).head()
+    val (t3, w) = (r.getAs[Long]("triangles"), r.getAs[Long]("wedges"))
+    val closure = r.getAs[Double]("closure")
+    assert(3 * t3 <= w, s"3T=$t3 > W=$w")
+    assert(closure >= 0.0 && closure <= 1.0)
+  }
+
+  test("q116 audit: full checklist in order; fixture keys are clean") {
+    val rows = Integrity.q116QualityAudit(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq(
+      "documents_empty_text", "events_null_mandatory", "lineitem_fk_orders",
+      "lineitem_qty_range", "orders_fk_customer", "orders_pk_dup"))
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("orders_pk_dup") === 0L)
+    assert(byName("lineitem_fk_orders") === 0L)
+    assert(byName("orders_fk_customer") === 0L)
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
+
+  test("q119 array battery: token-length conservation vs the raw text") {
+    val out = TextAnalysis.q119ArrayFuncs(spark, dir)
+    val joined = out.join(
+      graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("text_len")),
+      "doc_id")
+    // text is single-space tokenized: Σ|tok| + (n_toks − 1) == |text|
+    assert(joined.filter(
+      col("sum_len") + col("n_toks") - 1 =!= col("text_len")).count() === 0)
+    assert(joined.filter(col("n_distinct") > col("n_toks") ||
+      col("n_long") > col("n_toks")).count() === 0)
+    assert(joined.filter(col("tok_min") > col("tok_max")).count() === 0)
+  }
+}

@@ -54,6 +54,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(!readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("q123 resolves the lang predicate as a partition filter, not a data filter") {
+    val p = plan("q123_partition_pruning")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"lang = 'en' must land in PartitionFilters:\n${p.take(2000)}")
+    // the predicate must NOT degrade to a pushed data filter — the
+    // partition column does not exist inside the files at all
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p.take(2000))
+    val out = graft.SparkEntry.queries("q123_partition_pruning")(spark, dir)
+    assert(out.collect().forall(_.getAs[Long]("pruned") == 1L))
+  }
+
+  test("q117/q118 lower to a single Expand (grouping sets / multi-distinct)") {
+    for (name <- Seq("q117_grouping_sets", "q118_multi_distinct")) {
+      val p = plan(name)
+      assert("Expand".r.findAllIn(p).size >= 1, s"$name lost the Expand lowering")
+    }
+  }
+
   test("q47 pushes the multi-version time range into the envelope source scan") {
     val p = plan("q47_multiversion_export")
     assert(p.contains("PushedFilters") && p.contains("LessThan(ts,1003)"),
