@@ -481,8 +481,10 @@ object Curation {
   def q107LeakSplit(s: SparkSession, dir: String): DataFrame = {
     val groups = Dedup.qDedupGroups(s, dir)
       .select(col("doc_id"), col("group_id"))
+    // the group table is dup-graph-sized (≪ corpus) — broadcast it so
+    // the corpus side never shuffles for the label lookup
     docs(s, dir).select(col("doc_id"))
-      .join(groups, Seq("doc_id"), "left")
+      .join(broadcast(groups), Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
       .withColumn("split",
         when(expr("(grp * 1000003) % 10") < 8, lit("train"))

@@ -197,6 +197,41 @@ object EventAnalytics {
       |COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- q124 variant
+  /** The same extraction as q73, but through Spark 4's VARIANT type:
+    * `parse_json` shreds the payload once into the binary variant
+    * encoding, then `variant_get` does typed path access — the
+    * open-schema column type for semi-structured lakes (one parse
+    * feeds ANY number of later path reads, vs `get_json_object`
+    * re-parsing per field; and variant columns can be stored shredded
+    * in parquet, giving back columnar pruning on dynamic schemas).
+    * A null-vs-missing probe (`$.missing`) pins the type's tri-state
+    * semantics. The DuckDB twin reads the same paths with its JSON
+    * functions — values must agree exactly since everything is
+    * integer-typed. */
+  def q124Variant(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.missing', 'long')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_gt50"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy("event_type")
+
+  val q124Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_gt50,
+      |CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------- q84 pruned top-k
   /** The 5 highest-value events per type via
     * [[graft.operators.TopKPerGroup]] — the map-side-pruned exact
@@ -407,7 +442,8 @@ object EventAnalytics {
     "q69_quantiles" -> (q69Quantiles _),
     "q71_outlier_z" -> (q71OutlierZscore _),
     "q72_heavy_hitters" -> (q72HeavyHitters _),
-    "q73_json_extract" -> (q73JsonExtract _))
+    "q73_json_extract" -> (q73JsonExtract _),
+    "q124_variant" -> (q124Variant _))
 
   val oracles: Map[String, String] = Map(
     "q108_trailing_window" -> q108Sql,
@@ -419,5 +455,6 @@ object EventAnalytics {
     "q69_quantiles" -> q69Sql,
     "q71_outlier_z" -> q71Sql,
     "q72_heavy_hitters" -> q72Sql,
-    "q73_json_extract" -> q73Sql)
+    "q73_json_extract" -> q73Sql,
+    "q124_variant" -> q124Sql)
 }

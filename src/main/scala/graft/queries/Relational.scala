@@ -1131,6 +1131,55 @@ object Relational {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- Q125
+  // Schema evolution: a table ingested in two batches whose schemas
+  // differ (the early batch predates the `source` column — the routine
+  // lake situation after a field is added upstream). The read merges
+  // the schemas (`mergeSchema`: early rows surface NULL source), which
+  // is `unionByName(allowMissingColumns)` done by the reader. Scale
+  // note: mergeSchema reconciles footers across files — on a 100 TB
+  // table pin the merged schema in a metastore/contract instead and
+  // pass it explicitly; the per-file union semantics stay identical.
+  // Oracle: doc_id parity encodes which batch a row landed in, so
+  // plain SQL over the original table reproduces the merged view.
+  @transient private var evolvedFor: Option[(String, java.nio.file.Path)] = None
+  private def ensureEvolved(s: SparkSession, dir: String): String =
+    synchronized {
+      evolvedFor match {
+        case Some((d, p)) if d == dir => p.toString
+        case prev =>
+          prev.foreach { case (_, p) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          }
+          val p = java.nio.file.Files.createTempDirectory("graft-q125")
+          val docs = t(s, dir, "documents")
+          docs.filter(col("doc_id") % 2 === 0).drop("source")
+            .write.mode("overwrite").parquet(s"$p/docs/batch=a")
+          docs.filter(col("doc_id") % 2 === 1)
+            .write.mode("overwrite").parquet(s"$p/docs/batch=b")
+          evolvedFor = Some((dir, p))
+          p.toString
+      }
+    }
+
+  def q125SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureEvolved(s, dir)
+    s.read.option("mergeSchema", "true").parquet(s"$base/docs")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source").isNotNull, 1L).otherwise(0L))
+          .as("n_with_source"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val q125Sql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_with_source,
+      |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile" -> (q94Profile _),
@@ -1169,7 +1218,8 @@ object Relational {
     "q117_grouping_sets" -> (q117GroupingSets _),
     "q118_multi_distinct" -> (q118MultiDistinct _),
     "q121_jsonl_roundtrip" -> (q121JsonlRoundtrip _),
-    "q123_partition_pruning" -> (q123PartitionPruning _))
+    "q123_partition_pruning" -> (q123PartitionPruning _),
+    "q125_schema_evolution" -> (q125SchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -1208,5 +1258,6 @@ object Relational {
     "q117_grouping_sets" -> q117Sql,
     "q118_multi_distinct" -> q118Sql,
     "q121_jsonl_roundtrip" -> q121Sql,
-    "q123_partition_pruning" -> q123Sql)
+    "q123_partition_pruning" -> q123Sql,
+    "q125_schema_evolution" -> q125Sql)
 }

@@ -95,6 +95,33 @@ class IntegritySpec extends SparkSuite {
     assert(rows.forall(_.getLong(1) >= 0L))
   }
 
+  test("q124 variant extraction agrees with the string-path extraction (q73)") {
+    val vrows = EventAnalytics.q124Variant(spark, dir)
+      .select("event_type", "n", "sum_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val srows = EventAnalytics.q73JsonExtract(spark, dir)
+      .select("event_type", "n", "sum_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vrows === srows)
+    // missing paths are NULL for every row (tri-state semantics)
+    val miss = EventAnalytics.q124Variant(spark, dir).collect()
+    assert(miss.forall(r => r.getAs[Long]("n_missing") == r.getAs[Long]("n")))
+  }
+
+  test("q125 merged read surfaces NULL source exactly for the pre-evolution batch") {
+    val out = Relational.q125SchemaEvolution(spark, dir).collect()
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val expected = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("with_src"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (r <- out) {
+      val (n, withSrc) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("n_with_source") === withSrc)
+    }
+  }
+
   test("q119 array battery: token-length conservation vs the raw text") {
     val out = TextAnalysis.q119ArrayFuncs(spark, dir)
     val joined = out.join(
