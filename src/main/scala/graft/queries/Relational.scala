@@ -1180,6 +1180,77 @@ object Relational {
       |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------- Q127
+  // Date-function battery: every calendar part the reference's date
+  // handling touches (Validator.kt's dual-format parse/reformat is
+  // q06) plus the parts a warehouse query needs — year/quarter/month/
+  // day/day-of-year/day-of-week/ISO week, end-of-month, and calendar
+  // month arithmetic (add_months clamps to month end exactly like
+  // DuckDB's INTERVAL addition). All scan-local expressions; the only
+  // cross-engine trap is day-of-week numbering (Spark 1=Sunday,
+  // DuckDB 0=Sunday) — aligned explicitly, not by luck.
+  def q127DateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow1"),
+        weekofyear(col("o_orderdate")).cast("long").as("isoweek"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd")
+          .as("next_month"))
+      .orderBy("o_orderkey")
+
+  val q127Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+      |  strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- Q128
+  // String-function battery beyond the sanitisation chain (q05):
+  // case mapping, padding, reversal, slicing, substring search,
+  // literal replace, multi-column concatenation with separator, and
+  // token extraction — the everyday scalar-string surface. All
+  // scan-local, codegen'd, byte-deterministic (pure ASCII inputs; no
+  // locale-sensitive ops).
+  def q128StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        length(col("p_name")).cast("long").as("len"),
+        lpad(col("p_name"), 20, "*").as("padded"),
+        reverse(col("p_name")).as("rev"),
+        substring(col("p_name"), 1, 3).as("first3"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        regexp_replace(col("p_name"), "a", "@").as("repl"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_name"), " "), 1).as("tok1"))
+      .orderBy("p_partkey")
+
+  val q128Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS up,
+      |  CAST(length(p_name) AS BIGINT) AS len,
+      |  lpad(p_name, 20, '*') AS padded,
+      |  reverse(p_name) AS rev,
+      |  substring(p_name, 1, 3) AS first3,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+      |  replace(p_name, 'a', '@') AS repl,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  split_part(p_name, ' ', 1) AS tok1
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile" -> (q94Profile _),
@@ -1219,7 +1290,9 @@ object Relational {
     "q118_multi_distinct" -> (q118MultiDistinct _),
     "q121_jsonl_roundtrip" -> (q121JsonlRoundtrip _),
     "q123_partition_pruning" -> (q123PartitionPruning _),
-    "q125_schema_evolution" -> (q125SchemaEvolution _))
+    "q125_schema_evolution" -> (q125SchemaEvolution _),
+    "q127_date_parts" -> (q127DateParts _),
+    "q128_string_funcs" -> (q128StringFuncs _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -1259,5 +1332,7 @@ object Relational {
     "q118_multi_distinct" -> q118Sql,
     "q121_jsonl_roundtrip" -> q121Sql,
     "q123_partition_pruning" -> q123Sql,
-    "q125_schema_evolution" -> q125Sql)
+    "q125_schema_evolution" -> q125Sql,
+    "q127_date_parts" -> q127Sql,
+    "q128_string_funcs" -> q128Sql)
 }

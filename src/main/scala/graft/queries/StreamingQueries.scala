@@ -370,7 +370,63 @@ object StreamingQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------ wiring
+  // ---------------------------------- q126 stream-static join parity
+  /** Stream-STATIC join — the remaining streaming-join class beside
+    * the stream-stream interval join (q64): each micro-batch of the
+    * replayed event stream joins a bounded static dimension (the
+    * per-type code table, derived once in batch). Stream-static joins
+    * are STATELESS — no watermark, no join state, the static side is
+    * simply (re)evaluated per micro-batch and broadcast — so this is
+    * the cheap enrichment pattern for 100 TB/day streams: dimension
+    * lookups stay broadcast-local, nothing accumulates. The streamed
+    * join output lands append-mode in the sink; the batch aggregate
+    * over the sink table must equal the all-batch SQL twin. */
+  def q126StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val static = Tables.load(s, dir, "events")
+      .select(col("event_type")).distinct()
+      .withColumn("type_code", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
+
+    val rows = eventRows(s, dir)
+    val chunkSize = math.max(1, rows.size / 3)
+    val qname = "graft_q126_enriched"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEvent]
+    val joined = stream.toDF()
+      .join(broadcast(static), Seq("event_type"))
+      .select(col("event_id"), col("type_code"), col("value"))
+    withShufflePartitions(s, 4) {
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+    s.table(qname)
+      .groupBy("type_code")
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
+      .orderBy("type_code")
+  }
+
+  val q126Sql: String =
+    """WITH static AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (ORDER BY event_type) AS INTEGER) AS type_code
+      |  FROM (SELECT DISTINCT event_type FROM events))
+      |SELECT type_code, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN static USING (event_type)
+      |GROUP BY type_code ORDER BY type_code""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_stream_static" -> (q126StreamStaticJoin _),
     "q91_stream_state" -> (q91StreamStateCount _),
     "q57_stream_window" -> (q57StreamWindowParity _),
     "q61_stream_dedup" -> (q61StreamDedupParity _),
@@ -378,6 +434,7 @@ object StreamingQueries {
     "q83_stream_sessions" -> (q83StreamSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q126_stream_static" -> q126Sql,
     "q91_stream_state" -> q91Sql,
     "q57_stream_window" -> q57Sql,
     "q61_stream_dedup" -> q61Sql,

@@ -122,6 +122,22 @@ class IntegritySpec extends SparkSuite {
     }
   }
 
+  test("q126 stream-static join equals the all-batch join in-engine") {
+    val streamed = StreamingQueries.q126StreamStaticJoin(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val events = graft.core.Tables.load(spark, dir, "events")
+    val static = events.select(col("event_type")).distinct()
+      .withColumn("type_code", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))))
+    val batch = events.join(static, Seq("event_type"))
+      .groupBy("type_code")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("sum_value"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("q119 array battery: token-length conservation vs the raw text") {
     val out = TextAnalysis.q119ArrayFuncs(spark, dir)
     val joined = out.join(
