@@ -245,16 +245,85 @@ object Integrity {
       |  1.0 - 6.0 * CAST(sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
       |FROM a ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------- q129 table diff
+  /** Snapshot diff / anti-entropy reconciliation: compare two versions
+    * of a table and emit every difference typed `added` / `removed` /
+    * `changed` — the audit that validates an incremental export or a
+    * CDC apply (q115) actually converged, and the first debugging tool
+    * when two pipelines disagree. The "new" version is derived
+    * deterministically from `orders` (key%7==0 re-priced, %7==1
+    * dropped, fresh keys inserted), so the oracle can rebuild both
+    * sides. ONE full-outer hash join on the key; the value comparison
+    * is DECIMAL-exact. At 100 TB both sides shuffle once on the key —
+    * or zero times if both snapshots are bucket-layouted (q24) — and
+    * the diff output is change-sized, not table-sized. */
+  def q129TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(25, 6)
+    val old = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice").cast(dec).as("old_price"),
+      col("o_orderstatus").as("old_status"))
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice").cast(dec).as("p"), col("o_orderstatus").as("st"))
+    val newV = base.filter(col("k") % 7 =!= 1)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("p") + lit(BigDecimal("50.25")))
+          .otherwise(col("p")).as("new_price"),
+        col("st").as("new_status"))
+      .union(base.filter(col("k") % 7 === 2)
+        .select((col("k") + 200000000L).as("k"),
+          lit(BigDecimal("999.99")).cast(dec).as("new_price"),
+          lit("A").as("new_status")))
+    old.join(newV, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, lit("added"))
+          .when(col("new_price").isNull, lit("removed"))
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(col("k").as("o_orderkey"), col("change_type"),
+        col("old_price").cast(DoubleType).as("old_price"),
+        col("new_price").cast(DoubleType).as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val q129Sql: String =
+    """WITH old AS (SELECT o_orderkey AS k,
+      |  CAST(o_totalprice AS DECIMAL(25,6)) AS old_price,
+      |  o_orderstatus AS old_status FROM orders),
+      |newv AS (
+      |  SELECT k,
+      |    CASE WHEN k % 7 = 0 THEN CAST(old_price + 50.25 AS DECIMAL(25,6))
+      |         ELSE old_price END AS new_price,
+      |    old_status AS new_status
+      |  FROM old WHERE k % 7 <> 1
+      |  UNION ALL
+      |  SELECT k + 200000000, CAST(999.99 AS DECIMAL(25,6)), 'A'
+      |  FROM old WHERE k % 7 = 2),
+      |d AS (
+      |  SELECT COALESCE(o.k, n.k) AS o_orderkey,
+      |    CASE WHEN o.old_price IS NULL THEN 'added'
+      |         WHEN n.new_price IS NULL THEN 'removed'
+      |         WHEN o.old_price <> n.new_price
+      |           OR o.old_status <> n.new_status THEN 'changed'
+      |    END AS change_type,
+      |    CAST(o.old_price AS DOUBLE) AS old_price,
+      |    CAST(n.new_price AS DOUBLE) AS new_price
+      |  FROM old o FULL OUTER JOIN newv n ON o.k = n.k)
+      |SELECT * FROM d WHERE change_type IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_cdc_merge" -> (q115CdcMerge _),
     "q116_quality_audit" -> (q116QualityAudit _),
     "q120_fuzzy_join" -> (q120FuzzyJoin _),
-    "q122_spearman" -> (q122Spearman _))
+    "q122_spearman" -> (q122Spearman _),
+    "q129_table_diff" -> (q129TableDiff _))
 
   val oracles: Map[String, String] = Map(
     "q115_cdc_merge" -> q115Sql,
     "q116_quality_audit" -> q116Sql,
     "q120_fuzzy_join" -> q120Sql,
-    "q122_spearman" -> q122Sql)
+    "q122_spearman" -> q122Sql,
+    "q129_table_diff" -> q129Sql)
 }

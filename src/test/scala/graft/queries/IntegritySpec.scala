@@ -122,6 +122,24 @@ class IntegritySpec extends SparkSuite {
     }
   }
 
+  test("q129 diff classifies exactly the constructed change classes") {
+    val diff = Integrity.q129TableDiff(spark, dir).cache()
+    try {
+      val keys = graft.core.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k")).cache()
+      def nMod(m: Int) = keys.filter(col("k") % 7 === m).count()
+      val byType = diff.groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.getOrElse("removed", 0L) === nMod(1))
+      assert(byType.getOrElse("added", 0L) === nMod(2))
+      assert(byType.getOrElse("changed", 0L) === nMod(0))
+      // every changed row moved by exactly +50.25
+      assert(diff.filter(col("change_type") === "changed" &&
+        abs(col("new_price") - col("old_price") - 50.25) > 1e-9).count() === 0)
+      keys.unpersist()
+    } finally diff.unpersist()
+  }
+
   test("q126 stream-static join equals the all-batch join in-engine") {
     val streamed = StreamingQueries.q126StreamStaticJoin(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
