@@ -1251,6 +1251,103 @@ object Relational {
       |  split_part(p_name, ' ', 1) AS tok1
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // -------------------------------------------------------------- Q130
+  // Aggregate-to-collection battery: ordered set aggregation rendered
+  // as a canonical string (string_agg/group_concat — the only
+  // engine-portable rendering of a collected list), plus min_by /
+  // max_by (argmin/argmax). The min_by ordering key is made UNIQUE
+  // (DECIMAL cents ‖ partkey) because ties in the raw price would make
+  // argmin nondeterministic in BOTH engines — same discipline as every
+  // window tie-break in this file. collect_set order is undefined in
+  // any engine, so the sort happens explicitly before rendering.
+  def q130CollectAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("price_key",
+        col("p_retailprice").cast(DecimalType(18, 2)) * 1000000 +
+          col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_set(col("p_type"))), ",")
+          .as("types_csv"),
+        min_by(col("p_name"), col("price_key")).as("cheapest"),
+        max_by(col("p_name"), col("price_key")).as("dearest"),
+        countDistinct(col("p_type")).as("n_types"))
+      .orderBy("p_brand")
+
+  val q130Sql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types_csv,
+      |  arg_min(p_name, CAST(p_retailprice AS DECIMAL(18,2)) * 1000000
+      |    + p_partkey) AS cheapest,
+      |  arg_max(p_name, CAST(p_retailprice AS DECIMAL(18,2)) * 1000000
+      |    + p_partkey) AS dearest,
+      |  COUNT(DISTINCT p_type) AS n_types
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -------------------------------------------------------------- Q131
+  // Correlated subquery in WHERE — "each customer's maximum-value
+  // order". Catalyst DECORRELATES the per-row subquery into one
+  // aggregate + one join (RewriteCorrelatedScalarSubquery); the naive
+  // reading would re-scan orders per row, which is the difference
+  // between O(n) and O(n²) at 100 TB. MAX is comparison-only (no
+  // arithmetic), so the equality predicate is float-exact in both
+  // engines. Expressed in SQL because correlated subqueries are a SQL
+  // surface — the DataFrame twin is the window rewrite (q07's shape).
+  def q131CorrelatedMax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q131_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_q131_orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                      FROM graft_q131_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q131Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- Q132
+  // Correlated scalar subqueries in the SELECT list — per-customer
+  // order count and big-order count pulled from another table inline.
+  // Each decorrelates to a left outer aggregate join (COUNT over no
+  // rows must surface 0, not NULL — the classic COUNT-bug case
+  // Catalyst handles in RewriteCorrelatedScalarSubquery); `has_big`
+  // derives from the count, exercising the decorrelated result in a
+  // downstream expression. Customers with no orders pin the
+  // empty-group path.
+  def q132ScalarSubqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q132_orders")
+    t(s, dir, "customer").createOrReplaceTempView("graft_q132_customer")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM graft_q132_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT COUNT(*) FROM graft_q132_orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > 400000) AS n_big,
+        |  (SELECT COUNT(*) FROM graft_q132_orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > 400000) > 0 AS has_big
+        |FROM graft_q132_customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q132Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) > 0
+      |    AS has_big
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile" -> (q94Profile _),
@@ -1292,7 +1389,10 @@ object Relational {
     "q123_partition_pruning" -> (q123PartitionPruning _),
     "q125_schema_evolution" -> (q125SchemaEvolution _),
     "q127_date_parts" -> (q127DateParts _),
-    "q128_string_funcs" -> (q128StringFuncs _))
+    "q128_string_funcs" -> (q128StringFuncs _),
+    "q130_collect_agg" -> (q130CollectAgg _),
+    "q131_correlated_max" -> (q131CorrelatedMax _),
+    "q132_scalar_subqueries" -> (q132ScalarSubqueries _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -1334,5 +1434,8 @@ object Relational {
     "q123_partition_pruning" -> q123Sql,
     "q125_schema_evolution" -> q125Sql,
     "q127_date_parts" -> q127Sql,
-    "q128_string_funcs" -> q128Sql)
+    "q128_string_funcs" -> q128Sql,
+    "q130_collect_agg" -> q130Sql,
+    "q131_correlated_max" -> q131Sql,
+    "q132_scalar_subqueries" -> q132Sql)
 }

@@ -72,6 +72,19 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q131/q132 correlated subqueries decorrelate to joins (no per-row re-scan)") {
+    for (name <- Seq("q131_correlated_max", "q132_scalar_subqueries")) {
+      val p = plan(name)
+      assert(!p.contains("ScalarSubquery"),
+        s"$name kept a per-row scalar subquery:\n${p.take(2000)}")
+      assert(p.contains("Join"), s"$name lost the decorrelated join")
+    }
+    // the COUNT-bug path: a customer with zero orders must read 0, not NULL
+    val out = graft.SparkEntry.queries("q132_scalar_subqueries")(spark, dir)
+    assert(out.filter(org.apache.spark.sql.functions.col("n_orders").isNull)
+      .count() === 0)
+  }
+
   test("q47 pushes the multi-version time range into the envelope source scan") {
     val p = plan("q47_multiversion_export")
     assert(p.contains("PushedFilters") && p.contains("LessThan(ts,1003)"),
