@@ -1348,6 +1348,102 @@ object Relational {
       |    AS has_big
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- Q133
+  // LATERAL join — the per-row dependent subquery with its own ORDER
+  // BY + LIMIT: "each customer's two highest-value orders". The
+  // correlated limit CANNOT be expressed as a plain join; Catalyst
+  // decorrelates it into a partitioned window filter (the q07 shape),
+  // which is exactly what a user would hand-write — the point is the
+  // engine does the rewrite, so the declarative per-row form stays
+  // O(n log k), never a per-row re-scan. Ties broken by orderkey so
+  // both engines pick identical rows.
+  def q133LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q133_orders")
+    t(s, dir, "customer").createOrReplaceTempView("graft_q133_customer")
+    s.sql(
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM graft_q133_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM graft_q133_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) l
+        |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin)
+  }
+
+  val q133Sql: String =
+    """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- Q134
+  // NULL-semantics battery on a derived nullable key (`nullif` injects
+  // NULLs deterministically — the fixture has none): (a) GROUP BY must
+  // collect all NULL keys into ONE group; (b) the join back to the
+  // group's label uses NULL-SAFE equality (Spark `<=>` ≡ DuckDB
+  // IS NOT DISTINCT FROM) so the NULL group finds its label row — a
+  // plain `=` would silently drop it; (c) the output order pins NULL
+  // placement EXPLICITLY (asc_nulls_first ≡ NULLS FIRST) because the
+  // engines' defaults disagree (Spark: NULLS FIRST asc; DuckDB: NULLS
+  // LAST). Null-safe joins happen on the aggregated (bounded) side
+  // only — null-safe-joining two fact tables would cross-product the
+  // NULL partitions.
+  def q134NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events")
+      .select(expr("nullif(user_id % 10, 4)").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val labels = g.select(col("k").as("k2"))
+      .withColumn("tag", coalesce(concat(lit("grp_"), col("k2")), lit("grp_NULL")))
+    g.join(labels, col("k") <=> col("k2"))
+      .select(col("tag"), col("n"), col("sum_value"))
+      .orderBy(col("tag").asc_nulls_first)
+  }
+
+  val q134Sql: String =
+    """WITH g AS (
+      |  SELECT nullif(user_id % 10, 4) AS k, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1),
+      |labels AS (SELECT k AS k2,
+      |  COALESCE('grp_' || CAST(k AS VARCHAR), 'grp_NULL') AS tag FROM g)
+      |SELECT tag, n, sum_value FROM g JOIN labels
+      |  ON g.k IS NOT DISTINCT FROM labels.k2
+      |ORDER BY tag NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- Q135
+  // Multiset set-ops: INTERSECT ALL / EXCEPT ALL respect
+  // MULTIPLICITY (a supplier appearing 5× in A and 3× in B survives
+  // EXCEPT ALL twice) — a different operator from q16's distinct set
+  // algebra, lowered by Spark to a count-difference aggregate instead
+  // of a dedup join. Output aggregated per key so the oracle row is
+  // bounded and totally ordered.
+  def q135SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_linestatus") === "F").select(col("l_suppkey").as("k"))
+    val ex = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select(col("op"), col("k"), col("n"))
+      .orderBy("op", "k")
+  }
+
+  val q135Sql: String =
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+      |ex AS (SELECT 'except_all' AS op, k, COUNT(*) AS n
+      |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k),
+      |ia AS (SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+      |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k)
+      |SELECT op, k, n FROM ex UNION ALL SELECT op, k, n FROM ia
+      |ORDER BY op, k""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile" -> (q94Profile _),
@@ -1392,7 +1488,10 @@ object Relational {
     "q128_string_funcs" -> (q128StringFuncs _),
     "q130_collect_agg" -> (q130CollectAgg _),
     "q131_correlated_max" -> (q131CorrelatedMax _),
-    "q132_scalar_subqueries" -> (q132ScalarSubqueries _))
+    "q132_scalar_subqueries" -> (q132ScalarSubqueries _),
+    "q133_lateral_topk" -> (q133LateralTopk _),
+    "q134_null_semantics" -> (q134NullSemantics _),
+    "q135_setops_all" -> (q135SetopsAll _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -1437,5 +1536,8 @@ object Relational {
     "q128_string_funcs" -> q128Sql,
     "q130_collect_agg" -> q130Sql,
     "q131_correlated_max" -> q131Sql,
-    "q132_scalar_subqueries" -> q132Sql)
+    "q132_scalar_subqueries" -> q132Sql,
+    "q133_lateral_topk" -> q133Sql,
+    "q134_null_semantics" -> q134Sql,
+    "q135_setops_all" -> q135Sql)
 }
