@@ -135,8 +135,11 @@ object GraphOps {
         .select(col("e1.d1").as("a"), col("e2.d2").as("c"))
         .join(canon.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
         .count()
+      // coalesce: SUM over an EMPTY dup graph is NULL, not 0 — the
+      // zero-edge corpus must yield (0, 0, 0.0), not an NPE
       val nWedge = edges.groupBy("d1").agg(count(lit(1)).as("deg"))
-        .agg(expr("sum(deg * (deg - 1) div 2)").cast("long").as("wedges"))
+        .agg(coalesce(expr("sum(deg * (deg - 1) div 2)"), lit(0L))
+          .cast("long").as("wedges"))
         .head().getLong(0)
       val closure = if (nWedge == 0L) 0.0 else 3.0 * nTri / nWedge
       import s.implicits._
@@ -149,8 +152,8 @@ object GraphOps {
        |tri AS (SELECT COUNT(*) AS triangles
        |  FROM canon e1 JOIN canon e2 ON e1.d2 = e2.d1
        |  JOIN canon e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
-       |wd AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM
-       |  (SELECT d1, COUNT(*) AS deg FROM edges GROUP BY 1))
+       |wd AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+       |  AS wedges FROM (SELECT d1, COUNT(*) AS deg FROM edges GROUP BY 1))
        |SELECT triangles, wedges,
        |  CASE WHEN wedges = 0 THEN 0.0
        |       ELSE 3.0 * triangles / wedges END AS closure

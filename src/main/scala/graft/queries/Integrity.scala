@@ -168,7 +168,7 @@ object Integrity {
     * deletion-neighborhood expansion makes it a hash equi-join (see
     * the object scaladoc); the DuckDB twin is the brute-force
     * quadratic join with the same predicates, so the oracle proves
-    * the expansion loses nothing. Bounded to lengths 4..12 (shorter
+    * the expansion loses nothing. Bounded to lengths 3..12 (shorter
     * words near-dup everything; the bound is a caller policy, not a
     * correctness device). */
   val FuzzyMinLen = 3
@@ -221,14 +221,26 @@ object Integrity {
         expr("ts div 1000").as("ts_us"), col("value"))
     val wv = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wt = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
-    e.withColumn("rx", row_number().over(wv))
-      .withColumn("ry", row_number().over(wt))
+    // ranks go LONG before the square: Int d² overflows at |d| ≥ 46341
+    // (ANSI throw or silent wrap depending on mode); the d² sum routes
+    // through DECIMAL(38,0) (long sums overflow near n ≈ 2×10⁶ per
+    // group — sd2 ≤ n³). sd2 is emitted as BIGINT, exact to n ≈ 2M
+    // rows/group; beyond that emit the decimal itself. The rho
+    // denominator is computed IN DOUBLES in both dialects (single
+    // correctly-rounded ops) — n³ as integer would overflow BIGINT at
+    // n ≥ 2,097,152.
+    e.withColumn("rx", row_number().over(wv).cast("long"))
+      .withColumn("ry", row_number().over(wt).cast("long"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
-      .select(col("event_type"), col("n"), col("sd2"),
-        (lit(1.0) - lit(6.0) * col("sd2").cast(DoubleType) /
-          (col("n") * (col("n") * col("n") - 1)).cast(DoubleType)).as("rho"))
+        sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast(DecimalType(38, 0))).as("sd2d"))
+      .select(col("event_type"), col("n"),
+        col("sd2d").cast("long").as("sd2"),
+        (lit(1.0) - lit(6.0) * col("sd2d").cast(DoubleType) /
+          (col("n").cast(DoubleType) *
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType) - 1)))
+          .as("rho"))
       .orderBy("event_type")
   }
 
@@ -242,7 +254,8 @@ object Integrity {
       |a AS (SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2 FROM r GROUP BY 1)
       |SELECT event_type, n, sd2,
-      |  1.0 - 6.0 * CAST(sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+      |  1.0 - 6.0 * CAST(sd2 AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)) AS rho
       |FROM a ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------- q129 table diff
@@ -262,8 +275,10 @@ object Integrity {
     val old = t(s, dir, "orders").select(col("o_orderkey").as("k"),
       col("o_totalprice").cast(dec).as("old_price"),
       col("o_orderstatus").as("old_status"))
-    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
-      col("o_totalprice").cast(dec).as("p"), col("o_orderstatus").as("st"))
+    // the "new" version derives from `old` (one definition, one story —
+    // the q115 shape), not a second independent scan
+    val base = old.select(col("k"), col("old_price").as("p"),
+      col("old_status").as("st"))
     val newV = base.filter(col("k") % 7 =!= 1)
       .select(col("k"),
         when(col("k") % 7 === 0, col("p") + lit(BigDecimal("50.25")))

@@ -669,23 +669,36 @@ object Relational {
   // DECIMAL route. Oracle = the identical aggregate over the original
   // parquet — so the round-trip is value-exact, not just row-count
   // equal.
-  @transient private var orcFor: Option[(String, java.nio.file.Path)] = None
-  private[queries] def ensureOrc(s: SparkSession, dir: String): String =
-    synchronized {
-      orcFor match {
+  /** Per-fixture-dir temp-layout memo (shared by the format-interop
+    * and layout queries q113/q121/q123/q125): write an alternative
+    * physical layout of a fixture table ONCE per dir — rewriting per
+    * bench rep would measure ingest, not the scan the query
+    * demonstrates (the q24 bucketed-layout argument). A dir switch
+    * drops the previous layout from disk before building the new one. */
+  private final class LayoutMemo(prefix: String,
+      write: (SparkSession, String, java.nio.file.Path) => Unit) {
+    @transient private var cur: Option[(String, java.nio.file.Path)] = None
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      cur match {
         case Some((d, p)) if d == dir => p.toString
         case prev =>
           prev.foreach { case (_, p) =>
             org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
           }
-          val p = java.nio.file.Files.createTempDirectory("graft-q113")
-          t(s, dir, "lineitem")
-            .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag")
-            .write.mode("overwrite").orc(s"$p/lineitem_orc")
-          orcFor = Some((dir, p))
+          val p = java.nio.file.Files.createTempDirectory(prefix)
+          write(s, dir, p)
+          cur = Some((dir, p))
           p.toString
       }
     }
+  }
+
+  private val orcLayout = new LayoutMemo("graft-q113", (s, dir, p) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").orc(s"$p/lineitem_orc"))
+  private[queries] def ensureOrc(s: SparkSession, dir: String): String =
+    orcLayout.ensure(s, dir)
 
   def q113OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = ensureOrc(s, dir)
@@ -1037,26 +1050,15 @@ object Relational {
   // shortest round-trip decimal form). Oracle = the identical
   // aggregate over the original parquet, so the round-trip is
   // value-exact.
-  @transient private var jsonlFor: Option[(String, java.nio.file.Path)] = None
+  private val jsonlLayout = new LayoutMemo("graft-q121", (s, dir, p) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .write.mode("overwrite").option("compression", "gzip")
+      .json(s"$p/orders_jsonl"))
   private def ensureJsonl(s: SparkSession, dir: String): String =
-    synchronized {
-      jsonlFor match {
-        case Some((d, p)) if d == dir => p.toString
-        case prev =>
-          prev.foreach { case (_, p) =>
-            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-          }
-          val p = java.nio.file.Files.createTempDirectory("graft-q121")
-          t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-              col("o_totalprice"),
-              date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
-            .write.mode("overwrite").option("compression", "gzip")
-            .json(s"$p/orders_jsonl")
-          jsonlFor = Some((dir, p))
-          p.toString
-      }
-    }
+    jsonlLayout.ensure(s, dir)
 
   def q121JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = ensureJsonl(s, dir)
@@ -1093,23 +1095,12 @@ object Relational {
   // regression to a full-scan plan fails CORRECTNESS, not just the
   // bench). PlanAuditSpec additionally pins zero data-filters — the
   // predicate must resolve entirely at planning time.
-  @transient private var partFor: Option[(String, java.nio.file.Path)] = None
+  private val partitionedLayout = new LayoutMemo("graft-q123", (s, dir, p) =>
+    t(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$p/documents_by_lang"))
   private def ensurePartitioned(s: SparkSession, dir: String): String =
-    synchronized {
-      partFor match {
-        case Some((d, p)) if d == dir => p.toString
-        case prev =>
-          prev.foreach { case (_, p) =>
-            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-          }
-          val p = java.nio.file.Files.createTempDirectory("graft-q123")
-          t(s, dir, "documents")
-            .write.mode("overwrite").partitionBy("lang")
-            .parquet(s"$p/documents_by_lang")
-          partFor = Some((dir, p))
-          p.toString
-      }
-    }
+    partitionedLayout.ensure(s, dir)
 
   def q123PartitionPruning(s: SparkSession, dir: String): DataFrame = {
     val base = ensurePartitioned(s, dir)
@@ -1142,25 +1133,15 @@ object Relational {
   // pass it explicitly; the per-file union semantics stay identical.
   // Oracle: doc_id parity encodes which batch a row landed in, so
   // plain SQL over the original table reproduces the merged view.
-  @transient private var evolvedFor: Option[(String, java.nio.file.Path)] = None
+  private val evolvedLayout = new LayoutMemo("graft-q125", (s, dir, p) => {
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).drop("source")
+      .write.mode("overwrite").parquet(s"$p/docs/batch=a")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$p/docs/batch=b")
+  })
   private def ensureEvolved(s: SparkSession, dir: String): String =
-    synchronized {
-      evolvedFor match {
-        case Some((d, p)) if d == dir => p.toString
-        case prev =>
-          prev.foreach { case (_, p) =>
-            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-          }
-          val p = java.nio.file.Files.createTempDirectory("graft-q125")
-          val docs = t(s, dir, "documents")
-          docs.filter(col("doc_id") % 2 === 0).drop("source")
-            .write.mode("overwrite").parquet(s"$p/docs/batch=a")
-          docs.filter(col("doc_id") % 2 === 1)
-            .write.mode("overwrite").parquet(s"$p/docs/batch=b")
-          evolvedFor = Some((dir, p))
-          p.toString
-      }
-    }
+    evolvedLayout.ensure(s, dir)
 
   def q125SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val base = ensureEvolved(s, dir)
@@ -1399,8 +1380,8 @@ object Relational {
     val labels = g.select(col("k").as("k2"))
       .withColumn("tag", coalesce(concat(lit("grp_"), col("k2")), lit("grp_NULL")))
     g.join(labels, col("k") <=> col("k2"))
-      .select(col("tag"), col("n"), col("sum_value"))
-      .orderBy(col("tag").asc_nulls_first)
+      .select(col("k"), col("tag"), col("n"), col("sum_value"))
+      .orderBy(col("k").asc_nulls_first)
   }
 
   val q134Sql: String =
@@ -1410,9 +1391,9 @@ object Relational {
       |  FROM events GROUP BY 1),
       |labels AS (SELECT k AS k2,
       |  COALESCE('grp_' || CAST(k AS VARCHAR), 'grp_NULL') AS tag FROM g)
-      |SELECT tag, n, sum_value FROM g JOIN labels
+      |SELECT k, tag, n, sum_value FROM g JOIN labels
       |  ON g.k IS NOT DISTINCT FROM labels.k2
-      |ORDER BY tag NULLS FIRST""".stripMargin
+      |ORDER BY k NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------- Q135
   // Multiset set-ops: INTERSECT ALL / EXCEPT ALL respect
