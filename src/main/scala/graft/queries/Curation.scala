@@ -363,6 +363,54 @@ object Curation {
        |    - start_off // $SeqCapacity + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- q137 budget selection
+  /** Token-budget corpus selection: take documents in quality order
+    * (q26's score, best first) until 40% of the corpus token mass is
+    * spent — the "fill the training budget with the best data" step
+    * that follows scoring. The cumulative token sum is a TWO-LEVEL
+    * prefix sum (within-bucket running sum + bucket-total prefix over
+    * ≤ 21 score-bucket rows broadcast back — the q103 shape), never a
+    * single-partition global window; the bucket key floor((1−score)·20)
+    * is a monotone function of the sort key, so bucket order composes
+    * with in-bucket order into exactly the global quality order. The
+    * budget derives from a broadcast one-row total via integer
+    * arithmetic ((total·2) div 5) — never a driver constant, and no
+    * float cast whose rounding mode could differ between engines. The
+    * oracle twin is the plain global-window SQL — the two-level plan
+    * must reproduce it bit-for-bit. */
+  def q137BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.queries.TextAnalysis.qTextQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("score"))
+      .withColumn("bkt", floor((lit(1.0) - col("score")) * 20).cast("long"))
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("score").desc, col("doc_id"))
+    val inBkt = scored.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = scored.groupBy("bkt").agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val total = scored.agg(sum(col("n_tokens")).as("total"))
+    inBkt.join(broadcast(bktOff), "bkt")
+      .withColumn("csum", col("boff") + col("cum_in"))
+      .crossJoin(broadcast(total))
+      .filter(col("csum") <= expr("(total * 2) div 5"))
+      .select(col("doc_id"), col("n_tokens"), col("score"), col("csum"))
+      .orderBy("doc_id")
+  }
+
+  val q137Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score
+       |  FROM (${graft.queries.TextAnalysis.qTextQualitySql}) q),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM scored),
+       |c AS (SELECT doc_id, n_tokens, score,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS csum FROM scored)
+       |SELECT doc_id, n_tokens, score, csum FROM c, tot
+       |WHERE csum <= (total * 2) // 5 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- q104 incremental dedup
   /** Incremental (asymmetric) near-dedup: a NEW increment of documents
     * (doc_id % 10 ∈ {8,9} — the fresh crawl) is deduplicated AGAINST
@@ -555,7 +603,8 @@ object Curation {
     "q102_approx_quantile" -> (q102ApproxQuantile _),
     "q103_seq_pack" -> (q103SeqPack _),
     "q104_incremental_dedup" -> (q104IncrementalDedup _),
-    "q105_mix_weights" -> (q105MixWeights _))
+    "q105_mix_weights" -> (q105MixWeights _),
+    "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
     "q107_leak_split" -> q107Sql,
@@ -568,5 +617,6 @@ object Curation {
     "q100_bigram_lm" -> q100Sql,
     "q103_seq_pack" -> q103Sql,
     "q104_incremental_dedup" -> q104Sql,
-    "q105_mix_weights" -> q105Sql)
+    "q105_mix_weights" -> q105Sql,
+    "q137_budget_select" -> q137Sql)
 }

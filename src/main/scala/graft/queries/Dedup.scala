@@ -788,7 +788,55 @@ object Dedup {
       |        CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- q136 keep-best-per-group
+  /** Quality-aware dedup survivor selection: within each q63 duplicate
+    * group keep the HIGHEST-QUALITY copy (q26's score), not the
+    * smallest id — the policy a production pipeline actually wants
+    * (near-dup crawl copies differ in boilerplate and truncation; the
+    * min-id rule of q37 keeps an arbitrary one). Singletons form their
+    * own group and always survive. The group table is dup-graph-sized
+    * → broadcast onto the corpus (zero corpus shuffle for label
+    * assignment); the survivor pick is one window inside the grp
+    * partitioning. The score is double arithmetic built ONLY from
+    * correctly-rounded IEEE ops (q26's contract), so the (score,
+    * doc_id) ordering is engine-identical — no tie ambiguity. */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val groups = qDedupGroups(s, dir)
+    val scored = graft.queries.TextAnalysis.qTextQuality(s, dir)
+      .select(col("doc_id"), col("score"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("doc_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(broadcast(groups.select(col("doc_id"), col("group_id"))),
+        Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("doc_id").as("kept_doc_id"), col("score"),
+        col("group_size"))
+      .orderBy("grp")
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH groups AS (
+       |  SELECT doc_id, group_id FROM (${qDedupGroupsSql}) g),
+       |scored AS (
+       |  SELECT doc_id, score FROM (${graft.queries.TextAnalysis.qTextQualitySql}) q),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS grp, s.score
+       |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+       |  JOIN scored s ON s.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY grp ORDER BY score DESC, doc_id) AS rn,
+       |  COUNT(*) OVER (PARTITION BY grp) AS group_size FROM assigned)
+       |SELECT grp, doc_id AS kept_doc_id, score, group_size
+       |FROM ranked WHERE rn = 1 ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_dedup_keep_best" -> (qDedupKeepBest _),
     "q81_para_dedup" -> (qParaDedup _),
     "q20_dedup_exact" -> (qDedupExact _),
     "q21_dedup_ngram" -> (qDedupNgram _),
@@ -804,6 +852,7 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q136_dedup_keep_best" -> qDedupKeepBestSql,
     "q20_dedup_exact" -> qDedupExactSql,
     "q21_dedup_ngram" -> qDedupNgramSql,
     "q22_minhash_sig" -> qMinhashSigSql,

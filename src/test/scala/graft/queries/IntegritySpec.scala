@@ -156,6 +156,50 @@ class IntegritySpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("q136 keeps exactly one survivor per group, and it is the best-scored") {
+    val kept = Dedup.qDedupKeepBest(spark, dir).cache()
+    try {
+      // one row per group, groups are disjoint
+      assert(kept.groupBy("grp").count().filter(col("count") > 1).count() === 0)
+      // survivor count = #groups + #singletons = distinct grp over corpus
+      val groups = Dedup.qDedupGroups(spark, dir)
+        .select(col("doc_id"), col("group_id"))
+      val assigned = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"))
+        .join(groups, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
+      assert(kept.count() === assigned.select("grp").distinct().count())
+      // no group member outscores its survivor
+      val scored = TextAnalysis.qTextQuality(spark, dir)
+        .select(col("doc_id"), col("score"))
+      val best = assigned.join(scored, "doc_id")
+        .groupBy("grp").agg(max(col("score")).as("best"))
+      assert(kept.join(best, "grp")
+        .filter(col("score") < col("best")).count() === 0)
+    } finally kept.unpersist()
+  }
+
+  test("q137 budget selection is maximal and matches the global-window form") {
+    val sel = Curation.q137BudgetSelect(spark, dir).cache()
+    try {
+      val scored = TextAnalysis.qTextQuality(spark, dir)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("score"))
+      val total = scored.agg(sum("n_tokens")).head().getLong(0)
+      val budget = total * 2 / 5
+      // within budget
+      assert(sel.agg(max("csum")).head().getLong(0) <= budget)
+      // maximal: the single-partition global window yields the same set
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val global = scored.withColumn("csum", sum("n_tokens").over(w))
+        .filter(col("csum") <= budget)
+      assert(sel.count() === global.count())
+      assert(sel.join(global.select("doc_id"), Seq("doc_id"), "left_anti")
+        .count() === 0)
+    } finally sel.unpersist()
+  }
+
   test("q119 array battery: token-length conservation vs the raw text") {
     val out = TextAnalysis.q119ArrayFuncs(spark, dir)
     val joined = out.join(
