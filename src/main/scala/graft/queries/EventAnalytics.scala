@@ -232,6 +232,72 @@ object EventAnalytics {
       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------- q138 sliding window agg
+  /** SLIDING event-time windows in batch: 1-hour windows every 30
+    * minutes, so each event lands in exactly TWO windows — Spark's
+    * `window(col, len, slide)` lowers to an Expand (per-row fan-out to
+    * its windows) + one map-side-combined aggregate, the same frame
+    * the streaming engine uses. This is the overlap the tumbling q57
+    * window cannot express (a spike straddling an hour boundary is
+    * visible in the offset window). The DuckDB twin materializes both
+    * candidate window starts per event with integer µs arithmetic —
+    * epoch-aligned exactly like Spark's window start computation. */
+  def q138SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("timestamp_micros(ts div 1000)").as("et"),
+        col("user_id"), col("value"))
+      .groupBy(window(col("et"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.queries.Relational.dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("w_start_sec"),
+        col("n"), col("n_users"), col("sum_value"))
+      .orderBy("w_start_sec")
+
+  val q138Sql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tus, user_id, value FROM events),
+      |w AS (SELECT tus, user_id, value,
+      |  unnest([(tus // 1800000000) * 1800000000,
+      |          (tus // 1800000000) * 1800000000 - 1800000000]) AS ws
+      |  FROM e)
+      |SELECT ws // 1000000 AS w_start_sec, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      |FROM w WHERE tus >= ws AND tus < ws + 3600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- q139 min-max normalize
+  /** Per-group min-max feature normalization: x' = (x − min)/(max −
+    * min) per event_type — the scaling step before any numeric
+    * feature enters training. Unlike z-scoring, it needs NO sqrt (not
+    * exactly specified by IEEE; libm results differ across platforms),
+    * so the normalized values are bit-identical across engines —
+    * min/max are comparisons and the rescale is one subtract + one
+    * divide. Stats are |group| rows broadcast back onto the fact scan
+    * (the q71 shape); degenerate groups (max = min) emit 0.5 by
+    * convention in both dialects. */
+  def q139MinmaxNorm(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val st = e.groupBy("event_type")
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    e.join(broadcast(st), "event_type")
+      .select(col("event_id"), col("event_type"),
+        when(col("vmax") === col("vmin"), lit(0.5))
+          .otherwise((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin"))).as("value_norm"))
+      .orderBy("event_id")
+  }
+
+  val q139Sql: String =
+    """WITH st AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type,
+      |  CASE WHEN vmax = vmin THEN 0.5
+      |       ELSE (value - vmin) / (vmax - vmin) END AS value_norm
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------- q84 pruned top-k
   /** The 5 highest-value events per type via
     * [[graft.operators.TopKPerGroup]] — the map-side-pruned exact
@@ -443,7 +509,9 @@ object EventAnalytics {
     "q71_outlier_z" -> (q71OutlierZscore _),
     "q72_heavy_hitters" -> (q72HeavyHitters _),
     "q73_json_extract" -> (q73JsonExtract _),
-    "q124_variant" -> (q124Variant _))
+    "q124_variant" -> (q124Variant _),
+    "q138_sliding_window" -> (q138SlidingWindow _),
+    "q139_minmax_norm" -> (q139MinmaxNorm _))
 
   val oracles: Map[String, String] = Map(
     "q108_trailing_window" -> q108Sql,
@@ -456,5 +524,7 @@ object EventAnalytics {
     "q71_outlier_z" -> q71Sql,
     "q72_heavy_hitters" -> q72Sql,
     "q73_json_extract" -> q73Sql,
-    "q124_variant" -> q124Sql)
+    "q124_variant" -> q124Sql,
+    "q138_sliding_window" -> q138Sql,
+    "q139_minmax_norm" -> q139Sql)
 }
