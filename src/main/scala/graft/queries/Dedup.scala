@@ -835,7 +835,46 @@ object Dedup {
        |SELECT grp, doc_id AS kept_doc_id, score, group_size
        |FROM ranked WHERE rn = 1 ORDER BY grp""".stripMargin
 
+  // ------------------------------------------ q141 source exclusivity
+  /** Cross-source content-overlap audit: per source, how many of its
+    * distinct 3-gram shingles appear in NO other source — the
+    * diversity signal that tells a mix designer whether a source adds
+    * novel content or re-crawls what other sources already cover
+    * (complementary to q105's token-share view). Two shuffles, both
+    * on bounded relations: (source, shingle) distinct pairs, then the
+    * shingle-keyed ownership count joined back (ns ≤ |sources|).
+    * Shingles are the md5-reduced 60-bit ints of the MinHash
+    * machinery, so the relation is narrow. The exclusivity ratio is
+    * one IEEE divide of two exact counts. */
+  def qSourceExclusivity(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesSpark))
+      .select(col("source"), explode(col("sh")).as("g"))
+      .distinct()
+    val owners = sh.groupBy("g").agg(countDistinct(col("source")).as("ns"))
+    sh.join(owners, "g")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+      .select(col("source"), col("n_shingles"), col("n_exclusive"),
+        (col("n_exclusive").cast("double") / col("n_shingles").cast("double"))
+          .as("exclusivity"))
+      .orderBy("source")
+  }
+
+  val qSourceExclusivitySql: String =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest($shinglesDuck) AS g FROM t),
+       |own AS (SELECT g, COUNT(DISTINCT source) AS ns FROM sh GROUP BY 1)
+       |SELECT source, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       |  CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS exclusivity
+       |FROM sh JOIN own USING (g) GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_source_exclusivity" -> (qSourceExclusivity _),
     "q136_dedup_keep_best" -> (qDedupKeepBest _),
     "q81_para_dedup" -> (qParaDedup _),
     "q20_dedup_exact" -> (qDedupExact _),
@@ -852,6 +891,7 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q141_source_exclusivity" -> qSourceExclusivitySql,
     "q136_dedup_keep_best" -> qDedupKeepBestSql,
     "q20_dedup_exact" -> qDedupExactSql,
     "q21_dedup_ngram" -> qDedupNgramSql,

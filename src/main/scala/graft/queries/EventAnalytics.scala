@@ -298,6 +298,49 @@ object EventAnalytics {
       |FROM events e JOIN st ON e.event_type = st.event_type
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------- q140 equi-depth bins
+  /** Equi-depth (equal-frequency) binning — the complement of q90's
+    * equal-width histogram and the feature-bucketing primitive:
+    * boundaries are the exact deciles, rows are assigned by range
+    * comparison against the BROADCAST boundary list (a lambda fold
+    * over 9 values), never by a global-sort ntile — the global window
+    * is the single-partition trap at 100 TB, while the two-pass
+    * (quantiles, then scan-local assignment) shape scales. Boundaries
+    * are rounded to 6 dp IN BOTH dialects before comparison (the q69
+    * precedent: interpolated quantiles agree between engines only
+    * after rounding — an unrounded boundary could differ by 1 ulp and
+    * flip a knife-edge row's bin). */
+  def q140EquidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("value"))
+    val ps = (1 to 9).map(_ / 10.0).mkString(", ")
+    val bounds = e.agg(
+      expr(s"transform(percentile(value, array($ps)), b -> round(b, 6))")
+        .as("bs"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr("1 + aggregate(bs, 0, (a, b) -> a + (CASE WHEN value > b " +
+          "THEN 1 ELSE 0 END))"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy("bin")
+  }
+
+  val q140Sql: String = {
+    val ps = (1 to 9).map(_ / 10.0).mkString(", ")
+    s"""WITH bounds AS (
+       |  SELECT list_transform(quantile_cont(value, [$ps]),
+       |    b -> round(b, 6)) AS bs FROM events),
+       |binned AS (
+       |  SELECT event_id, value,
+       |    1 + list_sum(list_transform(bs,
+       |      b -> CASE WHEN value > b THEN 1 ELSE 0 END)) AS bin
+       |  FROM events, bounds)
+       |SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n,
+       |  MIN(value) AS vmin, MAX(value) AS vmax
+       |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ----------------------------------------------- q84 pruned top-k
   /** The 5 highest-value events per type via
     * [[graft.operators.TopKPerGroup]] — the map-side-pruned exact
@@ -511,7 +554,8 @@ object EventAnalytics {
     "q73_json_extract" -> (q73JsonExtract _),
     "q124_variant" -> (q124Variant _),
     "q138_sliding_window" -> (q138SlidingWindow _),
-    "q139_minmax_norm" -> (q139MinmaxNorm _))
+    "q139_minmax_norm" -> (q139MinmaxNorm _),
+    "q140_equidepth_bins" -> (q140EquidepthBins _))
 
   val oracles: Map[String, String] = Map(
     "q108_trailing_window" -> q108Sql,
@@ -526,5 +570,6 @@ object EventAnalytics {
     "q73_json_extract" -> q73Sql,
     "q124_variant" -> q124Sql,
     "q138_sliding_window" -> q138Sql,
-    "q139_minmax_norm" -> q139Sql)
+    "q139_minmax_norm" -> q139Sql,
+    "q140_equidepth_bins" -> q140Sql)
 }
