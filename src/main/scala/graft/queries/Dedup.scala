@@ -847,9 +847,14 @@ object Dedup {
     * machinery, so the relation is narrow. The exclusivity ratio is
     * one IEEE divide of two exact counts. */
   def qSourceExclusivity(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shinglesSpark))
+    // ride the cached signature relation: exploding a MATERIALIZED
+    // shingle array only expands it, whereas exploding the raw
+    // expression re-splits each document per reference (explode's
+    // implicit size/isnotnull filter duplicates the generator child —
+    // the q60 trap; 7.6 s → sub-second at sf0.1)
+    val sh = cachedSignatures(s, dir)
+      .select(col("doc_id"), col("sh"))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("sh")).as("g"))
       .distinct()
     val owners = sh.groupBy("g").agg(countDistinct(col("source")).as("ns"))

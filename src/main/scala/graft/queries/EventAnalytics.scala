@@ -341,6 +341,88 @@ object EventAnalytics {
        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ----------------------------------------- q142 retention cohorts
+  /** Weekly retention cohort matrix: users grouped by their FIRST
+    * active week (the cohort), counted in every later week they
+    * reappear, keyed by week offset — the standard product-analytics
+    * triangle, and the user-activity analogue of incremental-corpus
+    * freshness tracking. Weeks are integer epoch-µs divisions (no
+    * calendar functions → no timezone/week-numbering divergence
+    * between engines). Two shuffles: the per-user first-week
+    * aggregate (user-keyed), then the (cohort, offset) matrix over
+    * the distinct user-week relation; the first-week table is
+    * user-count-sized and joins back user-keyed — at 100 TB both
+    * stages hash-partition on user_id, so AQE plans one exchange. */
+  private val WeekUs: Long = 7L * 86400 * 1000000
+
+  def q142Retention(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $WeekUs").as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
+  val q142Sql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS wk
+       |  FROM events),
+       |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1)
+       |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+       |  COUNT(DISTINCT uw.user_id) AS n_users
+       |FROM uw JOIN c ON uw.user_id = c.user_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------- q143 temporal drift
+  /** Temporal label-distribution drift: split the event stream at the
+    * midpoint of its time range and compare each event_type's share
+    * of the early half vs the late half — the drift audit run before
+    * trusting a model trained on the early period (the corpus-side
+    * analogue of q105's declared-vs-actual mix check). The split
+    * boundary is integer µs arithmetic from a broadcast one-row
+    * (min, max) aggregate — never a driver constant; shares and the
+    * drift are single correctly-rounded IEEE divides/subtracts of
+    * exact counts. */
+  def q143DriftAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), expr("ts div 1000").as("tus"))
+    val span = e.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+    val halves = e.crossJoin(broadcast(span))
+      .withColumn("late", (col("tus") * 2 >= col("t0") + col("t1")).cast("int"))
+    val counts = halves.groupBy("event_type")
+      .agg(sum(lit(1) - col("late")).cast("long").as("n_early"),
+        sum(col("late")).cast("long").as("n_late"))
+    val tot = counts.agg(sum(col("n_early")).as("te"), sum(col("n_late")).as("tl"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        (col("n_early").cast("double") / col("te").cast("double"))
+          .as("share_early"),
+        (col("n_late").cast("double") / col("tl").cast("double"))
+          .as("share_late"),
+        abs(col("n_early").cast("double") / col("te").cast("double") -
+          col("n_late").cast("double") / col("tl").cast("double"))
+          .as("drift"))
+      .orderBy("event_type")
+  }
+
+  val q143Sql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+      |span AS (SELECT MIN(tus) AS t0, MAX(tus) AS t1 FROM e),
+      |h AS (SELECT event_type,
+      |  CASE WHEN tus * 2 >= t0 + t1 THEN 1 ELSE 0 END AS late FROM e, span),
+      |c AS (SELECT event_type,
+      |  CAST(SUM(1 - late) AS BIGINT) AS n_early,
+      |  CAST(SUM(late) AS BIGINT) AS n_late FROM h GROUP BY 1),
+      |t AS (SELECT SUM(n_early) AS te, SUM(n_late) AS tl FROM c)
+      |SELECT event_type, n_early, n_late,
+      |  CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE) AS share_early,
+      |  CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE) AS share_late,
+      |  abs(CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE) -
+      |      CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE)) AS drift
+      |FROM c, t ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------- q84 pruned top-k
   /** The 5 highest-value events per type via
     * [[graft.operators.TopKPerGroup]] — the map-side-pruned exact
@@ -555,7 +637,9 @@ object EventAnalytics {
     "q124_variant" -> (q124Variant _),
     "q138_sliding_window" -> (q138SlidingWindow _),
     "q139_minmax_norm" -> (q139MinmaxNorm _),
-    "q140_equidepth_bins" -> (q140EquidepthBins _))
+    "q140_equidepth_bins" -> (q140EquidepthBins _),
+    "q142_retention" -> (q142Retention _),
+    "q143_drift_audit" -> (q143DriftAudit _))
 
   val oracles: Map[String, String] = Map(
     "q108_trailing_window" -> q108Sql,
@@ -571,5 +655,7 @@ object EventAnalytics {
     "q124_variant" -> q124Sql,
     "q138_sliding_window" -> q138Sql,
     "q139_minmax_norm" -> q139Sql,
-    "q140_equidepth_bins" -> q140Sql)
+    "q140_equidepth_bins" -> q140Sql,
+    "q142_retention" -> q142Sql,
+    "q143_drift_audit" -> q143Sql)
 }
