@@ -1425,6 +1425,67 @@ object Relational {
       |SELECT op, k, n FROM ex UNION ALL SELECT op, k, n FROM ia
       |ORDER BY op, k""".stripMargin
 
+  // -------------------------------------------------------------- Q144
+  // Value-window battery: first_value / last_value / nth_value over an
+  // explicit FULL-PARTITION frame (the default RANGE..CURRENT ROW
+  // frame silently truncates last_value to the current row — the
+  // classic window-frame bug, avoided identically in both dialects by
+  // spelling the frame out), plus lag/lead with defaults. The ORDER BY
+  // carries the unique key so every value function is total-order
+  // deterministic.
+  def q144ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("o_totalprice"), col("o_orderkey"))
+    val full = Window.partitionBy("o_orderpriority")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seq = Window.partitionBy("o_orderpriority").orderBy(order: _*)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_key"),
+        lag(col("o_orderkey"), 1, -1L).over(seq).as("prev_key"),
+        lead(col("o_orderkey"), 1, -1L).over(seq).as("next_key"))
+      .orderBy("o_orderkey")
+  }
+
+  val q144Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  first_value(o_orderkey) OVER wf AS first_key,
+      |  last_value(o_orderkey) OVER wf AS last_key,
+      |  nth_value(o_orderkey, 3) OVER wf AS third_key,
+      |  lag(o_orderkey, 1, -1) OVER ws AS prev_key,
+      |  lead(o_orderkey, 1, -1) OVER ws AS next_key
+      |FROM orders
+      |WINDOW wf AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  ws AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- Q145
+  // Bitwise-aggregate battery: BIT_AND / BIT_OR / BIT_XOR over grouped
+  // integers plus per-row bit_count — the flag-mask rollup pattern
+  // (permission masks, feature flags, bloom-ish membership words).
+  // All integer ops: engine-exact by construction, map-side combined.
+  def q145BitwiseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(l_linenumber)").as("band"),
+        expr("bit_or(l_linenumber)").as("bor"),
+        expr("bit_xor(l_linenumber)").as("bxor"),
+        sum(expr("bit_count(l_linenumber)")).as("total_bits"))
+      .orderBy("l_returnflag")
+
+  val q145Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(bit_and(l_linenumber) AS INTEGER) AS band,
+      |  CAST(bit_or(l_linenumber) AS INTEGER) AS bor,
+      |  CAST(bit_xor(l_linenumber) AS INTEGER) AS bxor,
+      |  CAST(SUM(bit_count(l_linenumber)) AS BIGINT) AS total_bits
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_profile" -> (q94Profile _),
@@ -1472,7 +1533,9 @@ object Relational {
     "q132_scalar_subqueries" -> (q132ScalarSubqueries _),
     "q133_lateral_topk" -> (q133LateralTopk _),
     "q134_null_semantics" -> (q134NullSemantics _),
-    "q135_setops_all" -> (q135SetopsAll _))
+    "q135_setops_all" -> (q135SetopsAll _),
+    "q144_value_windows" -> (q144ValueWindows _),
+    "q145_bitwise_agg" -> (q145BitwiseAgg _))
 
   val oracles: Map[String, String] = Map(
     "q94_profile" -> q94Sql,
@@ -1520,5 +1583,7 @@ object Relational {
     "q132_scalar_subqueries" -> q132Sql,
     "q133_lateral_topk" -> q133Sql,
     "q134_null_semantics" -> q134Sql,
-    "q135_setops_all" -> q135Sql)
+    "q135_setops_all" -> q135Sql,
+    "q144_value_windows" -> q144Sql,
+    "q145_bitwise_agg" -> q145Sql)
 }
