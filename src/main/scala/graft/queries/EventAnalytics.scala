@@ -423,6 +423,35 @@ object EventAnalytics {
       |      CAST(n_late AS DOUBLE) / CAST(tl AS DOUBLE)) AS drift
       |FROM c, t ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- q146 co-occurrence
+  /** Pairwise event-type co-occurrence (the association-rules /
+    * market-basket support count): for every unordered pair of event
+    * types, how many users performed BOTH. The per-user distinct
+    * type set is tiny (≤ |types|), so pair generation is a scan-local
+    * fan-out of at most C(|types|,2) rows per user after ONE user_id
+    * shuffle — the classic a-priori support pass, never a fact×fact
+    * self-join (which would square the event table; the per-user
+    * aggregate-then-expand shape is what scales). Support counts are
+    * exact; the pair key is ordered (t1 < t2) in both dialects. */
+  def q146Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    perUser.as("a")
+      .join(perUser.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(countDistinct(col("a.user_id")).as("support"))
+      .orderBy("t1", "t2")
+  }
+
+  val q146Sql: String =
+    """WITH pu AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS t1, b.event_type AS t2,
+      |  COUNT(DISTINCT a.user_id) AS support
+      |FROM pu a JOIN pu b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------- q84 pruned top-k
   /** The 5 highest-value events per type via
     * [[graft.operators.TopKPerGroup]] — the map-side-pruned exact
@@ -639,7 +668,8 @@ object EventAnalytics {
     "q139_minmax_norm" -> (q139MinmaxNorm _),
     "q140_equidepth_bins" -> (q140EquidepthBins _),
     "q142_retention" -> (q142Retention _),
-    "q143_drift_audit" -> (q143DriftAudit _))
+    "q143_drift_audit" -> (q143DriftAudit _),
+    "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
     "q108_trailing_window" -> q108Sql,
@@ -657,5 +687,6 @@ object EventAnalytics {
     "q139_minmax_norm" -> q139Sql,
     "q140_equidepth_bins" -> q140Sql,
     "q142_retention" -> q142Sql,
-    "q143_drift_audit" -> q143Sql)
+    "q143_drift_audit" -> q143Sql,
+    "q146_cooccurrence" -> q146Sql)
 }

@@ -159,12 +159,49 @@ object GraphOps {
        |       ELSE 3.0 * triangles / wedges END AS closure
        |FROM tri, wd""".stripMargin
 
+  // ----------------------------------------------- q147 2-hop reach
+  /** Distinct 2-hop reach per node of the near-dup graph (neighbors ∪
+    * neighbors-of-neighbors, self excluded) — the blast-radius metric:
+    * how many documents would be touched by killing/keeping this one,
+    * including chain links the direct degree (q79) misses. One
+    * edges⋈edges hash join builds the 2-hop candidates, a union adds
+    * the 1-hop ring, one distinct-count per node finishes — all on the
+    * narrow cached edge relation. At viral-hub scale the join fans out
+    * deg²; the production guard is the same degree-orientation note as
+    * q114 (or capping at the CC component size, which bounds reach
+    * from above). */
+  def q147TwoHop(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ccEdges(s, dir) // bidirectional, cached
+    val twoHop = edges.as("e1")
+      .join(edges.as("e2"), col("e1.d2") === col("e2.d1"))
+      .select(col("e1.d1").as("src"), col("e2.d2").as("dst"))
+    val reach = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(twoHop)
+      .filter(col("src") =!= col("dst"))
+    reach.groupBy("src")
+      .agg(countDistinct(col("dst")).as("n_reach"))
+      .select(col("src").as("doc_id"), col("n_reach"))
+      .orderBy("doc_id")
+  }
+
+  val q147Sql: String =
+    s"""${Dedup.edgesSqlCte},
+       |two AS (SELECT e1.d1 AS src, e2.d2 AS dst
+       |  FROM edges e1 JOIN edges e2 ON e1.d2 = e2.d1),
+       |reach AS (
+       |  SELECT d1 AS src, d2 AS dst FROM edges
+       |  UNION ALL SELECT src, dst FROM two)
+       |SELECT src AS doc_id, COUNT(DISTINCT dst) AS n_reach
+       |FROM reach WHERE src <> dst GROUP BY src ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_pagerank" -> (q111Pagerank _),
-    "q114_triangles" -> (q114Triangles _))
+    "q114_triangles" -> (q114Triangles _),
+    "q147_two_hop" -> (q147TwoHop _))
 
   val oracles: Map[String, String] = Map(
     "q111_pagerank" -> q111Sql,
-    "q114_triangles" -> q114Sql)
+    "q114_triangles" -> q114Sql,
+    "q147_two_hop" -> q147Sql)
 }
