@@ -878,7 +878,57 @@ object Dedup {
        |    CAST(COUNT(*) AS DOUBLE) AS exclusivity
        |FROM sh JOIN own USING (g) GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- q148 containment dedup
+  /** Asymmetric CONTAINMENT near-dup: for LSH candidate pairs, score
+    * |A∩B| / min(|A|,|B|) instead of symmetric Jaccard — the check
+    * that catches a document EMBEDDED in a longer one (quote pages,
+    * aggregators, truncated mirrors), where Jaccard dilutes below any
+    * sane threshold (a 100-shingle doc inside a 1000-shingle doc has
+    * J ≈ 0.1 but containment = 1.0). Same banded candidate generation
+    * and one-join scoring as q23; the score is one integer divide in
+    * doubles. Recall caveat shared with all MinHash banding: bands
+    * collide on Jaccard, so extreme containment with extreme size
+    * ratio can evade the bands — the production fix is suffix-array /
+    * exact-substring passes (q81's paragraph level) for the tail. */
+  val ContainmentThreshold = 0.8
+
+  def qContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = cachedSignatures(s, dir)
+    val narrow = sig.drop("sh")
+    val cand = graft.operators.LshBands.candidatePairs(narrow, "doc_id",
+      (0 until NumBands).map(bd => s"band$bd"))
+    val s1 = sig.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("containment",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          least(size(col("sh1")), size(col("sh2"))).cast("double"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("d1"), col("d2"), col("containment"))
+      .orderBy("d1", "d2")
+  }
+
+  val qContainmentPairsSql: String = {
+    val bandJoins = (0 until NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""$sigSqlCte,
+       |cand AS (
+       |$bandJoins),
+       |scored AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(least(len(x.sh), len(y.sh)) AS DOUBLE) AS containment
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id)
+       |SELECT d1, d2, containment FROM scored
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_containment" -> (qContainmentPairs _),
     "q141_source_exclusivity" -> (qSourceExclusivity _),
     "q136_dedup_keep_best" -> (qDedupKeepBest _),
     "q81_para_dedup" -> (qParaDedup _),
@@ -896,6 +946,7 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q148_containment" -> qContainmentPairsSql,
     "q141_source_exclusivity" -> qSourceExclusivitySql,
     "q136_dedup_keep_best" -> qDedupKeepBestSql,
     "q20_dedup_exact" -> qDedupExactSql,
