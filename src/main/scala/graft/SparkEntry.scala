@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, Dedup, EventAnalytics, GraphOps, Integrity, Multimodal, PipelineQueries, Relational, Sampling, Similarity, StreamingQueries, TextAnalysis}
+import graft.queries.{Curation, Dedup, EventAnalytics, GraphOps, Integrity, Multimodal, PipelineQueries, Relational, Sampling, Similarity, StreamingQueries, TextAnalysis, TpchSuite}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ PipelineQueries.queries ++ Multimodal.queries ++
       StreamingQueries.queries ++ EventAnalytics.queries ++ Sampling.queries ++
-      Curation.queries ++ GraphOps.queries ++ Integrity.queries
+      Curation.queries ++ GraphOps.queries ++ Integrity.queries ++
+      TpchSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ PipelineQueries.oracles ++ Multimodal.oracles ++
       StreamingQueries.oracles ++ EventAnalytics.oracles ++ Sampling.oracles ++
-      Curation.oracles ++ GraphOps.oracles ++ Integrity.oracles
+      Curation.oracles ++ GraphOps.oracles ++ Integrity.oracles ++
+      TpchSuite.oracles
 }
