@@ -211,14 +211,118 @@ object Multimodal {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // ---------------------------------------------- q169 frame sample
+  /** Video-style frame sampling over the binary column: treat the blob
+    * as a frame stream (8-byte frames), sample every 2nd frame
+    * (stride-2 temporal subsampling — the standard pre-decode step of
+    * a video training pipeline), and emit per-doc frame accounting
+    * plus a content signature over the SAMPLED frames only (md5 chain
+    * — the key a frame-level dedup or decode-batch scheduler would
+    * group on).
+    *
+    * Scale: pure per-row expressions over the blob — no shuffle, no
+    * explode (the frame loop is an array transform inside one
+    * projection); a real codec swaps the substring slicing for a
+    * container demuxer inside the same per-row stage
+    * ([[graft.pipeline.MultimodalDecode]] holds that seam). Blob
+    * lengths here are multiples of 32 hex chars, so frame counts are
+    * exact integer divisions in both dialects (no trunc-vs-round cast
+    * hazard). */
+  def q169FrameSample(s: SparkSession, dir: String): DataFrame =
+    withBlob(s, dir)
+      .withColumn("n_frames", (length(col("blob_hex")) / 16).cast("int"))
+      .withColumn("n_sampled", (length(col("blob_hex")) / 32).cast("int"))
+      .select(
+        col("doc_id"), col("n_frames"), col("n_sampled"),
+        substring(col("blob_hex"), 1, 16).as("first_frame"),
+        md5(expr(
+          """array_join(transform(sequence(0, n_sampled - 1),
+            |  i -> md5(substring(blob_hex, i * 32 + 1, 16))), '')""".stripMargin))
+          .as("sample_sig"))
+      .orderBy("doc_id")
+
+  val q169Sql: String =
+    s"""$blobCte
+       |SELECT doc_id,
+       |CAST(length(blob_hex) / 16 AS INT) AS n_frames,
+       |CAST(length(blob_hex) / 32 AS INT) AS n_sampled,
+       |substr(blob_hex, 1, 16) AS first_frame,
+       |md5(array_to_string(list_transform(
+       |  range(0, CAST(length(blob_hex) / 32 AS INT)),
+       |  i -> md5(substr(blob_hex, CAST(i * 32 + 1 AS INT), 16))), ''))
+       |  AS sample_sig
+       |FROM binary_blobs ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- q170 audio features
+  /** Audio-style waveform feature extraction: interpret the blob as
+    * unsigned 8-bit PCM samples and compute the accounting a corpus
+    * audit keeps per clip — sample count, peak, mean amplitude, RMS
+    * energy, midline (128) crossing count, and clipped-sample count.
+    * The analogue of q25's text stats for the audio modality: the
+    * features feed quality gates (silence/clipping filters) and
+    * duration-balanced mixing.
+    *
+    * Determinism: samples decode to exact integers (hex-nibble
+    * arithmetic via instr on a shared alphabet — no float parse), all
+    * sums are integer folds, and the only doubles are final mean/RMS
+    * divisions + sqrt on exact integer inputs — identical IEEE ops in
+    * both engines. Scale: per-row array expressions in one projection;
+    * no shuffle, no explode. */
+  def q170AudioFeatures(s: SparkSession, dir: String): DataFrame =
+    withBlob(s, dir)
+      .withColumn("n_samples", (length(col("blob_hex")) / 2).cast("int"))
+      .withColumn("samples", expr(
+        """transform(sequence(0, n_samples - 1),
+          |  i -> (instr('0123456789abcdef', substring(blob_hex, i * 2 + 1, 1)) - 1) * 16
+          |     + (instr('0123456789abcdef', substring(blob_hex, i * 2 + 2, 1)) - 1))""".stripMargin))
+      .select(
+        col("doc_id"), col("n_samples"),
+        expr("array_max(samples)").as("peak"),
+        round(expr("aggregate(samples, 0L, (s, x) -> s + x)").cast("double") /
+          col("n_samples").cast("double"), 4).as("mean_amp"),
+        round(sqrt(expr("aggregate(samples, 0L, (s, x) -> s + x * x)")
+          .cast("double") / col("n_samples").cast("double")), 4).as("rms"),
+        expr(
+          """aggregate(transform(sequence(1, n_samples - 1),
+            |  i -> IF((element_at(samples, i + 1) >= 128) !=
+            |          (element_at(samples, i) >= 128), 1, 0)),
+            |  0, (s, x) -> s + x)""".stripMargin).as("crossings"),
+        expr("size(filter(samples, x -> x = 0 OR x = 255))").as("clipped"))
+      .orderBy("doc_id")
+
+  val q170Sql: String =
+    s"""$blobCte,
+       |sampled AS (SELECT doc_id,
+       |  CAST(length(blob_hex) / 2 AS INT) AS n_samples,
+       |  list_transform(range(0, CAST(length(blob_hex) / 2 AS INT)),
+       |    i -> (instr('0123456789abcdef',
+       |            substr(blob_hex, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+       |       + (instr('0123456789abcdef',
+       |            substr(blob_hex, CAST(i * 2 + 2 AS INT), 1)) - 1)) AS samples
+       |  FROM binary_blobs)
+       |SELECT doc_id, n_samples,
+       |CAST(list_max(samples) AS INT) AS peak,
+       |round(CAST(list_sum(samples) AS DOUBLE) / n_samples, 4) AS mean_amp,
+       |round(sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
+       |  / n_samples), 4) AS rms,
+       |CAST(list_sum(list_transform(range(1, n_samples),
+       |  i -> CASE WHEN (samples[i + 1] >= 128) <> (samples[i] >= 128)
+       |       THEN 1 ELSE 0 END)) AS INT) AS crossings,
+       |CAST(len(list_filter(samples, x -> x = 0 OR x = 255)) AS INT) AS clipped
+       |FROM sampled ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_blob_meta" -> (q33BlobMeta _),
     "q34_blob_hash" -> (q34BlobHash _),
-    "q35_phash_neardup" -> (q35PhashNearDup _))
+    "q35_phash_neardup" -> (q35PhashNearDup _),
+    "q169_frame_sample" -> (q169FrameSample _),
+    "q170_audio_features" -> (q170AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q33_blob_meta" -> q33Sql,
     "q34_blob_hash" -> q34Sql,
-    "q35_phash_neardup" -> q35Sql)
+    "q35_phash_neardup" -> q35Sql,
+    "q169_frame_sample" -> q169Sql,
+    "q170_audio_features" -> q170Sql)
 }

@@ -847,7 +847,103 @@ object Similarity {
       |CAST(0.5 AS DOUBLE) AS recall_at_5,
       |CAST(0.5 AS DOUBLE) AS top1_rate""".stripMargin
 
+  // --------------------------------------------------- q168 k-means
+  /** Quantized-Lloyd k-means over the embedding corpus: [[KmeansK]]
+    * seed centroids (the K smallest vec_ids), [[KmeansIters]]
+    * assignment→update rounds, one final assignment; output is the
+    * per-cluster membership count and mean squared distance — the
+    * inertia decomposition behind clustering-based diversity sampling
+    * and IVF coarse-quantizer retraining (q32 assigns to FIXED seeds;
+    * this is the refinement loop that would train them).
+    *
+    * Determinism contract (what makes an ITERATIVE float algorithm
+    * oracle-checkable): every squared distance is a per-dimension
+    * (v−c)² fold routed through DECIMAL(25,6) (order-insensitive sum),
+    * and every updated centroid coordinate is round(dsum(v)/n, 6) —
+    * both engines quantize identically at each round, so the argmin
+    * assignments (cluster-id tie-break) match bit-for-bit throughout.
+    *
+    * Plan shape: ONE posexplode of the corpus feeds every round; the
+    * K×dim centroid relation is collected driver-side between rounds
+    * (bounded: K·dim = 512 rows — the PQ-codebook pattern) and
+    * broadcast back, so each round is a broadcast join + ONE map-side
+    * combined (vec, k) aggregate, and the plan never deepens with the
+    * round count. At 100 TB the same loop re-expresses assignment over
+    * the native vec_dot kernel (|x−c|² = |x|² − 2x·c + |c|²); the
+    * long form here is the semantics pin the oracle can mirror. */
+  val KmeansK: Int = 8
+  val KmeansIters: Int = 2
+
+  private[queries] def kmeansExploded(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("p"),
+        col("col").cast("double").as("v"))
+
+  /** Argmin assignment of every vector to a centroid in `cent(k,p,c)`:
+    * (vec_id, k, dist) with dist the decimal-summed squared L2. */
+  private[queries] def kmeansAssign(ex: DataFrame, cent: DataFrame): DataFrame =
+    ex.join(broadcast(cent), "p")
+      .withColumn("sq", (col("v") - col("c")) * (col("v") - col("c")))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(Relational.dsum(col("sq")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("k"))))
+      .filter(col("rn") === 1).drop("rn")
+
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val ex = kmeansExploded(s, dir)
+    var cent = ex.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("k"), col("p"), col("v").as("c"))
+    for (_ <- 1 to KmeansIters) {
+      val a = kmeansAssign(ex, cent).select(col("vec_id"), col("k"))
+      val upd = ex.join(a, "vec_id")
+        .groupBy(col("k"), col("p"))
+        .agg(round(Relational.dsum(col("v")) / count(lit(1)), 6).as("c"))
+      // bounded driver state: K·dim rows, rebuilt as a local relation
+      // so round plans don't stack into one deep lineage
+      val rows = upd.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      import s.implicits._
+      cent = rows.toSeq.toDF("k", "p", "c")
+    }
+    kmeansAssign(ex, cent)
+      .groupBy(col("k").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(Relational.dsum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
+      .orderBy("cluster")
+  }
+
+  val qKmeansSql: String = {
+    def dStep(i: Int): String =
+      s"""d$i AS (SELECT e.vec_id, c.k,
+         |  CAST(SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(25,6))) AS DOUBLE) AS dist
+         |  FROM e JOIN c${i - 1} c ON e.p = c.p GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, k, dist FROM (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+         |  FROM d$i) WHERE rn = 1)""".stripMargin
+    def cStep(i: Int): String =
+      s"""c$i AS (SELECT a.k, e.p,
+         |  round(CAST(SUM(CAST(e.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS c
+         |  FROM e JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to KmeansIters)
+      .map(i => dStep(i) + ",\n" + cStep(i)).mkString(",\n")
+    val fin = KmeansIters + 1
+    s"""WITH ex AS (SELECT vec_id,
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'p': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, s.p AS p, s.v AS v FROM ex),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS k, p, v AS c FROM e
+       |  WHERE vec_id < $KmeansK),
+       |$rounds,
+       |${dStep(fin)}
+       |SELECT k AS cluster, COUNT(*) AS n_members,
+       |round(CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+       |  AS mean_dist
+       |FROM a$fin GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_kmeans" -> (qKmeans _),
     "q93_ann_eval" -> (qAnnEval _),
     "q82_label_centroids" -> (qLabelCentroids _),
     "q29_embed_norm" -> (qEmbedNorm _),
@@ -864,6 +960,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q168_kmeans" -> qKmeansSql,
     "q93_ann_eval" -> qAnnEvalSql,
     "q82_label_centroids" -> qLabelCentroidsSql,
     "q29_embed_norm" -> qEmbedNormSql,

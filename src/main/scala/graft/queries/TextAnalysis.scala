@@ -426,7 +426,96 @@ object TextAnalysis {
       |      FROM documents WHERE n_chars > 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- q167 bm25
+  /** BM25 ranked retrieval: top-[[Bm25TopK]] documents for a fixed
+    * term set — the standard lexical-retrieval scorer (the missing
+    * sibling of q70's TF-IDF; a curation pipeline uses it to mine
+    * domain-relevant documents from a web corpus by seed queries).
+    *
+    * Plan shape (100 TB): the token explode is scan-local and the
+    * `isin(queryTerms)` filter prunes it to matching tokens BEFORE the
+    * only corpus-wide shuffle (the (doc, term) tf aggregate over hits
+    * — hits ≪ tokens); `df` is |query-terms| rows and the (N, Σdl)
+    * corpus stats are one row, both broadcast back; the final top-k is
+    * `orderBy.limit` ⇒ TakeOrderedAndProject (no global sort).
+    *
+    * Determinism: tf/df/dl/N are exact integers; every double constant
+    * (k1, b, k1+1, 1−b) is computed ONCE in Scala and interpolated
+    * into the oracle via Double.toString (shortest round-trip repr),
+    * so both engines evaluate bit-identical IEEE expressions in the
+    * same order; the per-doc sum over term scores routes through
+    * DECIMAL(25,6) ([[Relational.dsum]]) so term order can't change
+    * bits; ranking uses the raw sum with doc_id tie-break. */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+  val Bm25TopK: Int = 20
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window", "merge")
+  private val bm25K1p1: Double = Bm25K1 + 1.0
+  private val bm25OneMinusB: Double = 1.0 - Bm25B
+
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      split(col("text"), " ").as("toks"))
+    val hits = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = hits.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+    val scored = tf.join(broadcast(dfr), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(bm25K1p1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(bm25OneMinusB) + lit(Bm25B) *
+              (col("dl").cast("double") / col("avgdl")))))
+    val perDoc = scored.groupBy(col("doc_id")).agg(dsum(col("tscore")).as("raw"))
+      .orderBy(col("raw").desc, col("doc_id")).limit(Bm25TopK)
+    perDoc
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("raw").desc, col("doc_id"))))
+      .select(col("rn"), col("doc_id"), round(col("raw"), 4).as("score"))
+      .orderBy("rn")
+  }
+
+  val qBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |  string_split(text, ' ') AS toks FROM documents),
+       |hits AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+       |qh AS (SELECT * FROM hits WHERE term IN ($terms)),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM qh GROUP BY 1,2,3),
+       |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qh GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+       |  FROM documents),
+       |sc AS (SELECT tf.doc_id,
+       |  ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (tf * $bm25K1p1)
+       |    / (tf + $Bm25K1 * ($bm25OneMinusB + $Bm25B *
+       |        (CAST(dl AS DOUBLE)
+       |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |    AS tscore
+       |  FROM tf JOIN dfr USING (term) CROSS JOIN st),
+       |pd AS (SELECT doc_id, ${DSUM("tscore")} AS raw FROM sc GROUP BY 1
+       |  ORDER BY raw DESC, doc_id LIMIT $Bm25TopK)
+       |SELECT ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS rn,
+       |doc_id, round(raw, 4) AS score FROM pd ORDER BY rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_bm25" -> (qBm25 _),
     "q119_array_funcs" -> (q119ArrayFuncs _),
     "q70_tfidf" -> (qTfidf _),
     "q80_mix_report" -> (qMixReport _),
@@ -440,6 +529,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q167_bm25" -> qBm25Sql,
     "q119_array_funcs" -> q119Sql,
     "q70_tfidf" -> qTfidfSql,
     "q80_mix_report" -> qMixReportSql,

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavioral specs for the round-6 additions: BM25 retrieval (q167 —
+  * checked against an independent driver-side recomputation), k-means
+  * (q168 — partition + inertia-descent invariants), and the
+  * frame-sample / audio-feature multimodal plumbing (q169/q170 —
+  * structural invariants plus the planted-duplicate signature check).
+  */
+class RetrievalClusterSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q167 bm25 matches an independent in-memory recomputation") {
+    val got = TextAnalysis.qBm25(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toDouble
+    val dl = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    val terms = TextAnalysis.Bm25Terms
+    val df = terms.map(t =>
+      t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val k1 = TextAnalysis.Bm25K1; val b = TextAnalysis.Bm25B
+    val scores = docs.flatMap { case (id, toks) =>
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          val raw = idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * (dl(id) / avgdl)))
+          BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+      if (s > 0) Some(id -> s.toDouble) else None
+    }
+    // rank on the raw decimal sum (the engine's ordering), then quantize
+    // to the engine's 4-dp output rounding for the value comparison
+    val expected = scores.sortBy { case (id, s) => (-s, id) }
+      .take(TextAnalysis.Bm25TopK)
+      .map { case (id, s) =>
+        id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    assert(got.length === expected.length)
+    got.zip(expected).zipWithIndex.foreach {
+      case (((rn, id, sc), (eid, esc)), i) =>
+        assert(rn === i + 1)
+        assert(id === eid, s"rank ${i + 1}")
+        assert(math.abs(sc - esc) < 1e-9, s"rank ${i + 1} score")
+    }
+  }
+
+  test("q167 plans top-k as TakeOrderedAndProject, stats broadcast") {
+    val p = TextAnalysis.qBm25(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"))
+  }
+
+  test("q168 kmeans partitions the corpus and descends inertia") {
+    val out = Similarity.qKmeans(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val total = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(out.map(_._2).sum === total, "every vector in exactly one cluster")
+    assert(out.length <= Similarity.KmeansK)
+    assert(out.forall(_._3 >= 0.0))
+    // Lloyd descent: refined centroids fit at least as well as seeds
+    // (quantization at 1e-6 is far below any real per-round gain)
+    val ex = Similarity.kmeansExploded(spark, dir).cache()
+    try {
+      val seeds = ex.filter(col("vec_id") < Similarity.KmeansK)
+        .select(col("vec_id").cast("int").as("k"), col("p"), col("v").as("c"))
+      val seedInertia = Similarity.kmeansAssign(ex, seeds)
+        .agg(sum(col("dist"))).head().getDouble(0)
+      val finalInertia = out.map(r => r._2 * r._3).sum
+      assert(finalInertia <= seedInertia + 1e-3,
+        s"final $finalInertia vs seed $seedInertia")
+    } finally ex.unpersist()
+  }
+
+  test("q169 frame accounting is consistent and planted dups share signatures") {
+    val out = Multimodal.q169FrameSample(spark, dir).cache()
+    try {
+      assert(out.filter(col("n_frames") =!= col("n_sampled") * 2).count() === 0)
+      assert(out.filter(length(col("first_frame")) =!= 16).count() === 0)
+      // every doc_id % 50 == 0 shares blob content with doc 0
+      val dupSigs = out.filter(col("doc_id") % 50 === 0)
+        .select(col("sample_sig")).distinct().count()
+      assert(dupSigs === 1, "planted exact duplicates must share the signature")
+      // non-planted docs have many distinct signatures
+      val rest = out.filter(col("doc_id") % 50 =!= 0)
+      assert(rest.select(col("sample_sig")).distinct().count() === rest.count())
+    } finally out.unpersist()
+  }
+
+  test("q170 audio features respect waveform invariants") {
+    val out = Multimodal.q170AudioFeatures(spark, dir).cache()
+    try {
+      assert(out.filter(col("peak") > 255 || col("peak") < 0).count() === 0)
+      assert(out.filter(col("mean_amp") > col("peak")).count() === 0)
+      // RMS >= mean for non-negative samples (power-mean inequality)
+      assert(out.filter(col("rms") < col("mean_amp") - 1e-9).count() === 0)
+      assert(out.filter(col("crossings") > col("n_samples") - 1).count() === 0)
+      assert(out.filter(col("clipped") > col("n_samples")).count() === 0)
+      // planted duplicates (doc_id % 50 == 0) share every feature
+      val dup = out.filter(col("doc_id") % 50 === 0)
+        .select("n_samples", "peak", "mean_amp", "rms", "crossings", "clipped")
+        .distinct()
+      assert(dup.count() === 1)
+    } finally out.unpersist()
+  }
+
+  test("q169/q170 stay shuffle-free before the output sort") {
+    for (q <- Seq(Multimodal.q169FrameSample _, Multimodal.q170AudioFeatures _)) {
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length -
+        "BroadcastExchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+    }
+  }
+}
