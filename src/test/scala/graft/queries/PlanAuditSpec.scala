@@ -108,6 +108,31 @@ class PlanAuditSpec extends SparkSuite {
       s"decontamination must broadcast the small eval side:\n${p.take(2000)}")
   }
 
+  test("q151 tpch q6: every predicate reaches the parquet scan") {
+    val p = plan("q151_tpch_q6")
+    // the PushedFilters list is elided in toString past ~100 chars, so
+    // assert the pushdown prefix + the full predicate set on the
+    // post-scan Filter node (same predicates, un-truncated)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2500))
+    assert(p.contains(">= 0.05") && p.contains("<= 0.07"), p.take(2500))
+    assert(p.contains("< 24.0"), p.take(2500))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      "scan must prune to the four referenced columns\n" + p.take(2500))
+  }
+
+  test("q149 tpch q2: all four dimension sides broadcast") {
+    val p = plan("q149_tpch_q2")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q161 tpch q17: correlated avg is a window over the join key, not a re-scan") {
+    val p = plan("q161_tpch_q17")
+    // one lineitem scan total would be ideal; the decorrelated form
+    // must at least avoid a per-row subquery (no ScalarSubquery nodes)
+    assert(!p.contains("ScalarSubquery"), p.take(3000))
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
