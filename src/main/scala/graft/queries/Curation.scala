@@ -589,8 +589,113 @@ object Curation {
        |    tok_start + least($ChunkWindow, n_tokens - tok_start)), ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------- q171 curation funnel e2e
+  /** The end-to-end curation pipeline as ONE composed query: exact
+    * dedup (min-id keeper) → MinHash-LSH near-dedup kill rule on the
+    * exact survivors → quality gate (q26's score ≥ 0.8), reported as
+    * a per-(source, lang) attrition funnel with the final token mass —
+    * the accounting table a corpus release ships with. Exercises the
+    * DATASET-level operator forms ([[Dedup.dedupExact]], the
+    * general-relation [[Dedup.dedupNearLSH]]) composed the way a user
+    * would chain them, not the per-query fixture bindings.
+    *
+    * Oracle equivalence note: LSH band keys and signatures are
+    * PER-DOCUMENT (independent of the corpus they sit in), so running
+    * the band join on the survivor subset equals running it on the
+    * full corpus and keeping pairs whose BOTH ends survive exact dedup
+    * — which is how the SQL twin states it over the shared
+    * [[Dedup.sigSqlCte]] relation.
+    *
+    * Scale: the stages reuse one lineage; the four funnel aggregates
+    * are (source × lang)-sized and join as dimension tables. The
+    * expensive stage is the near-dup candidate join, already bounded
+    * by banding (never all-pairs). */
+  val FunnelQualityFloor: Double = 0.8
+
+  def q171CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val afterExact = Dedup.dedupExact(d, "text", "doc_id")
+    val afterNear = Dedup.dedupNearLSH(afterExact, "text", "doc_id", 0.5)
+    val afterQuality = afterNear
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("score",
+        greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
+          - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
+          - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
+      .filter(col("score") >= FunnelQualityFloor)
+    def stage(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("source"), col("lang")).agg(count(lit(1)).as(as))
+    val fin = afterQuality.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_quality"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_final"))
+    stage(d, "n_in")
+      .join(stage(afterExact, "n_exact"), Seq("source", "lang"), "left")
+      .join(stage(afterNear, "n_near"), Seq("source", "lang"), "left")
+      .join(fin, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n_exact", "n_near", "n_quality", "tokens_final"))
+      .orderBy("source", "lang")
+  }
+
+  val q171Sql: String = {
+    val bandJoins = (0 until Dedup.NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""${Dedup.sigSqlCte},
+       |ex AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+       |  WHERE rn = 1),
+       |cand AS (
+       |$bandJoins),
+       |verified AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id
+       |  WHERE cand.d1 IN (SELECT doc_id FROM ex)
+       |    AND cand.d2 IN (SELECT doc_id FROM ex)),
+       |kills AS (SELECT DISTINCT d2 AS doc_id FROM verified
+       |  WHERE jaccard >= 0.5),
+       |nearok AS (SELECT * FROM ex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM kills)),
+       |qual AS (SELECT * FROM (
+       |  SELECT source, lang, text,
+       |    greatest(0.0, 1.0 - 0.5 *
+       |      (CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ('the', 'a'))) AS DOUBLE) /
+       |       CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |      - (CASE WHEN len(string_split(text, ' ')) < 30
+       |         THEN 0.2 ELSE 0.0 END)
+       |      - (CASE WHEN length(text) > 2000
+       |         THEN 0.1 ELSE 0.0 END)) AS score
+       |  FROM nearok) WHERE score >= $FunnelQualityFloor),
+       |base AS (SELECT source, lang, COUNT(*) AS n_in FROM documents
+       |  GROUP BY 1, 2),
+       |exa AS (SELECT source, lang, COUNT(*) AS n_exact FROM ex GROUP BY 1, 2),
+       |nea AS (SELECT source, lang, COUNT(*) AS n_near FROM nearok
+       |  GROUP BY 1, 2),
+       |qua AS (SELECT source, lang, COUNT(*) AS n_quality,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_final
+       |  FROM qual GROUP BY 1, 2)
+       |SELECT b.source, b.lang, n_in,
+       |COALESCE(n_exact, 0) AS n_exact, COALESCE(n_near, 0) AS n_near,
+       |COALESCE(n_quality, 0) AS n_quality,
+       |COALESCE(tokens_final, 0) AS tokens_final
+       |FROM base b
+       |LEFT JOIN exa USING (source, lang)
+       |LEFT JOIN nea USING (source, lang)
+       |LEFT JOIN qua USING (source, lang)
+       |ORDER BY source, lang""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_curation_funnel" -> (q171CurationFunnel _),
     "q107_leak_split" -> (q107LeakSplit _),
     "q109_chunk" -> (q109Chunk _),
     "q95_scd2" -> (q95Scd2 _),
@@ -607,6 +712,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q171_curation_funnel" -> q171Sql,
     "q107_leak_split" -> q107Sql,
     "q109_chunk" -> q109Sql,
     "q95_scd2" -> q95Sql,
