@@ -874,42 +874,111 @@ object Similarity {
   val KmeansK: Int = 8
   val KmeansIters: Int = 2
 
+  // Managed cache for the exploded (vec_id, p, v) relation (the
+  // cachedSignatures pattern): every k-means round — 3 assignments +
+  // 2 centroid updates — re-reads it, and without a cache each round
+  // re-pays the scan + posexplode. Derived deterministically from the
+  // corpus, so it is an index-like artifact; one slot per JVM, keyed
+  // by fixture dir. At 100 TB this is the standard iterative-ML
+  // persist (narrow corpus×dim rows, MEMORY_AND_DISK).
+  @transient private var cachedKmeansEx: Option[(String, DataFrame)] = None
+
   private[queries] def kmeansExploded(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("p"),
-        col("col").cast("double").as("v"))
+    synchronized {
+      cachedKmeansEx match {
+        case Some((d, df)) if d == dir => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val df = emb(s, dir).select(col("vec_id"), posexplode(col("embedding")))
+            .select(col("vec_id"), col("pos").as("p"),
+              col("col").cast("double").as("v"))
+            .cache()
+          df.count()
+          cachedKmeansEx = Some((dir, df))
+          df
+      }
+    }
 
   /** Argmin assignment of every vector to a centroid in `cent(k,p,c)`:
-    * (vec_id, k, dist) with dist the decimal-summed squared L2. */
+    * (vec_id, k, dist) with dist the decimal-summed squared L2. The
+    * argmin is `min(struct(dist, k))` — one aggregate over the
+    * K-per-vector distance rows instead of a window sort (same
+    * (dist, k) lexicographic tie-break). */
   private[queries] def kmeansAssign(ex: DataFrame, cent: DataFrame): DataFrame =
     ex.join(broadcast(cent), "p")
       .withColumn("sq", (col("v") - col("c")) * (col("v") - col("c")))
       .groupBy(col("vec_id"), col("k"))
       .agg(Relational.dsum(col("sq")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist"), col("k"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("k"))).as("m"))
+      .select(col("vec_id"), col("m.k").as("k"), col("m.dist").as("dist"))
+
+  /** Per-row distance to one centroid, embedded as array literals:
+    * each dimension's (v−c)² quantizes to DECIMAL(25,6) and the fold
+    * accumulates in exact decimal (re-cast each step to keep the
+    * accumulator type fixed) — VALUE-identical to the oracle's grouped
+    * decimal SUM under any order, so the engine is free to use the
+    * shuffle-free scan-local form while the oracle keeps the
+    * independent long-form recomputation. */
+  private def kmeansDistExpr(c: Seq[Double]): String = {
+    val arr = c.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+    s"""CAST(aggregate(zip_with(embedding, $arr,
+       |  (x, c) -> CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+       |            AS DECIMAL(25,6))),
+       |  CAST(0 AS DECIMAL(25,6)),
+       |  (acc, t) -> CAST(acc + t AS DECIMAL(25,6))) AS DOUBLE)""".stripMargin
+  }
 
   def qKmeans(s: SparkSession, dir: String): DataFrame = {
-    val ex = kmeansExploded(s, dir)
-    var cent = ex.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").cast("int").as("k"), col("p"), col("v").as("c"))
-    for (_ <- 1 to KmeansIters) {
-      val a = kmeansAssign(ex, cent).select(col("vec_id"), col("k"))
-      val upd = ex.join(a, "vec_id")
-        .groupBy(col("k"), col("p"))
-        .agg(round(Relational.dsum(col("v")) / count(lit(1)), 6).as("c"))
-      // bounded driver state: K·dim rows, rebuilt as a local relation
-      // so round plans don't stack into one deep lineage
-      val rows = upd.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      import s.implicits._
-      cent = rows.toSeq.toDF("k", "p", "c")
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    // bounded driver state: the K current centroids, sorted by k (so
+    // array_position's first-match IS the lowest-k tie-break)
+    var cent: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+
+    // Scan-local assignment: K distance folds per row + array_min +
+    // first-position argmin — ZERO shuffles (the long-form
+    // [[kmeansAssign]] is the semantics twin the spec cross-checks).
+    def assigned: DataFrame = {
+      val dists = cent.map(c => kmeansDistExpr(c._2))
+        .mkString("array(", ",\n", ")")
+      val ks = cent.map(_._1).mkString("array(", ",", ")")
+      e.withColumn("dists", expr(dists))
+        .withColumn("dist", expr("array_min(dists)"))
+        .withColumn("k", expr(
+          s"element_at($ks, CAST(array_position(dists, dist) AS INT))"))
     }
-    kmeansAssign(ex, cent)
-      .groupBy(col("k").as("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        round(Relational.dsum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
-      .orderBy("cluster")
+
+    // Per-round fixed costs (task launch, AQE re-plan) dominate the
+    // fixture-scale volumes — the q63 iterative-stage treatment.
+    graft.core.Sessions.withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") {
+      for (_ <- 1 to KmeansIters) {
+        val upd = assigned
+          .select(col("k"), posexplode(col("embedding")))
+          .select(col("k"), col("pos").as("p"),
+            col("col").cast("double").as("v"))
+          .groupBy(col("k"), col("p"))
+          .agg(round(Relational.dsum(col("v")) / count(lit(1)), 6).as("c"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        cent = upd.groupBy(_._1).map { case (k, rows) =>
+          (k, rows.sortBy(_._2).map(_._3).toSeq)
+        }.toSeq.sortBy(_._1)
+      }
+      val out = assigned.groupBy(col("k").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          round(Relational.dsum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
+        .orderBy("cluster")
+      // materialize under the scoped confs (K rows; later actions
+      // replay from this local result, not the round pipeline)
+      val rows = out.collect()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    }
   }
 
   val qKmeansSql: String = {

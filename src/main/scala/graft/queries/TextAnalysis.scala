@@ -514,7 +514,64 @@ object TextAnalysis {
        |doc_id, round(raw, 4) AS score FROM pd ORDER BY rn""".stripMargin
   }
 
+  // ------------------------------------------- q172 token entropy
+  /** Per-document unigram Shannon entropy + type-token ratio — the
+    * information-density / lexical-diversity quality signals (low
+    * entropy ⇒ repetitive boilerplate, the within-doc complement of
+    * q59's repetition spans; TTR is the classic diversity ratio).
+    *
+    * Plan shape: one token explode → ONE (doc, term) map-side-combined
+    * shuffle → per-doc aggregate; at 100 TB this is the q70 tf shape
+    * without the df/broadcast side.
+    *
+    * Determinism: tf and n are exact integers; each term's
+    * −(tf/n)·ln(tf/n) is evaluated in the same IEEE order in both
+    * engines and quantized to DECIMAL(25,6) BEFORE the per-doc sum
+    * ([[Relational.dsum]]), so term order cannot change bits. (An
+    * array-local form would avoid the shuffle but would depend on
+    * `array_distinct` ordering, which the engines don't share — the
+    * grouped form is the deterministic one.) */
+  def qTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        explode(split(col("text"), " ")).as("term"))
+    toks.groupBy(col("doc_id"), col("n"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("p", col("tf").cast("double") / col("n").cast("double"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_types"),
+        // output rounding happens ON THE EXACT DECIMAL (HALF_UP in
+        // both engines' round-on-decimal), never through a double
+        // detour: a 6-dp sum ending in …50 is a REAL 4-dp tie, and
+        // round(double) breaks it by the double's binary expansion —
+        // engine-divergently. (Decimal CAST is no substitute: DuckDB's
+        // decimal→decimal cast truncates.)
+        (-round(sum((col("p") * log(col("p")))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 6))), 4)
+          .cast("double")).as("entropy"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n").cast("double"), 4)
+          .as("ttr"),
+        col("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val qTokenEntropySql: String =
+    """WITH tk AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |  unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, n, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+      |pe AS (SELECT doc_id, n,
+      |  CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM tf)
+      |SELECT doc_id, n AS n_tokens, COUNT(*) AS n_types,
+      |round(CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ttr,
+      |-CAST(round(SUM(CAST(p * ln(p) AS DECIMAL(25,6))), 4)
+      |      AS DOUBLE) AS entropy
+      |FROM pe GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_token_entropy" -> (qTokenEntropy _),
     "q167_bm25" -> (qBm25 _),
     "q119_array_funcs" -> (q119ArrayFuncs _),
     "q70_tfidf" -> (qTfidf _),
@@ -529,6 +586,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q172_token_entropy" -> qTokenEntropySql,
     "q167_bm25" -> qBm25Sql,
     "q119_array_funcs" -> q119Sql,
     "q70_tfidf" -> qTfidfSql,
