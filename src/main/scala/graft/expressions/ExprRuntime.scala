@@ -61,6 +61,32 @@ object ExprRuntime {
     java.lang.Double.valueOf(sum)
   }
 
+  /** Decimal-quantized squared L2 distance: Σ_i q6((double(x_i) − c_i)²)
+    * accumulated in EXACT micro-units (long), returned as the double
+    * value of the DECIMAL(25,6) sum — value-identical (any order) to
+    * `SUM(CAST((x−c)*(x−c) AS DECIMAL(25,6)))` in either engine, and to
+    * the `aggregate(zip_with(...))` decimal-fold form, because exact
+    * decimal addition is associative. q6 replicates Spark's
+    * double→decimal cast exactly: shortest-round-trip BigDecimal
+    * (`BigDecimal.valueOf`) then setScale(6, HALF_UP). Ragged pair →
+    * null (the vecDot convention). */
+  def l2sqQ6(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      c: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != c.numElements()) return null
+    var micros = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - c.getDouble(i)
+      micros += java.math.BigDecimal.valueOf(d * d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(micros, 6).doubleValue())
+  }
+
   /** SimHash signature over an array of hash ints: bit j of the result
     * is the sign of the per-bit ±1 vote summed over all hashes
     * (Charikar's simhash; the classic near-dup fingerprint of Manku et

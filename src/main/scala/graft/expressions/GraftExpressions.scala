@@ -127,6 +127,57 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Decimal-quantized squared L2 — `graft_l2sq_q6(x, c)` with `x` an
+  * `array<float>` row vector and `c` an `array<double>` (typically a
+  * folded centroid literal). One primitive loop accumulating exact
+  * 6-dp micro-units ([[ExprRuntime.l2sqQ6]]) — value-identical to the
+  * `aggregate(zip_with(...))` decimal fold and to a grouped
+  * `SUM(CAST(... AS DECIMAL(25,6)))` under ANY order (exact decimal
+  * addition is associative), but codegen-participating instead of a
+  * CodegenFallback HOF chain; the k-means assignment's hot kernel. */
+case class L2SquaredQuantized(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val leftOk = left.dataType match {
+      case ArrayType(FloatType, _) | NullType => true
+      case _ => false
+    }
+    val rightOk = right.dataType match {
+      case ArrayType(DoubleType, _) | NullType => true
+      case _ => false
+    }
+    if (leftOk && rightOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<double>), got " +
+        s"${children.map(_.dataType)}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq_q6"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ExprRuntime.l2sqQ6(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+        java.lang.Double $res = graft.expressions.ExprRuntime.l2sqQ6($a, $b);
+        if ($res == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $res.doubleValue();
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredQuantized =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SimHash over a hashed-shingle array — `graft_simhash(sh, bits)`.
   * The per-bit majority vote needs `bits` passes over the array when
   * expressed with `aggregate()` HOFs (which are CodegenFallback
@@ -326,7 +377,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinhashSignature(args(0), args(1), args(2))),
     (FunctionIdentifier("graft_srp_bands"),
       new ExpressionInfo(classOf[SrpBandKeys].getName, "graft_srp_bands"),
-      (args: Seq[Expression]) => SrpBandKeys(args(0), args(1), args(2), args(3))))
+      (args: Seq[Expression]) => SrpBandKeys(args(0), args(1), args(2), args(3))),
+    (FunctionIdentifier("graft_l2sq_q6"),
+      new ExpressionInfo(classOf[L2SquaredQuantized].getName, "graft_l2sq_q6"),
+      (args: Seq[Expression]) => L2SquaredQuantized(args(0), args(1))))
 
   /** Idempotent runtime registration into a session's registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -359,5 +413,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_srp_bands"),
       new ExpressionInfo(classOf[SrpBandKeys].getName, "graft_srp_bands"),
       (args: Seq[Expression]) => SrpBandKeys(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((FunctionIdentifier("graft_l2sq_q6"),
+      new ExpressionInfo(classOf[L2SquaredQuantized].getName, "graft_l2sq_q6"),
+      (args: Seq[Expression]) => L2SquaredQuantized(args(0), args(1))))
   }
 }

@@ -913,20 +913,20 @@ object Similarity {
       .agg(min(struct(col("dist"), col("k"))).as("m"))
       .select(col("vec_id"), col("m.k").as("k"), col("m.dist").as("dist"))
 
-  /** Per-row distance to one centroid, embedded as array literals:
-    * each dimension's (v−c)² quantizes to DECIMAL(25,6) and the fold
-    * accumulates in exact decimal (re-cast each step to keep the
-    * accumulator type fixed) — VALUE-identical to the oracle's grouped
-    * decimal SUM under any order, so the engine is free to use the
+  /** Per-row distance to one centroid, embedded as a folded array
+    * literal: each dimension's (v−c)² quantizes to DECIMAL(25,6) and
+    * accumulates in exact decimal micro-units — VALUE-identical to the
+    * oracle's grouped decimal SUM under any order (exact decimal
+    * addition is associative), so the engine is free to use the
     * shuffle-free scan-local form while the oracle keeps the
-    * independent long-form recomputation. */
+    * independent long-form recomputation. The native codegen'd
+    * [[graft.expressions.L2SquaredQuantized]] kernel replaces the
+    * `aggregate(zip_with(...))` decimal-fold chain (CodegenFallback,
+    * one boxed BigDecimal op per dimension per lambda step) with one
+    * primitive loop. */
   private def kmeansDistExpr(c: Seq[Double]): String = {
     val arr = c.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
-    s"""CAST(aggregate(zip_with(embedding, $arr,
-       |  (x, c) -> CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
-       |            AS DECIMAL(25,6))),
-       |  CAST(0 AS DECIMAL(25,6)),
-       |  (acc, t) -> CAST(acc + t AS DECIMAL(25,6))) AS DOUBLE)""".stripMargin
+    s"graft_l2sq_q6(embedding, $arr)"
   }
 
   def qKmeans(s: SparkSession, dir: String): DataFrame = {

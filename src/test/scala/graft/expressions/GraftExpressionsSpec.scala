@@ -146,6 +146,49 @@ class GraftExpressionsSpec extends SparkSuite {
     assert(e.getMessage.contains("equal length"), e.getMessage)
   }
 
+  test("graft_l2sq_q6 equals the decimal-fold HOF form and the grouped decimal SUM") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val cent = Array.fill(64)(
+      BigDecimal(rnd.nextDouble() * 2 - 1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val arr = cent.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+    val df = vecs.toDF("i", "a")
+    val out = df.selectExpr(
+      "i",
+      s"graft_l2sq_q6(a, $arr) AS fast",
+      s"""CAST(aggregate(zip_with(a, $arr,
+         |  (x, c) -> CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+         |            AS DECIMAL(25,6))),
+         |  CAST(0 AS DECIMAL(25,6)),
+         |  (acc, t) -> CAST(acc + t AS DECIMAL(25,6))) AS DOUBLE) AS slow""".stripMargin)
+    assert(out.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(out.filter(col("fast").isNull).count() == 0)
+    // grouped decimal SUM over the exploded form (the oracle's shape)
+    val grouped = df
+      .select(col("i"), posexplode(col("a")))
+      .select(col("i"), col("pos"), col("col").cast("double").as("v"))
+      .withColumn("c", element_at(typedLit(cent.toSeq), col("pos") + 1))
+      .groupBy("i")
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+        .cast("double").as("grp"))
+    val joined = out.join(grouped, "i")
+    assert(joined.filter(col("fast") =!= col("grp")).count() == 0)
+  }
+
+  test("graft_l2sq_q6 on a ragged pair is NULL") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1, Array(1f, 2f))).toDF("i", "a")
+    val out = df.selectExpr(
+      "graft_l2sq_q6(a, array(CAST(0.5 AS DOUBLE))) AS d").collect()
+    assert(out(0).isNullAt(0))
+  }
+
   test("interpreted path (eval) agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String
