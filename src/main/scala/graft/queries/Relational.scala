@@ -1060,6 +1060,47 @@ object Relational {
   private def ensureJsonl(s: SparkSession, dir: String): String =
     jsonlLayout.ensure(s, dir)
 
+  // ------------------------------------------- q174 csv roundtrip
+  /** CSV format interop — the remaining common interchange format
+    * beside parquet (native), ORC (q113), and JSONL (q121): customer
+    * rows round-trip gzip CSV with a header and a deliberately
+    * delimiter-laden note column (`"name, segment"`), so the writer
+    * MUST quote and the reader MUST unquote for the aggregate to
+    * match the oracle computed from the raw strings. Explicit schema
+    * on read (no inference scan — the q121 rule); doubles survive via
+    * shortest-round-trip rendering. Like q121 and unlike q113: no
+    * pushdown, no stats, no pruning — the format-choice lesson,
+    * stated for one more format. */
+  private val csvLayout = new LayoutMemo("graft-q174", (s, dir, p) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        concat_ws(", ", col("c_name"), col("c_mktsegment")).as("c_note"),
+        col("c_acctbal"), col("c_nationkey"))
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(s"$p/customer_csv"))
+
+  def q174CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = csvLayout.ensure(s, dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_note", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_nationkey", IntegerType)))
+    s.read.schema(schema).option("header", "true").csv(s"$base/customer_csv")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("balance"),
+        max(length(col("c_note"))).as("max_note_len"),
+        min(col("c_name")).as("first_name"))
+      .orderBy("c_nationkey")
+  }
+
+  val q174Sql: String =
+    s"""SELECT c_nationkey, COUNT(*) AS n, ${DSUM("c_acctbal")} AS balance,
+       |MAX(length(c_name || ', ' || c_mktsegment)) AS max_note_len,
+       |MIN(c_name) AS first_name
+       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   def q121JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = ensureJsonl(s, dir)
     val schema = StructType(Seq(
@@ -1524,6 +1565,7 @@ object Relational {
     "q117_grouping_sets" -> (q117GroupingSets _),
     "q118_multi_distinct" -> (q118MultiDistinct _),
     "q121_jsonl_roundtrip" -> (q121JsonlRoundtrip _),
+    "q174_csv_roundtrip" -> (q174CsvRoundtrip _),
     "q123_partition_pruning" -> (q123PartitionPruning _),
     "q125_schema_evolution" -> (q125SchemaEvolution _),
     "q127_date_parts" -> (q127DateParts _),
@@ -1574,6 +1616,7 @@ object Relational {
     "q117_grouping_sets" -> q117Sql,
     "q118_multi_distinct" -> q118Sql,
     "q121_jsonl_roundtrip" -> q121Sql,
+    "q174_csv_roundtrip" -> q174Sql,
     "q123_partition_pruning" -> q123Sql,
     "q125_schema_evolution" -> q125Sql,
     "q127_date_parts" -> q127Sql,

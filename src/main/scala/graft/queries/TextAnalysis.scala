@@ -570,7 +570,57 @@ object TextAnalysis {
       |      AS DOUBLE) AS entropy
       |FROM pe GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- q173 boilerplate
+  /** Cross-document boilerplate mining: the 5-token spans shared by the
+    * most documents (support = distinct docs containing the span) —
+    * the memorization-risk / template-detection audit that motivates
+    * span-level dedup (Lee et al.'s exact-substring dedup runs on
+    * exactly these repeated spans; q59 finds repetition WITHIN a doc,
+    * this finds it ACROSS docs).
+    *
+    * Plan shape: the span explode is scan-local (stride-1 sliding
+    * windows over the token array); ONE map-side-combined shuffle on
+    * the span string aggregates distinct-doc support (span keys are
+    * ~40 chars — bounded shuffle width); top-k via orderBy.limit ⇒
+    * TakeOrderedAndProject. At 100 TB the span string would be
+    * md5-reduced before the shuffle (the q21 shingle treatment) and
+    * the text recovered by a second join of the top-k hashes — same
+    * two-stage shape, fixed-width keys. */
+  val BoilerplateSpan: Int = 5
+  val BoilerplateMinSupport: Int = 3
+  val BoilerplateTopK: Int = 20
+
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val spans = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard BEFORE the window expansion: sequence(0, n-5) on a short
+      // doc would descend into negative starts and slice(_, 0, _) throws
+      .filter(size(col("toks")) >= BoilerplateSpan)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $BoilerplateSpan),
+           |  i -> array_join(slice(toks, i + 1, $BoilerplateSpan), ' '))"""
+          .stripMargin)).as("span"))
+    spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("support"))
+      .filter(col("support") >= BoilerplateMinSupport)
+      .orderBy(col("support").desc, col("span"))
+      .limit(BoilerplateTopK)
+  }
+
+  val qBoilerplateSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, len(toks) - $BoilerplateSpan + 1),
+       |    i -> array_to_string(list_slice(toks, i + 1, i + $BoilerplateSpan), ' ')))
+       |    AS span
+       |  FROM tk WHERE len(toks) >= $BoilerplateSpan)
+       |SELECT span, COUNT(DISTINCT doc_id) AS support FROM sp
+       |GROUP BY span HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinSupport
+       |ORDER BY support DESC, span LIMIT $BoilerplateTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_boilerplate" -> (qBoilerplate _),
     "q172_token_entropy" -> (qTokenEntropy _),
     "q167_bm25" -> (qBm25 _),
     "q119_array_funcs" -> (q119ArrayFuncs _),
@@ -586,6 +636,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q173_boilerplate" -> qBoilerplateSql,
     "q172_token_entropy" -> qTokenEntropySql,
     "q167_bm25" -> qBm25Sql,
     "q119_array_funcs" -> q119Sql,
