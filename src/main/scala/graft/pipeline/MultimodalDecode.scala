@@ -127,6 +127,81 @@ object MultimodalDecode {
       }
   }
 
+  // --------------------------------------------------------- resize
+
+  /** One resized image: the shape-normalizing 1:1 stage a vision
+    * model's preprocessing needs (every image to a fixed W×H before
+    * batching/embedding). Carries the re-encoded payload because the
+    * NEXT stage (batch encode) consumes bytes, not features. */
+  final case class Resized(
+      doc_id: Long,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      out_bytes: Array[Byte],
+      resize_ok: Boolean)
+
+  /** Resizer contract — same per-task-init, fail-soft shape as
+    * [[Decoder]]/[[AudioDecoder]]. */
+  trait Resizer extends Serializable {
+    def init(): Unit
+    def resize(docId: Long, bytes: Array[Byte], w: Int, h: Int): Resized
+  }
+
+  /** REAL resize path, JDK-only: decode via `javax.imageio`, scale
+    * with a bilinear AWT `Graphics2D` draw (headless), re-encode PNG.
+    * Non-image bytes fail soft with `resize_ok = false` and an empty
+    * payload — never a task kill. */
+  final class AwtResizer extends Resizer {
+    @transient private var initialized = false
+    override def init(): Unit = {
+      System.setProperty("java.awt.headless", "true")
+      initialized = true
+    }
+    private def failed(docId: Long, w: Int, h: Int): Resized =
+      Resized(docId, 0, 0, w, h, Array.emptyByteArray, resize_ok = false)
+    override def resize(docId: Long, bytes: Array[Byte],
+        w: Int, h: Int): Resized = {
+      require(initialized, "resizer used before init()")
+      if (bytes == null) failed(docId, w, h)
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) failed(docId, w, h)
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Resized(docId, img.getWidth, img.getHeight, w, h,
+            baos.toByteArray, resize_ok = true)
+        }
+      } catch { case _: Exception => failed(docId, w, h) }
+    }
+  }
+
+  /** Run the resize stage over (doc_id: long, blob: binary): 1:1, the
+    * source blob dropped at the stage boundary (downstream ships the
+    * fixed-size payload only). */
+  def resizeImages(blobs: DataFrame, w: Int, h: Int,
+      resizer: Resizer = new AwtResizer): Dataset[Resized] = {
+    require(w >= 1 && h >= 1, "target dims must be >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        resizer.init()
+        rows.map { case (id, bytes) => resizer.resize(id, bytes, w, h) }
+      }
+  }
+
   // --------------------------------------------------------- audio
 
   /** The decoded audio feature row (what a real audio decode yields). */

@@ -172,4 +172,26 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(again(1L).map(f => f.frame_idx -> f.frame_fp).toMap ==
       frames(1L).map(f => f.frame_idx -> f.frame_fp).toMap)
   }
+
+  test("AwtResizer resizes a real PNG to the target shape; output decodes back") {
+    import spark.implicits._
+    val big = pngBytes(16, 8, (x, _) => if (x < 8) 0xffffff else 0x000000)
+    val df = Seq((1L, big), (2L, "not a png".getBytes))
+      .toDF("doc_id", "blob")
+    val byId = MultimodalDecode.resizeImages(df, 4, 4).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(byId(1L).resize_ok)
+    assert(byId(1L).src_w == 16 && byId(1L).src_h == 8)
+    assert(byId(1L).out_w == 4 && byId(1L).out_h == 4)
+    // the payload is a REAL PNG of the resized raster
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(byId(1L).out_bytes))
+    assert(round.getWidth == 4 && round.getHeight == 4)
+    // left half stays bright, right half stays dark after bilinear scale
+    val lum = (rgb: Int) => (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+      (rgb & 0xff)) / 3
+    assert(lum(round.getRGB(0, 0)) > 180 && lum(round.getRGB(3, 0)) < 75)
+    // non-image bytes fail soft with an empty payload
+    assert(!byId(2L).resize_ok && byId(2L).out_bytes.isEmpty)
+  }
 }
