@@ -650,8 +650,65 @@ object EventAnalytics {
       |FROM events e JOIN b ON e.event_type = b.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ------------------------------------------------ q175 MAD outliers
+  /** Robust (MAD-based) outlier gate — the breakdown-resistant
+    * complement of q71's z-score: a single wild value inflates the
+    * mean and stddev enough to MASK other outliers (the masking
+    * effect), while the median and the median absolute deviation have
+    * a 50% breakdown point. Flag |x − med| > 3 · MAD per event type.
+    *
+    * Determinism: both medians quantize to 6 dp (round-on-output of
+    * `percentile` ≡ `quantile_cont`, the q69 parity + the q140
+    * knife-edge rule) BEFORE any downstream arithmetic, so the
+    * threshold compare sees identical doubles in both engines.
+    *
+    * Plan shape: two grouped median passes (the second over |x − med|
+    * after a broadcast join of the |event_type|-row med table) + one
+    * final broadcast back onto the fact scan — the fact side never
+    * shuffles, the q71 shape doubled. At 100 TB exact per-group
+    * medians move to `percentile_approx` (t-digest) with this exact
+    * form as the accuracy baseline. */
+  val MadK: Double = 3.0
+
+  def q175MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max(col("adev")), 4).as("max_abs_dev"))
+      .orderBy("event_type")
+  }
+
+  val q175Sql: String =
+    s"""WITH med AS (SELECT event_type,
+       |  round(quantile_cont(value, 0.5), 6) AS med
+       |  FROM events GROUP BY 1),
+       |dev AS (SELECT e.event_id, e.event_type, e.value,
+       |  abs(e.value - m.med) AS adev, m.med
+       |  FROM events e JOIN med m ON e.event_type = m.event_type),
+       |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+       |  FROM dev GROUP BY 1)
+       |SELECT d.event_type, COUNT(*) AS n,
+       |MIN(d.med) AS med, MIN(a.mad) AS mad,
+       |CAST(SUM(CASE WHEN d.adev > $MadK * a.mad THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_outliers,
+       |round(MAX(d.adev), 4) AS max_abs_dev
+       |FROM dev d JOIN mad a ON d.event_type = a.event_type
+       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_mad_outliers" -> (q175MadOutliers _),
     "q108_trailing_window" -> (q108TrailingWindow _),
     "q110_winsorize" -> (q110Winsorize _),
     "q90_histogram" -> (q90Histogram _),
@@ -672,6 +729,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q175_mad_outliers" -> q175Sql,
     "q108_trailing_window" -> q108Sql,
     "q110_winsorize" -> q110Sql,
     "q90_histogram" -> q90Sql,
