@@ -115,6 +115,45 @@ class RetrievalClusterSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("q171 funnel attrition is monotone and consistent with the stage operators") {
+    val out = Curation.q171CurationFunnel(spark, dir).cache()
+    try {
+      // monotone per cell: in >= exact >= near >= quality
+      assert(out.filter(col("n_in") < col("n_exact") ||
+        col("n_exact") < col("n_near") ||
+        col("n_near") < col("n_quality")).count() === 0)
+      // totals agree with the dataset-level operators run standalone
+      val d = graft.core.Tables.load(spark, dir, "documents")
+      val exact = Dedup.dedupExact(d, "text", "doc_id").count()
+      val near = Dedup.dedupNearLSH(
+        Dedup.dedupExact(d, "text", "doc_id"), "text", "doc_id", 0.5).count()
+      val agg = out.agg(sum("n_in"), sum("n_exact"), sum("n_near")).head()
+      assert(agg.getLong(0) === d.count())
+      assert(agg.getLong(1) === exact)
+      assert(agg.getLong(2) === near)
+    } finally out.unpersist()
+  }
+
+  test("q173 spans respect the support floor and span width") {
+    val out = TextAnalysis.qBoilerplate(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) >= TextAnalysis.BoilerplateMinSupport))
+    assert(out.forall(r =>
+      r.getString(0).split(" ").length == TextAnalysis.BoilerplateSpan))
+    // descending support with span tie-break
+    val pairs = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (s, sp) => (-s, sp) }))
+  }
+
+  test("q175 outlier counts are bounded and MAD is non-negative") {
+    val rows = EventAnalytics.q175MadOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, "mad >= 0")
+      assert(r.getLong(4) <= r.getLong(1), "outliers <= n")
+    }
+  }
+
   test("q169/q170 stay shuffle-free before the output sort") {
     for (q <- Seq(Multimodal.q169FrameSample _, Multimodal.q170AudioFeatures _)) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
