@@ -693,8 +693,76 @@ object Curation {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // ------------------------------------------------ q176 domain cap
+  /** Per-source document capping — the "domain capping" step of a web
+    * corpus recipe (no single source may contribute more than CAP
+    * documents; within a source keep the highest-quality copies,
+    * q26's engine-exact score with doc_id tie-break). Reports the
+    * per-source admission accounting plus the kept token mass.
+    *
+    * Plan shape: ONE shuffle on source; the rank window runs inside
+    * that partitioning; the accounting aggregate reuses it. Skewed
+    * sources (one domain = half the corpus — the realistic web case)
+    * would make the per-source window the straggler: the scale note is
+    * to pre-aggregate a per-source count, cap only sources over the
+    * cap (broadcast the small over-cap list), and leave under-cap
+    * sources untouched — same output, no global window over the
+    * under-cap majority. */
+  val DomainCap: Int = 400
+
+  def q176DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("score",
+        greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
+          - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
+          - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
+    val ranked = scored.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("rk") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > DomainCap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= DomainCap, col("n_tokens").cast("long"))
+          .otherwise(0L)).as("kept_tokens"),
+        round(min(when(col("rk") <= DomainCap, col("score"))), 4)
+          .as("score_floor"))
+      .orderBy("source")
+  }
+
+  val q176Sql: String =
+    s"""WITH sc AS (SELECT doc_id, source,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  greatest(0.0, 1.0 - 0.5 *
+       |    (CAST(len(list_filter(string_split(text, ' '),
+       |       t -> t IN ('the', 'a'))) AS DOUBLE) /
+       |     CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |    - (CASE WHEN len(string_split(text, ' ')) < 30
+       |       THEN 0.2 ELSE 0.0 END)
+       |    - (CASE WHEN length(text) > 2000
+       |       THEN 0.1 ELSE 0.0 END)) AS score
+       |  FROM documents),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |  ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |SELECT source, COUNT(*) AS n_in,
+       |CAST(SUM(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_kept,
+       |CAST(SUM(CASE WHEN rk > $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_dropped,
+       |CAST(SUM(CASE WHEN rk <= $DomainCap THEN n_tokens ELSE 0 END)
+       |  AS BIGINT) AS kept_tokens,
+       |round(MIN(CASE WHEN rk <= $DomainCap THEN score END), 4)
+       |  AS score_floor
+       |FROM rk GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_domain_cap" -> (q176DomainCap _),
     "q171_curation_funnel" -> (q171CurationFunnel _),
     "q107_leak_split" -> (q107LeakSplit _),
     "q109_chunk" -> (q109Chunk _),
@@ -712,6 +780,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q176_domain_cap" -> q176Sql,
     "q171_curation_funnel" -> q171Sql,
     "q107_leak_split" -> q107Sql,
     "q109_chunk" -> q109Sql,
