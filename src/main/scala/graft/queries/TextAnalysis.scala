@@ -619,7 +619,84 @@ object TextAnalysis {
        |GROUP BY span HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinSupport
        |ORDER BY support DESC, span LIMIT $BoilerplateTopK""".stripMargin
 
+  // ------------------------------------------ q177 span dedup audit
+  /** Span-level dedup accounting (the Lee et al. exact-substring-dedup
+    * operation, as the audit that sizes it): every occurrence of a
+    * boilerplate span (q173's kill list — 5-token spans in ≥
+    * [[BoilerplateMinSupport]] docs) covers its 5 token positions;
+    * per source, how much of the token mass is covered — i.e., what
+    * span-level dedup would remove. The union of overlapping span
+    * occurrences is computed exactly (distinct covered positions),
+    * not approximated by 5×occurrences.
+    *
+    * Plan shape: span expansion is scan-local (q173); the kill list is
+    * one combined shuffle then BROADCAST back onto the span stream (the
+    * q60 decontam shape — the corpus side never shuffles for the
+    * join); covered positions aggregate per doc in one corpus-keyed
+    * shuffle; the per-source report is dimension-sized. */
+  def qSpanDedupAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= BoilerplateSpan)
+    val spans = base.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, size(toks) - $BoilerplateSpan),
+         |  i -> struct(i AS start,
+         |    array_join(slice(toks, i + 1, $BoilerplateSpan), ' ') AS span))"""
+        .stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.start").as("start"), col("sp.span").as("span"))
+    val kill = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("support"))
+      .filter(col("support") >= BoilerplateMinSupport)
+      .select(col("span"))
+    val covered = spans.join(broadcast(kill), "span")
+      .select(col("doc_id"), explode(expr(
+        s"sequence(start, start + ${BoilerplateSpan - 1})")).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("covered"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("covered"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("covered")).as("covered_tokens"),
+        round(sum(col("covered")).cast("double") /
+          sum(col("n_tokens")).cast("double"), 4).as("coverage"))
+      .orderBy("source")
+  }
+
+  val qSpanDedupAuditSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, len(toks) - $BoilerplateSpan + 1),
+       |    i -> {'start': i,
+       |          'span': array_to_string(
+       |            list_slice(toks, i + 1, i + $BoilerplateSpan), ' ')})) AS s
+       |  FROM tk WHERE len(toks) >= $BoilerplateSpan),
+       |spans AS (SELECT doc_id, s.start AS start, s.span AS span FROM sp),
+       |kill AS (SELECT span FROM spans GROUP BY span
+       |  HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinSupport),
+       |hits AS (SELECT doc_id,
+       |  unnest(range(start, start + $BoilerplateSpan)) AS pos
+       |  FROM spans JOIN kill USING (span)),
+       |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS covered FROM hits
+       |  GROUP BY doc_id),
+       |per_doc AS (SELECT d.doc_id, d.source,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(c.covered, 0) AS covered
+       |  FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+       |round(CAST(SUM(covered) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 4)
+       |  AS coverage
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_span_dedup_audit" -> (qSpanDedupAudit _),
     "q173_boilerplate" -> (qBoilerplate _),
     "q172_token_entropy" -> (qTokenEntropy _),
     "q167_bm25" -> (qBm25 _),
@@ -636,6 +713,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q177_span_dedup_audit" -> qSpanDedupAuditSql,
     "q173_boilerplate" -> qBoilerplateSql,
     "q172_token_entropy" -> qTokenEntropySql,
     "q167_bm25" -> qBm25Sql,
