@@ -133,6 +133,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("ScalarSubquery"), p.take(3000))
   }
 
+  test("q177 kill-list join broadcasts (corpus side never shuffles for it)") {
+    val p = plan("q177_span_dedup_audit")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q176 rank window and report reuse one source partitioning") {
+    val p = plan("q176_domain_cap")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges <= 2,
+      s"expected the window shuffle (+ at most the agg) only:\n$p")
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
