@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.queries.Relational.dsum
+import graft.queries.Relational.{dsum, DSUM}
 
 /** Event-stream analytics over `events`: sessionization, exact
   * grouped quantiles, z-score outlier gating, exact per-group heavy
@@ -706,8 +706,91 @@ object EventAnalytics {
        |FROM dev d JOIN mad a ON d.event_type = a.event_type
        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  // -------------------------------------- q178 rank-function battery
+  /** The remaining standard ranking window functions in one row set:
+    * percent_rank, cume_dist, rank and dense_rank over value within
+    * event type (q78 covers ntile, q144 the value-window family).
+    * Both engines define percent_rank = (rank−1)/(n−1) and cume_dist =
+    * |rows ≤ current| / n from exact integers, so the doubles are
+    * bit-identical. Output bounded to a deterministic id sample (the
+    * battery pattern — full window state, sampled emission).
+    * One shuffle on event_type; all four functions share the frame. */
+  def q178RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .filter(col("event_id") % 199 === 0)
+      .select(col("event_id"), col("event_type"), col("rnk"), col("drnk"),
+        col("prnk"), col("cdist"))
+      .orderBy("event_id")
+  }
+
+  val q178Sql: String =
+    """SELECT event_id, event_type, rnk, drnk, prnk, cdist FROM (
+      |  SELECT event_id, event_type,
+      |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      |  round(PERCENT_RANK() OVER w, 6) AS prnk,
+      |  round(CUME_DIST() OVER w, 6) AS cdist
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+      |WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------- q179 pearson drift
+  /** Exact-moment Pearson correlation of value vs event time per type
+    * — the numeric drift detector beside q143's categorical shares
+    * (and the linear complement of q122's rank-based Spearman). The
+    * builtin `corr` accumulates doubles partition-order-dependently;
+    * here every moment (Σx, Σy, Σxy, Σx², Σy²) routes through
+    * DECIMAL ([[Relational.dsum]]) over integer-µs x and double y, so
+    * r = (nΣxy − ΣxΣy) / (sqrt(nΣx²−(Σx)²) · sqrt(nΣy²−(Σy)²)) is
+    * computed from bit-identical moments with only IEEE-exact ops
+    * (*, −, /, sqrt — sqrt IS correctly rounded per IEEE-754).
+    * Time re-bases to hours from the global min (broadcast one-row
+    * aggregate) so the decimal moments stay far from overflow.
+    * One map-side-combined shuffle; |event_type| result rows. */
+  def q179PearsonDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts div 1000").as("us"), col("value"))
+    val t0 = e.agg(min(col("us")).as("us0"))
+    val based = e.crossJoin(broadcast(t0))
+      .withColumn("x", (col("us") - col("us0")).cast("double") / lit(3.6e9))
+    val m = based.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("x")).as("sx"), dsum(col("value")).as("sy"),
+      dsum(col("x") * col("value")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("value") * col("value")).as("syy"))
+    m.select(col("event_type"), col("n").cast("long").as("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+      .orderBy("event_type")
+  }
+
+  val q179Sql: String =
+    s"""WITH t0 AS (SELECT MIN(epoch_us(ts) // 1000) AS us0 FROM events),
+       |b AS (SELECT event_type,
+       |  CAST(epoch_us(ts) // 1000 - us0 AS DOUBLE) / 3.6e9 AS x, value
+       |  FROM events, t0),
+       |m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+       |  ${DSUM("x")} AS sx, ${DSUM("value")} AS sy,
+       |  ${DSUM("x * value")} AS sxy, ${DSUM("x * x")} AS sxx,
+       |  ${DSUM("value * value")} AS syy
+       |  FROM b GROUP BY event_type)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |round((n * sxy - sx * sy) /
+       |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+       |FROM m ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_rank_funcs" -> (q178RankFuncs _),
+    "q179_pearson_drift" -> (q179PearsonDrift _),
     "q175_mad_outliers" -> (q175MadOutliers _),
     "q108_trailing_window" -> (q108TrailingWindow _),
     "q110_winsorize" -> (q110Winsorize _),
@@ -729,6 +812,8 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q178_rank_funcs" -> q178Sql,
+    "q179_pearson_drift" -> q179Sql,
     "q175_mad_outliers" -> q175Sql,
     "q108_trailing_window" -> q108Sql,
     "q110_winsorize" -> q110Sql,
