@@ -760,8 +760,68 @@ object Curation {
        |  AS score_floor
        |FROM rk GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------- q181 chunk dedup
+  /** Chunk-level exact dedup accounting — the RAG-corpus variant of
+    * document dedup: over q109's sliding chunk grid, how many chunk
+    * contents repeat (within AND across documents), per source. A
+    * retrieval index deduplicates at this granularity (q109 emits the
+    * chunks; this sizes their redundancy; the boilerplate audit q177
+    * is the sub-chunk view).
+    *
+    * Plan shape: the chunk expansion is scan-local and only the
+    * fixed-width (md5, source) projection ever shuffles — once for
+    * the global-multiplicity aggregate and once for the join-back
+    * (chunk text never ships). A production run persists the chunk
+    * relation between the two passes so the expansion isn't
+    * recomputed; the md5-keyed aggregate is the same dedup shuffle
+    * as q20's. */
+  def q181ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tok_start",
+        explode(expr(s"sequence(0L, n_tokens - 1, $ChunkStride)")))
+      .withColumn("tok_len",
+        least(lit(ChunkWindow.toLong), col("n_tokens") - col("tok_start")))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ",
+          expr("slice(toks, tok_start + 1, tok_len)"))).as("chunk_md5"))
+    val mult = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("mult"))
+    chunks.join(mult, "chunk_md5")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_md5")).as("n_distinct"),
+        sum(when(col("mult") > 1, 1L).otherwise(0L)).as("n_dup_occurrences"),
+        round(sum(when(col("mult") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  val q181Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, source, toks,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+       |c AS (SELECT doc_id, source, toks, n_tokens,
+       |  unnest(range(0, n_tokens, $ChunkStride)) AS tok_start FROM n),
+       |ch AS (SELECT doc_id, source,
+       |  md5(array_to_string(list_slice(toks, tok_start + 1,
+       |    tok_start + least($ChunkWindow, n_tokens - tok_start)), ' '))
+       |    AS chunk_md5 FROM c),
+       |m AS (SELECT chunk_md5, COUNT(*) AS mult FROM ch GROUP BY 1)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |COUNT(DISTINCT ch.chunk_md5) AS n_distinct,
+       |CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_dup_occurrences,
+       |round(CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / COUNT(*), 4) AS dup_rate
+       |FROM ch JOIN m ON ch.chunk_md5 = m.chunk_md5
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_chunk_dedup" -> (q181ChunkDedup _),
     "q176_domain_cap" -> (q176DomainCap _),
     "q171_curation_funnel" -> (q171CurationFunnel _),
     "q107_leak_split" -> (q107LeakSplit _),
@@ -780,6 +840,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q181_chunk_dedup" -> q181Sql,
     "q176_domain_cap" -> q176Sql,
     "q171_curation_funnel" -> q171Sql,
     "q107_leak_split" -> q107Sql,

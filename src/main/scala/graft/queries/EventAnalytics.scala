@@ -787,8 +787,46 @@ object EventAnalytics {
        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
        |FROM m ORDER BY event_type""".stripMargin
 
+  // ------------------------------------- q180 transition matrix
+  /** Per-user event-type transition counts (the first-order Markov
+    * matrix of the behavior stream) with each transition's share of
+    * its source row — the behavioral counterpart of q100's text
+    * bigram LM, and the input to session-flow anomaly detection.
+    * Transitions are consecutive events per user in (ts, event_id)
+    * order; ONE shuffle on user_id feeds the lag window, then the
+    * |types|² matrix aggregates map-side. Row shares divide exact
+    * counts (one integer division per cell — bit-stable). */
+  def q180Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    trans.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"),
+        6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q180Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |tr AS (SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS prev FROM e),
+      |m AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |round(CAST(n AS DOUBLE) /
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS row_share
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_transitions" -> (q180Transitions _),
     "q178_rank_funcs" -> (q178RankFuncs _),
     "q179_pearson_drift" -> (q179PearsonDrift _),
     "q175_mad_outliers" -> (q175MadOutliers _),
@@ -812,6 +850,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q180_transitions" -> q180Sql,
     "q178_rank_funcs" -> q178Sql,
     "q179_pearson_drift" -> q179Sql,
     "q175_mad_outliers" -> q175Sql,
