@@ -83,6 +83,40 @@ class RetrievalClusterSpec extends SparkSuite {
     } finally ex.unpersist()
   }
 
+  test("k-means long-form and native-kernel assignments agree bit-exactly on the seed round") {
+    import org.apache.spark.sql.functions.expr
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < Similarity.KmeansK).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1)
+    // array form: per-row native kernel over centroid literals
+    val distCols = seeds.map { case (k, c) =>
+      val arr = c.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+      expr(s"graft_l2sq_q6(embedding, $arr)").as(s"d$k")
+    }
+    val fast = e.select((col("vec_id") +: distCols.toSeq): _*).collect()
+      .map(r => r.getLong(0) ->
+        seeds.indices.map(i => r.getDouble(i + 1)).toVector).toMap
+    // long form: exploded + grouped decimal sum (the oracle's shape)
+    val ex = Similarity.kmeansExploded(spark, dir)
+    val cent = ex.filter(col("vec_id") < Similarity.KmeansK)
+      .select(col("vec_id").cast("int").as("k"), col("p"), col("v").as("c"))
+    val slow = ex.join(cent, "p")
+      .withColumn("sq", (col("v") - col("c")) * (col("v") - col("c")))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(Relational.dsum(col("sq")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fast.nonEmpty)
+    fast.foreach { case (vid, ds) =>
+      seeds.indices.foreach { i =>
+        val k = seeds(i)._1
+        assert(ds(i) == slow((vid, k)),
+          s"vec $vid cluster $k: kernel ${ds(i)} vs grouped ${slow((vid, k))}")
+      }
+    }
+  }
+
   test("q169 frame accounting is consistent and planted dups share signatures") {
     val out = Multimodal.q169FrameSample(spark, dir).cache()
     try {
