@@ -824,8 +824,71 @@ object EventAnalytics {
       |  CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS row_share
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  // --------------------------------------- q182 episode dedup
+  /** Trajectory-level dedup accounting: sessionize (q67's 3-hour gap
+    * rule), render each session as its ordered event-type sequence,
+    * fingerprint it, and report how many DISTINCT behavioral episodes
+    * each episode-length bucket holds — the dedup signal for
+    * agent-trajectory / dialogue-log training data (whole-trajectory
+    * repeats are the q20 of behavior streams).
+    *
+    * Determinism: collect_list order is partition-dependent, so the
+    * sequence is assembled by sorting an array of (ts, event_id, type)
+    * structs AFTER collection (sort_array on struct = lexicographic —
+    * the total order both engines share via ORDER BY ts, event_id).
+    * One user_id shuffle (sessionization windows + the episode
+    * aggregate share it); the bucket report is tiny. */
+  def q182EpisodeDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = events(s, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val episodes = sessions
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        md5(expr(
+          """array_join(transform(
+            |  sort_array(collect_list(struct(ts_us, event_id, event_type))),
+            |  s -> s.event_type), ' ')""".stripMargin).cast("binary"))
+          .as("episode_fp"))
+    episodes.groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_episodes"),
+        countDistinct(col("episode_fp")).as("n_distinct"),
+        round((count(lit(1)) - countDistinct(col("episode_fp")))
+          .cast("double") / count(lit(1)).cast("double"), 4).as("dup_rate"))
+      .orderBy("n_events")
+  }
+
+  val q182Sql: String =
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+       |  FROM events),
+       |g AS (SELECT user_id, ts_us, event_id, event_type,
+       |  CASE WHEN lag(ts_us) OVER w IS NULL
+       |       OR ts_us - lag(ts_us) OVER w > $SessionGapUs THEN 1 ELSE 0 END
+       |    AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sx AS (SELECT user_id, ts_us, event_id, event_type,
+       |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g),
+       |ep AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  md5(array_to_string(
+       |    list(event_type ORDER BY ts_us, event_id), ' ')) AS episode_fp
+       |  FROM sx GROUP BY 1, 2)
+       |SELECT n_events, COUNT(*) AS n_episodes,
+       |COUNT(DISTINCT episode_fp) AS n_distinct,
+       |round(CAST(COUNT(*) - COUNT(DISTINCT episode_fp) AS DOUBLE)
+       |  / COUNT(*), 4) AS dup_rate
+       |FROM ep GROUP BY n_events ORDER BY n_events""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
     "q178_rank_funcs" -> (q178RankFuncs _),
     "q179_pearson_drift" -> (q179PearsonDrift _),
@@ -850,6 +913,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,
     "q178_rank_funcs" -> q178Sql,
     "q179_pearson_drift" -> q179Sql,

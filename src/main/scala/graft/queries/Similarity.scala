@@ -1011,7 +1011,60 @@ object Similarity {
        |FROM a$fin GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
+  // ------------------------------------ q183 per-dim standardization
+  /** Per-dimension standardization statistics over the embedding
+    * corpus — the "fit" half of a whitening/normalization transform
+    * (mean, sample std, min, max per coordinate) plus each dimension's
+    * share of total variance: the diagnostics behind anisotropy checks
+    * (dominant dimensions hurt cosine retrieval) and the parameters a
+    * per-dim scaler applies at inference.
+    *
+    * Determinism: moments route through DECIMAL ([[Relational.dsum]]);
+    * std = sqrt((Σv²−(Σv)²/n)/(n−1)) uses only IEEE-exact ops on the
+    * bit-identical moments. Variance shares divide two decimal-derived
+    * doubles. Plan: ONE posexplode + one map-side-combined (p) shuffle;
+    * |dim| result rows; the total-variance denominator is a window
+    * over the |dim|-row aggregate, not the corpus. */
+  def q183DimStats(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir).select(posexplode(col("embedding")))
+      .select(col("pos").as("p"), col("col").cast("double").as("v"))
+    val m = ex.groupBy(col("p")).agg(
+      count(lit(1)).as("n"),
+      Relational.dsum(col("v")).as("sv"),
+      Relational.dsum(col("v") * col("v")).as("svv"),
+      round(min(col("v")), 6).as("v_min"),
+      round(max(col("v")), 6).as("v_max"))
+    m.withColumn("variance",
+        (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+      .withColumn("var_share", round(col("variance") /
+        sum(col("variance")).over(Window.partitionBy()), 6))
+      .select(col("p"), col("n"),
+        round(col("sv") / col("n"), 6).as("mean"),
+        round(sqrt(col("variance")), 6).as("std"),
+        col("v_min"), col("v_max"), col("var_share"))
+      .orderBy("p")
+  }
+
+  val q183Sql: String = {
+    import Relational.DSUM
+    s"""WITH ex AS (SELECT
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'p': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+       |  FROM embeddings),
+       |e AS (SELECT s.p AS p, s.v AS v FROM ex),
+       |m AS (SELECT p, COUNT(*) AS n, ${DSUM("v")} AS sv,
+       |  ${DSUM("v * v")} AS svv,
+       |  round(MIN(v), 6) AS v_min, round(MAX(v), 6) AS v_max
+       |  FROM e GROUP BY p),
+       |vr AS (SELECT *, (svv - sv * sv / n) / (n - 1) AS variance FROM m)
+       |SELECT p, n, round(sv / n, 6) AS mean,
+       |round(sqrt(variance), 6) AS std, v_min, v_max,
+       |round(variance / SUM(variance) OVER (), 6) AS var_share
+       |FROM vr ORDER BY p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_dim_stats" -> (q183DimStats _),
     "q168_kmeans" -> (qKmeans _),
     "q93_ann_eval" -> (qAnnEval _),
     "q82_label_centroids" -> (qLabelCentroids _),
@@ -1029,6 +1082,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q183_dim_stats" -> q183Sql,
     "q168_kmeans" -> qKmeansSql,
     "q93_ann_eval" -> qAnnEvalSql,
     "q82_label_centroids" -> qLabelCentroidsSql,
