@@ -69,20 +69,27 @@ object ExprRuntime {
     * decimal addition is associative. q6 replicates Spark's
     * double→decimal cast exactly: shortest-round-trip BigDecimal
     * (`BigDecimal.valueOf`) then setScale(6, HALF_UP). Ragged pair →
-    * null (the vecDot convention). */
+    * null (the vecDot convention). Overflow — a per-term micro-unit
+    * value above Long.MAX (|x−c| ≳ 3e6) or accumulator wrap — returns
+    * null, matching how the DECIMAL(25,6) SUM oracle degrades
+    * (overflow → NULL under ANSI-off) instead of crashing or silently
+    * wrapping. */
   def l2sqQ6(x: org.apache.spark.sql.catalyst.util.ArrayData,
       c: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (n != c.numElements()) return null
     var micros = 0L
     var i = 0
-    while (i < n) {
-      val d = x.getFloat(i).toDouble - c.getDouble(i)
-      micros += java.math.BigDecimal.valueOf(d * d)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
-      i += 1
-    }
+    try {
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - c.getDouble(i)
+        micros = Math.addExact(micros,
+          java.math.BigDecimal.valueOf(d * d)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact())
+        i += 1
+      }
+    } catch { case _: ArithmeticException => return null }
     java.lang.Double.valueOf(
       java.math.BigDecimal.valueOf(micros, 6).doubleValue())
   }

@@ -773,9 +773,9 @@ object EventAnalytics {
   }
 
   val q179Sql: String =
-    s"""WITH t0 AS (SELECT MIN(epoch_us(ts) // 1000) AS us0 FROM events),
+    s"""WITH t0 AS (SELECT MIN(epoch_us(ts)) AS us0 FROM events),
        |b AS (SELECT event_type,
-       |  CAST(epoch_us(ts) // 1000 - us0 AS DOUBLE) / 3.6e9 AS x, value
+       |  CAST(epoch_us(ts) - us0 AS DOUBLE) / 3.6e9 AS x, value
        |  FROM events, t0),
        |m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
        |  ${DSUM("x")} AS sx, ${DSUM("value")} AS sy,

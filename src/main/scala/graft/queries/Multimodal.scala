@@ -224,31 +224,35 @@ object Multimodal {
     * explode (the frame loop is an array transform inside one
     * projection); a real codec swaps the substring slicing for a
     * container demuxer inside the same per-row stage
-    * ([[graft.pipeline.MultimodalDecode]] holds that seam). Blob
-    * lengths here are multiples of 32 hex chars, so frame counts are
-    * exact integer divisions in both dialects (no trunc-vs-round cast
-    * hazard). */
+    * ([[graft.pipeline.MultimodalDecode]] holds that seam). Frame
+    * counts use explicit floor division (`div` / DuckDB `//`) and the
+    * sampled-signature sequence is guarded for the zero-frame blob, so
+    * correctness does not lean on the fixture's
+    * length-multiple-of-32 invariant (Spark's `sequence(0, -1)` is a
+    * DESCENDING two-element array, not empty — the guard keeps that
+    * foot-gun out of the plan). */
   def q169FrameSample(s: SparkSession, dir: String): DataFrame =
     withBlob(s, dir)
-      .withColumn("n_frames", (length(col("blob_hex")) / 16).cast("int"))
-      .withColumn("n_sampled", (length(col("blob_hex")) / 32).cast("int"))
+      .withColumn("n_frames", expr("length(blob_hex) div 16").cast("int"))
+      .withColumn("n_sampled", expr("length(blob_hex) div 32").cast("int"))
       .select(
         col("doc_id"), col("n_frames"), col("n_sampled"),
         substring(col("blob_hex"), 1, 16).as("first_frame"),
         md5(expr(
-          """array_join(transform(sequence(0, n_sampled - 1),
-            |  i -> md5(substring(blob_hex, i * 32 + 1, 16))), '')""".stripMargin))
+          """IF(n_sampled > 0,
+            |  array_join(transform(sequence(0, n_sampled - 1),
+            |    i -> md5(substring(blob_hex, i * 32 + 1, 16))), ''), '')""".stripMargin))
           .as("sample_sig"))
       .orderBy("doc_id")
 
   val q169Sql: String =
     s"""$blobCte
        |SELECT doc_id,
-       |CAST(length(blob_hex) / 16 AS INT) AS n_frames,
-       |CAST(length(blob_hex) / 32 AS INT) AS n_sampled,
+       |CAST(length(blob_hex) // 16 AS INT) AS n_frames,
+       |CAST(length(blob_hex) // 32 AS INT) AS n_sampled,
        |substr(blob_hex, 1, 16) AS first_frame,
        |md5(array_to_string(list_transform(
-       |  range(0, CAST(length(blob_hex) / 32 AS INT)),
+       |  range(0, CAST(length(blob_hex) // 32 AS INT)),
        |  i -> md5(substr(blob_hex, CAST(i * 32 + 1 AS INT), 16))), ''))
        |  AS sample_sig
        |FROM binary_blobs ORDER BY doc_id""".stripMargin
@@ -270,7 +274,7 @@ object Multimodal {
     * no shuffle, no explode. */
   def q170AudioFeatures(s: SparkSession, dir: String): DataFrame =
     withBlob(s, dir)
-      .withColumn("n_samples", (length(col("blob_hex")) / 2).cast("int"))
+      .withColumn("n_samples", expr("length(blob_hex) div 2").cast("int"))
       .withColumn("samples", expr(
         """transform(sequence(0, n_samples - 1),
           |  i -> (instr('0123456789abcdef', substring(blob_hex, i * 2 + 1, 1)) - 1) * 16
@@ -283,18 +287,19 @@ object Multimodal {
         round(sqrt(expr("aggregate(samples, 0L, (s, x) -> s + x * x)")
           .cast("double") / col("n_samples").cast("double")), 4).as("rms"),
         expr(
-          """aggregate(transform(sequence(1, n_samples - 1),
-            |  i -> IF((element_at(samples, i + 1) >= 128) !=
-            |          (element_at(samples, i) >= 128), 1, 0)),
-            |  0, (s, x) -> s + x)""".stripMargin).as("crossings"),
+          """IF(n_samples > 1,
+            |  aggregate(transform(sequence(1, n_samples - 1),
+            |    i -> IF((element_at(samples, i + 1) >= 128) !=
+            |            (element_at(samples, i) >= 128), 1, 0)),
+            |    0, (s, x) -> s + x), 0)""".stripMargin).as("crossings"),
         expr("size(filter(samples, x -> x = 0 OR x = 255))").as("clipped"))
       .orderBy("doc_id")
 
   val q170Sql: String =
     s"""$blobCte,
        |sampled AS (SELECT doc_id,
-       |  CAST(length(blob_hex) / 2 AS INT) AS n_samples,
-       |  list_transform(range(0, CAST(length(blob_hex) / 2 AS INT)),
+       |  CAST(length(blob_hex) // 2 AS INT) AS n_samples,
+       |  list_transform(range(0, CAST(length(blob_hex) // 2 AS INT)),
        |    i -> (instr('0123456789abcdef',
        |            substr(blob_hex, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
        |       + (instr('0123456789abcdef',
@@ -305,9 +310,10 @@ object Multimodal {
        |round(CAST(list_sum(samples) AS DOUBLE) / n_samples, 4) AS mean_amp,
        |round(sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
        |  / n_samples), 4) AS rms,
-       |CAST(list_sum(list_transform(range(1, n_samples),
-       |  i -> CASE WHEN (samples[i + 1] >= 128) <> (samples[i] >= 128)
-       |       THEN 1 ELSE 0 END)) AS INT) AS crossings,
+       |CAST(CASE WHEN n_samples > 1 THEN
+       |  list_sum(list_transform(range(1, n_samples),
+       |    i -> CASE WHEN (samples[i + 1] >= 128) <> (samples[i] >= 128)
+       |         THEN 1 ELSE 0 END)) ELSE 0 END AS INT) AS crossings,
        |CAST(len(list_filter(samples, x -> x = 0 OR x = 255)) AS INT) AS clipped
        |FROM sampled ORDER BY doc_id""".stripMargin
 

@@ -1158,7 +1158,7 @@ object Relational {
   }
 
   val q123Sql: String =
-    """SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+    """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |CAST(1 AS BIGINT) AS pruned
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin

@@ -1037,7 +1037,8 @@ object Similarity {
     m.withColumn("variance",
         (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
       .withColumn("var_share", round(col("variance") /
-        sum(col("variance")).over(Window.partitionBy()), 6))
+        sum(col("variance").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .over(Window.partitionBy()).cast("double"), 6))
       .select(col("p"), col("n"),
         round(col("sv") / col("n"), 6).as("mean"),
         round(sqrt(col("variance")), 6).as("std"),
@@ -1059,7 +1060,8 @@ object Similarity {
        |vr AS (SELECT *, (svv - sv * sv / n) / (n - 1) AS variance FROM m)
        |SELECT p, n, round(sv / n, 6) AS mean,
        |round(sqrt(variance), 6) AS std, v_min, v_max,
-       |round(variance / SUM(variance) OVER (), 6) AS var_share
+       |round(variance / CAST(SUM(CAST(variance AS DECIMAL(25,6))) OVER ()
+       |  AS DOUBLE), 6) AS var_share
        |FROM vr ORDER BY p""".stripMargin
   }
 
