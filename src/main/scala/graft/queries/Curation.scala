@@ -273,44 +273,88 @@ object Curation {
       |FROM bg JOIN c ON bg.bigram = c.bigram GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------- q101 cms heavy
-  /** CountMinSketch heavy hitters beside their exact counts (rows-only
-    * oracle channel, like q85's HLL): the sketch is a constant-size
-    * mergeable summary (depth × width longs) built in one distributed
-    * pass — the structure that replaces q100's exact count relation
-    * when the key space outgrows memory. Driver state is the sketch
-    * plus k result rows, both bounded. CurationSpec pins the CMS
-    * guarantee (est ≥ exact; overestimate ≤ eps·N at the configured
-    * confidence). */
-  def q101CmsHeavy(s: SparkSession, dir: String): DataFrame = {
+  /** CountMinSketch heavy hitters beside their exact counts: the
+    * sketch is a constant-size mergeable summary (depth × width longs)
+    * built in one distributed pass — the structure that replaces
+    * q100's exact count relation when the key space outgrows memory.
+    * Driver state is the sketch plus k result rows, both bounded.
+    *
+    * The estimate itself has no DuckDB twin, so the ORACLE-CHECKED
+    * projection is the exact top-10 plus `cms_ok` — the count-min
+    * guarantee (est ≥ exact; overestimate ≤ 3·eps·N headroom, the
+    * CurationSpec bound) evaluated IN the engine against an oracle
+    * literal 1. A sketch that underestimates or blows its error bound
+    * flips the bit and fails the row hash — a full driver-side
+    * signal. [[q101CmsHeavyFull]] keeps the raw estimate for the
+    * spec's assertions. */
+  def q101CmsHeavyFull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = events(s, dir)
     val sketch = ev.stat.countMinSketch(col("user_id"), 0.001, 0.99, 42)
+    val n = ev.count()
     val topExact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id")).limit(10).collect()
     topExact.toSeq
-      .map(r => (r.getLong(0), r.getLong(1), sketch.estimateCount(r.getLong(0))))
-      .toDF("user_id", "exact_n", "est_n")
+      .map(r => (r.getLong(0), r.getLong(1), sketch.estimateCount(r.getLong(0)), n))
+      .toDF("user_id", "exact_n", "est_n", "n_total")
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 
+  def q101CmsHeavy(s: SparkSession, dir: String): DataFrame =
+    q101CmsHeavyFull(s, dir)
+      .select(col("user_id"), col("exact_n"),
+        (col("est_n") >= col("exact_n") &&
+          (col("est_n") - col("exact_n")).cast("double") <=
+            col("n_total").cast("double") * 0.003 + 1.0)
+          .cast("int").as("cms_ok"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+
+  val q101Sql: String =
+    """SELECT user_id, COUNT(*) AS exact_n, 1 AS cms_ok
+      |FROM events GROUP BY user_id
+      |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------ q102 approx quantile
-  /** Approximate vs exact grouped quantiles side by side (rows-only
-    * channel: the GK-sketch merge is order-sensitive, so approx values
-    * are not bit-stable across partitionings — the paired exact column
-    * and CurationSpec's error-bound assertion are the contract). At
-    * 100 TB the exact column is the one that goes away; the sketch
-    * column is the survivor, with its accuracy pinned here. */
-  def q102ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+  /** Approximate grouped quantiles with their accuracy contract as
+    * the oracle row: the GK-sketch merge is order-sensitive, so the
+    * approx VALUES are not bit-stable across engines — but the rank
+    * envelope they must land in IS checkable. The oracle-checked
+    * projection carries exact count/max plus `ok_p50`/`ok_p99`: the
+    * approx p50 must sit inside the exact [p45, p55] value band and
+    * the approx p99 inside [p97, max] (rank error at accuracy=1000 is
+    * ~0.001 ≪ the 0.05/0.02 envelopes, so the bit is stable under any
+    * partitioning), each compared against an oracle literal 1. At
+    * 100 TB the exact twin goes away; the sketch column is the
+    * survivor, accuracy pinned here and in CurationSpec (which reads
+    * [[q102ApproxQuantileFull]] for the raw values). */
+  def q102ApproxQuantileFull(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
       .agg(
+        count(lit(1)).as("n"),
         expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
         expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.45)").as("p45_exact"),
+        expr("percentile(value, 0.55)").as("p55_exact"),
         expr("percentile_approx(value, 0.99, 1000)").as("p99_approx"),
         expr("percentile(value, 0.99)").as("p99_exact"),
         expr("percentile(value, 0.97)").as("p97_exact"),
         max(col("value")).as("max_value"))
       .orderBy("event_type")
+
+  def q102ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    q102ApproxQuantileFull(s, dir)
+      .select(col("event_type"), col("n"), col("max_value"),
+        (col("p50_approx") >= col("p45_exact") &&
+          col("p50_approx") <= col("p55_exact")).cast("int").as("ok_p50"),
+        (col("p99_approx") >= col("p97_exact") &&
+          col("p99_approx") <= col("max_value")).cast("int").as("ok_p99"))
+      .orderBy("event_type")
+
+  val q102Sql: String =
+    """SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value,
+      |1 AS ok_p50, 1 AS ok_p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------ q103 seq pack
   /** Sequence packing — the pretraining batch-assembly primitive:
@@ -840,6 +884,8 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q101_cms_heavy" -> q101Sql,
+    "q102_approx_quantile" -> q102Sql,
     "q181_chunk_dedup" -> q181Sql,
     "q176_domain_cap" -> q176Sql,
     "q171_curation_funnel" -> q171Sql,

@@ -481,18 +481,33 @@ object EventAnalytics {
     * distinct shuffles every key; the sketch is constant-size per
     * group and merges associatively, so it map-side combines). The
     * sketch is deterministic for a given dataset (hash-based, no
-    * RNG), but its estimate has no SQL-expressible twin — this query
-    * intentionally has NO oracleSql entry, exercising the driver's
-    * weaker rows-only check; the EXACT column rides beside it so the
-    * error is self-auditing (spec pins relative error < 5% at the
-    * 1% rsd setting). */
-  def q85ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    * RNG), but its estimate has no SQL-expressible twin — so the
+    * ORACLE-CHECKED projection carries the exact columns plus
+    * `approx_ok`, the HLL accuracy contract evaluated IN the engine
+    * (relative error < 5% at the 1% rsd setting) against an oracle
+    * literal 1: if the sketch ever breaks its bound, the row hash
+    * fails — a full driver-side signal instead of the old rows-only
+    * channel. [[q85ApproxDistinctFull]] keeps the raw estimate for
+    * the spec's tighter error-pin. */
+  def q85ApproxDistinctFull(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
+
+  def q85ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    q85ApproxDistinctFull(s, dir)
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <
+          col("exact_users").cast("double") * 0.05).cast("int").as("approx_ok"))
+      .orderBy("event_type")
+
+  val q85Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------ q87 gap fill
   /** Time-series densify + forward-fill: hourly per-type activity on a
@@ -913,6 +928,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,
     "q178_rank_funcs" -> q178Sql,

@@ -104,7 +104,7 @@ class CurationSpec extends SparkSuite {
   }
 
   test("q101 CMS estimates respect the count-min guarantee") {
-    val rows = Curation.q101CmsHeavy(spark, dir).collect()
+    val rows = Curation.q101CmsHeavyFull(spark, dir).collect()
     assert(rows.length == 10)
     val n = graft.core.Tables.load(spark, dir, "events").count()
     for (r <- rows) {
@@ -115,6 +115,9 @@ class CurationSpec extends SparkSuite {
       assert(est - exact <= (0.003 * n).ceil.toLong + 1,
         s"overestimate ${est - exact} exceeds 3*eps*N")
     }
+    // the oracle-checked projection carries the same contract as a bit
+    val ok = Curation.q101CmsHeavy(spark, dir).collect()
+    assert(ok.length == 10 && ok.forall(_.getAs[Int]("cms_ok") == 1))
   }
 
   test("q103 packed sequences are contiguous and conserve the token stream") {
@@ -167,7 +170,7 @@ class CurationSpec extends SparkSuite {
   }
 
   test("q102 approximate quantiles stay near their exact twins") {
-    val rows = Curation.q102ApproxQuantile(spark, dir).collect()
+    val rows = Curation.q102ApproxQuantileFull(spark, dir).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
       // percentile_approx bounds RANK error, not value error — in a
@@ -182,5 +185,9 @@ class CurationSpec extends SparkSuite {
         p99a <= r.getAs[Double]("max_value"),
         s"p99 approx $p99a outside exact [p97, max] band")
     }
+    // the oracle-checked projection carries the rank envelope as bits
+    val ok = Curation.q102ApproxQuantile(spark, dir).collect()
+    assert(ok.forall(r =>
+      r.getAs[Int]("ok_p50") == 1 && r.getAs[Int]("ok_p99") == 1))
   }
 }

@@ -111,8 +111,8 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(out.forall(r => r.getLong(1) <= TextAnalysis.TfidfK))
   }
 
-  test("q85 HLL estimate stays within 5% of the exact count (rows-only oracle)") {
-    val rows = EventAnalytics.q85ApproxDistinct(spark, dir).collect()
+  test("q85 HLL estimate stays within 5% of the exact count") {
+    val rows = EventAnalytics.q85ApproxDistinctFull(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (approx, exact) = (r.getAs[Long]("approx_users"),
@@ -121,6 +121,9 @@ class EventAnalyticsSpec extends SparkSuite {
         math.abs(approx - exact).toDouble / exact < 0.05,
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }
+    // the oracle-checked projection carries the same contract as a bit
+    val ok = EventAnalytics.q85ApproxDistinct(spark, dir).collect()
+    assert(ok.forall(_.getAs[Int]("approx_ok") == 1))
   }
 
   test("q86 bloom prefilter changes nothing about the join result") {
