@@ -163,26 +163,56 @@ object GraphOps {
   /** Distinct 2-hop reach per node of the near-dup graph (neighbors ∪
     * neighbors-of-neighbors, self excluded) — the blast-radius metric:
     * how many documents would be touched by killing/keeping this one,
-    * including chain links the direct degree (q79) misses. One
-    * edges⋈edges hash join builds the 2-hop candidates, a union adds
-    * the 1-hop ring, one distinct-count per node finishes — all on the
-    * narrow cached edge relation. At viral-hub scale the join fans out
-    * deg²; the production guard is the same degree-orientation note as
-    * q114 (or capping at the CC component size, which bounds reach
-    * from above). */
-  def q147TwoHop(s: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.ccEdges(s, dir) // bidirectional, cached
-    val twoHop = edges.as("e1")
-      .join(edges.as("e2"), col("e1.d2") === col("e2.d1"))
-      .select(col("e1.d1").as("src"), col("e2.d2").as("dst"))
+    * including chain links the direct degree (q79) misses.
+    *
+    * Wedge generation is DEGREE-ORIENTED (the q114 production note,
+    * now implemented): neighbors carry their (deg, id) rank and the
+    * self-join on the middle emits each unordered wedge {a, b, c}
+    * exactly ONCE (rank(a) < rank(c)), instead of twice as ordered
+    * (a,c)/(c,a) rows. The candidate pair then hits `.distinct()`
+    * BEFORE mirroring — so the cross-middle multiplicity (a clique
+    * family of size k shares every pair through k−2 middles: k³
+    * ordered wedge rows in the naive plan) collapses map-side to the
+    * true O(k²) pair set, and the final per-src aggregate is a plain
+    * count over pre-deduped rows. A hub of degree d still yields
+    * C(d,2) candidate rows — that is the OUTPUT lower bound (every
+    * pair of hub neighbors IS mutually reachable), not enumeration
+    * waste; AQE skew-split spreads a single hot middle across tasks,
+    * and the remaining escape hatch at 10⁵-degree hubs is grid-blocked
+    * pair generation (split the adjacency into √deg buckets and join
+    * bucket pairs), which preserves this exact semantics.
+    * GraphSplitSpec pins the once-per-wedge bound on a constructed
+    * hub. */
+  def twoHopCandidates(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("d1").as("nid"))
+      .agg(count(lit(1)).as("nd"))
+    // adjacency keyed by the middle, each neighbor tagged with its rank
+    val adj = edges.join(deg, edges("d2") === deg("nid"))
+      .select(col("d1").as("mid"), col("d2").as("nb"), col("nd").as("nbd"))
+    adj.as("l").join(adj.as("r"),
+        col("l.mid") === col("r.mid") &&
+          (col("l.nbd") < col("r.nbd") ||
+            (col("l.nbd") === col("r.nbd") && col("l.nb") < col("r.nb"))))
+      .select(col("l.nb").as("lo"), col("r.nb").as("hi"))
+  }
+
+  def twoHopReach(edges: DataFrame): DataFrame = {
+    val pairs = twoHopCandidates(edges).distinct()
+    val twoHop = pairs.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(pairs.select(col("hi").as("src"), col("lo").as("dst")))
     val reach = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(twoHop)
-      .filter(col("src") =!= col("dst"))
+    // a 2-hop pair can also be directly adjacent (triangle), so the
+    // final aggregate still dedups — but over the collapsed pair set
+    // (≤ 2·|pairs| + 2|E| rows), not the k³ wedge multiset
     reach.groupBy("src")
       .agg(countDistinct(col("dst")).as("n_reach"))
       .select(col("src").as("doc_id"), col("n_reach"))
       .orderBy("doc_id")
   }
+
+  def q147TwoHop(s: SparkSession, dir: String): DataFrame =
+    twoHopReach(Dedup.ccEdges(s, dir))
 
   val q147Sql: String =
     s"""${Dedup.edgesSqlCte},

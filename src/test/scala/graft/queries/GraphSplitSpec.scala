@@ -106,4 +106,37 @@ class GraphSplitSpec extends SparkSuite {
     for (o <- all if !sky(o._1))
       assert(skyPts.exists(s => dominates(s, o)), s"$o is undominated but excluded")
   }
+
+  test("q147 oriented wedge join generates each hub wedge once, reach exact") {
+    import spark.implicits._
+    // constructed viral hub: star with hub 0 and leaves 1..d, plus a
+    // triangle 100-101-102 hanging off leaf 1 to exercise the
+    // adjacent-AND-2-hop overlap path
+    val d = 40
+    val star = (1 to d).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    val tri = Seq((1L, 100L), (100L, 1L), (100L, 101L), (101L, 100L),
+      (101L, 102L), (102L, 101L))
+    val edges = (star ++ tri).toDF("d1", "d2")
+    // once-per-wedge bound: the naive ordered join emits deg·(deg−1)
+    // rows per middle; orientation emits C(deg, 2). Hub 0 has degree
+    // d → exactly C(d,2) of the candidates come from it.
+    val expectedWedges =
+      edges.groupBy("d1").agg(count(lit(1)).as("deg"))
+        .collect().map(r => { val k = r.getLong(1); k * (k - 1) / 2 }).sum
+    val cand = GraphOps.twoHopCandidates(edges)
+    assert(cand.count() == expectedWedges,
+      s"oriented join must emit each wedge once (C(deg,2) per middle)")
+    // exact reach on the constructed graph, computed per definition
+    val adjacency = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adjacency.map { case (v, nbs) =>
+      v -> ((nbs ++ nbs.flatMap(adjacency(_))) - v).size.toLong }
+    val got = GraphOps.twoHopReach(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"reach mismatch: got=$got want=$want")
+    // the hub sees all leaves + the triangle chain within 2 hops;
+    // every star leaf sees the hub and the other d−1 leaves
+    assert(got(0L) == d + 1)
+    assert((2 to d).forall(i => got(i.toLong) == d))
+  }
 }
