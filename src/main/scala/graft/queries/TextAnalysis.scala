@@ -695,7 +695,101 @@ object TextAnalysis {
        |  AS coverage
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------ q184 span dedup apply
+  /** Exact-substring dedup APPLIED (the Lee et al. remove step, where
+    * q173 is the audit's kill-list miner and q177 sizes what removal
+    * would delete): rewrite every document with the token positions
+    * covered by any boilerplate-span occurrence excised, and re-emit
+    * the cleaned text. Overlapping occurrences excise their UNION of
+    * positions exactly once (the mask is a distinct position set, not
+    * 5×occurrences), so the cleaned token mass reconciles with q177's
+    * accounting by construction: n_clean = n_tokens − covered, and
+    * per-source Σcovered equals q177's covered_tokens (pinned in
+    * SpanDedupApplySpec).
+    *
+    * Plan shape — the 100 TB reason this is a mask join, not a token
+    * re-assembly: spans explode scan-local; the kill list is one
+    * combined shuffle then BROADCAST onto the span stream (q60/q177
+    * shape); hit positions collapse to ONE sorted per-doc array
+    * (bounded by doc length) in a doc_id-keyed shuffle of positions
+    * only; the corpus joins that small relation on doc_id and the
+    * excision itself is a scan-local array filter over the original
+    * token array — the text column never explodes into a shuffle and
+    * never re-assembles via collect_list. The oracle hashes the md5
+    * of each cleaned text, so the rewrite itself (not just its
+    * counts) is driver-checked. */
+  def spanDedupApply(base: DataFrame): DataFrame = {
+    val tk = base.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("toks"))
+    val eligible = tk.filter(size(col("toks")) >= BoilerplateSpan)
+    val spans = eligible.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, size(toks) - $BoilerplateSpan),
+         |  i -> struct(i AS start,
+         |    array_join(slice(toks, i + 1, $BoilerplateSpan), ' ') AS span))"""
+        .stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.start").as("start"), col("sp.span").as("span"))
+    val kill = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("support"))
+      .filter(col("support") >= BoilerplateMinSupport)
+      .select(col("span"))
+    val cov = spans.join(broadcast(kill), "span")
+      .select(col("doc_id"), explode(expr(
+        s"sequence(start, start + ${BoilerplateSpan - 1})")).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+    tk.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("toks_clean", expr(
+        """filter(transform(sequence(0, size(toks) - 1),
+          |  i -> IF(array_contains(cov, i), CAST(NULL AS STRING),
+          |          element_at(toks, i + 1))),
+          |  t -> t IS NOT NULL)""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("covered"),
+        size(col("toks_clean")).cast("long").as("n_clean"),
+        md5(array_join(col("toks_clean"), " ")).as("clean_sig"))
+      .orderBy("doc_id")
+  }
+
+  def qSpanDedupApply(s: SparkSession, dir: String): DataFrame =
+    spanDedupApply(docs(s, dir))
+
+  val qSpanDedupApplySql: String =
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, len(toks) - $BoilerplateSpan + 1),
+       |    i -> {'start': i,
+       |          'span': array_to_string(
+       |            list_slice(toks, i + 1, i + $BoilerplateSpan), ' ')})) AS s
+       |  FROM tk WHERE len(toks) >= $BoilerplateSpan),
+       |spans AS (SELECT doc_id, s.start AS start, s.span AS span FROM sp),
+       |kill AS (SELECT span FROM spans GROUP BY span
+       |  HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinSupport),
+       |hits AS (SELECT doc_id,
+       |  unnest(range(start, start + $BoilerplateSpan)) AS pos
+       |  FROM spans JOIN kill USING (span)),
+       |cov AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS cov FROM hits
+       |  GROUP BY doc_id),
+       |c AS (SELECT t.doc_id, t.source, t.toks,
+       |  COALESCE(v.cov, CAST([] AS BIGINT[])) AS cov
+       |  FROM tk t LEFT JOIN cov v ON t.doc_id = v.doc_id),
+       |cl AS (SELECT doc_id, source,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(cov) AS BIGINT) AS covered,
+       |  list_filter(list_transform(range(0, len(toks)),
+       |    i -> CASE WHEN list_contains(cov, i) THEN NULL
+       |         ELSE toks[i + 1] END),
+       |    t -> t IS NOT NULL) AS toks_clean
+       |  FROM c)
+       |SELECT doc_id, source, n_tokens, covered,
+       |CAST(len(toks_clean) AS BIGINT) AS n_clean,
+       |md5(COALESCE(array_to_string(toks_clean, ' '), '')) AS clean_sig
+       |FROM cl ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
     "q173_boilerplate" -> (qBoilerplate _),
     "q172_token_entropy" -> (qTokenEntropy _),
@@ -713,6 +807,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,
     "q173_boilerplate" -> qBoilerplateSql,
     "q172_token_entropy" -> qTokenEntropySql,
