@@ -737,6 +737,246 @@ object Curation {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // -------------------------------------- q185 release candidate e2e
+  /** The COMPLETE release-candidate pipeline as one composed query —
+    * q171's three-stage funnel extended with every gate the repo
+    * ships standalone, in the order a corpus release would chain
+    * them: exact dedup → MinHash-LSH near-dedup → repetition screen
+    * (q59's Gopher/C4 bounds) → quality floor (q26 score ≥ 0.8) →
+    * PII redaction (q58 — a TRANSFORM, counted but non-attriting) →
+    * benchmark decontamination (q60's 8-gram eval overlap, computed
+    * on pre-redaction text) → domain cap (q176, top-[[DomainCap]]
+    * per source by quality) → token-budget selection (q137's 40% of
+    * the SURVIVING token mass, global quality order). The output is
+    * the per-source attrition table with the final token mass — the
+    * accounting a release candidate ships with, each count
+    * reconciling with its standalone query (ReleaseFunnelSpec).
+    *
+    * Scale: every gate keeps its standalone plan shape — the scalar
+    * screens are scan-local annotations on one lineage, the eval
+    * shingle set broadcasts, the cap window runs inside the source
+    * partitioning, and the budget prefix sum is the q137 two-level
+    * form (within-bucket running sum + ≤21 broadcast bucket offsets),
+    * never a single-partition global window. The oracle states the
+    * budget as the plain global window — the two-level plan must
+    * reproduce it bit-for-bit. */
+  /** The funnel's intermediate survivor relations, exposed so
+    * ReleaseFunnelSpec can reconcile each gate against its standalone
+    * query (q59/q26/q58/q60/q176/q137 applied to the previous stage's
+    * survivors must reproduce the next stage exactly). */
+  private[queries] case class FunnelStages(in: DataFrame, exact: DataFrame,
+      near: DataFrame, rep: DataFrame, qual: DataFrame, withPii: DataFrame,
+      decon: DataFrame, cap: DataFrame, selected: DataFrame)
+
+  private[queries] def q185StagesOf(s: SparkSession, dir: String): FunnelStages = {
+    val d = docs(s, dir)
+    val afterExact = Dedup.dedupExact(d, "text", "doc_id")
+    val afterNear = Dedup.dedupNearLSH(afterExact, "text", "doc_id", 0.5)
+    // scalar gate annotations (corpus-independent, one scan-local pass)
+    val ann = afterNear
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("top_word_frac", expr(
+        """CASE WHEN size(toks) > 0 THEN
+          |CAST(array_max(transform(array_distinct(toks),
+          |  w -> size(filter(toks, t -> t = w)))) AS DOUBLE) /
+          |CAST(size(toks) AS DOUBLE) ELSE 0.0 END""".stripMargin))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("dup_2gram_frac", expr(
+        """CASE WHEN size(grams) > 0 THEN
+          |1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) /
+          |CAST(size(grams) AS DOUBLE) ELSE 0.0 END""".stripMargin))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("score",
+        greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
+          - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
+          - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
+    val afterRep = ann.filter(
+      col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
+        col("top_word_frac") <= 0.15 && col("dup_2gram_frac") <= 0.3)
+    val afterQual = afterRep.filter(col("score") >= FunnelQualityFloor)
+    // PII redaction pass: a transform, not a filter — count the docs
+    // it touches (q58's deterministic id-derived injection)
+    val withPii = afterQual.withColumn("pii_hit",
+      (size(regexp_extract_all(expr(TextAnalysis.augSpark),
+        lit(TextAnalysis.EmailPat), lit(0))) +
+        size(regexp_extract_all(expr(TextAnalysis.augSpark),
+          lit(TextAnalysis.PhonePat), lit(0))) +
+        size(regexp_extract_all(expr(TextAnalysis.augSpark),
+          lit(TextAnalysis.Ipv4Pat), lit(0))) > 0).cast("long"))
+    // decontamination: any 8-gram shared with the eval slice (doc_id<5)
+    val sh = d.withColumn("toks", split(col("text"), " "))
+      .withColumn("sh8", expr(Dedup.shinglesSparkW(Dedup.DecontamWindow)))
+      .select(col("doc_id"), col("sh8"))
+    val evalSh = sh.filter(col("doc_id") < 5)
+      .select(explode(col("sh8")).as("shg")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh8")).as("shg"))
+      .join(broadcast(evalSh), "shg").select("doc_id").distinct()
+    val afterDecon = withPii.join(contaminated, Seq("doc_id"), "left_anti")
+    // domain cap: keep the DomainCap best-quality docs per source
+    val afterCap = afterDecon
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= DomainCap).drop("rk")
+    // token budget: 40% of the SURVIVING token mass, global quality
+    // order, two-level prefix sum (the q137 shape)
+    val scored = afterCap.select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("score"))
+      .withColumn("bkt", floor((lit(1.0) - col("score")) * 20).cast("long"))
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("score").desc, col("doc_id"))
+    val inBkt = scored.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = scored.groupBy("bkt").agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val total = scored.agg(sum(col("n_tokens")).as("total"))
+    val selected = inBkt.join(broadcast(bktOff), "bkt")
+      .withColumn("csum", col("boff") + col("cum_in"))
+      .crossJoin(broadcast(total))
+      .filter(col("csum") <= expr("(total * 2) div 5"))
+    FunnelStages(d, afterExact, afterNear, afterRep, afterQual, withPii,
+      afterDecon, afterCap, selected)
+  }
+
+  def q185ReleaseFunnel(s: SparkSession, dir: String): DataFrame = {
+    val st = q185StagesOf(s, dir)
+    // per-source attrition accounting
+    def stage(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(as))
+    val fin = st.selected.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_budget"),
+        sum(col("n_tokens")).as("tokens_final"))
+    stage(st.in, "n_in")
+      .join(stage(st.exact, "n_exact"), Seq("source"), "left")
+      .join(stage(st.near, "n_near"), Seq("source"), "left")
+      .join(stage(st.rep, "n_rep"), Seq("source"), "left")
+      .join(stage(st.qual, "n_quality"), Seq("source"), "left")
+      .join(st.withPii.groupBy(col("source"))
+        .agg(sum(col("pii_hit")).as("n_pii_redacted")), Seq("source"), "left")
+      .join(stage(st.decon, "n_decontam"), Seq("source"), "left")
+      .join(stage(st.cap, "n_cap"), Seq("source"), "left")
+      .join(fin, Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact", "n_near", "n_rep", "n_quality",
+        "n_pii_redacted", "n_decontam", "n_cap", "n_budget", "tokens_final"))
+      .orderBy("source")
+  }
+
+  // lazy: interpolates DomainCap, declared later in the file — a plain
+  // val would capture its pre-init 0 (the oracles map at the bottom
+  // forces this after every constant is initialized)
+  lazy val q185Sql: String = {
+    val bandJoins = (0 until Dedup.NumBands).map { bd =>
+      s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
+         |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""${Dedup.sigSqlCte},
+       |ex AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+       |  WHERE rn = 1),
+       |cand AS (
+       |$bandJoins),
+       |verified AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id
+       |  WHERE cand.d1 IN (SELECT doc_id FROM ex)
+       |    AND cand.d2 IN (SELECT doc_id FROM ex)),
+       |kills AS (SELECT DISTINCT d2 AS doc_id FROM verified
+       |  WHERE jaccard >= 0.5),
+       |nearok AS (SELECT * FROM ex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM kills)),
+       |ann AS (SELECT doc_id, source, text,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  CASE WHEN len(string_split(text, ' ')) > 0 THEN
+       |    CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+       |      w -> len(list_filter(string_split(text, ' '), t -> t = w))))
+       |      AS DOUBLE) /
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) ELSE 0.0 END
+       |    AS top_word_frac,
+       |  CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+       |    1.0 - CAST(len(list_distinct(list_transform(
+       |        range(1, len(string_split(text, ' '))),
+       |        i -> string_split(text, ' ')[i] || ' ' ||
+       |             string_split(text, ' ')[i + 1]))) AS DOUBLE) /
+       |      CAST(len(string_split(text, ' ')) - 1 AS DOUBLE)
+       |  ELSE 0.0 END AS dup_2gram_frac,
+       |  greatest(0.0, 1.0 - 0.5 *
+       |    (CAST(len(list_filter(string_split(text, ' '),
+       |       t -> t IN ('the', 'a'))) AS DOUBLE) /
+       |     CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |    - (CASE WHEN len(string_split(text, ' ')) < 30
+       |       THEN 0.2 ELSE 0.0 END)
+       |    - (CASE WHEN length(text) > 2000
+       |       THEN 0.1 ELSE 0.0 END)) AS score
+       |  FROM nearok),
+       |rep AS (SELECT * FROM ann
+       |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+       |    AND top_word_frac <= 0.15 AND dup_2gram_frac <= 0.3),
+       |qual AS (SELECT * FROM rep WHERE score >= $FunnelQualityFloor),
+       |pii AS (SELECT doc_id, source,
+       |  CASE WHEN len(regexp_extract_all(${TextAnalysis.augDuck},
+       |      '${TextAnalysis.EmailPat}')) +
+       |    len(regexp_extract_all(${TextAnalysis.augDuck},
+       |      '${TextAnalysis.PhonePat}')) +
+       |    len(regexp_extract_all(${TextAnalysis.augDuck},
+       |      '${TextAnalysis.Ipv4Pat}')) > 0
+       |  THEN 1 ELSE 0 END AS pii_hit
+       |  FROM qual),
+       |tok8 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |shr AS (SELECT doc_id,
+       |  ${Dedup.shinglesDuckW(Dedup.DecontamWindow)} AS sh8 FROM tok8),
+       |ev AS (SELECT DISTINCT unnest(sh8) AS s FROM shr WHERE doc_id < 5),
+       |contam AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_id, unnest(sh8) AS s FROM shr WHERE doc_id >= 5) t
+       |  JOIN ev USING (s)),
+       |decon AS (SELECT * FROM qual
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |cap AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+       |  FROM decon) WHERE rk <= $DomainCap),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM cap),
+       |sel AS (SELECT * FROM (SELECT doc_id, source, n_tokens, score,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS csum FROM cap), tot
+       |  WHERE csum <= (total * 2) // 5),
+       |base AS (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY 1),
+       |s_ex AS (SELECT source, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+       |s_ne AS (SELECT source, COUNT(*) AS n_near FROM nearok GROUP BY 1),
+       |s_re AS (SELECT source, COUNT(*) AS n_rep FROM rep GROUP BY 1),
+       |s_qu AS (SELECT source, COUNT(*) AS n_quality FROM qual GROUP BY 1),
+       |s_pi AS (SELECT source, CAST(SUM(pii_hit) AS BIGINT)
+       |  AS n_pii_redacted FROM pii GROUP BY 1),
+       |s_de AS (SELECT source, COUNT(*) AS n_decontam FROM decon GROUP BY 1),
+       |s_ca AS (SELECT source, COUNT(*) AS n_cap FROM cap GROUP BY 1),
+       |s_se AS (SELECT source, COUNT(*) AS n_budget,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_final FROM sel GROUP BY 1)
+       |SELECT b.source, n_in,
+       |COALESCE(n_exact, 0) AS n_exact, COALESCE(n_near, 0) AS n_near,
+       |COALESCE(n_rep, 0) AS n_rep, COALESCE(n_quality, 0) AS n_quality,
+       |COALESCE(n_pii_redacted, 0) AS n_pii_redacted,
+       |COALESCE(n_decontam, 0) AS n_decontam,
+       |COALESCE(n_cap, 0) AS n_cap, COALESCE(n_budget, 0) AS n_budget,
+       |COALESCE(tokens_final, 0) AS tokens_final
+       |FROM base b
+       |LEFT JOIN s_ex USING (source) LEFT JOIN s_ne USING (source)
+       |LEFT JOIN s_re USING (source) LEFT JOIN s_qu USING (source)
+       |LEFT JOIN s_pi USING (source) LEFT JOIN s_de USING (source)
+       |LEFT JOIN s_ca USING (source) LEFT JOIN s_se USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------ q176 domain cap
   /** Per-source document capping — the "domain capping" step of a web
     * corpus recipe (no single source may contribute more than CAP
@@ -868,6 +1108,7 @@ object Curation {
     "q181_chunk_dedup" -> (q181ChunkDedup _),
     "q176_domain_cap" -> (q176DomainCap _),
     "q171_curation_funnel" -> (q171CurationFunnel _),
+    "q185_release_funnel" -> (q185ReleaseFunnel _),
     "q107_leak_split" -> (q107LeakSplit _),
     "q109_chunk" -> (q109Chunk _),
     "q95_scd2" -> (q95Scd2 _),
@@ -884,6 +1125,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q185_release_funnel" -> q185Sql,
     "q101_cms_heavy" -> q101Sql,
     "q102_approx_quantile" -> q102Sql,
     "q181_chunk_dedup" -> q181Sql,

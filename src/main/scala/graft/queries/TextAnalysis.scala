@@ -213,16 +213,16 @@ object TextAnalysis {
   // injected spans and hash-match on the redacted text. Patterns are
   // RE2-safe (no lookaround/backrefs) so Java regex and DuckDB agree.
   // Pure per-row regexp expressions: linear scan at 100 TB.
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[queries] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[queries] val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  private val augSpark =
+  private[queries] val augSpark =
     """concat(text,
       |CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,
       |CASE WHEN doc_id % 7 = 0 THEN concat(' call 202-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
       |CASE WHEN doc_id % 11 = 0 THEN concat(' from 192.168.', CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING)) ELSE '' END)""".stripMargin.replace("\n", " ")
-  private val augDuck =
+  private[queries] val augDuck =
     """text ||
       |(CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||
       |(CASE WHEN doc_id % 7 = 0 THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
