@@ -98,6 +98,13 @@ object Bench {
     // than a rising floor into {"fast_n","fast_sum"} until the line
     // fits 1800 chars (sbt noise can still precede it in the window);
     // the file copy below always carries the complete map.
+    // With 180+ queries the fast-set collapse hides distribution
+    // shifts (a floor-wide slowdown moves fast_sum but not which
+    // queries are slow) — p50/p95 of the collapsed set restore that
+    // signal at 2 scalars' cost.
+    def pctl(sorted: Vector[Double], p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(((sorted.size - 1) * p).round.toInt.min(sorted.size - 1))
     def lineFor(floor: Double): String = {
       val kept = names.filter(n => !ok(n) || samples(n).min >= floor)
       val qsKept = kept.map { k =>
@@ -106,7 +113,12 @@ object Bench {
       val fast = names.filter(n => ok(n) && samples(n).min < floor)
       val fastPart =
         if (fast.isEmpty) ""
-        else s""","fast_n":${fast.size},"fast_sum":${fmt(fast.map(samples(_).min).sum)}"""
+        else {
+          val sortedFast = fast.map(samples(_).min).sorted.toVector
+          s""","fast_n":${fast.size},"fast_sum":${fmt(sortedFast.sum)}""" +
+            s""","fast_p50":${fmt(pctl(sortedFast, 0.5))}""" +
+            s""","fast_p95":${fmt(pctl(sortedFast, 0.95))}"""
+        }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart,"reps":$reps,"sf":"$sfDir"}"""
     }
     val line = Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineFor)

@@ -184,8 +184,10 @@ object GraphOps {
     * GraphSplitSpec pins the once-per-wedge bound on a constructed
     * hub. */
   def twoHopCandidates(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("d1").as("nid"))
-      .agg(count(lit(1)).as("nd"))
+    // the degree table is |V|-sized (≤ the edge relation it summarizes)
+    // — broadcast it so rank-tagging never reshuffles the adjacency
+    val deg = broadcast(edges.groupBy(col("d1").as("nid"))
+      .agg(count(lit(1)).as("nd")))
     // adjacency keyed by the middle, each neighbor tagged with its rank
     val adj = edges.join(deg, edges("d2") === deg("nid"))
       .select(col("d1").as("mid"), col("d2").as("nb"), col("nd").as("nbd"))
@@ -212,7 +214,15 @@ object GraphOps {
   }
 
   def q147TwoHop(s: SparkSession, dir: String): DataFrame =
-    twoHopReach(Dedup.ccEdges(s, dir))
+    // dup-graph-sized input: scope the shuffle width to the graph (the
+    // q114 pattern — evaluate INSIDE the scope; shuffle.partitions
+    // binds at physical planning). The general twoHopReach operator
+    // stays unpinned: a production-scale graph keeps AQE sizing.
+    graft.core.Sessions.withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8") {
+      twoHopReach(Dedup.ccEdges(s, dir)).cache().count()
+      twoHopReach(Dedup.ccEdges(s, dir))
+    }
 
   val q147Sql: String =
     s"""${Dedup.edgesSqlCte},

@@ -160,19 +160,24 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
       s"ReadSchema: ${requiredSchema.simpleString}"
 
   /** One input partition per signed-byte key-range slice
-    * (HBasePartitioner analogue). */
-  override def planInputPartitions(): Array[InputPartition] =
+    * (HBasePartitioner analogue). The store rides in the partition —
+    * swapping [[FixtureEnvelopeStore]] for a real
+    * [[HFileSnapshotStoreSketch]]-style impl is the ONLY change a
+    * production deployment makes here. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val store = FixtureEnvelopeStore(n, corrupt, tsSpread, versions)
     (0 until 256 / scanWidth).map(i =>
-      EnvelopePartition(i, scanWidth, n, corrupt, tsSpread, versions, tsLo,
-        tsHi, requiredSchema.fieldNames): InputPartition).toArray
+      EnvelopePartition(KeySlice(i, scanWidth), store, TsRange(tsLo, tsHi),
+        requiredSchema.fieldNames): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EnvelopeReaderFactory
 }
 
-private[sources] case class EnvelopePartition(slice: Int, scanWidth: Int,
-    n: Long, corrupt: Boolean, tsSpread: Long, versions: Int, tsLo: Long,
-    tsHi: Long, columns: Array[String]) extends InputPartition
+private[sources] case class EnvelopePartition(slice: KeySlice,
+    store: EnvelopeStore, ts: TsRange, columns: Array[String])
+    extends InputPartition
 
 private[sources] class EnvelopeReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -207,64 +212,24 @@ private[sources] object SliceIndex {
     })(slice)
 }
 
-/** Streams the slice's records: like an HBase scanner positioned at
-  * [startRow, stopRow), it touches only this slice's ids, with the ts
-  * range applied "server-side". */
+/** Streams the slice's records through the [[EnvelopeStore]] seam:
+  * like an HBase scanner positioned at [startRow, stopRow), the store
+  * iterator touches only this slice's ids, with the ts range applied
+  * "server-side" (multi-version winner selection and ts pruning live
+  * in the store — [[VersionSelect]] / [[FixtureEnvelopeStore]]). */
 private[sources] class EnvelopeReader(p: EnvelopePartition)
     extends PartitionReader[InternalRow] {
 
-  private val ks = Fixture.keyService
-  private val dek = ks.batchDataKey().plaintextDataKey
-  private val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+  private val cells = p.store.scan(p.slice, p.ts)
+  private var current: EnvelopeCell = _
 
-  private val ids = SliceIndex.forSlice(p.n, p.scanWidth, p.slice)
-  private var idx = -1
-  private var current: Fixture.RawCell = _
-  private var currentTs = 0L
-
-  override def next(): Boolean = {
-    idx += 1
-    while (idx < ids.length) {
-      val i = ids(idx)
-      // ts checks first: out-of-range rows are skipped WITHOUT
-      // building or encrypting the cell (the scanner "server-side"
-      // pruning analogue)
-      if (p.versions > 1) {
-        // Multi-version cells: key i holds 1 + (i % versions) cell
-        // versions, version v at ts = CellTimestamp + v (the
-        // reference's tables store up to 1,000,000 versions per key,
-        // images/hbase/hbase_data.py:32). Like an HBase Scan with
-        // setTimeRange + default readVersions(1)
-        // (HBaseReader.kt:145-150), the reader returns ONLY the
-        // latest version whose ts falls inside [tsLo, tsHi] — an
-        // out-of-range NEWER version loses to an in-range OLDER one,
-        // and a key with no in-range version yields nothing. The
-        // winning version index is O(1) arithmetic; losing versions
-        // are never built or encrypted.
-        val numV = 1L + (i % p.versions)
-        val vTop = math.min(numV - 1L, p.tsHi - Fixture.CellTimestamp)
-        if (vTop >= 0L && Fixture.CellTimestamp + vTop >= p.tsLo) {
-          current = Fixture.cell(i, dek, encKey, p.corrupt, vTop.toInt)
-          currentTs = current.ts
-          return true
-        }
-      } else {
-        val ts = Fixture.CellTimestamp + (if (p.tsSpread > 0) i % p.tsSpread else 0L)
-        if (ts >= p.tsLo && ts <= p.tsHi) {
-          current = Fixture.cell(i, dek, encKey, p.corrupt)
-          currentTs = ts
-          return true
-        }
-      }
-      idx += 1
-    }
-    false
-  }
+  override def next(): Boolean =
+    if (cells.hasNext) { current = cells.next(); true } else false
 
   override def get(): InternalRow = {
     val values = p.columns.map {
-      case "hbase_id" => current.hbase_id
-      case "ts" => currentTs: java.lang.Long
+      case "hbase_id" => current.hbaseId
+      case "ts" => current.ts: java.lang.Long
       case "value" => UTF8String.fromString(current.value)
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

@@ -1,0 +1,135 @@
+package graft.sources
+
+import graft.pipeline.Fixture
+
+/** One decrypt-ready envelope cell as the scan layer hands it to the
+  * DSv2 reader: the raw row key, the winning cell timestamp, and the
+  * wire-format JSON value. Deliberately store-agnostic — the fixture
+  * generator, an HFile-snapshot reader, and a live HBase scanner all
+  * reduce to this triple (the reference's `Result` →
+  * `HBaseResultProcessor` hand-off, HBaseResultProcessor.kt:76-107). */
+final case class EnvelopeCell(hbaseId: Array[Byte], ts: Long, value: String)
+
+/** Closed timestamp range pushed into the scan (the
+  * `scan.time.range.*` semantics, HBaseReader.kt:131-150). Pushdown
+  * accumulation lives here so every store sees identical range
+  * arithmetic to what `EnvelopeScanBuilder` advertises to Catalyst. */
+final case class TsRange(lo: Long, hi: Long) {
+  def contains(ts: Long): Boolean = ts >= lo && ts <= hi
+}
+
+object TsRange {
+  val All: TsRange = TsRange(Long.MinValue, Long.MaxValue)
+}
+
+/** One signed-first-byte key-range slice of the row-key space — the
+  * HBasePartitioner contract (app/batch/HBasePartitioner.kt:12-37):
+  * slice `index` of width `width` covers unsigned first bytes
+  * [index·width, (index+1)·width), i.e. signed bytes
+  * [index·width − 128, (index+1)·width − 128). */
+final case class KeySlice(index: Int, width: Int) {
+  /** Inclusive signed start byte — an HBase impl's scan startRow. */
+  def startByte: Int = index * width - 128
+  /** Exclusive signed stop byte — an HBase impl's scan stopRow. */
+  def stopByte: Int = (index + 1) * width - 128
+}
+
+/** Multi-version winner arithmetic, shared by every store: a key with
+  * `numVersions` cell versions at ts = baseTs, baseTs+1, … returns
+  * only the LATEST version whose ts falls inside the pushed range —
+  * HBase `Scan.setTimeRange` + default one-version read
+  * (HBaseReader.kt:145-150). An out-of-range newer version loses to
+  * an in-range older one; a key with no in-range version yields
+  * nothing. O(1) arithmetic — losing versions are never built. */
+object VersionSelect {
+  def latestIn(numVersions: Long, baseTs: Long, range: TsRange): Option[Long] = {
+    val vTop = math.min(numVersions - 1L, range.hi - baseTs)
+    if (vTop >= 0L && baseTs + vTop >= range.lo) Some(vTop) else None
+  }
+}
+
+/** The store seam of the envelope source: everything above this trait
+  * (table/scan-builder plumbing, ts-pushdown accumulation, key-range
+  * slice planning, column pruning, the `InternalRow` adapter) is
+  * store-independent; a store only answers "stream the cells of one
+  * key slice under one ts range". [[FixtureEnvelopeStore]] streams the
+  * deterministic fixture; [[HFileSnapshotStoreSketch]] documents what
+  * a real HBase-snapshot implementation fills in.
+  *
+  * Partial-progress / retry contract (the reference's resume-at-key,
+  * HBaseReader.kt:62-90, translated to Spark's execution model): the
+  * reference reopens its scanner at the last-seen key, sound there
+  * because Spring Batch commits per chunk. Spark's commit unit is the
+  * TASK — a failed attempt's output is never visible — so a store
+  * must (a) reopen-at-key only WITHIN one task attempt (transient
+  * scanner drop: same attempt, same uncommitted output, no
+  * duplication: track the last key this iterator emitted and reopen
+  * the scanner just past it), and (b) bound cross-attempt re-work by
+  * slice width, never by in-task checkpoints — a reopened ATTEMPT
+  * restarts its slice from `slice.startByte`. Implementations must
+  * therefore keep `scan` free of cross-attempt side effects. */
+trait EnvelopeStore extends Serializable {
+  def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell]
+}
+
+/** Fixture-backed store: streams the deterministic [[Fixture]] cells
+  * of one slice via the memoised [[SliceIndex]] (the stand-in for a
+  * scanner's seek-to-startRow — a real store seeks and deletes the
+  * index). Out-of-range keys are skipped WITHOUT building or
+  * encrypting the cell (the "server-side" pruning analogue); the
+  * `Option` per key is the only cost of the seam. */
+final case class FixtureEnvelopeStore(n: Long, corrupt: Boolean,
+    tsSpread: Long, versions: Int) extends EnvelopeStore {
+
+  override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] = {
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    SliceIndex.forSlice(n, slice.width, slice.index).iterator.flatMap { i =>
+      if (versions > 1) {
+        VersionSelect.latestIn(1L + (i % versions), Fixture.CellTimestamp, ts)
+          .map { vTop =>
+            val c = Fixture.cell(i, dek, encKey, corrupt, vTop.toInt)
+            EnvelopeCell(c.hbase_id, c.ts, c.value)
+          }
+      } else {
+        val t = Fixture.CellTimestamp + (if (tsSpread > 0) i % tsSpread else 0L)
+        if (ts.contains(t)) {
+          val c = Fixture.cell(i, dek, encKey, corrupt)
+          Some(EnvelopeCell(c.hbase_id, t, c.value))
+        } else None
+      }
+    }
+  }
+}
+
+/** Documented skeleton of the real thing: an HBase-SNAPSHOT store
+  * reading HFiles directly (the reference reads the live cluster,
+  * HBaseReader.kt:145-187; at 100 TB the snapshot path is the right
+  * scan layer — no region-server load, no RPC throttling, stable
+  * input for retries). The sandbox ships no HBase/HFile runtime, so
+  * `scan` aborts; the structure documents exactly what a production
+  * build fills in, and everything above the [[EnvelopeStore]] seam —
+  * planning, pushdown, pruning, the row adapter — is already done.
+  *
+  * A production `scan(slice, ts)` would:
+  *  1. resolve the snapshot manifest to the HFiles of the regions
+  *     overlapping [slice.startByte, slice.stopByte) (manifest read
+  *     once per job, broadcast to executors);
+  *  2. open each HFile's block index and SEEK to the first row key ≥
+  *     the slice start (the `SliceIndex` memo deletes to this seek);
+  *  3. merge-iterate the per-file scanners heap-wise in row-key
+  *     order, applying `ts` as scanner time-range so out-of-range
+  *     cells never leave the block decoder, and keeping only the
+  *     latest in-range version per key ([[VersionSelect]] arithmetic);
+  *  4. stop at the first key ≥ slice.stopByte;
+  *  5. on a transient scanner drop, reopen WITHIN the attempt at the
+  *     last emitted key + 1 (the trait's retry contract) — never
+  *     persist progress across attempts.
+  */
+final class HFileSnapshotStoreSketch(snapshotDir: String) extends EnvelopeStore {
+  override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] =
+    throw new UnsupportedOperationException(
+      s"HFile snapshot scan of $snapshotDir requires an HBase runtime; " +
+        "see the class scaladoc for the production implementation plan")
+}
