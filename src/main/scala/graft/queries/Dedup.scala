@@ -927,7 +927,102 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // ------------------------------------- q191 source-level Jaccard
+  /** Corpus-level MinHash: estimate the shingle-set Jaccard between
+    * whole SOURCES from per-source minhash signatures, beside the
+    * exact intersection twin. The estimator leans on minhash's
+    * composability — min over a UNION of sets equals the min of
+    * per-set minhashes — so a source's signature is just `MIN(h_k)`
+    * over its documents' (already per-doc) minhashes: 16 map-side-
+    * combinable MINs in the one (source) shuffle, no re-shingling.
+    * This is THE sketch shape that matters at 100 TB: the estimate
+    * touches only |sources|·16 longs after one linear pass, while the
+    * exact twin must materialize per-source distinct shingle sets and
+    * join them — linear in shared vocabulary, the audit you run once
+    * to calibrate, not the operator you ship.
+    *
+    * Fully deterministic (MIN of fixed affine permutations — unlike
+    * HLL/CMS there is no engine-divergent float estimate), so BOTH the
+    * estimate and its exact twin are oracle-checked. Agreement columns
+    * are unrounded: match-count/16 and n_inter/n_union are single IEEE
+    * divisions of exact integers — bit-identical across engines. */
+  def q191SourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir)
+    val minAggs = HashCoeffs.indices.map(k => min(col(s"h$k")).as(s"m$k"))
+    val mins = sigs.groupBy("source").agg(minAggs.head, minAggs.tail: _*)
+    val ex = sigs.select(col("source"), explode(col("sh")).as("g")).distinct()
+    val sizes = ex.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val pairs = sizes.select(col("source").as("s1"), col("nsh").as("n1"))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("s2"), col("nsh").as("n2"))))
+      .filter(col("s1") < col("s2"))
+    val inter = ex.select(col("source").as("s1"), col("g"))
+      .join(ex.select(col("source").as("s2"), col("g")), "g")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_inter"))
+    val ma = mins.select(col("source").as("s1") +:
+      HashCoeffs.indices.map(k => col(s"m$k").as(s"a$k")): _*)
+    val mb = mins.select(col("source").as("s2") +:
+      HashCoeffs.indices.map(k => col(s"m$k").as(s"b$k")): _*)
+    val mm = ma.crossJoin(broadcast(mb)).filter(col("s1") < col("s2"))
+      .withColumn("mh_matches", HashCoeffs.indices.map(k =>
+        when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("s1"), col("s2"), col("mh_matches"))
+    pairs.join(inter, Seq("s1", "s2"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .withColumn("jac_exact",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .join(mm, Seq("s1", "s2"))
+      .withColumn("jac_est",
+        col("mh_matches").cast("double") / lit(NumHashes.toDouble))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_inter"),
+        col("n_union"), col("jac_exact"), col("mh_matches"), col("jac_est"))
+      .orderBy("s1", "s2")
+  }
+
+  val q191Sql: String = {
+    val hs = HashCoeffs.zipWithIndex.map { case ((a, b), k) =>
+      s"list_min(list_transform(sh, x -> ($a * (x % $P) + $b) % $P)) AS h$k"
+    }.mkString(",\n")
+    val matchSum = HashCoeffs.indices
+      .map(k => s"(CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |shed AS (SELECT doc_id, source, $shinglesDuck AS sh FROM tok),
+       |sig AS (SELECT doc_id, source,
+       |$hs
+       |FROM shed),
+       |mins AS (SELECT source, ${HashCoeffs.indices
+          .map(k => s"MIN(h$k) AS h$k").mkString(", ")}
+       |  FROM sig GROUP BY source),
+       |ex AS (SELECT DISTINCT source, g FROM
+       |  (SELECT source, unnest(sh) AS g FROM shed)),
+       |sizes AS (SELECT source, COUNT(*) AS nsh FROM ex GROUP BY source),
+       |inter AS (SELECT x.source AS s1, y.source AS s2,
+       |  COUNT(*) AS n_inter FROM ex x JOIN ex y
+       |  ON x.g = y.g AND x.source < y.source GROUP BY 1, 2),
+       |mm AS (SELECT a.source AS s1, b.source AS s2,
+       |  CAST($matchSum AS BIGINT) AS mh_matches
+       |  FROM mins a JOIN mins b ON a.source < b.source)
+       |SELECT p1.source AS s1, p2.source AS s2,
+       |  p1.nsh AS n1, p2.nsh AS n2,
+       |  COALESCE(i.n_inter, 0) AS n_inter,
+       |  p1.nsh + p2.nsh - COALESCE(i.n_inter, 0) AS n_union,
+       |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |    CAST(p1.nsh + p2.nsh - COALESCE(i.n_inter, 0) AS DOUBLE)
+       |    AS jac_exact,
+       |  mm.mh_matches,
+       |  CAST(mm.mh_matches AS DOUBLE) / $NumHashes AS jac_est
+       |FROM sizes p1 JOIN sizes p2 ON p1.source < p2.source
+       |LEFT JOIN inter i ON i.s1 = p1.source AND i.s2 = p2.source
+       |JOIN mm ON mm.s1 = p1.source AND mm.s2 = p2.source
+       |ORDER BY s1, s2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_source_jaccard" -> (q191SourceJaccard _),
     "q148_containment" -> (qContainmentPairs _),
     "q141_source_exclusivity" -> (qSourceExclusivity _),
     "q136_dedup_keep_best" -> (qDedupKeepBest _),
@@ -946,6 +1041,7 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q191_source_jaccard" -> q191Sql,
     "q148_containment" -> qContainmentPairsSql,
     "q141_source_exclusivity" -> qSourceExclusivitySql,
     "q136_dedup_keep_best" -> qDedupKeepBestSql,

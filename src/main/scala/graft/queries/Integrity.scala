@@ -327,8 +327,64 @@ object Integrity {
       |SELECT * FROM d WHERE change_type IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------- q187 sorted neighborhood
+  /** Sorted-neighborhood record-linkage blocking (Hernández &
+    * Stolfo's merge/purge method — the classic alternative to LSH for
+    * near-dup candidate generation): sort each language's documents by
+    * a sort key (the text's 24-char prefix), then compare each record
+    * only against its `SnmWindow` predecessors in sort order, verifying
+    * survivors with an exact `levenshtein` over the prefixes. A
+    * near-dup pair whose texts share a long prefix lands adjacent in
+    * the sort regardless of corpus size, so candidate volume is
+    * O(N·w) — never quadratic.
+    *
+    * Determinism: the sort key order is pinned to (pfx, doc_id) — both
+    * engines order strings by binary codepoint, and the id tiebreak
+    * makes ranks unique, so rank distance (and thus the candidate set)
+    * is identical. `levenshtein` is exact integer DP in both engines.
+    *
+    * Scale: rank is a per-lang window — the single shuffle. A corpus
+    * whose lang partitions are themselves huge range-partitions on the
+    * sort key and runs the same window per range (the standard SNM
+    * sharding); the window width w is a constant, so the candidate
+    * join ships N·w narrow rows. The predecessor probe is generated by
+    * a w-element `sequence` explode — no self-cross on rank. */
+  val SnmWindow = 3
+  val SnmPrefixLen = 24
+  val SnmMaxLev = 3
+
+  def q187SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, SnmPrefixLen).as("pfx"))
+    val w = Window.partitionBy("lang").orderBy(col("pfx"), col("doc_id"))
+    val r = d.withColumn("rn", row_number().over(w).cast("long"))
+    val probe = r.select(col("lang"), col("doc_id").as("d2"),
+      col("pfx").as("p2"),
+      explode(expr(s"sequence(rn - $SnmWindow, rn - 1)")).as("rn"))
+      .filter(col("rn") >= 1L)
+    r.join(probe, Seq("lang", "rn"))
+      .withColumn("lev", levenshtein(col("pfx"), col("p2")))
+      .filter(col("lev") <= SnmMaxLev)
+      .select(col("lang"), col("doc_id").as("d1"), col("d2"), col("lev"))
+      .orderBy("lang", "d1", "d2")
+  }
+
+  val q187Sql: String =
+    s"""WITH r AS (SELECT doc_id, lang,
+       |  substr(text, 1, $SnmPrefixLen) AS pfx,
+       |  ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY substr(text, 1, $SnmPrefixLen), doc_id) AS rn
+       |  FROM documents)
+       |SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+       |  levenshtein(a.pfx, b.pfx) AS lev
+       |FROM r a JOIN r b ON a.lang = b.lang
+       |  AND b.rn - a.rn BETWEEN 1 AND $SnmWindow
+       |WHERE levenshtein(a.pfx, b.pfx) <= $SnmMaxLev
+       |ORDER BY 1, d1, d2""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_sorted_neighborhood" -> (q187SortedNeighborhood _),
     "q115_cdc_merge" -> (q115CdcMerge _),
     "q116_quality_audit" -> (q116QualityAudit _),
     "q120_fuzzy_join" -> (q120FuzzyJoin _),
@@ -336,6 +392,7 @@ object Integrity {
     "q129_table_diff" -> (q129TableDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q187_sorted_neighborhood" -> q187Sql,
     "q115_cdc_merge" -> q115Sql,
     "q116_quality_audit" -> q116Sql,
     "q120_fuzzy_join" -> q120Sql,

@@ -1065,7 +1065,184 @@ object Similarity {
        |FROM vr ORDER BY p""".stripMargin
   }
 
+  // --------------------------------------------- q186 SemDeDup apply
+  /** SemDeDup-style semantic deduplication APPLIED (Abbas et al.'s
+    * cluster-then-prune recipe, re-expressed Spark-first): assign every
+    * vector to its IVF coarse cell (the k-means stand-in — zero-shuffle
+    * per-row fold over the K-seed literal, as in q32/q39), then inside
+    * each cell kill every vector that has a LOWER-id neighbor above the
+    * cosine threshold, and report per-cell attrition. This is the
+    * "apply" step on top of q39's pair audit — the same audit→apply
+    * progression as q173→q184 for exact substrings.
+    *
+    * Survivor rule: lowest vec_id per near-dup neighborhood survives
+    * (deterministic, engine-portable — mirrors qDedupExact's keep-min
+    * convention). Kill decisions use pairs, not transitive closure: v
+    * dies iff SOME u<v in its cell has cosine(u,v) > τ, matching
+    * SemDeDup's greedy one-representative-per-duplicate-set semantics
+    * without an iterative fixpoint.
+    *
+    * Scale: the quadratic is cell-local (the coarse quantizer bounds
+    * block size exactly as in q39); the kill list is a narrow vec_id
+    * set ≤ corpus size — broadcast here because near-dup fractions are
+    * small; a production corpus with a large kill fraction drops the
+    * hint and lets AQE pick the hash anti-join. Accounting is one
+    * map-side-combinable groupBy over the |cells| domain. */
+  val SemDedupTau = 0.5
+
+  def q186SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = new IvfQuantizer(s, dir).assigned
+    val a = assigned.select(col("cell"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val killed = a.join(b, "cell").filter(col("d1") < col("d2"))
+      .filter(dotC(col("e1"), col("e2")) / (col("n1") * col("n2")) >
+        lit(SemDedupTau))
+      .select(col("d2").as("vec_id")).distinct()
+      .withColumn("is_killed", lit(1L))
+    assigned.join(broadcast(killed), Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_killed"), lit(0L))).as("n_killed"),
+        (count(lit(1)) - sum(coalesce(col("is_killed"), lit(0L))))
+          .as("n_survivors"),
+        sum(when(col("is_killed").isNull, col("vec_id")).otherwise(lit(0L)))
+          .as("surv_id_sum"))
+      .orderBy("cell")
+  }
+
+  val q186Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |killed AS (SELECT DISTINCT b.vec_id FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    > $SemDedupTau)
+       |SELECT m.cell, COUNT(*) AS n_members,
+       |CAST(SUM(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_killed,
+       |COUNT(*) - CAST(SUM(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_survivors,
+       |CAST(SUM(CASE WHEN k.vec_id IS NULL THEN m.vec_id ELSE 0 END)
+       |  AS BIGINT) AS surv_id_sum
+       |FROM assigned m LEFT JOIN killed k USING (vec_id)
+       |GROUP BY m.cell ORDER BY m.cell""".stripMargin
+
+  // ------------------------------------------ q188 int8 quant audit
+  /** Per-dimension int8 scalar quantization of the embedding corpus,
+    * with an exact reconstruction-error audit — the compression stage
+    * a billion-vector ANN index applies before PQ/IVF (4× memory cut
+    * at float32→int8), plus the error report that decides whether it
+    * is safe. Affine per-dim codes: `code = (v−min)·255/(max−min)`.
+    *
+    * Determinism: values are quantized ONCE to exact 6-dp micro-units
+    * (`CAST(v AS DECIMAL(25,6)) · 1e6` — the established cross-engine
+    * quantization, cf. `graft_l2sq_q6`), after which EVERYTHING —
+    * code, reconstruction, per-dim error sums — is 64-bit integer
+    * arithmetic, bit-identical by construction. Magnitudes: |qv| ≤
+    * ~1e7 micro-units, so (qv−min)·255 < 2^33 — no overflow.
+    *
+    * Plan: one posexplode → map-side-combined per-dim min/max (|dim|
+    * rows), broadcast back onto a second scan for the code pass —
+    * the q110-winsorize stats-broadcast shape; the corpus never
+    * reshuffles. A constant-range dim (max == min) maps to code 0 and
+    * reconstructs exactly. */
+  def q188Int8Quant(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir).select(posexplode(col("embedding")))
+      .select(col("pos").as("p"),
+        expr("CAST(CAST(CAST(col AS DOUBLE) AS DECIMAL(25,6)) * 1000000 " +
+          "AS BIGINT)").as("qv"))
+    val stats = ex.groupBy("p").agg(
+      min(col("qv")).as("qmn"), max(col("qv")).as("qmx"))
+    ex.join(broadcast(stats), "p")
+      .withColumn("code", when(col("qmx") > col("qmn"),
+        expr("((qv - qmn) * 255) div (qmx - qmn)")).otherwise(lit(0L)))
+      .withColumn("err", expr(
+        "abs(qv - (qmn + (CASE WHEN qmx > qmn THEN " +
+          "(code * (qmx - qmn)) div 255 ELSE 0 END)))"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), min(col("qmn")).as("qmn_us"),
+        max(col("qmx")).as("qmx_us"), sum(col("code")).as("sum_code"),
+        max(col("err")).as("max_err_us"), sum(col("err")).as("sum_err_us"))
+      .orderBy("p")
+  }
+
+  val q188Sql: String =
+    """WITH ex AS (SELECT
+      |  unnest(list_transform(range(1, len(embedding) + 1),
+      |    i -> {'p': i - 1,
+      |          'qv': CAST(CAST(CAST(embedding[i] AS DOUBLE)
+      |                AS DECIMAL(25,6)) * 1000000 AS BIGINT)})) AS s
+      |  FROM embeddings),
+      |e AS (SELECT s.p AS p, s.qv AS qv FROM ex),
+      |st AS (SELECT p, MIN(qv) AS qmn, MAX(qv) AS qmx FROM e GROUP BY p),
+      |coded AS (SELECT e.p, e.qv, st.qmn, st.qmx,
+      |  CASE WHEN st.qmx > st.qmn
+      |       THEN ((e.qv - st.qmn) * 255) // (st.qmx - st.qmn)
+      |       ELSE 0 END AS code
+      |  FROM e JOIN st USING (p)),
+      |errs AS (SELECT p, qmn, qmx, code,
+      |  abs(qv - (qmn + (CASE WHEN qmx > qmn
+      |    THEN (code * (qmx - qmn)) // 255 ELSE 0 END))) AS err
+      |  FROM coded)
+      |SELECT p, COUNT(*) AS n, MIN(qmn) AS qmn_us, MAX(qmx) AS qmx_us,
+      |CAST(SUM(code) AS BIGINT) AS sum_code,
+      |MAX(err) AS max_err_us, CAST(SUM(err) AS BIGINT) AS sum_err_us
+      |FROM errs GROUP BY p ORDER BY p""".stripMargin
+
+  // --------------------------------------- q190 hard-negative mining
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-5 most-similar vectors whose `label` DIFFERS from
+    * the query's — the highest-cosine non-positives, exactly the
+    * negatives a dual-encoder trainer wants. Same brute top-k shape as
+    * q30 (broadcast the fixed query set across the corpus scan,
+    * per-query window) with the label-exclusion predicate applied
+    * BEFORE the dot product, so excluded candidates never pay the
+    * O(dim) kernel. Scale: identical to q30 — linear in N for a fixed
+    * query set; the production path swaps the scan for the q32/q66 IVF
+    * index with the label filter pushed into the cell join. */
+  def q190HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val n = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding"), expr(normSpark).as("nrm"))
+    val q = n.filter(col("vec_id") < 8).select(
+      col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("cosine",
+        expr(dotSpark("qe", "ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("clabel"), col("rn"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  val q190Sql: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding, $normDuck AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS clabel,
+       |  ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM n q, n c WHERE q.vec_id < 8 AND c.label <> q.label)
+       |SELECT qid, cid, clabel, rn, cosine FROM
+       |(SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |   ORDER BY cosine DESC, cid) AS rn FROM p)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_semdedup" -> (q186SemDedup _),
+    "q188_int8_quant" -> (q188Int8Quant _),
+    "q190_hard_negatives" -> (q190HardNegatives _),
     "q183_dim_stats" -> (q183DimStats _),
     "q168_kmeans" -> (qKmeans _),
     "q93_ann_eval" -> (qAnnEval _),
@@ -1084,6 +1261,9 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q186_semdedup" -> q186Sql,
+    "q188_int8_quant" -> q188Sql,
+    "q190_hard_negatives" -> q190Sql,
     "q183_dim_stats" -> q183Sql,
     "q168_kmeans" -> qKmeansSql,
     "q93_ann_eval" -> qAnnEvalSql,

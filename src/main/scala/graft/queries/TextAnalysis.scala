@@ -788,7 +788,58 @@ object TextAnalysis {
        |md5(COALESCE(array_to_string(toks_clean, ' '), '')) AS clean_sig
        |FROM cl ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- q189 BPE merge stats
+  /** The first merge-count pass of byte-pair-encoding TOKENIZER
+    * TRAINING: count every adjacent character pair inside every
+    * whitespace token, per language, and report each language's top
+    * pairs — the statistic whose argmax becomes BPE merge #1 (q51
+    * APPLIES a BPE-ish tokenizer; this computes what a trainer needs
+    * to build one). At corpus scale this is the canonical
+    * "count pairs, merge, repeat" outer loop's dominant step, so the
+    * plan shape matters: pair expansion is a per-row array transform
+    * (zero pre-shuffle fan-out beyond the one explode), the count is
+    * the single map-side-combinable (lang, pair) shuffle — fixed-width
+    * 2-char keys, never document text — and top-k per lang is a window
+    * over the aggregated |langs|·|pairs| relation, which is
+    * alphabet²-bounded, not corpus-bounded.
+    *
+    * Exact integer counts; ties in the top-k break on the pair string
+    * (binary collation in both engines). */
+  val BpeTopK = 20
+
+  def q189BpeMergeStats(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("lang"), explode(expr(
+        """flatten(transform(toks, t ->
+          |  CASE WHEN length(t) >= 2 THEN
+          |    transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END))""".stripMargin))
+        .as("pair"))
+    val counts = pairs.groupBy(col("lang"), col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("pair"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BpeTopK)
+      .select(col("lang"), col("rn"), col("pair"), col("cnt"))
+      .orderBy("lang", "rn")
+  }
+
+  val q189Sql: String =
+    s"""WITH p AS (SELECT lang,
+       |  unnest(flatten(list_transform(string_split(text, ' '), t ->
+       |    CASE WHEN length(t) >= 2 THEN
+       |      list_transform(range(1, length(t)), i -> substr(t, i, 2))
+       |    ELSE [] END))) AS pair
+       |  FROM documents),
+       |c AS (SELECT lang, pair, COUNT(*) AS cnt FROM p GROUP BY 1, 2)
+       |SELECT lang, rn, pair, cnt FROM
+       |(SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |   ORDER BY cnt DESC, pair) AS rn FROM c)
+       |WHERE rn <= $BpeTopK ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
     "q173_boilerplate" -> (qBoilerplate _),
@@ -807,6 +858,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q189_bpe_merge_stats" -> q189Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,
     "q173_boilerplate" -> qBoilerplateSql,

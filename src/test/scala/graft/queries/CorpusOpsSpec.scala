@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavioral specs for the round-7 corpus-operator additions:
+  * SemDeDup apply (q186), sorted-neighborhood blocking (q187), int8
+  * quantization audit (q188), BPE merge statistics (q189),
+  * hard-negative mining (q190), and source-level MinHash Jaccard
+  * (q191). Each is checked against either an independent in-memory
+  * recomputation or its defining algebraic invariants — never against
+  * the engine's own arithmetic.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // ------------------------------------------------------------ q186
+  test("q186 semdedup accounting reconciles with the q39 pair audit") {
+    val out = Similarity.q186SemDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(out.map(_._2).sum === corpus, "every vector in exactly one cell")
+    out.foreach { case (cell, members, killed, survivors) =>
+      assert(members === killed + survivors, s"cell $cell attrition")
+      assert(survivors >= 1, s"cell $cell keeps its min-id representative")
+    }
+    // the kill list IS the distinct higher-id side of q39's pair audit
+    // (same cells, same tau) — the apply step must agree with the audit
+    val killedFromPairs = Similarity.qCellNearDup(spark, dir)
+      .select(col("d2")).distinct().count()
+    assert(out.map(_._3).sum === killedFromPairs,
+      "apply kill count == audit distinct d2")
+  }
+
+  // ------------------------------------------------------------ q187
+  test("q187 sorted-neighborhood matches a brute in-memory recompute") {
+    val got = Integrity.q187SortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).take(Integrity.SnmPrefixLen)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      sorted.indices.flatMap { i =>
+        ((i + 1) to math.min(i + Integrity.SnmWindow, sorted.length - 1))
+          .flatMap { j =>
+            val l = lev(sorted(i)._3, sorted(j)._3)
+            if (l <= Integrity.SnmMaxLev)
+              Some((lang, sorted(i)._1, sorted(j)._1, l))
+            else None
+          }
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq.sortBy(t => (t._1, t._2, t._3)) === expected)
+  }
+
+  test("q187 candidate volume is O(N*w), never quadratic") {
+    val n = graft.core.Tables.load(spark, dir, "documents").count()
+    val pairs = Integrity.q187SortedNeighborhood(spark, dir).count()
+    assert(pairs <= n * Integrity.SnmWindow, "window bounds candidates")
+  }
+
+  // ------------------------------------------------------------ q188
+  test("q188 int8 codes reconstruct within the quantization step") {
+    val out = Similarity.q188Int8Quant(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val corpus = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(out.length === 64, "one row per dimension")
+    out.foreach { case (p, n, qmn, qmx, sumCode, maxErr, sumErr) =>
+      assert(n === corpus, s"dim $p covers the corpus")
+      assert(qmx >= qmn, s"dim $p range")
+      val step = (qmx - qmn) / 255L
+      assert(maxErr <= step + 1L,
+        s"dim $p reconstruction error bounded by one quantization step")
+      assert(sumErr <= (step + 1L) * n, s"dim $p total error bound")
+      assert(sumCode >= 0L && sumCode <= 255L * n, s"dim $p code range")
+    }
+  }
+
+  // ------------------------------------------------------------ q189
+  test("q189 BPE merge stats match a brute in-memory recompute") {
+    val got = TextAnalysis.q189BpeMergeStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.flatMap { case (lang, text) =>
+      text.split(" ", -1).flatMap(t =>
+        if (t.length >= 2) (0 until t.length - 1).map(i =>
+          (lang, t.substring(i, i + 2)))
+        else Nil)
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+    val expected = counts.groupBy(_._1).toSeq.flatMap { case (lang, cs) =>
+      cs.toSeq.sortBy(c => (-c._3, c._2)).take(TextAnalysis.BpeTopK)
+        .zipWithIndex.map { case ((_, pair, cnt), i) =>
+          (lang, i + 1, pair, cnt)
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) === expected)
+  }
+
+  // ------------------------------------------------------------ q190
+  test("q190 hard negatives exclude the query label and rank correctly") {
+    val neg = Similarity.q190HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4)))
+    val labels = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    neg.groupBy(_._1).foreach { case (qid, rows) =>
+      rows.foreach { case (_, cid, clabel, _, _) =>
+        assert(clabel === labels(cid), "emitted label is the candidate's")
+        assert(clabel !== labels(qid), s"q$qid negative shares its label")
+      }
+      val byRank = rows.sortBy(_._4).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"q$qid cosine non-increasing in rank")
+    }
+    // negatives are a filtered candidate set: their best cosine can
+    // never beat the unfiltered brute top-1 for the same query
+    val brute = Similarity.qKnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+      .filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    neg.filter(_._4 == 1).foreach { case (qid, _, _, _, c) =>
+      assert(c <= brute(qid) + 1e-12, s"q$qid negative top-1 vs brute top-1")
+    }
+  }
+
+  // ------------------------------------------------------------ q191
+  test("q191 source Jaccard: set algebra + an independent exact pair") {
+    val out = Dedup.q191SourceJaccard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7),
+        r.getDouble(8)))
+    assert(out.nonEmpty)
+    out.foreach { case (s1, s2, n1, n2, inter, union, jac, mh, est) =>
+      assert(inter <= math.min(n1, n2), s"$s1/$s2 intersection bound")
+      assert(union === n1 + n2 - inter, s"$s1/$s2 inclusion-exclusion")
+      assert(jac >= 0.0 && jac <= 1.0, s"$s1/$s2 exact jaccard range")
+      assert(mh >= 0L && mh <= Dedup.NumHashes.toLong, s"$s1/$s2 matches")
+      assert(est === mh.toDouble / Dedup.NumHashes, s"$s1/$s2 estimate")
+    }
+    // independent exact recompute of one pair's shingle-set Jaccard
+    val (s1, s2) = (out.head._1, out.head._2)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingleSet(src: String): Set[String] = docs.filter(_._1 == src)
+      .flatMap { case (_, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length >= 3) (0 to toks.length - 3)
+          .map(i => toks.slice(i, i + 3).mkString(" "))
+        else Nil
+      }.toSet
+    val (a, b) = (shingleSet(s1), shingleSet(s2))
+    // md5-hashed cardinalities equal raw-set cardinalities bar collisions
+    assert(out.head._3 === a.size.toLong, s"$s1 shingle count")
+    assert(out.head._4 === b.size.toLong, s"$s2 shingle count")
+    assert(out.head._5 === a.intersect(b).size.toLong, s"$s1/$s2 intersection")
+  }
+}
