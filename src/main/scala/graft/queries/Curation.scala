@@ -1103,8 +1103,56 @@ object Curation {
        |FROM ch JOIN m ON ch.chunk_md5 = m.chunk_md5
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------- q192 k-anonymity
+  /** k-anonymity audit over quasi-identifiers — the privacy gate a
+    * dataset release runs beside PII redaction (q58): a record whose
+    * quasi-identifier combination (here lang × source × a coarse
+    * length bucket) is shared by fewer than K records is
+    * re-identifiable by linkage, even with direct identifiers
+    * removed. Reports, per source: how many QI equivalence classes
+    * exist, how many fall below K, how many ROWS sit in those
+    * under-K classes (the at-risk mass a release either generalizes,
+    * suppresses, or accepts), and the smallest class size.
+    *
+    * Scale: two map-side-combinable aggregations — the QI groupBy is
+    * the only corpus-width shuffle and its key is three narrow
+    * columns; the per-source rollup runs over the |QI classes|
+    * domain, which generalization makes MUCH smaller than the corpus.
+    * Pure integer arithmetic throughout. */
+  val KAnonK = 5
+  val KAnonLenBucket = 64
+
+  def q192KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = Tables.load(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $KAnonLenBucket").as("len_b"))
+      .groupBy("source", "lang", "len_b")
+      .agg(count(lit(1)).as("gsz"))
+    qi.groupBy("source").agg(
+      sum(col("gsz")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("gsz") < KAnonK, 1L).otherwise(0L)).as("n_classes_lt_k"),
+      sum(when(col("gsz") < KAnonK, col("gsz")).otherwise(lit(0L)))
+        .as("n_rows_at_risk"),
+      min(col("gsz")).as("k_min"))
+      .orderBy("source")
+  }
+
+  val q192Sql: String =
+    s"""WITH qi AS (SELECT source, lang, n_chars // $KAnonLenBucket AS len_b,
+       |  COUNT(*) AS gsz FROM documents GROUP BY 1, 2, 3)
+       |SELECT source, CAST(SUM(gsz) AS BIGINT) AS n_rows,
+       |COUNT(*) AS n_classes,
+       |CAST(SUM(CASE WHEN gsz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_classes_lt_k,
+       |CAST(SUM(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS BIGINT)
+       |  AS n_rows_at_risk,
+       |MIN(gsz) AS k_min
+       |FROM qi GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_k_anonymity" -> (q192KAnonymity _),
     "q181_chunk_dedup" -> (q181ChunkDedup _),
     "q176_domain_cap" -> (q176DomainCap _),
     "q171_curation_funnel" -> (q171CurationFunnel _),
@@ -1125,6 +1173,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q192_k_anonymity" -> q192Sql,
     "q185_release_funnel" -> q185Sql,
     "q101_cms_heavy" -> q101Sql,
     "q102_approx_quantile" -> q102Sql,

@@ -425,7 +425,104 @@ object StreamingQueries {
       |FROM events JOIN static USING (event_type)
       |GROUP BY type_code ORDER BY type_code""".stripMargin
 
+  // ------------------------------------ q193 streaming near-dedup
+  /** STREAMING near-duplicate suppression equals its batch twin: the
+    * documents table replays in doc_id order through the simhash band
+    * pipeline (per-row shingle → native 60-bit simhash → 3×20-bit
+    * pigeonhole bands, exactly q43/q48's signature math) into the
+    * stateful [[graft.streaming.StreamingOps.bandRegistry]] — per band
+    * key the registry remembers only the minimum doc id ever seen and
+    * flags any later arrival. A doc any of whose bands was already
+    * claimed by an earlier doc is a near-dup candidate and is dropped;
+    * survivors must equal the batch rule "keep docs with no smaller-id
+    * band collision" computed by DuckDB over the same parquet.
+    *
+    * This is the candidate-level online filter (band collision ⇒
+    * kill); a production pipeline wanting q52's exact Hamming≤2 rule
+    * keeps (doc_id, simhash) per band in state and verifies before
+    * killing — same registry shape, wider state. Docs too short to
+    * shingle (simhash = −1) never enter the registry and always
+    * survive, matching the batch twin's `len(sh) > 0` gate.
+    *
+    * Scale: per-band state is 8 bytes; the stream shuffles only
+    * (band_key, doc_id) pairs — 3 narrow rows per doc regardless of
+    * document size; the final anti-join is batch-side reporting. */
+  final case class StreamDoc(doc_id: Long, text: String)
+
+  @transient private var memoDocs: Map[String, Seq[StreamDoc]] = Map.empty
+  private def docRows(s: SparkSession, dir: String): Seq[StreamDoc] =
+    synchronized {
+      memoDocs.getOrElse(dir, {
+        val rows = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+          .map(r => StreamDoc(r.getLong(0), r.getString(1))).toSeq
+        memoDocs += dir -> rows
+        rows
+      })
+    }
+
+  def q193StreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = docRows(s, dir)
+    val chunkSize = math.max(1, rows.size / 3)
+    val qname = "graft_q193_bands"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamDoc]
+    val bandKeys = (0 until Dedup.SimhashNumBands).map { b =>
+      s"(simhash div ${1L << (b * Dedup.SimhashBandBits)}) % " +
+        s"${1L << Dedup.SimhashBandBits} + ${b.toLong << 32}"
+    }.mkString("array(", ", ", ")")
+    val banded = stream.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(Dedup.shinglesSpark))
+      .withColumn("simhash", expr(Dedup.simhashSpark))
+      .filter(col("simhash") >= 0L)
+      .select(explode(expr(bandKeys)).as("band_key"), col("doc_id"))
+    val verdicts = graft.streaming.StreamingOps.bandRegistry(
+      banded.as[graft.streaming.StreamingOps.BandObs])
+    withShufflePartitions(s, 4) {
+      val query = verdicts.toDF().writeStream.format("memory")
+        .queryName(qname).outputMode("append").start()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+    val killed = s.table(qname).filter(col("earlier"))
+      .select(col("doc_id")).distinct()
+    Tables.load(s, dir, "documents")
+      .join(killed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q193Sql: String = {
+    val bandCols = (0 until Dedup.SimhashNumBands).map { b =>
+      s"(simhash // ${1L << (b * Dedup.SimhashBandBits)}) % " +
+        s"${1L << Dedup.SimhashBandBits} AS sb$b"
+    }.mkString(", ")
+    val bandJoins = (0 until Dedup.SimhashNumBands).map { b =>
+      s"""  SELECT b.doc_id FROM sb a JOIN sb b
+         |    ON a.sb$b = b.sb$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, ${Dedup.shinglesDuck} AS sh FROM tok),
+       |sims AS (SELECT doc_id, ${Dedup.simhashDuck} AS simhash FROM shed
+       |  WHERE len(sh) > 0),
+       |sb AS (SELECT doc_id, simhash, $bandCols FROM sims),
+       |kills AS (
+       |$bandJoins)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_stream_neardup" -> (q193StreamNearDup _),
     "q126_stream_static" -> (q126StreamStaticJoin _),
     "q91_stream_state" -> (q91StreamStateCount _),
     "q57_stream_window" -> (q57StreamWindowParity _),
@@ -434,6 +531,7 @@ object StreamingQueries {
     "q83_stream_sessions" -> (q83StreamSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q193_stream_neardup" -> q193Sql,
     "q126_stream_static" -> q126Sql,
     "q91_stream_state" -> q91Sql,
     "q57_stream_window" -> q57Sql,

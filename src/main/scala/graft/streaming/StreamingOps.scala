@@ -60,6 +60,46 @@ object StreamingOps {
       }
   }
 
+  // ---------------------------------------- streaming band registry
+
+  final case class BandObs(band_key: Long, doc_id: Long)
+  final case class BandVerdict(doc_id: Long, earlier: Boolean)
+
+  /** Streaming LSH band registry — the stateful core of online
+    * near-dedup: per band key, state is the minimum doc id ever seen;
+    * each observation reports whether an EARLIER doc (a previous
+    * micro-batch, or a smaller id in this one) already claimed the
+    * band. Feeding every band of a doc's simhash/minhash signature
+    * through this and OR-ing the verdicts yields exactly the batch
+    * "kill any doc with a smaller-id band collision" rule, but
+    * incrementally: a new micro-batch compares only against 8 bytes of
+    * state per distinct band key, never against the corpus.
+    *
+    * Scale: state size = |distinct band keys| × 8 bytes, bounded by
+    * corpus band cardinality regardless of stream length; at 100 TB
+    * add a state TTL (GroupStateTimeout) if the dedup horizon is
+    * bounded in event time. Within-batch order is pinned to ascending
+    * doc_id so replay determinism never depends on partition
+    * interleaving. */
+  def bandRegistry(obs: Dataset[BandObs]): Dataset[BandVerdict] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[BandVerdict]
+    obs.groupByKey(_.band_key)
+      .flatMapGroupsWithState[Long, BandVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandObs], state: GroupState[Long]) =>
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val v = BandVerdict(r.doc_id, mn < r.doc_id)
+            mn = math.min(mn, r.doc_id)
+            v
+          }
+          state.update(mn)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------ typed Aggregator
 
   /** Bounded top-k by value: a typed `Aggregator[IN, BUF, OUT]` (the

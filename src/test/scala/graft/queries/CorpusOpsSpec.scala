@@ -140,6 +140,66 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------ q192
+  test("q192 k-anonymity matches a brute in-memory recompute") {
+    val got = Curation.q192KAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val classes = docs.groupBy(d =>
+      (d._1, d._2, d._3 / Curation.KAnonLenBucket)).map(_._2.length.toLong)
+      .toSeq
+    val expected = docs.map(_._1).distinct.sorted.map { src =>
+      val cs = docs.filter(_._1 == src)
+        .groupBy(d => (d._2, d._3 / Curation.KAnonLenBucket))
+        .map(_._2.length.toLong).toSeq
+      (src, cs.sum, cs.length.toLong,
+        cs.count(_ < Curation.KAnonK).toLong,
+        cs.filter(_ < Curation.KAnonK).sum, cs.min)
+    }
+    assert(got.toSeq === expected)
+    assert(classes.sum === docs.length.toLong)
+  }
+
+  // ------------------------------------------------------------ q193
+  test("q193 streaming near-dedup equals the batch band-collision rule") {
+    val got = StreamingQueries.q193StreamNearDup(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def simhash(text: String): Long = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) return -1L
+      val sh = (0 to toks.length - 3).map { i =>
+        val g = toks.slice(i, i + 3).mkString(" ")
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }.distinct
+      (0 until Dedup.SimhashBits).foldLeft(0L) { (acc, j) =>
+        val vote = sh.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (vote >= 0) acc | (1L << j) else acc
+      }
+    }
+    val sims = docs.map { case (id, t) => (id, simhash(t)) }
+    val bands = sims.filter(_._2 >= 0L).flatMap { case (id, sm) =>
+      (0 until Dedup.SimhashNumBands).map(b =>
+        ((b, (sm >> (b * Dedup.SimhashBandBits)) &
+          ((1L << Dedup.SimhashBandBits) - 1)), id))
+    }
+    val minPerBand = bands.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).min
+    }
+    val killed = bands.filter { case (k, id) => minPerBand(k) < id }
+      .map(_._2).toSet
+    val expected = docs.map(_._1).filterNot(killed).toSet
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------------ q191
   test("q191 source Jaccard: set algebra + an independent exact pair") {
     val out = Dedup.q191SourceJaccard(spark, dir).collect()

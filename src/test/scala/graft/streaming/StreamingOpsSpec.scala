@@ -92,4 +92,31 @@ class StreamingOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(out == Set((0L, "a", 2L), (30L, "b", 1L)))
   }
+
+  test("bandRegistry flags later claimants across and within batches") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+
+    val stream = MemoryStream[BandObs]
+    val verdicts = bandRegistry(stream.toDS())
+    val q = verdicts.toDF().writeStream.format("memory")
+      .queryName("graft_band_registry").outputMode("append").start()
+    try {
+      // batch 1: band 7 claimed by doc 10; doc 12 arrives in the SAME
+      // batch (later id -> flagged); band 9 claimed by doc 50
+      stream.addData(BandObs(7L, 10L), BandObs(7L, 12L), BandObs(9L, 50L))
+      q.processAllAvailable()
+      // batch 2: band 7 again (state carries) and a SMALLER id on band
+      // 9 — arrival order beats id order across batches: doc 40 is NOT
+      // flagged (nothing smaller had claimed band 9 when it arrived)
+      stream.addData(BandObs(7L, 30L), BandObs(9L, 40L))
+      q.processAllAvailable()
+
+      val out = spark.table("graft_band_registry")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(out === Set((10L, false), (12L, true), (50L, false),
+        (30L, true), (40L, false)), out)
+    } finally q.stop()
+  }
 }
