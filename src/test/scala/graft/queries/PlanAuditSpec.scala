@@ -205,4 +205,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 2, s"centroids must shuffle once:\n${p.take(2000)}")
     assert(p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("q188 quantization stats broadcast back; corpus never reshuffles") {
+    val p = plan("q188_int8_quant")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q186 kill list broadcasts into the survivor accounting") {
+    val p = plan("q186_semdedup")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q187 probe join is a hash equi-join on (lang, rank)") {
+    val p = plan("q187_sorted_neighborhood")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q189 top-k window runs over the aggregated pair relation only") {
+    val p = plan("q189_bpe_merge_stats")
+    // the window's sort input must be the (lang, pair) aggregate —
+    // HashAggregate appears below the Window operator, so the corpus
+    // explode is aggregated before any window state builds
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(wIdx >= 0 && aggIdx >= 0, p.take(2000))
+    assert(p.indexOf("HashAggregate", wIdx) >= 0,
+      s"window must consume the aggregate, not raw pairs:\n${p.take(2000)}")
+  }
 }
