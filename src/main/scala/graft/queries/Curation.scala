@@ -1150,8 +1150,69 @@ object Curation {
        |MIN(gsz) AS k_min
        |FROM qi GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- q194 budget apportionment
+  /** Hamilton (largest-remainder) apportionment of a global token
+    * budget across sources — the step between q105's real-valued
+    * mixture WEIGHTS and an actually runnable sampling plan: a
+    * dataloader needs integer per-source token quotas that sum
+    * EXACTLY to the budget, and naive rounding of weight×budget
+    * misses it by up to |sources|/2 tokens. Largest-remainder is the
+    * classic fix: floor every ideal share, then hand the leftover
+    * tokens to the largest fractional remainders (ties broken by
+    * source name — deterministic).
+    *
+    * Exactness at scale: the ideal share numerator mass·budget
+    * overflows int64 once corpus mass passes ~3·10⁹ tokens, so the
+    * multiply-then-floor-divide routes through DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — exact integer arithmetic at any corpus size,
+    * same values both engines. Everything is windows over the
+    * |sources|-row aggregate; the corpus contributes one map-side-
+    * combined SUM. Budget = 40% of total mass, floor semantics. */
+  def q194BudgetApportion(s: SparkSession, dir: String): DataFrame = {
+    val mass = Tables.load(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .groupBy("source")
+      .agg(sum(size(col("toks")).cast("long")).as("mass"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy()
+      .orderBy(col("rem").desc, col("source"))
+    mass
+      .withColumn("total", sum(col("mass")).over(wAll))
+      .withColumn("budget", expr("(total * 2) div 5"))
+      .withColumn("floor_q", expr(
+        "CAST((CAST(mass AS DECIMAL(38,0)) * budget) div total AS BIGINT)"))
+      .withColumn("rem", expr(
+        "CAST((CAST(mass AS DECIMAL(38,0)) * budget) % total AS BIGINT)"))
+      .withColumn("leftover", col("budget") - sum(col("floor_q")).over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("quota",
+        col("floor_q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("mass"), col("budget"), col("floor_q"),
+        col("rem"), col("rk"), col("quota"))
+      .orderBy("source")
+  }
+
+  val q194Sql: String =
+    """WITH m AS (SELECT source,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS mass
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT *, CAST(SUM(mass) OVER () AS BIGINT) AS total FROM m),
+      |b AS (SELECT *, (total * 2) // 5 AS budget FROM t),
+      |f AS (SELECT *,
+      |  CAST((CAST(mass AS HUGEINT) * budget) // total AS BIGINT) AS floor_q,
+      |  CAST((CAST(mass AS HUGEINT) * budget) % total AS BIGINT) AS rem
+      |  FROM b),
+      |l AS (SELECT *,
+      |  CAST(budget - SUM(floor_q) OVER () AS BIGINT) AS leftover,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+      |  FROM f)
+      |SELECT source, mass, budget, floor_q, rem, rk,
+      |floor_q + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+      |FROM l ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_budget_apportion" -> (q194BudgetApportion _),
     "q192_k_anonymity" -> (q192KAnonymity _),
     "q181_chunk_dedup" -> (q181ChunkDedup _),
     "q176_domain_cap" -> (q176DomainCap _),
@@ -1173,6 +1234,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q194_budget_apportion" -> q194Sql,
     "q192_k_anonymity" -> q192Sql,
     "q185_release_funnel" -> q185Sql,
     "q101_cms_heavy" -> q101Sql,

@@ -163,6 +163,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(classes.sum === docs.length.toLong)
   }
 
+  // ------------------------------------------------------------ q194
+  test("q194 Hamilton apportionment: quotas sum exactly to the budget") {
+    val out = Curation.q194BudgetApportion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val budget = out.head._3
+    assert(out.forall(_._3 == budget), "one global budget")
+    assert(out.map(_._7).sum === budget, "largest-remainder exactness")
+    out.foreach { case (src, mass, b, floorQ, rem, _, quota) =>
+      assert(quota == floorQ || quota == floorQ + 1, s"$src quota step")
+      assert(rem < out.map(_._2).sum, s"$src remainder < total")
+      // floor share never exceeds the ideal real share
+      assert(BigInt(floorQ) * out.map(_._2).sum <= BigInt(mass) * b,
+        s"$src floor bound")
+    }
+    // the +1 tokens go to the LARGEST remainders
+    val leftover = budget - out.map(_._4).sum
+    val bumped = out.filter(t => t._7 == t._4 + 1)
+    assert(bumped.length.toLong === leftover)
+    val minBumpedRem = if (bumped.isEmpty) Long.MaxValue else bumped.map(_._5).min
+    out.filter(t => t._7 == t._4).foreach { t =>
+      assert(t._5 <= minBumpedRem, s"${t._1} skipped despite larger remainder")
+    }
+  }
+
   // ------------------------------------------------------------ q193
   test("q193 streaming near-dedup equals the batch band-collision rule") {
     val got = StreamingQueries.q193StreamNearDup(spark, dir).collect()
