@@ -220,7 +220,6 @@ object GraphOps {
     // stays unpinned: a production-scale graph keeps AQE sizing.
     graft.core.Sessions.withConfs(s,
       "spark.sql.shuffle.partitions" -> "8") {
-      twoHopReach(Dedup.ccEdges(s, dir)).cache().count()
       twoHopReach(Dedup.ccEdges(s, dir))
     }
 
