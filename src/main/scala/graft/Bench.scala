@@ -45,7 +45,12 @@ object Bench {
       }
     }
 
+    // local-iteration aid, mirroring Verify: SPARK_GRAFT_BENCH_ONLY=q63,q147
+    // benches only the named prefixes; absent = all (driver).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // warmup pass: the only COLD run per query
     val warmups: Map[String, Option[Double]] =
       names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap

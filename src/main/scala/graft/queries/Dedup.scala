@@ -540,8 +540,14 @@ object Dedup {
           prev.foreach(_._2.unpersist())
           val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= 0.5)
             .select(col("d1"), col("d2"))
+          // the pair union inherits the LSH pipeline's partitioning —
+          // ~a hundred near-empty partitions for a dup-graph-sized
+          // relation, so every cached scan paid a wide stage of
+          // scheduling overhead. Coalesce (narrow, no shuffle) to a
+          // width matching the data; a production corpus sizes this
+          // by |E| instead of a constant.
           val e = pairs.union(pairs.select(col("d2").as("d1"),
-            col("d1").as("d2"))).cache()
+            col("d1").as("d2"))).coalesce(8).cache()
           cachedCcEdges = Some((dir, e))
           e
       }
@@ -562,7 +568,10 @@ object Dedup {
         case Some((d, df)) if d == dir => df
         case prev =>
           prev.foreach(_._2.unpersist())
-          val df = dedupGroupsUncached(s, dir).cache()
+          // coalesce for the same reason as ccEdges: the converged
+          // label table is dup-graph-sized but inherits the fixpoint
+          // loop's shuffle width
+          val df = dedupGroupsUncached(s, dir).coalesce(8).cache()
           df.count() // materialize under the scoped confs
           cachedGroups = Some((dir, df))
           df

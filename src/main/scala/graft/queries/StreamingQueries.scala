@@ -467,7 +467,9 @@ object StreamingQueries {
     import s.implicits._
 
     val rows = docRows(s, dir)
-    val chunkSize = math.max(1, rows.size / 3)
+    // two micro-batches: state-carry across batches is what the parity
+    // proves, and each extra batch pays a full state-store commit round
+    val chunkSize = math.max(1, rows.size / 2)
     val qname = "graft_q193_bands"
     s.catalog.dropTempView(qname)
     val stream = MemoryStream[StreamDoc]
