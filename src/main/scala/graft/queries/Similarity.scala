@@ -1239,7 +1239,94 @@ object Similarity {
        |   ORDER BY cosine DESC, cid) AS rn FROM p)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------- q195 retrieval evaluation
+  /** Ranked-retrieval evaluation of the IVF index against brute-force
+    * truth — recall@5, MRR, and NDCG@5 per query, the metric battery
+    * an ANN deployment gates on (q93 pins only aggregate top-1/top-5
+    * agreement; this is the per-query ranked report). Binary
+    * relevance: a system result is relevant iff it appears in the
+    * brute top-5 for the same query.
+    *
+    * Determinism: every non-integer constant — the DCG discounts
+    * 1/log2(i+1) and the IDCG prefix sums — is computed ONCE in Scala,
+    * pre-quantized to 6 dp, and interpolated as a shortest-round-trip
+    * double literal into BOTH dialects (the q167 BM25 trick), so no
+    * runtime log/pow is evaluated in either engine and the
+    * DECIMAL(25,6) cast of each DCG term is EXACT — this matters
+    * because the two engines disagree on inexact downscaling (Spark's
+    * double→decimal cast rounds half-up, DuckDB truncates a decimal
+    * literal's excess scale: 0.6309297… → .630930 vs .630929). MRR is
+    * 1/min-matched-rank — a single IEEE divide of exact ints. Both
+    * input rankings are themselves oracle-checked (q30/q32), so this
+    * composes checked artifacts.
+    *
+    * Scale: |Q|×5 rows joined against |Q|×5 — driver-trivial here,
+    * and at any scale the metric join is bounded by the query set,
+    * never the corpus. */
+  private val NdcgK = 5
+  private val ndcgDisc: IndexedSeq[Double] =
+    (1 to NdcgK).map(i =>
+      math.rint(1e6 / (math.log(i + 1.0) / math.log(2.0))) / 1e6)
+  private val idcgPrefix: IndexedSeq[Double] =
+    ndcgDisc.scanLeft(0.0)(_ + _)
+
+  def q195RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val truth = qKnnBrute(s, dir).select(col("qid"), col("cid"))
+      .withColumn("rel", lit(1L))
+    val sys = qKnnIvf(s, dir).select(col("qid"), col("cid"), col("rn"))
+    val discCol = (1 to NdcgK).foldLeft(lit(0.0)) { (acc, i) =>
+      when(col("rn") === i, lit(ndcgDisc(i - 1))).otherwise(acc)
+    }
+    val idcgCol = (1 to NdcgK).foldLeft(lit(0.0)) { (acc, h) =>
+      when(col("hits") === h, lit(idcgPrefix(h))).otherwise(acc)
+    }
+    sys.join(truth, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(
+        sum(coalesce(col("rel"), lit(0L))).as("hits"),
+        min(when(col("rel") === 1L, col("rn"))).as("min_rank"),
+        Relational.dsum(when(col("rel") === 1L, discCol).otherwise(lit(0.0)))
+          .as("dcg"))
+      .withColumn("recall_at_5",
+        col("hits").cast("double") / lit(NdcgK.toDouble))
+      .withColumn("mrr",
+        coalesce(lit(1.0) / col("min_rank").cast("double"), lit(0.0)))
+      .withColumn("idcg", idcgCol)
+      .withColumn("ndcg_at_5", when(col("hits") > 0L,
+        col("dcg") / col("idcg")).otherwise(lit(0.0)))
+      .select(col("qid"), col("hits"), col("recall_at_5"), col("mrr"),
+        col("dcg"), col("ndcg_at_5"))
+      .orderBy("qid")
+  }
+
+  lazy val q195Sql: String = {
+    val discCase = (1 to NdcgK)
+      .map(i => s"WHEN rn = $i THEN ${ndcgDisc(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    val idcgCase = (1 to NdcgK)
+      .map(h => s"WHEN hits = $h THEN ${idcgPrefix(h)}")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH brute AS ($qKnnBruteSql),
+       |ivf AS ($qKnnIvfSql),
+       |truth AS (SELECT qid, cid, 1 AS rel FROM brute),
+       |j AS (SELECT i.qid, i.rn, t.rel FROM ivf i
+       |  LEFT JOIN truth t ON i.qid = t.qid AND i.cid = t.cid),
+       |m AS (SELECT qid,
+       |  CAST(SUM(COALESCE(rel, 0)) AS BIGINT) AS hits,
+       |  MIN(CASE WHEN rel = 1 THEN rn END) AS min_rank,
+       |  CAST(SUM(CAST(CASE WHEN rel = 1 THEN $discCase
+       |    ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) AS dcg
+       |  FROM j GROUP BY qid)
+       |SELECT qid, hits,
+       |CAST(hits AS DOUBLE) / $NdcgK AS recall_at_5,
+       |COALESCE(1.0 / CAST(min_rank AS DOUBLE), 0.0) AS mrr,
+       |dcg,
+       |CASE WHEN hits > 0 THEN dcg / ($idcgCase) ELSE 0.0 END AS ndcg_at_5
+       |FROM m ORDER BY qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_retrieval_metrics" -> (q195RetrievalMetrics _),
     "q186_semdedup" -> (q186SemDedup _),
     "q188_int8_quant" -> (q188Int8Quant _),
     "q190_hard_negatives" -> (q190HardNegatives _),
@@ -1261,6 +1348,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q195_retrieval_metrics" -> q195Sql,
     "q186_semdedup" -> q186Sql,
     "q188_int8_quant" -> q188Sql,
     "q190_hard_negatives" -> q190Sql,
