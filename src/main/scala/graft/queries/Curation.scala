@@ -558,6 +558,62 @@ object Curation {
        |FROM g ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------- q196 temperature sampling
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source mixing rule (sample source i proportional to p_i^α,
+    * α < 1 upweights small sources; the mT5/XLM-R recipe) beside
+    * q105's explicit-target reweighting and q194's integer
+    * apportionment. α = 1/2 exactly, so the power is `sqrt` — an IEEE
+    * correctly-rounded operation (unlike `pow`, whose libm results
+    * are engine-dependent), making the scaled weights bit-identical
+    * across engines; the normalizing sum routes through the
+    * DECIMAL(25,6) pattern so it cannot depend on row order.
+    *
+    * Emits per source: token share p, normalized temperature weight,
+    * and the expected epochs over each source when drawing
+    * [[TempMixBudget]] tokens under those weights (epochs > 1 ⇒ the
+    * source repeats — the overfitting audit column).
+    *
+    * Scale: one map-side-combinable corpus aggregate to |sources|
+    * rows; the whole-partition window runs over that source-level
+    * table (rows = |sources|, never corpus-sized). */
+  val TempMixBudget = 500000L
+
+  def q196TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("p",
+        col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("wq", sqrt(col("p")).cast("decimal(25,6)"))
+      .withColumn("weight", col("wq").cast("double") /
+        sum(col("wq")).over(wAll).cast("double"))
+      .withColumn("epochs",
+        col("weight") * lit(TempMixBudget.toDouble) /
+          col("n_tokens").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p"),
+        col("weight"), col("epochs"))
+      .orderBy("source")
+  }
+
+  val q196Sql: String =
+    s"""WITH t AS (SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |g AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total FROM t),
+       |p AS (SELECT *, CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p
+       |  FROM g),
+       |w AS (SELECT *, CAST(sqrt(p) AS DECIMAL(25,6)) AS wq FROM p)
+       |SELECT source, n_docs, n_tokens, p,
+       |  CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS weight,
+       |  (CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE))
+       |    * ${TempMixBudget.toDouble} / CAST(n_tokens AS DOUBLE) AS epochs
+       |FROM w ORDER BY source""".stripMargin
+
   // ----------------------------------------- q107 leakage-safe split
   /** Group-aware train/test split: a document's split is a
     * deterministic hash of its DUPLICATE GROUP, not of the doc itself
@@ -1213,6 +1269,7 @@ object Curation {
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_budget_apportion" -> (q194BudgetApportion _),
+    "q196_temperature_mix" -> (q196TemperatureMix _),
     "q192_k_anonymity" -> (q192KAnonymity _),
     "q181_chunk_dedup" -> (q181ChunkDedup _),
     "q176_domain_cap" -> (q176DomainCap _),
@@ -1235,6 +1292,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q194_budget_apportion" -> q194Sql,
+    "q196_temperature_mix" -> q196Sql,
     "q192_k_anonymity" -> q192Sql,
     "q185_release_funnel" -> q185Sql,
     "q101_cms_heavy" -> q101Sql,

@@ -1055,7 +1055,98 @@ object Dedup {
        |ORDER BY s1, s2""".stripMargin
   }
 
+  // ------------------------------------------- q197 LSH S-curve audit
+  /** Empirical precision/recall curve of the MinHash-LSH candidate
+    * generator against exact Jaccard truth — the calibration artifact
+    * that justifies a (bands, rows) choice before a 100 TB dedup run.
+    * Ground-truth pair universe: every pair sharing ≥1 shingle whose
+    * document frequency is ≤ [[LshCurveDfCap]] (pairs sharing only
+    * hotter shingles sit in the Jaccard≈0 region the curve doesn't
+    * need, and the cap is what bounds the posting self-join at scale —
+    * the CCNet/Gopher hot-shingle drop). Per Jaccard decile: pair
+    * count, LSH band-collision count, the empirical hit rate, and the
+    * theoretical S-curve 1-(1-s^r)^b at the bucket midpoint
+    * (constants computed once in Scala, interpolated into both
+    * dialects — no runtime pow in either engine).
+    *
+    * Scale: the posting join shuffles narrow (shingle, id) pairs and
+    * the df cap bounds per-key fan-out at DfCap²; the exact-Jaccard
+    * verify ships shingle arrays only for surviving pairs. The
+    * decile aggregation is 10 rows. */
+  val LshCurveDfCap = 128L
+
+  private val lshCurveExpected: IndexedSeq[Double] =
+    (0 until 10).map { b =>
+      val m = (b + 0.5) / 10.0
+      1.0 - math.pow(1.0 - math.pow(m, BandSize.toDouble), NumBands.toDouble)
+    }
+
+  def q197LshPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val sig = cachedSignatures(s, dir)
+    val post = sig.select(col("doc_id"), explode(col("sh")).as("g"))
+    val wg = Window.partitionBy("g")
+    val capped = post.withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= LshCurveDfCap)
+    val pairs = capped.select(col("g"), col("doc_id").as("d1"))
+      .join(capped.select(col("g"), col("doc_id").as("d2")), "g")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val x = sig.select(col("doc_id").as("d1") +: col("sh").as("sh1") +:
+      (0 until NumBands).map(bd => col(s"band$bd").as(s"x$bd")): _*)
+    val y = sig.select(col("doc_id").as("d2") +: col("sh").as("sh2") +:
+      (0 until NumBands).map(bd => col(s"band$bd").as(s"y$bd")): _*)
+    val hit = (0 until NumBands)
+      .map(bd => col(s"x$bd") === col(s"y$bd"))
+      .reduce(_ || _)
+    val expCase = lshCurveExpected.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (v, b)) => when(col("bucket") === b, lit(v)).otherwise(acc)
+    }
+    pairs.join(x, "d1").join(y, "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("bucket",
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("hit_rate",
+        col("n_hits").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("expected_rate", expCase)
+      .select("bucket", "n_pairs", "n_hits", "hit_rate", "expected_rate")
+      .orderBy("bucket")
+  }
+
+  val q197Sql: String = {
+    val hitSql = (0 until NumBands)
+      .map(bd => s"x.band$bd = y.band$bd").mkString(" OR ")
+    val expSql = lshCurveExpected.zipWithIndex
+      .map { case (v, b) => s"WHEN bucket = $b THEN $v" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""$sigSqlCte,
+       |post AS (SELECT doc_id, unnest(sh) AS g FROM banded),
+       |capped AS (SELECT doc_id, g FROM
+       |  (SELECT *, COUNT(*) OVER (PARTITION BY g) AS df FROM post)
+       |  WHERE df <= $LshCurveDfCap),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |scored AS (SELECT d1, d2,
+       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard,
+       |  CASE WHEN $hitSql THEN 1 ELSE 0 END AS hit
+       |  FROM pairs JOIN banded x ON pairs.d1 = x.doc_id
+       |             JOIN banded y ON pairs.d2 = y.doc_id),
+       |agg AS (SELECT LEAST(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+       |  COUNT(*) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_hits
+       |  FROM scored GROUP BY 1)
+       |SELECT bucket, n_pairs, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS hit_rate,
+       |  CAST($expSql AS DOUBLE) AS expected_rate
+       |FROM agg ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_lsh_pr_curve" -> (q197LshPrCurve _),
     "q191_source_jaccard" -> (q191SourceJaccard _),
     "q148_containment" -> (qContainmentPairs _),
     "q141_source_exclusivity" -> (qSourceExclusivity _),
@@ -1075,6 +1166,7 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q197_lsh_pr_curve" -> q197Sql,
     "q191_source_jaccard" -> q191Sql,
     "q148_containment" -> qContainmentPairsSql,
     "q141_source_exclusivity" -> qSourceExclusivitySql,
