@@ -1,25 +1,47 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Parquet table loaders for the driver-provided test tables
   * (`/root/repo/TESTDATA.md`): TPC-H-ish star schema + `events`,
   * `documents`, `embeddings`.
   *
-  * The `events` table carries a nanosecond parquet timestamp, which the
-  * vectorized Spark reader rejects (`PARQUET_TYPE_ILLEGAL`). Sessions
-  * are built with `spark.sql.legacy.parquet.nanosAsLong=true` (see
-  * [[graft.core.Sessions]]), so `events.ts` surfaces as epoch-nanos
-  * `LongType`. NOTE: the DuckDB oracle truncates the same column to
-  * microseconds (`TIMESTAMP`), so any query that compares or emits
-  * event time must first truncate to micros (`ts div 1000` ==
-  * DuckDB `epoch_us(ts)`).
+  * `events.ts` — the engine-wide contract is epoch-NANOS `LongType`
+  * (every consumer truncates event time to micros via `ts div 1000`,
+  * which equals DuckDB `epoch_us(ts)` on the oracle side). The
+  * fixture has shipped two physical encodings of that column:
+  *
+  *  - parquet TIMESTAMP(NANOS): the vectorized reader rejects it
+  *    unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+  *    [[graft.core.Sessions]]), which surfaces it directly as
+  *    epoch-nanos LongType — the contract, for free;
+  *  - parquet TIMESTAMP(MICROS): surfaces as TIMESTAMP_NTZ, which
+  *    this loader normalizes back to the contract
+  *    (`unix_micros(cast ts as timestamp) * 1000`; the session
+  *    timezone is pinned UTC so the NTZ→TZ cast is bit-identity on
+  *    the stored micros).
+  *
+  * The normalization is a `Project` over the scan, so a downstream
+  * ts-range predicate no longer reaches `PushedFilters` for the
+  * micros encoding. That is a fixture-reader concession, not an
+  * engine design: a production event source exposes typed event time
+  * and keeps scan-level min/max pruning (see
+  * [[graft.sources.EnvelopeSource]], whose own `ts` pushdown is
+  * pinned by EnvelopeSourceSpec). The events queries themselves
+  * shuffle on user/time-window keys, never on a raw ts range scan.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    else df
+  }
 }
