@@ -115,6 +115,18 @@ object Curation {
     * monotone; thresholding the logit avoids libm `exp`, keeping the
     * score bit-identical across engines). Scan-local, zero shuffle. */
   def q97ModelScore(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
+      .select(col("doc_id"), col("logit"),
+        when(col("logit") >= 0.5, "keep")
+          .when(col("logit") >= -0.5, "review")
+          .otherwise("drop").as("decision"))
+      .orderBy("doc_id")
+
+  /** q97's feature+logit chain, keeping `lang` for downstream probes
+    * (q198 evaluates the logit against the langid label). Shared so
+    * the score is computed ONE way — a probe of a re-derived score
+    * would silently measure a different model. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
@@ -134,15 +146,13 @@ object Curation {
         lit(-1.5) + lit(6.0) * col("stop_ratio") - lit(8.0) * col("digit_ratio")
           - lit(4.0) * col("upper_ratio")
           + lit(0.01) * col("n_tokens").cast("double"), 6))
-      .select(col("doc_id"), col("logit"),
-        when(col("logit") >= 0.5, "keep")
-          .when(col("logit") >= -0.5, "review")
-          .otherwise("drop").as("decision"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"), col("logit"))
 
-  val q97Sql: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-      |f AS (SELECT doc_id, len(toks) AS n_tokens,
+  /** q97's logit pipeline as a SQL CTE chain ending in
+    * `l(doc_id, lang, logit)` — shared by q97Sql and q198Sql. */
+  private val q97LogitCte: String =
+    """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, lang, len(toks) AS n_tokens,
       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
       |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
       |  (CAST(length(text) AS DOUBLE) -
@@ -152,12 +162,187 @@ object Curation {
       |    CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE))
       |    / CAST(length(text) AS DOUBLE) AS upper_ratio
       | FROM t),
-      |l AS (SELECT doc_id, round(-1.5 + 6.0 * stop_ratio - 8.0 * digit_ratio
-      |  - 4.0 * upper_ratio + 0.01 * CAST(n_tokens AS DOUBLE), 6) AS logit FROM f)
-      |SELECT doc_id, logit,
-      |  CASE WHEN logit >= 0.5 THEN 'keep'
-      |       WHEN logit >= -0.5 THEN 'review' ELSE 'drop' END AS decision
-      |FROM l ORDER BY doc_id""".stripMargin
+      |l AS (SELECT doc_id, lang,
+      |  round(-1.5 + 6.0 * stop_ratio - 8.0 * digit_ratio
+      |  - 4.0 * upper_ratio + 0.01 * CAST(n_tokens AS DOUBLE), 6) AS logit FROM f)""".stripMargin
+
+  val q97Sql: String =
+    s"""$q97LogitCte
+       |SELECT doc_id, logit,
+       |  CASE WHEN logit >= 0.5 THEN 'keep'
+       |       WHEN logit >= -0.5 THEN 'review' ELSE 'drop' END AS decision
+       |FROM l ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- q198 score AUC
+  /** Exact ROC-AUC of the q97 quality logit against the langid label
+    * (the classifier's stopword list is English, so `lang = 'en'` is
+    * the natural probe: a filter that can't rank EN above non-EN is
+    * mis-calibrated for a multilingual corpus). The classifier-eval
+    * operator every scored corpus needs before thresholding at scale.
+    *
+    * AUC is computed from the SCORE HISTOGRAM, not per-row ranks:
+    * group by logit → (pos, neg) counts, one ordered prefix sum of
+    * negatives, then AUC = Σ pos·(2·cum_neg_before + neg) / (2·P·N) —
+    * the tie-aware Mann-Whitney statistic with every intermediate an
+    * exact integer (ties contribute exactly ½ each; the only
+    * floating-point op is the final division, identical in both
+    * engines). No rank(), no row_number(), no per-row window.
+    *
+    * Scale: one map-side-combined shuffle to the histogram, whose
+    * cardinality is bounded by the score RESOLUTION (6-dp logits over
+    * a few units of range), not the corpus — the single-partition
+    * ordered prefix sum runs over that bounded relation, and the
+    * 100 TB side never sorts. */
+  def q198ScoreAuc(s: SparkSession, dir: String): DataFrame = {
+    val isPos = col("lang") === "en"
+    val h = scoredDocs(s, dir)
+      .groupBy("logit")
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("pos"),
+        sum(when(isPos, 0L).otherwise(1L)).as("neg"))
+    val wBefore = Window.orderBy("logit")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cum_neg", coalesce(sum(col("neg")).over(wBefore), lit(0L)))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (col("cum_neg") * 2L + col("neg"))).as("auc2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("auc2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  val q198Sql: String =
+    s"""$q97LogitCte,
+       |h AS (SELECT logit,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM l GROUP BY 1),
+       |c AS (SELECT *, COALESCE(CAST(SUM(neg) OVER (ORDER BY logit
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |  AS cum_neg FROM h)
+       |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(SUM(pos * (cum_neg * 2 + neg)) AS DOUBLE) /
+       |    (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE)) AS auc
+       |FROM c""".stripMargin
+
+  // ------------------------------------------- q199 length buckets
+  /** Padding-waste audit for length-bucketed batching: assign each
+    * document's token count to the smallest power-of-two bucket that
+    * holds it (16…2048; longer docs are clamped — the truncate-to-
+    * max-seq-len convention), then report per bucket the doc count,
+    * real token mass, padded mass (docs × cap), and the waste ratio a
+    * fixed-shape batch of that bucket pays. The audit that decides
+    * bucket boundaries before a tokenize-and-pack run commits 100 TB
+    * to a batch shape.
+    *
+    * Scale: scan-local bucket assignment (a when-chain, no lookup
+    * join), one map-side-combined aggregation to ≤ 8 rows. */
+  val LengthBucketCaps: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+
+  def q199LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val eff = least(col("n_tokens"), lit(LengthBucketCaps.last.toLong))
+    val cap = LengthBucketCaps.init.reverse.foldLeft(
+      lit(LengthBucketCaps.last.toLong): Column) { (acc, c) =>
+      when(eff <= c.toLong, lit(c.toLong)).otherwise(acc)
+    }
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("eff_tokens", eff)
+      .withColumn("cap", cap)
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("eff_tokens")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn("waste_ratio",
+        lit(1.0) - col("real_tokens").cast("double") /
+          col("padded_tokens").cast("double"))
+      .select("cap", "n_docs", "real_tokens", "padded_tokens", "waste_ratio")
+      .orderBy("cap")
+  }
+
+  val q199Sql: String = {
+    val capCase = LengthBucketCaps.init
+      .map(c => s"WHEN eff <= $c THEN $c")
+      .mkString("CASE ", " ", s" ELSE ${LengthBucketCaps.last} END")
+    s"""WITH t AS (SELECT
+       |  LEAST(CAST(len(string_split(text, ' ')) AS BIGINT),
+       |        ${LengthBucketCaps.last}) AS eff FROM documents),
+       |b AS (SELECT CAST($capCase AS BIGINT) AS cap, eff FROM t),
+       |g AS (SELECT cap, COUNT(*) AS n_docs,
+       |  CAST(SUM(eff) AS BIGINT) AS real_tokens FROM b GROUP BY 1)
+       |SELECT cap, n_docs, real_tokens,
+       |  n_docs * cap AS padded_tokens,
+       |  1.0 - CAST(real_tokens AS DOUBLE) /
+       |    CAST(n_docs * cap AS DOUBLE) AS waste_ratio
+       |FROM g ORDER BY cap""".stripMargin
+  }
+
+  // --------------------------------------------- q200 bigram xent
+  /** Per-document cross-entropy under the corpus's own add-one-
+    * smoothed bigram LM — the CCNet/KenLM perplexity filter with the
+    * LM trained in-engine: p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), nll =
+    * -Σ ln p, rate = nll / n_bigrams. High rate ⇒ improbable text
+    * (garble); LOW rate ⇒ degenerate repetition — both tails are
+    * curation targets, and q140's equi-depth binning over `rate` is
+    * exactly CCNet's head/middle/tail split (composition, not a
+    * re-implementation here).
+    *
+    * Determinism: counts and V are exact integers; each p is one
+    * IEEE division; each ln(p) term is quantized to DECIMAL(25,6)
+    * BEFORE the per-doc sum (the q172 convention — term order cannot
+    * change bits), the sum rounds on the decimal, and `rate` is one
+    * final division of that 4-dp value — every float op identical in
+    * both engines.
+    *
+    * Scale: the bigram-count and context-count relations are
+    * vocab-bounded (≪ corpus); doc bigrams shuffle once on the bigram
+    * key and once on the context key — the q100 join shape twice —
+    * then aggregate per doc. V is one scalar broadcast. Beyond-memory
+    * vocabularies swap the exact count joins for the q101 sketch. */
+  def q200BigramXent(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("pairs", expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> struct(a AS w1, concat(a, ' ', b) AS bigram))"))
+      .select(col("doc_id"), explode(col("pairs")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+    val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c12, "bigram").join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("term",
+        log((col("c12") + 1L).cast("double") /
+          (col("c1") + col("v")).cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-round(sum(col("term")), 4).cast("double")).as("nll"))
+      .withColumn("rate", col("nll") / col("n_bigrams").cast("double"))
+      .select("doc_id", "n_bigrams", "nll", "rate")
+      .orderBy("doc_id")
+  }
+
+  val q200Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+      |  FROM t, unnest(range(1, len(toks))) AS r(i)),
+      |c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |terms AS (SELECT bg.doc_id,
+      |  CAST(ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+      |    AS DECIMAL(25,6)) AS term
+      |  FROM bg JOIN c12 ON bg.bigram = c12.bigram
+      |          JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  -CAST(round(SUM(term), 4) AS DOUBLE) AS nll
+      |  FROM terms GROUP BY 1)
+      |SELECT doc_id, n_bigrams, nll,
+      |  nll / CAST(n_bigrams AS DOUBLE) AS rate
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- q98 zorder
   /** Z-order (Morton) layout audit: interleave the low 8 bits of two
@@ -1270,6 +1455,9 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_budget_apportion" -> (q194BudgetApportion _),
     "q196_temperature_mix" -> (q196TemperatureMix _),
+    "q198_score_auc" -> (q198ScoreAuc _),
+    "q199_length_buckets" -> (q199LengthBuckets _),
+    "q200_bigram_xent" -> (q200BigramXent _),
     "q192_k_anonymity" -> (q192KAnonymity _),
     "q181_chunk_dedup" -> (q181ChunkDedup _),
     "q176_domain_cap" -> (q176DomainCap _),
@@ -1293,6 +1481,9 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q194_budget_apportion" -> q194Sql,
     "q196_temperature_mix" -> q196Sql,
+    "q198_score_auc" -> q198Sql,
+    "q199_length_buckets" -> q199Sql,
+    "q200_bigram_xent" -> q200Sql,
     "q192_k_anonymity" -> q192Sql,
     "q185_release_funnel" -> q185Sql,
     "q101_cms_heavy" -> q101Sql,

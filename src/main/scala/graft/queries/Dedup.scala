@@ -1145,7 +1145,65 @@ object Dedup {
        |FROM agg ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------ q201 split contamination
+  /** Cross-split n-gram contamination audit: after q107's group-aware
+    * train/test split, how much test material still shares a word-8-
+    * gram with train? Group splitting kills NEAR-duplicate leakage;
+    * this measures the residual PARTIAL overlap (quotes, boilerplate,
+    * shared passages below the LSH threshold) — the number an eval
+    * built from the test split must disclose. Emits one row: test-doc
+    * count, contaminated test docs (≥1 shared 8-gram), distinct
+    * shared 8-grams, and the contamination rate.
+    *
+    * Scale: reuses the cached 8-gram relation (q60) and the dup-group
+    * table (broadcast, q107's own shape); the train-side distinct
+    * shingle relation is corpus-sized, so the overlap join hash-
+    * partitions both sides on the 60-bit shingle key — the q60 join
+    * with the broadcast replaced by a co-partitioned equi-join, which
+    * is the correct shape when the "reference" side IS the corpus. */
+  def q201SplitContam(s: SparkSession, dir: String): DataFrame = {
+    val groups = qDedupGroups(s, dir).select(col("doc_id"), col("group_id"))
+    val tagged = decontamShingles(s, dir)
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("split",
+        when(expr("(grp * 1000003) % 10") < 8, lit("train"))
+          .otherwise(lit("test")))
+    val trainSh = tagged.filter(col("split") === "train")
+      .select(explode(col("sh8")).as("sh")).distinct()
+    val testSh = tagged.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("sh8")).as("sh")).distinct()
+    val hits = testSh.join(trainSh, "sh")
+      .agg(countDistinct(col("doc_id")).as("n_contam"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+    tagged.filter(col("split") === "test")
+      .agg(count(lit(1)).as("n_test"))
+      .crossJoin(hits)
+      .select(col("n_test"), col("n_contam"), col("n_shared_shingles"),
+        (col("n_contam").cast("double") / col("n_test").cast("double"))
+          .as("contam_rate"))
+  }
+
+  val q201Sql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesDuckW(DecontamWindow)} AS sh8 FROM tok),
+       |groups AS (SELECT doc_id, group_id FROM (${qDedupGroupsSql}) g),
+       |tagged AS (SELECT sh.doc_id, sh.sh8,
+       |  CASE WHEN (COALESCE(g.group_id, sh.doc_id) * 1000003) % 10 < 8
+       |       THEN 'train' ELSE 'test' END AS split
+       |  FROM sh LEFT JOIN groups g ON sh.doc_id = g.doc_id),
+       |tr AS (SELECT DISTINCT unnest(sh8) AS s FROM tagged WHERE split = 'train'),
+       |te AS (SELECT DISTINCT doc_id, unnest(sh8) AS s FROM tagged WHERE split = 'test'),
+       |hits AS (SELECT COUNT(DISTINCT te.doc_id) AS n_contam,
+       |  COUNT(DISTINCT te.s) AS n_shared_shingles
+       |  FROM te JOIN tr ON te.s = tr.s),
+       |nt AS (SELECT COUNT(*) AS n_test FROM tagged WHERE split = 'test')
+       |SELECT nt.n_test, hits.n_contam, hits.n_shared_shingles,
+       |  CAST(hits.n_contam AS DOUBLE) / CAST(nt.n_test AS DOUBLE) AS contam_rate
+       |FROM nt CROSS JOIN hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_split_contam" -> (q201SplitContam _),
     "q197_lsh_pr_curve" -> (q197LshPrCurve _),
     "q191_source_jaccard" -> (q191SourceJaccard _),
     "q148_containment" -> (qContainmentPairs _),
@@ -1166,6 +1224,7 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q201_split_contam" -> q201Sql,
     "q197_lsh_pr_curve" -> q197Sql,
     "q191_source_jaccard" -> q191Sql,
     "q148_containment" -> qContainmentPairsSql,

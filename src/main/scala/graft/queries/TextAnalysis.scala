@@ -838,7 +838,57 @@ object TextAnalysis {
        |   ORDER BY cnt DESC, pair) AS rn FROM c)
        |WHERE rn <= $BpeTopK ORDER BY lang, rn""".stripMargin
 
+  // ------------------------------------------ q202 tokenizer fertility
+  /** Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    * word and characters per BPE token, aggregated by language — the
+    * multilingual tokenizer-budget audit (a language whose fertility
+    * is 2× pays 2× the sequence length for the same text; the number
+    * that drives per-language token budgets and vocab-size decisions).
+    * Same q51 tokenizer, same whitespace-word convention as every
+    * text query.
+    *
+    * Scale: scan-local regex counting (the q51 pass) then one
+    * map-side-combined aggregation to |languages| rows; ratios are
+    * exact integer sums divided once, identically in both engines. */
+  def q202TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("chars").cast("double") / col("bpe_tokens").cast("double"))
+      .select("lang", "n_docs", "bpe_tokens", "ws_tokens", "chars",
+        "fertility", "chars_per_token")
+      .orderBy("lang")
+
+  val q202Sql: String = {
+    val sqlPattern = BpePattern.replace("'", "''")
+    s"""WITH t AS (SELECT lang,
+       |  CAST(len(regexp_extract_all(text, '$sqlPattern')) AS BIGINT) AS n_bpe,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+       |g AS (SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM t GROUP BY 1)
+       |SELECT lang, n_docs, bpe_tokens, ws_tokens, chars,
+       |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility,
+       |  CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS chars_per_token
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
@@ -858,6 +908,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,
