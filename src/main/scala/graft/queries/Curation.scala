@@ -836,6 +836,92 @@ object Curation {
        |  CASE WHEN (grp * 1000003) % 10 < 8 THEN 'train' ELSE 'test' END AS split
        |FROM assigned ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- q205 split drift χ²
+  /** Language-distribution drift between q107's train and test
+    * splits: the lang × split contingency table with expected counts
+    * and the Pearson χ² statistic — the representativeness audit a
+    * group-aware split needs (hash-splitting by dup GROUP is unbiased
+    * in expectation, but a correlated dup structure can still skew a
+    * stratum; this is the number that says whether the test split
+    * speaks the same languages as train). Exact complement to q143's
+    * distribution-drift audit, applied to the split boundary.
+    *
+    * Determinism: observed counts are integers; expected counts and
+    * per-cell contributions are IEEE ops on those integers in one
+    * fixed order; the χ² total quantizes each contribution to
+    * DECIMAL(25,6) before the whole-table sum (|langs| rows).
+    *
+    * Scale: the q107 broadcast-group tag, then one map-side-combined
+    * aggregation to |langs| rows; every window runs on that tiny
+    * relation. */
+  def q205SplitDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val groups = Dedup.qDedupGroups(s, dir)
+      .select(col("doc_id"), col("group_id"))
+    val tagged = docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("split",
+        when(expr("(grp * 1000003) % 10") < 8, lit("train"))
+          .otherwise(lit("test")))
+    val w = Window.partitionBy()
+    tagged.groupBy("lang")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .withColumn("tot_train", sum(col("n_train")).over(w))
+      .withColumn("tot_test", sum(col("n_test")).over(w))
+      .withColumn("n", col("tot_train") + col("tot_test"))
+      .withColumn("row_tot", col("n_train") + col("n_test"))
+      .withColumn("e_train",
+        col("row_tot").cast("double") * col("tot_train").cast("double") /
+          col("n").cast("double"))
+      .withColumn("e_test",
+        col("row_tot").cast("double") * col("tot_test").cast("double") /
+          col("n").cast("double"))
+      .withColumn("contrib",
+        (col("n_train").cast("double") - col("e_train")) *
+          (col("n_train").cast("double") - col("e_train")) / col("e_train") +
+          (col("n_test").cast("double") - col("e_test")) *
+            (col("n_test").cast("double") - col("e_test")) / col("e_test"))
+      .withColumn("chi2",
+        sum(col("contrib").cast(dec)).over(w).cast("double"))
+      .select("lang", "n_train", "n_test", "e_train", "e_test",
+        "contrib", "chi2")
+      .orderBy("lang")
+  }
+
+  val q205Sql: String =
+    s"""WITH groups AS (
+       |  SELECT doc_id, group_id FROM (${Dedup.qDedupGroupsSql}) g),
+       |tagged AS (SELECT d.lang,
+       |  CASE WHEN (COALESCE(g.group_id, d.doc_id) * 1000003) % 10 < 8
+       |       THEN 'train' ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
+       |cells AS (SELECT lang,
+       |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_train,
+       |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_test
+       |  FROM tagged GROUP BY 1),
+       |tot AS (SELECT *,
+       |  CAST(SUM(n_train) OVER () AS BIGINT) AS tot_train,
+       |  CAST(SUM(n_test) OVER () AS BIGINT) AS tot_test FROM cells),
+       |ex AS (SELECT *, tot_train + tot_test AS n,
+       |  n_train + n_test AS row_tot FROM tot),
+       |ee AS (SELECT *,
+       |  CAST(row_tot AS DOUBLE) * CAST(tot_train AS DOUBLE) /
+       |    CAST(n AS DOUBLE) AS e_train,
+       |  CAST(row_tot AS DOUBLE) * CAST(tot_test AS DOUBLE) /
+       |    CAST(n AS DOUBLE) AS e_test FROM ex),
+       |ct AS (SELECT *,
+       |  (CAST(n_train AS DOUBLE) - e_train) *
+       |    (CAST(n_train AS DOUBLE) - e_train) / e_train +
+       |  (CAST(n_test AS DOUBLE) - e_test) *
+       |    (CAST(n_test AS DOUBLE) - e_test) / e_test AS contrib FROM ee)
+       |SELECT lang, n_train, n_test, e_train, e_test, contrib,
+       |  CAST(SUM(CAST(contrib AS DECIMAL(25,6))) OVER () AS DOUBLE) AS chi2
+       |FROM ct ORDER BY lang""".stripMargin
+
   // --------------------------------------------- q109 doc chunking
   /** Fixed-window document chunking with overlap (the RAG / context-
     * window splitter): token windows of [[ChunkWindow]] at stride
@@ -1456,6 +1542,7 @@ object Curation {
     "q194_budget_apportion" -> (q194BudgetApportion _),
     "q196_temperature_mix" -> (q196TemperatureMix _),
     "q198_score_auc" -> (q198ScoreAuc _),
+    "q205_split_drift" -> (q205SplitDrift _),
     "q199_length_buckets" -> (q199LengthBuckets _),
     "q200_bigram_xent" -> (q200BigramXent _),
     "q192_k_anonymity" -> (q192KAnonymity _),
@@ -1482,6 +1569,7 @@ object Curation {
     "q194_budget_apportion" -> q194Sql,
     "q196_temperature_mix" -> q196Sql,
     "q198_score_auc" -> q198Sql,
+    "q205_split_drift" -> q205Sql,
     "q199_length_buckets" -> q199Sql,
     "q200_bigram_xent" -> q200Sql,
     "q192_k_anonymity" -> q192Sql,

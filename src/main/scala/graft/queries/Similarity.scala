@@ -1065,6 +1065,202 @@ object Similarity {
        |FROM vr ORDER BY p""".stripMargin
   }
 
+  // ------------------------------------ q203 Fisher class separation
+  /** Per-dimension Fisher separation of the labeled embedding space:
+    * between-class variance over within-class variance for every
+    * coordinate — the feature-quality audit behind "which dimensions
+    * actually carry the label signal" (high ratio ⇒ discriminative
+    * axis; all-low ⇒ the labels are not linearly visible and an ANN
+    * probe on raw coordinates won't stratify). The q183 moment
+    * machinery refined one level: moments per (dimension, class).
+    *
+    * Determinism: per-class moments route through DECIMAL
+    * ([[Relational.dsum]]); the class→dimension reductions re-quantize
+    * each class term before summing (≤ |classes| terms, order cannot
+    * change bits); every division is IEEE on identical operands.
+    *
+    * Scale: ONE posexplode shuffle to (dim, label) granularity —
+    * |dim|·|classes| rows — then windows and rollups over that tiny
+    * relation; the corpus is touched once, map-side combined. */
+  def q203FisherSep(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val ex = emb(s, dir).select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("p"), col("col").cast("double").as("v"))
+    val cls = ex.groupBy(col("p"), col("label")).agg(
+      count(lit(1)).as("nc"),
+      Relational.dsum(col("v")).as("svc"),
+      Relational.dsum(col("v") * col("v")).as("svvc"))
+    val wp = Window.partitionBy("p")
+    cls
+      .withColumn("n", sum(col("nc")).over(wp))
+      .withColumn("sv", sum(col("svc").cast(dec)).over(wp).cast("double"))
+      .withColumn("within_c",
+        col("svvc") - col("svc") * col("svc") / col("nc"))
+      .withColumn("between_c",
+        col("nc") * (col("svc") / col("nc") - col("sv") / col("n")) *
+          (col("svc") / col("nc") - col("sv") / col("n")))
+      .groupBy("p")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_classes"),
+        sum(col("within_c").cast(dec)).cast("double").as("within_ss"),
+        sum(col("between_c").cast(dec)).cast("double").as("between_ss"))
+      .withColumn("within_var",
+        col("within_ss") / (col("n") - col("n_classes")))
+      .withColumn("between_var",
+        col("between_ss") / (col("n_classes") - 1))
+      .select(col("p"), col("n"), col("n_classes"),
+        round(col("within_var"), 6).as("within_var"),
+        round(col("between_var"), 6).as("between_var"),
+        round(col("between_var") / col("within_var"), 6).as("fisher"))
+      .orderBy("p")
+  }
+
+  val q203Sql: String = {
+    import Relational.DSUM
+    s"""WITH ex AS (SELECT label,
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'p': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS s
+       |  FROM embeddings),
+       |e AS (SELECT label, s.p AS p, s.v AS v FROM ex),
+       |cls AS (SELECT p, label, COUNT(*) AS nc, ${DSUM("v")} AS svc,
+       |  ${DSUM("v * v")} AS svvc FROM e GROUP BY 1, 2),
+       |tot AS (SELECT *,
+       |  CAST(SUM(nc) OVER (PARTITION BY p) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(svc AS DECIMAL(25,6))) OVER (PARTITION BY p)
+       |    AS DOUBLE) AS sv FROM cls),
+       |terms AS (SELECT p, n,
+       |  svvc - svc * svc / nc AS within_c,
+       |  nc * (svc / nc - sv / n) * (svc / nc - sv / n) AS between_c
+       |  FROM tot),
+       |g AS (SELECT p, MAX(n) AS n, COUNT(*) AS n_classes,
+       |  CAST(SUM(CAST(within_c AS DECIMAL(25,6))) AS DOUBLE) AS within_ss,
+       |  CAST(SUM(CAST(between_c AS DECIMAL(25,6))) AS DOUBLE) AS between_ss
+       |  FROM terms GROUP BY 1)
+       |SELECT p, n, n_classes,
+       |  round(within_ss / (n - n_classes), 6) AS within_var,
+       |  round(between_ss / (n_classes - 1), 6) AS between_var,
+       |  round((between_ss / (n_classes - 1)) /
+       |        (within_ss / (n - n_classes)), 6) AS fisher
+       |FROM g ORDER BY p""".stripMargin
+  }
+
+  // ------------------------------------------ q206 PC1 power iteration
+  /** Top principal component of the embedding corpus by fixed-round
+    * power iteration over the exact covariance matrix — the anisotropy
+    * audit behind "is cosine retrieval dominated by one rogue
+    * direction" (Mu & Viswanath's all-but-the-top observation) and the
+    * whitening direction a post-processor would remove. Emits per
+    * dimension the signed PC1 loading plus the eigenvalue estimate
+    * (‖C·v‖ after the final round) and its share of total variance
+    * (trace).
+    *
+    * Spark-first linear algebra: covariance is ONE self-join outer-
+    * product aggregation — (vec_id,i,v) ⋈ (vec_id,j,w) → dsum(v·w)
+    * per (i,j) — i.e. a |dim|²-row relation built map-side-combined
+    * from a single corpus pass (no driver matrices, no collect). The
+    * three matvec+normalize rounds then run on that |dim|²-row
+    * relation joined against a |dim|-row vector — constant-size work
+    * independent of corpus size, exactly how an iterative solver
+    * should sit on top of a 100 TB scan.
+    *
+    * Determinism: every reduction (covariance moments, matvec terms,
+    * norms, trace) quantizes to a shifted DECIMAL(25,6) — terms ·2^10
+    * before the cast, the sum /2^10 after, both exact double ops — so
+    * neither join order nor partitioning changes bits; sqrt and the
+    * divisions are IEEE-exact on identical operands; v₀ = 1/√64 =
+    * 0.125 exactly. The sign convention (make the largest-|loading|
+    * coordinate positive, min index on ties) makes the eigenvector
+    * unique — power iteration's inherent sign ambiguity would
+    * otherwise be engine-dependent. Three rounds is a FIXED contract,
+    * not a convergence loop: both engines run the identical
+    * computation graph. */
+  val Pc1Rounds = 3
+
+  def q206Pc1Power(s: SparkSession, dir: String): DataFrame = {
+    // Reductions here need more than the repo-wide 6-dp quantum: after
+    // normalization the matvec terms are ~1e-3 and plain DECIMAL(25,6)
+    // costs ~1e-3 relative error per round (measured: ‖v‖ drifting to
+    // 0.9976). Raising the decimal SCALE is not the fix — at scale 18
+    // the engines' double→decimal casts are no longer exactly rounded
+    // and last-ulp divergences appear (measured: 64/64 rows off by
+    // ~1e-16). Instead keep the proven 6-dp cast regime but shift the
+    // terms by 2^10 first: ·1024 and /1024 are EXACT double ops, the
+    // cast still sees O(1)-magnitude values (where both engines round
+    // identically), and the effective quantum becomes 1e-6/1024 ≈ 1e-9
+    // — unit-norm loadings to ~1e-8 with zero tie-boundary risk.
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    def dsum2(c: Column): Column =
+      (sum((c * lit(1024.0)).cast(dec)).cast("double") / lit(1024.0))
+    val ex = emb(s, dir).select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"), col("col").cast("double").as("v"))
+    val sums = ex.groupBy("i").agg(count(lit(1)).as("n"),
+      dsum2(col("v")).as("sv"))
+    val sxy = ex.join(ex.select(col("vec_id"), col("i").as("j"),
+        col("v").as("w")), "vec_id")
+      .groupBy("i", "j").agg(dsum2(col("v") * col("w")).as("svw"))
+    val cov = sxy
+      .join(sums.select(col("i"), col("sv").as("svi"), col("n")), "i")
+      .join(sums.select(col("i").as("j"), col("sv").as("svj")), "j")
+      .withColumn("cov",
+        (col("svw") - col("svi") * col("svj") / col("n")) / (col("n") - 1))
+      .select("i", "j", "cov")
+    var v = sums.select(col("i"), lit(0.125).as("vv"))
+    var nrm: DataFrame = null
+    var w: DataFrame = null
+    for (_ <- 1 to Pc1Rounds) {
+      w = cov.join(v.select(col("i").as("j"), col("vv")), "j")
+        .groupBy("i").agg(dsum2(col("cov") * col("vv")).as("w"))
+      nrm = w.agg(sqrt(dsum2(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("w") / col("nrm")).as("vv"))
+    }
+    val trace = cov.filter(col("i") === col("j"))
+      .agg(dsum2(col("cov")).as("trace"))
+    val wSgn = Window.orderBy(abs(col("vv")).desc, col("i"))
+    v.withColumn("s0", signum(first(col("vv")).over(wSgn)))
+      .withColumn("sgn", when(col("s0") === 0.0, 1.0).otherwise(col("s0")))
+      .crossJoin(broadcast(nrm)).crossJoin(broadcast(trace))
+      .select(col("i").as("p"), (col("vv") * col("sgn")).as("loading"),
+        col("nrm").as("eigenvalue"),
+        (col("nrm") / col("trace")).as("var_share"))
+      .orderBy("p")
+  }
+
+  val q206Sql: String = {
+    def D(x: String) =
+      s"(CAST(SUM(CAST(($x) * 1024.0 AS DECIMAL(25,6))) AS DOUBLE) / 1024.0)"
+    val rounds = (1 to Pc1Rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS (SELECT c.i, ${D(s"c.cov * $prev.vv")} AS w
+         |  FROM cov c JOIN $prev ON c.j = $prev.i GROUP BY 1),
+         |n$r AS (SELECT sqrt(${D("w * w")}) AS nrm FROM w$r),
+         |v$r AS (SELECT i, w / (SELECT nrm FROM n$r) AS vv FROM w$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val last = s"v$Pc1Rounds"
+    val lastN = s"n$Pc1Rounds"
+    s"""WITH ex0 AS (SELECT vec_id,
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    x -> {'i': x - 1, 'v': CAST(embedding[x] AS DOUBLE)})) AS s
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, s.i AS i, s.v AS v FROM ex0),
+       |sums AS (SELECT i, COUNT(*) AS n, ${D("v")} AS sv FROM e GROUP BY 1),
+       |sxy AS (SELECT a.i AS i, b.i AS j, ${D("a.v * b.v")} AS svw
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT s.i, s.j,
+       |  (s.svw - si.sv * sj.sv / si.n) / (si.n - 1) AS cov
+       |  FROM sxy s JOIN sums si ON s.i = si.i JOIN sums sj ON s.j = sj.i),
+       |v0 AS (SELECT i, 0.125 AS vv FROM sums),
+       |$rounds,
+       |tr AS (SELECT ${D("cov")} AS trace FROM cov WHERE i = j),
+       |sg AS (SELECT CASE WHEN t.f = 0 THEN 1.0 ELSE sign(t.f) END AS s
+       |  FROM (SELECT vv AS f FROM $last ORDER BY abs(vv) DESC, i LIMIT 1) t)
+       |SELECT $last.i AS p,
+       |  $last.vv * (SELECT s FROM sg) AS loading,
+       |  (SELECT nrm FROM $lastN) AS eigenvalue,
+       |  (SELECT nrm FROM $lastN) / (SELECT trace FROM tr) AS var_share
+       |FROM $last ORDER BY p""".stripMargin
+  }
+
   // --------------------------------------------- q186 SemDeDup apply
   /** SemDeDup-style semantic deduplication APPLIED (Abbas et al.'s
     * cluster-then-prune recipe, re-expressed Spark-first): assign every
@@ -1331,6 +1527,8 @@ object Similarity {
     "q188_int8_quant" -> (q188Int8Quant _),
     "q190_hard_negatives" -> (q190HardNegatives _),
     "q183_dim_stats" -> (q183DimStats _),
+    "q203_fisher_sep" -> (q203FisherSep _),
+    "q206_pc1_power" -> (q206Pc1Power _),
     "q168_kmeans" -> (qKmeans _),
     "q93_ann_eval" -> (qAnnEval _),
     "q82_label_centroids" -> (qLabelCentroids _),
@@ -1353,6 +1551,8 @@ object Similarity {
     "q188_int8_quant" -> q188Sql,
     "q190_hard_negatives" -> q190Sql,
     "q183_dim_stats" -> q183Sql,
+    "q203_fisher_sep" -> q203Sql,
+    "q206_pc1_power" -> q206Sql,
     "q168_kmeans" -> qKmeansSql,
     "q93_ann_eval" -> qAnnEvalSql,
     "q82_label_centroids" -> qLabelCentroidsSql,

@@ -887,7 +887,72 @@ object TextAnalysis {
        |FROM g ORDER BY lang""".stripMargin
   }
 
+  // ----------------------------------------------- q204 Zipf slope
+  /** Zipf's-law fit over the top-[[ZipfK]] token frequencies: ordinary
+    * least squares on (ln rank, ln freq) — the corpus-health scalar
+    * every distribution audit quotes (natural text sits near slope
+    * −1; templated/synthetic corpora flatten or steepen). The log-log
+    * regression runs over the BOUNDED top-k relation, never the
+    * vocabulary.
+    *
+    * Determinism: the top-k cut orders by (freq DESC, token) — a
+    * total order, so the boundary is engine-identical; each ln and
+    * each regression product quantizes to DECIMAL(25,6) before the
+    * K-row sums; slope and intercept are IEEE divisions of identical
+    * operands.
+    *
+    * Scale: one token-keyed map-side-combined shuffle, then
+    * TakeOrderedAndProject for the k rows — the q99 top-k shape; the
+    * regression itself is K-row arithmetic. */
+  val ZipfK = 100
+
+  def q204ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val top = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(ZipfK)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    ranked
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .withColumn("slope",
+        (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("k"))
+      .select("k", "slope", "intercept")
+  }
+
+  val q204Sql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, COUNT(*) AS freq FROM tok
+       |  WHERE length(tok) > 0 GROUP BY 1
+       |  ORDER BY freq DESC, tok LIMIT $ZipfK),
+       |r AS (SELECT freq,
+       |  ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM f),
+       |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+       |  ln(CAST(freq AS DOUBLE)) AS y FROM r),
+       |m AS (SELECT COUNT(*) AS k,
+       |  CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |  CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+       |  FROM xy),
+       |s AS (SELECT k, (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+       |  sx, sy FROM m)
+       |SELECT k, slope, (sy - slope * sx) / k AS intercept FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_zipf_slope" -> (q204ZipfSlope _),
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
@@ -908,6 +973,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q204_zipf_slope" -> q204Sql,
     "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,

@@ -423,6 +423,148 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rate === nContam.toDouble / nTest.toDouble, "rate formula")
   }
 
+  // ------------------------------------------------------------ q203
+  test("q203 Fisher ratios match an in-memory ANOVA recompute") {
+    val got = Similarity.q203FisherSep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val rows = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+    val dim = rows.head._2.length
+    got.foreach { case (p, n, nc, wv, bv, f) =>
+      assert(p >= 0 && p < dim)
+      assert(n === rows.length.toLong, s"dim $p population")
+      assert(nc === rows.map(_._1).distinct.length.toLong, s"dim $p classes")
+      assert(wv > 0.0 && bv >= 0.0 && f >= 0.0, s"dim $p variance signs")
+      // independent one-way ANOVA on raw doubles (no quantization):
+      // agreement within the 6-dp noise floor of the decimal pipeline
+      val vs = rows.map { case (l, e) => (l, e(p)) }
+      val grand = vs.map(_._2).sum / vs.length
+      val byClass = vs.groupBy(_._1).values.toSeq
+      val within = byClass.map(g => {
+        val m = g.map(_._2).sum / g.length
+        g.map(x => (x._2 - m) * (x._2 - m)).sum
+      }).sum / (vs.length - byClass.length)
+      val between = byClass.map(g => {
+        val m = g.map(_._2).sum / g.length
+        g.length * (m - grand) * (m - grand)
+      }).sum / (byClass.length - 1)
+      assert(math.abs(wv - within) < 1e-4, s"dim $p within $wv vs $within")
+      assert(math.abs(bv - between) < 1e-4, s"dim $p between $bv vs $between")
+      assert(math.abs(f - between / within) < 1e-3, s"dim $p fisher")
+    }
+    assert(got.length === dim, "one row per dimension")
+  }
+
+  // ------------------------------------------------------------ q204
+  test("q204 Zipf slope matches an in-memory OLS on the same top-k") {
+    val Array(row) = TextAnalysis.q204ZipfSlope(spark, dir).collect()
+    val (k, slope, intercept) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(slope < 0.0, "rank-frequency must decay")
+    val freqs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, a) => (t, a.length.toLong) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(TextAnalysis.ZipfK)
+    // the fixture vocabulary can be smaller than K at tiny SF — the
+    // cut is then the whole vocabulary, exactly as the engine sees it
+    assert(k === freqs.length.toLong, "k covers the available top-k")
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble))
+    }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val expIcpt = (sy - expSlope * sx) / n
+    assert(math.abs(slope - expSlope) < 1e-4, s"slope $slope vs $expSlope")
+    assert(math.abs(intercept - expIcpt) < 1e-4, "intercept")
+  }
+
+  // ------------------------------------------------------------ q205
+  test("q205 split-drift χ² reconciles with the q107 contingency table") {
+    val got = Curation.q205SplitDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val split = Curation.q107LeakSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val langs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getString(1), split(r.getLong(0))))
+    val obs = langs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 == "train").toLong, g.count(_._2 == "test").toLong)
+    }.toMap
+    val totTrain = obs.values.map(_._1).sum
+    val totTest = obs.values.map(_._2).sum
+    val n = totTrain + totTest
+    var chi2 = 0.0
+    got.foreach { case (lang, nTr, nTe, eTr, eTe, contrib, _) =>
+      val (oTr, oTe) = obs(lang)
+      assert(nTr === oTr && nTe === oTe, s"$lang observed counts")
+      val rowTot = oTr + oTe
+      val expTr = rowTot.toDouble * totTrain.toDouble / n.toDouble
+      val expTe = rowTot.toDouble * totTest.toDouble / n.toDouble
+      assert(eTr === expTr && eTe === expTe, s"$lang expected counts")
+      val c = (oTr.toDouble - expTr) * (oTr.toDouble - expTr) / expTr +
+        (oTe.toDouble - expTe) * (oTe.toDouble - expTe) / expTe
+      assert(contrib === c, s"$lang contribution")
+      chi2 += c
+    }
+    got.foreach { case (_, _, _, _, _, _, c2) =>
+      assert(math.abs(c2 - chi2) < 1e-5, "total chi2 on every row")
+    }
+    assert(got.map(_._1).toSet === obs.keySet, "every language present")
+  }
+
+  // ------------------------------------------------------------ q206
+  test("q206 PC1 matches an in-memory power iteration") {
+    val got = Similarity.q206Pc1Power(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val n = vecs.length
+    assert(got.length === d, "one loading per dimension")
+    // unit norm and the sign convention
+    val loadings = got.sortBy(_._1).map(_._2)
+    // norm deviates from 1 by ~quantum/Σw² (the shifted-decimal
+    // quantum against a small eigenvalue) — ~1e-6 here by design
+    val nrm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-5, s"unit loading norm, got $nrm")
+    val mx = loadings.indices.minBy(i => (-math.abs(loadings(i)), i))
+    assert(loadings(mx) > 0.0, "largest-|loading| coordinate positive")
+    // independent power iteration on the raw covariance (no decimal
+    // quantization): agreement to the quantization noise floor
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to Similarity.Pc1Rounds) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    val sgn = if (v(v.indices.minBy(i => (-math.abs(v(i)), i))) < 0) -1.0
+      else 1.0
+    val expected = v.map(_ * sgn)
+    loadings.zip(expected).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-2, s"loading $i: $a vs $b")
+    }
+    val (eig, share) = (got.head._3, got.head._4)
+    assert(math.abs(eig - lambda) / lambda < 1e-2, s"eigenvalue $eig vs $lambda")
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(share - eig / trace) < 1e-3, "variance share")
+    assert(got.forall(t => t._3 == eig && t._4 == share),
+      "eigenvalue/share constant across rows")
+  }
+
   // ------------------------------------------------------------ q202
   test("q202 fertility reconciles with q51's per-doc token counts") {
     val out = TextAnalysis.q202TokenizerFertility(spark, dir).collect()
