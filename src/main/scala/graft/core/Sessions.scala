@@ -40,6 +40,26 @@ object Sessions {
     }
   }
 
+  /** Materialize a managed cache as a PLAN-OPAQUE relation: coalesce
+    * to `parts`, compute eagerly, and truncate lineage
+    * (`localCheckpoint`), so consumers see a leaf RDD scan instead of
+    * the builder's full logical plan. For iterative builders (the CC
+    * fixpoint, PageRank) the un-truncated plan is thousands of nodes —
+    * `.cache()` short-circuits EXECUTION but every consumer still pays
+    * seconds of per-query ANALYSIS over the dead lineage (measured:
+    * q201 spent 6.3 of its 7 s in the driver re-analyzing a
+    * 13k-node tree, 0.6 s executing). An index artifact should cost
+    * its readers a scan node, nothing more.
+    *
+    * Caveat: localCheckpoint blocks are freed by the RDD, not
+    * `DataFrame.unpersist()` — a replaced cache entry (sf-dir switch)
+    * leaks its blocks for the session. The managed caches hold one
+    * dir at a time and the driver runs one sf per JVM, so the leak is
+    * bounded to one superseded artifact. */
+  def pin(df: org.apache.spark.sql.DataFrame, parts: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.coalesce(parts).localCheckpoint()
+
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -546,8 +546,9 @@ object Dedup {
           // scheduling overhead. Coalesce (narrow, no shuffle) to a
           // width matching the data; a production corpus sizes this
           // by |E| instead of a constant.
-          val e = pairs.union(pairs.select(col("d2").as("d1"),
-            col("d1").as("d2"))).coalesce(8).cache()
+          val e = graft.core.Sessions.pin(
+            pairs.union(pairs.select(col("d2").as("d1"),
+              col("d1").as("d2"))), 8)
           cachedCcEdges = Some((dir, e))
           e
       }
@@ -571,8 +572,7 @@ object Dedup {
           // coalesce for the same reason as ccEdges: the converged
           // label table is dup-graph-sized but inherits the fixpoint
           // loop's shuffle width
-          val df = dedupGroupsUncached(s, dir).coalesce(8).cache()
-          df.count() // materialize under the scoped confs
+          val df = graft.core.Sessions.pin(dedupGroupsUncached(s, dir), 8)
           cachedGroups = Some((dir, df))
           df
       }
@@ -711,7 +711,7 @@ object Dedup {
   // arrays at sf0.1). Caching materializes the arrays once; the
   // explode then only expands them.
   @transient private var cachedSh8: Option[(String, DataFrame)] = None
-  private def decontamShingles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def decontamShingles(s: SparkSession, dir: String): DataFrame =
     synchronized {
       cachedSh8 match {
         case Some((d, df)) if d == dir => df
@@ -1169,11 +1169,17 @@ object Dedup {
       .withColumn("split",
         when(expr("(grp * 1000003) % 10") < 8, lit("train"))
           .otherwise(lit("test")))
+    // Exchange economy: the train side dedups ON the join key, so its
+    // distinct partitioning is reused by the join; the test side joins
+    // RAW postings (no pre-distinct — a (doc,sh)-keyed dedup would add
+    // two exchanges only to remove within-doc repeats the final
+    // countDistinct absorbs anyway). Net: two wide ops over postings
+    // plus the Expand over the small contaminated-pair relation.
     val trainSh = tagged.filter(col("split") === "train")
       .select(explode(col("sh8")).as("sh")).distinct()
-    val testSh = tagged.filter(col("split") === "test")
-      .select(col("doc_id"), explode(col("sh8")).as("sh")).distinct()
-    val hits = testSh.join(trainSh, "sh")
+    val hits = tagged.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("sh8")).as("sh"))
+      .join(trainSh, "sh")
       .agg(countDistinct(col("doc_id")).as("n_contam"),
         countDistinct(col("sh")).as("n_shared_shingles"))
     tagged.filter(col("split") === "test")

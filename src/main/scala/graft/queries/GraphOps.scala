@@ -58,9 +58,9 @@ object GraphOps {
           val df = graft.core.Sessions.withConfs(s,
             "spark.sql.shuffle.partitions" -> "8",
             "spark.sql.adaptive.enabled" -> "false") {
-            val out = pagerankUncached(s, dir).cache()
-            out.count() // materialize under the scoped confs
-            out
+            // pin: materializes eagerly under the scoped confs AND
+            // truncates the PrIters-deep loop lineage for consumers
+            graft.core.Sessions.pin(pagerankUncached(s, dir), 8)
           }
           cachedRanks = Some((dir, df))
           df
@@ -229,10 +229,10 @@ object GraphOps {
           val edges = Dedup.ccEdges(s, dir)
           val deg = broadcast(edges.groupBy(col("d1").as("nid"))
             .agg(count(lit(1)).as("nd")))
-          val adj = edges.join(deg, edges("d2") === deg("nid"))
-            .select(col("d1").as("mid"), col("d2").as("nb"),
-              col("nd").as("nbd"))
-            .coalesce(8).cache()
+          val adj = graft.core.Sessions.pin(
+            edges.join(deg, edges("d2") === deg("nid"))
+              .select(col("d1").as("mid"), col("d2").as("nb"),
+                col("nd").as("nbd")), 8)
           cachedAdj = Some((dir, adj))
           adj
       }
