@@ -230,6 +230,14 @@ object PipelineQueries {
       .option("n", N).option("scanWidth", 64).option("versions", 5)
       .load()
       .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    multiversionContract(raw, s)
+  }
+
+  /** The q47 invariant battery over any envelope scan relation —
+    * shared by q47 (generated fixture store) and q207 (block-indexed
+    * sorted-run store), so the two stores are held to the SAME oracle
+    * constants. */
+  private def multiversionContract(raw: DataFrame, s: SparkSession): DataFrame = {
     val out = ExportPipeline.run(raw, Fixture.Topic, Fixture.keyService)
     val recs = ExportPipeline.records(out)
     val seq = coalesce(
@@ -253,6 +261,31 @@ object PipelineQueries {
       |CAST(2 AS BIGINT) AS max_v,
       |CAST(10000 AS BIGINT) AS n_ts_match,
       |CAST(10000 AS BIGINT) AS n_mts_match""".stripMargin
+
+  // --------------------------------------- q207 sorted-run store swap
+  /** q47's multi-version export contract with the store SWAPPED: the
+    * scan reads a block-indexed sorted-run snapshot on disk through
+    * [[graft.sources.SortedRunStore]] — manifest resolve, block-index
+    * seek, heap-merge of region generations with the pushed ts range
+    * applied at the block decoder, stop-at-slice-end (the exercised
+    * form of the HFile-snapshot plan, EnvelopeStore.scala; reference
+    * scan semantics HBaseReader.kt:145-150). The snapshot holds the
+    * SAME corpus (key i: 1 + i%5 versions at ts 1000+v, versions split
+    * across 2 generation files per region), so every golden constant
+    * of q47 must hold verbatim — overwritten versions never leak out
+    * of the merge, out-of-range newer versions lose at the decoder. */
+  def q207SortedRunExport(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sources.SortedRunFixture.snapshotDir(
+      N, versions = 5, regions = 4, gens = 2)
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "sortedrun").option("path", snap)
+      .option("scanWidth", 64)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    multiversionContract(raw, s)
+  }
+
+  val q207Sql: String = q47Sql
 
   // ------------------------------------------- q49 businessAudit e2e
   /** `data:businessAudit` corpus end-to-end: the decrypted payloads are
@@ -566,7 +599,8 @@ object PipelineQueries {
     "q47_multiversion_export" -> (q47MultiversionExport _),
     "q49_business_audit" -> (q49BusinessAudit _),
     "q50_equality_export" -> (q50EqualityExport _),
-    "q56_streaming_export" -> (q56StreamingParity _))
+    "q56_streaming_export" -> (q56StreamingParity _),
+    "q207_sortedrun_export" -> (q207SortedRunExport _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -578,5 +612,6 @@ object PipelineQueries {
     "q47_multiversion_export" -> q47Sql,
     "q49_business_audit" -> q49Sql,
     "q50_equality_export" -> q50Sql,
-    "q56_streaming_export" -> q56Sql)
+    "q56_streaming_export" -> q56Sql,
+    "q207_sortedrun_export" -> q207Sql)
 }

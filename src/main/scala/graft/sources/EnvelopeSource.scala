@@ -84,7 +84,9 @@ class EnvelopeSource extends TableProvider {
       opts.getInt("scanWidth", 64),
       opts.getBoolean("corrupt", false),
       opts.getLong("tsSpread", 1L),
-      opts.getInt("versions", 1))
+      opts.getInt("versions", 1),
+      opts.getOrDefault("store", "fixture"),
+      opts.getOrDefault("path", ""))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -98,17 +100,20 @@ object EnvelopeSource {
 }
 
 private[sources] class EnvelopeTable(n: Long, scanWidth: Int,
-    corrupt: Boolean, tsSpread: Long, versions: Int) extends Table with SupportsRead {
-  override def name(): String = s"graft_envelope(n=$n)"
+    corrupt: Boolean, tsSpread: Long, versions: Int,
+    storeKind: String, path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_envelope(n=$n,store=$storeKind)"
   override def schema(): StructType = EnvelopeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread, versions)
+    new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread, versions,
+      storeKind, path)
 }
 
 private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
-    corrupt: Boolean, tsSpread: Long, versions: Int)
+    corrupt: Boolean, tsSpread: Long, versions: Int,
+    storeKind: String, path: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -143,12 +148,13 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
     requiredSchema = required
 
   override def build(): Scan =
-    new EnvelopeScan(n, scanWidth, corrupt, tsSpread, versions, tsLo, tsHi,
-      requiredSchema, pushed)
+    new EnvelopeScan(n, scanWidth, corrupt, tsSpread, versions, storeKind,
+      path, tsLo, tsHi, requiredSchema, pushed)
 }
 
 private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
-    corrupt: Boolean, tsSpread: Long, versions: Int, tsLo: Long, tsHi: Long,
+    corrupt: Boolean, tsSpread: Long, versions: Int, storeKind: String,
+    path: String, tsLo: Long, tsHi: Long,
     requiredSchema: StructType, pushed: Array[Filter])
     extends Scan with Batch {
 
@@ -161,11 +167,17 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
 
   /** One input partition per signed-byte key-range slice
     * (HBasePartitioner analogue). The store rides in the partition —
-    * swapping [[FixtureEnvelopeStore]] for a real
-    * [[HFileSnapshotStoreSketch]]-style impl is the ONLY change a
-    * production deployment makes here. */
+    * `store=sortedrun` swaps the generated fixture for the
+    * block-indexed [[SortedRunStore]] snapshot scan (the exercised
+    * form of the [[HFileSnapshotStoreSketch]] contract); a production
+    * HBase deployment makes the same one-line swap here. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val store = FixtureEnvelopeStore(n, corrupt, tsSpread, versions)
+    val store: EnvelopeStore = storeKind match {
+      case "sortedrun" =>
+        require(path.nonEmpty, "store=sortedrun requires a path option")
+        SortedRunStore(path)
+      case _ => FixtureEnvelopeStore(n, corrupt, tsSpread, versions)
+    }
     (0 until 256 / scanWidth).map(i =>
       EnvelopePartition(KeySlice(i, scanWidth), store, TsRange(tsLo, tsHi),
         requiredSchema.fieldNames): InputPartition).toArray

@@ -112,6 +112,14 @@ final case class FixtureEnvelopeStore(n: Long, corrupt: Boolean,
   * build fills in, and everything above the [[EnvelopeStore]] seam —
   * planning, pushdown, pruning, the row adapter — is already done.
   *
+  * Every step below is EXERCISED CODE against the in-repo sorted-run
+  * format: [[SortedRunStore]] implements this exact contract over
+  * block-indexed run files (manifest resolve → block-index seek →
+  * heap-merge with the ts range applied at the decoder →
+  * stop-at-slice-end → reopen-at-key retry), and EnvelopeStoreSpec
+  * runs both stores through the same slice/ts/version contract — so
+  * the production HFile port swaps the file decoder, not the design.
+  *
   * A production `scan(slice, ts)` would:
   *  1. resolve the snapshot manifest to the HFiles of the regions
   *     overlapping [slice.startByte, slice.stopByte) (manifest read

@@ -1,13 +1,78 @@
 package graft.sources
 
+import java.nio.file.Files
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit spec for the store seam extracted from the DSv2 source:
   * KeySlice byte bounds (the HBasePartitioner contract), VersionSelect
-  * winner arithmetic (Scan.setTimeRange + one-version semantics), the
-  * fixture store's pruning behavior, and the HFile sketch's explicit
-  * unsupported-ness (it must FAIL, not silently return nothing). */
+  * winner arithmetic (Scan.setTimeRange + one-version semantics), and
+  * the SAME slice/ts/version contract run against BOTH stores — the
+  * generated [[FixtureEnvelopeStore]] and the block-indexed
+  * [[SortedRunStore]] (the exercised form of the HFile-snapshot scan
+  * plan) — plus the sorted-run-only behaviors: manifest pruning,
+  * block-index seek, and the reopen-at-key retry under injected
+  * faults. */
 class EnvelopeStoreSpec extends AnyFunSuite {
+
+  private val t0 = graft.pipeline.Fixture.CellTimestamp
+
+  /** Builds a sorted-run snapshot with the given fixture shape in a
+    * fresh temp dir (tiny blocks so every scan crosses many blocks
+    * and the seek path is exercised). */
+  private def sortedRunStore(n: Long, tsSpread: Long, versions: Int,
+      regions: Int = 4, gens: Int = 2): SortedRunStore = {
+    val dir = Files.createTempDirectory("graft-srs-spec")
+    SortedRunFixture.writeSnapshot(dir, n, versions, regions, gens,
+      tsSpread, blockEntries = 16)
+    SortedRunStore(dir.toString)
+  }
+
+  /** The store contract, identical for every implementation. */
+  private def storeContract(name: String,
+      mk: (Long, Long, Int) => EnvelopeStore): Unit = {
+
+    test(s"$name: scans only its slice, every key in exactly one slice") {
+      val store = mk(512L, 10L, 1)
+      val all = (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+      assert(all.size === 512, "every key appears in exactly one slice")
+      assert(all.map(c => c.hbaseId.toSeq).distinct.size === 512)
+    }
+
+    test(s"$name: applies the ts range to the scan") {
+      val store = mk(512L, 10L, 1)
+      // tsSpread=10 puts key i at CellTimestamp + i%10 — restricting
+      // to offset 0 keeps exactly the i%10==0 keys
+      val pruned = (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), TsRange(t0, t0)).toSeq)
+      assert(pruned.size === 512 / 10 + (if (512 % 10 > 0) 1 else 0))
+      assert(pruned.forall(_.ts === t0))
+    }
+
+    test(s"$name: multi-version winner ts matches VersionSelect") {
+      val store = mk(64L, 0L, 4)
+      val cells = (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), TsRange(0L, t0 + 1L)).toSeq)
+      // keys with 1 + (i % 4) versions, range caps at t0+1: every key
+      // yields its min(numVersions-1, 1) version
+      assert(cells.size === 64)
+      assert(cells.forall(c => c.ts === t0 || c.ts === t0 + 1L))
+    }
+
+    test(s"$name: keys with no in-range version yield nothing") {
+      val store = mk(64L, 0L, 4)
+      val cells = (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), TsRange(t0 + 4L, Long.MaxValue)).toSeq)
+      // max version index is 3 (ts t0+3) — nothing reaches t0+4
+      assert(cells.isEmpty)
+    }
+  }
+
+  storeContract("fixture store",
+    (n, spread, vs) => FixtureEnvelopeStore(n, corrupt = false, spread, vs))
+  storeContract("sorted-run store",
+    (n, spread, vs) => sortedRunStore(n, spread, vs))
 
   test("KeySlice covers the signed byte space exactly, no overlap") {
     val slices = (0 until 256 / 8).map(KeySlice(_, 8))
@@ -33,32 +98,81 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     assert(latestIn(1L, 1000L, TsRange(1000L, 1000L)) === Some(0L))
   }
 
-  test("fixture store scans only its slice and applies ts pruning") {
-    val store = FixtureEnvelopeStore(n = 512L, corrupt = false,
-      tsSpread = 10L, versions = 1)
-    val all = (0 until 256 / 8).flatMap(i =>
-      store.scan(KeySlice(i, 8), TsRange.All).toSeq)
-    assert(all.size === 512, "every key appears in exactly one slice")
-    assert(all.map(c => c.hbaseId.toSeq).distinct.size === 512)
-    // ts pruning: tsSpread=10 puts key i at CellTimestamp + i%10 —
-    // restricting to offset 0 keeps exactly the i%10==0 keys
-    val t0 = graft.pipeline.Fixture.CellTimestamp
-    val pruned = (0 until 256 / 8).flatMap(i =>
-      store.scan(KeySlice(i, 8), TsRange(t0, t0)).toSeq)
-    assert(pruned.size === 512 / 10 + (if (512 % 10 > 0) 1 else 0))
-    assert(pruned.forall(_.ts === t0))
+  test("sorted-run cells are byte-identical to the fixture store's") {
+    val fix = FixtureEnvelopeStore(200L, corrupt = false, 0L, 5)
+    val srs = sortedRunStore(200L, 0L, 5)
+    def dump(s: EnvelopeStore, range: TsRange) =
+      (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value)).sortBy(_._1.toString)
+    assert(dump(srs, TsRange.All) === dump(fix, TsRange.All))
+    // the reference's core read shape: range caps mid-version-stack
+    val capped = TsRange(0L, t0 + 2L)
+    assert(dump(srs, capped) === dump(fix, capped))
+    assert(dump(srs, capped).nonEmpty)
   }
 
-  test("multi-version store: winner ts matches VersionSelect") {
-    val store = FixtureEnvelopeStore(n = 64L, corrupt = false,
-      tsSpread = 0L, versions = 4)
-    val t0 = graft.pipeline.Fixture.CellTimestamp
-    val cells = (0 until 256 / 8).flatMap(i =>
-      store.scan(KeySlice(i, 8), TsRange(0L, t0 + 1L)).toSeq)
-    // keys with 1 + (i % 4) versions, range caps at t0+1: every key
-    // yields its min(numVersions-1, 1) version
-    assert(cells.size === 64)
-    assert(cells.forall(c => c.ts === t0 || c.ts === t0 + 1L))
+  test("manifest resolve prunes runs: a slice opens only its region's files") {
+    // 4 regions × 2 gens; a width-8 slice lies inside ONE region →
+    // at most 2 file opens (one per generation of that region)
+    val dir = Files.createTempDirectory("graft-srs-prune")
+    SortedRunFixture.writeSnapshot(dir, 512L, 3, regions = 4, gens = 2,
+      blockEntries = 16)
+    val store = SortedRunStore(dir.toString)
+    SortedRunFormat.readManifest(dir.toString) // warm the memo
+    val before = SortedRunFormat.opens.get()
+    val cells = store.scan(KeySlice(3, 8), TsRange.All).toSeq
+    val opened = SortedRunFormat.opens.get() - before
+    assert(opened <= 2, s"slice scan opened $opened files, expected <= 2")
+    assert(cells.nonEmpty)
+    // and a full sweep still sees every key exactly once
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    assert(all.size === 512)
+  }
+
+  test("block-index binary seek lands on the right block") {
+    import SortedRunFormat.{seekBlock, BlockRef}
+    val idx = Array(
+      BlockRef(0L, Array[Byte](10)),
+      BlockRef(100L, Array[Byte](20)),
+      BlockRef(200L, Array[Byte](30)))
+    assert(seekBlock(idx, Array[Byte](5)) === 0) // before first block
+    assert(seekBlock(idx, Array[Byte](10)) === 0)
+    assert(seekBlock(idx, Array[Byte](15)) === 0)
+    assert(seekBlock(idx, Array[Byte](20)) === 1)
+    assert(seekBlock(idx, Array[Byte](25)) === 1)
+    assert(seekBlock(idx, Array[Byte](99)) === 2)
+    // unsigned compare: 0x80 sorts ABOVE 0x30, not below
+    assert(seekBlock(idx, Array[Byte](-128)) === 2)
+  }
+
+  test("reopen-at-key retry: injected mid-scan faults change nothing") {
+    val dir = Files.createTempDirectory("graft-srs-fault")
+    SortedRunFixture.writeSnapshot(dir, 300L, 4, regions = 2, gens = 2,
+      blockEntries = 16)
+    def dump(store: SortedRunStore, range: TsRange) =
+      (0 until 256 / 32).flatMap(i => store.scan(KeySlice(i, 32), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+    val clean = SortedRunStore(dir.toString)
+    for (failAt <- Seq(1, 7, 50); range <- Seq(TsRange.All, TsRange(0L, t0 + 1L))) {
+      val flaky = SortedRunStore(dir.toString, failAfterEntries = Some(failAt))
+      assert(dump(flaky, range) === dump(clean, range),
+        s"fault after $failAt entries must not change the scan (range $range)")
+    }
+  }
+
+  test("a corrupt trailer magic is rejected, not silently scanned") {
+    val dir = Files.createTempDirectory("graft-srs-corrupt")
+    SortedRunFixture.writeSnapshot(dir, 50L, 1, regions = 1, gens = 1,
+      blockEntries = 16)
+    val file = java.nio.file.Paths.get(dir.toString,
+      SortedRunFormat.readManifest(dir.toString).head.file)
+    val bytes = Files.readAllBytes(file)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x5a).toByte
+    Files.write(file, bytes)
+    intercept[IllegalArgumentException] {
+      SortedRunFormat.readBlockIndex(file.toString)
+    }
   }
 
   test("the HFile snapshot sketch refuses to scan without a runtime") {
