@@ -60,9 +60,17 @@ object Sessions {
       : org.apache.spark.sql.DataFrame =
     df.coalesce(parts).localCheckpoint()
 
-  def local(cpus: String): SparkSession = {
+  /** `maxTaskFailures > 1` enables task retry in local mode
+    * (`local[N, F]`) — specs exercising fault-injected sources need a
+    * second attempt; production clusters retry by default
+    * (spark.task.maxFailures=4), so retrying-local is the FAITHFUL
+    * mode and plain local the exception. */
+  def local(cpus: String, maxTaskFailures: Int = 1): SparkSession = {
+    val master =
+      if (maxTaskFailures > 1) s"local[$cpus,$maxTaskFailures]"
+      else s"local[$cpus]"
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

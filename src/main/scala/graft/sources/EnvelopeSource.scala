@@ -86,7 +86,8 @@ class EnvelopeSource extends TableProvider {
       opts.getLong("tsSpread", 1L),
       opts.getInt("versions", 1),
       opts.getOrDefault("store", "fixture"),
-      opts.getOrDefault("path", ""))
+      opts.getOrDefault("path", ""),
+      opts.getInt("failAfter", 100))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -101,19 +102,20 @@ object EnvelopeSource {
 
 private[sources] class EnvelopeTable(n: Long, scanWidth: Int,
     corrupt: Boolean, tsSpread: Long, versions: Int,
-    storeKind: String, path: String) extends Table with SupportsRead {
+    storeKind: String, path: String, failAfter: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_envelope(n=$n,store=$storeKind)"
   override def schema(): StructType = EnvelopeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread, versions,
-      storeKind, path)
+      storeKind, path, failAfter)
 }
 
 private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
     corrupt: Boolean, tsSpread: Long, versions: Int,
-    storeKind: String, path: String)
+    storeKind: String, path: String, failAfter: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -149,12 +151,12 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
 
   override def build(): Scan =
     new EnvelopeScan(n, scanWidth, corrupt, tsSpread, versions, storeKind,
-      path, tsLo, tsHi, requiredSchema, pushed)
+      path, failAfter, tsLo, tsHi, requiredSchema, pushed)
 }
 
 private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
     corrupt: Boolean, tsSpread: Long, versions: Int, storeKind: String,
-    path: String, tsLo: Long, tsHi: Long,
+    path: String, failAfter: Int, tsLo: Long, tsHi: Long,
     requiredSchema: StructType, pushed: Array[Filter])
     extends Scan with Batch {
 
@@ -176,6 +178,9 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
       case "sortedrun" =>
         require(path.nonEmpty, "store=sortedrun requires a path option")
         SortedRunStore(path)
+      case "flaky" => // fault-injection seam for the task-retry spec
+        FlakyEnvelopeStore(
+          FixtureEnvelopeStore(n, corrupt, tsSpread, versions), failAfter)
       case _ => FixtureEnvelopeStore(n, corrupt, tsSpread, versions)
     }
     (0 until 256 / scanWidth).map(i =>

@@ -103,6 +103,45 @@ final case class FixtureEnvelopeStore(n: Long, corrupt: Boolean,
   }
 }
 
+/** Failure-injection wrapper proving the trait's cross-attempt retry
+  * contract under Spark's OWN scheduler: on the FIRST attempt of each
+  * task (TaskContext.attemptNumber == 0) the scan dies mid-slice after
+  * `failAfter` cells; the retry attempt (a fresh task, fresh iterator)
+  * scans clean. Spark discards the dead attempt's uncommitted output,
+  * so the job result must be EXACTLY the fault-free result — the
+  * Spark-native form of the reference's resume-at-key recovery
+  * (HBaseReader.kt:62-90), where re-work is bounded by slice width and
+  * no progress persists across attempts. Driver-side scans (no
+  * TaskContext) are never failed. */
+final case class FlakyEnvelopeStore(inner: EnvelopeStore, failAfter: Int)
+    extends EnvelopeStore {
+  override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] = {
+    val it = inner.scan(slice, ts)
+    val sliceDesc = slice.toString
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null || tc.attemptNumber() > 0) it
+    else new Iterator[EnvelopeCell] {
+      private var served = 0
+      override def hasNext: Boolean = it.hasNext
+      override def next(): EnvelopeCell = {
+        if (served >= failAfter) {
+          FlakyEnvelopeStore.faultsInjected.incrementAndGet()
+          throw new java.io.IOException(
+            s"injected mid-slice fault in $sliceDesc after $served cells")
+        }
+        served += 1
+        it.next()
+      }
+    }
+  }
+}
+
+object FlakyEnvelopeStore {
+  /** Observability for the spec: how many injected faults actually
+    * fired (a retry test that never faulted proves nothing). */
+  val faultsInjected = new java.util.concurrent.atomic.AtomicInteger
+}
+
 /** Documented skeleton of the real thing: an HBase-SNAPSHOT store
   * reading HFiles directly (the reference reads the live cluster,
   * HBaseReader.kt:145-187; at 100 TB the snapshot path is the right

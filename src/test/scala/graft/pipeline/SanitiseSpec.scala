@@ -65,7 +65,7 @@ class SanitiseSpec extends AnyFunSuite {
 
   test("column form agrees with the scala form") {
     import org.apache.spark.sql.functions.col
-    val spark = graft.core.Sessions.local("4")
+    val spark = graft.core.Sessions.local("4", maxTaskFailures = 2)
     import spark.implicits._
     val rows = Seq(
       (ser("""{"a": "x$\r", "b_archived": "1"}"""), "penalties-and-deductions", "sanction"),

@@ -108,6 +108,28 @@ class EnvelopeSourceSpec extends SparkSuite {
     assert(recs.filter(col("doc").contains("d_oid")).count() == 500)
   }
 
+  test("task retry: a fault mid-slice on the first attempt yields exactly-once " +
+      "output (HBaseReader.kt:62-90 resume semantics under Spark's scheduler)") {
+    // the shared session runs local[4,2] (maxTaskFailures=2): every
+    // slice's first attempt dies after 50 cells, the retry attempt
+    // scans clean, and Spark discards the dead attempt's output
+    assert(spark.sparkContext.master.endsWith(",2]"),
+      s"retry spec needs task retries enabled: ${spark.sparkContext.master}")
+    val before = FlakyEnvelopeStore.faultsInjected.get()
+    val flaky = read("n" -> "2000", "store" -> "flaky", "failAfter" -> "50")
+      .select(hex(col("hbase_id")).as("k"), col("ts"), col("value"))
+    val clean = read("n" -> "2000")
+      .select(hex(col("hbase_id")).as("k"), col("ts"), col("value"))
+    // exactly-once: multiset equality in both directions, no dup keys
+    assert(flaky.exceptAll(clean).count() == 0)
+    assert(clean.exceptAll(flaky).count() == 0)
+    assert(flaky.select(countDistinct(col("k"))).head().getLong(0) == 2000L)
+    // and the faults actually FIRED (one per slice = 4 partitions) —
+    // a retry test that never faulted proves nothing
+    val fired = FlakyEnvelopeStore.faultsInjected.get() - before
+    assert(fired >= 4, s"expected >=4 injected faults, saw $fired")
+  }
+
   test("total source work is O(n): one index pass, readers touch only their slice") {
     // fresh (n, width) so the memo cannot have been built by another test
     val n = 7777L
