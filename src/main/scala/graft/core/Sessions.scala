@@ -51,20 +51,68 @@ object Sessions {
     * 13k-node tree, 0.6 s executing). An index artifact should cost
     * its readers a scan node, nothing more.
     *
-    * Caveat: localCheckpoint blocks are freed by the RDD, not
-    * `DataFrame.unpersist()` — a replaced cache entry (sf-dir switch)
-    * leaks its blocks for the session. The managed caches hold one
-    * dir at a time and the driver runs one sf per JVM, so the leak is
-    * bounded to one superseded artifact. */
+    * localCheckpoint blocks are freed by the underlying RDD, not
+    * `DataFrame.unpersist()` — replacement/teardown goes through
+    * [[unpin]] (the [[PinnedCache]] registry does this), so a
+    * superseded artifact's storage is actually released. */
   def pin(df: org.apache.spark.sql.DataFrame, parts: Int)
       : org.apache.spark.sql.DataFrame =
     df.coalesce(parts).localCheckpoint()
+
+  /** The RDDs holding a [[pin]]ned artifact's storage: a
+    * localCheckpoint'd DataFrame plans as a `LogicalRDD` leaf whose
+    * RDD owns the persisted blocks. */
+  private[graft] def pinnedRddIds(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Frees a managed artifact's storage whether it was `.cache()`d or
+    * [[pin]]ned: `DataFrame.unpersist` covers the former and is a
+    * no-op on the latter (the blocks belong to the checkpointed RDD),
+    * so the underlying `LogicalRDD` RDDs are released explicitly. */
+  def unpin(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    pinnedRddIds(df).foreach(_.unpersist(blocking = false))
+  }
 
   /** `maxTaskFailures > 1` enables task retry in local mode
     * (`local[N, F]`) — specs exercising fault-injected sources need a
     * second attempt; production clusters retry by default
     * (spark.task.maxFailures=4), so retrying-local is the FAITHFUL
     * mode and plain local the exception. */
+  /** Single-slot per-dir registry for managed [[Sessions.pin]]ned (or
+    * `.cache()`d) artifacts — the pattern shared by the CC edge/label
+    * tables, PageRank, and the 2-hop adjacency: at most ONE artifact
+    * per cache, keyed by the sf dir that built it, with the superseded
+    * artifact's storage actually FREED on replacement (via
+    * [[Sessions.unpin]] — plain `unpersist` is a no-op on
+    * localCheckpoint blocks) so a long-lived session switching dirs
+    * holds bounded storage. */
+  final class PinnedCache {
+    @transient private var entry: Option[(String, org.apache.spark.sql.DataFrame)] = None
+
+    def getOrElseUpdate(dir: String)(
+        build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      synchronized {
+        entry match {
+          case Some((d, df)) if d == dir => df
+          case prev =>
+            prev.foreach { case (_, df) => Sessions.unpin(df) }
+            entry = None // build may throw; never hold a freed artifact
+            val df = build
+            entry = Some((dir, df))
+            df
+        }
+      }
+
+    def clear(): Unit = synchronized {
+      entry.foreach { case (_, df) => Sessions.unpin(df) }
+      entry = None
+    }
+  }
+
   def local(cpus: String, maxTaskFailures: Int = 1): SparkSession = {
     val master =
       if (maxTaskFailures > 1) s"local[$cpus,$maxTaskFailures]"

@@ -47,23 +47,16 @@ object GraphOps {
   // and AQE off (per-stage re-planning is a fixed cost per superstep
   // that edge-count-sized rounds cannot amortize — the q63 argument; a
   // production-scale graph leaves AQE on and skips the pinning).
-  @transient private var cachedRanks: Option[(String, DataFrame)] = None
+  private val ranksCache = new graft.core.Sessions.PinnedCache
 
   def q111Pagerank(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      cachedRanks match {
-        case Some((d, df)) if d == dir => df
-        case prev =>
-          prev.foreach(_._2.unpersist())
-          val df = graft.core.Sessions.withConfs(s,
-            "spark.sql.shuffle.partitions" -> "8",
-            "spark.sql.adaptive.enabled" -> "false") {
-            // pin: materializes eagerly under the scoped confs AND
-            // truncates the PrIters-deep loop lineage for consumers
-            graft.core.Sessions.pin(pagerankUncached(s, dir), 8)
-          }
-          cachedRanks = Some((dir, df))
-          df
+    ranksCache.getOrElseUpdate(dir) {
+      graft.core.Sessions.withConfs(s,
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.adaptive.enabled" -> "false") {
+        // pin: materializes eagerly under the scoped confs AND
+        // truncates the PrIters-deep loop lineage for consumers
+        graft.core.Sessions.pin(pagerankUncached(s, dir), 8)
       }
     }
 
@@ -219,23 +212,16 @@ object GraphOps {
   // stages of pure scheduling against a dup-graph-sized relation. The
   // cached (mid, nb, nbd) table is an index artifact like the CC label
   // table; a production pipeline materializes it beside the edge list.
-  @transient private var cachedAdj: Option[(String, DataFrame)] = None
+  private val adjCache = new graft.core.Sessions.PinnedCache
   private def rankedAdj(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      cachedAdj match {
-        case Some((d, df)) if d == dir => df
-        case prev =>
-          prev.foreach(_._2.unpersist())
-          val edges = Dedup.ccEdges(s, dir)
-          val deg = broadcast(edges.groupBy(col("d1").as("nid"))
-            .agg(count(lit(1)).as("nd")))
-          val adj = graft.core.Sessions.pin(
-            edges.join(deg, edges("d2") === deg("nid"))
-              .select(col("d1").as("mid"), col("d2").as("nb"),
-                col("nd").as("nbd")), 8)
-          cachedAdj = Some((dir, adj))
-          adj
-      }
+    adjCache.getOrElseUpdate(dir) {
+      val edges = Dedup.ccEdges(s, dir)
+      val deg = broadcast(edges.groupBy(col("d1").as("nid"))
+        .agg(count(lit(1)).as("nd")))
+      graft.core.Sessions.pin(
+        edges.join(deg, edges("d2") === deg("nid"))
+          .select(col("d1").as("mid"), col("d2").as("nb"),
+            col("nd").as("nbd")), 8)
     }
 
   def q147TwoHop(s: SparkSession, dir: String): DataFrame =
