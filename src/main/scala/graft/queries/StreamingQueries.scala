@@ -446,38 +446,68 @@ object StreamingQueries {
     *
     * Scale: per-band state is 8 bytes; the stream shuffles only
     * (band_key, doc_id) pairs — 3 narrow rows per doc regardless of
-    * document size; the final anti-join is batch-side reporting. */
-  final case class StreamDoc(doc_id: Long, text: String)
+    * document size; the final anti-join is batch-side reporting.
+    *
+    * Source: a real EXECUTOR-SIDE file stream — the documents table is
+    * staged once per (dir) as a two-file parquet replay directory
+    * (id-ordered halves, mod-times 1 min apart) and read back with
+    * `readStream.parquet + maxFilesPerTrigger=1`, so the query runs
+    * two genuine micro-batches whose rows never pass through the
+    * driver (MemoryStream remains only where a spec needs exact
+    * batch-boundary control: q61/q64/q91). File order = id order, the
+    * same arrival order every online dedup assumes. */
+  @transient private var memoReplay: Map[String, String] = Map.empty
 
-  @transient private var memoDocs: Map[String, Seq[StreamDoc]] = Map.empty
-  private def docRows(s: SparkSession, dir: String): Seq[StreamDoc] =
+  /** Stages `documents(doc_id, text)` as an id-split two-file replay
+    * dir (memoised per fixture dir; written once per JVM). */
+  private def replayDir(s: SparkSession, dir: String): String =
     synchronized {
-      memoDocs.getOrElse(dir, {
-        val rows = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
-          .map(r => StreamDoc(r.getLong(0), r.getString(1))).toSeq
-        memoDocs += dir -> rows
-        rows
+      memoReplay.getOrElse(dir, {
+        import scala.jdk.CollectionConverters._
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val cut = docs.selectExpr(
+          "cast(percentile(doc_id, 0.5) as bigint) as c").head().getLong(0)
+        val d = java.nio.file.Files.createTempDirectory("graft-q193-replay")
+        def stageHalf(half: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft-q193-half")
+          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $tmp"))
+          val dest = d.resolve(name)
+          java.nio.file.Files.move(part, dest)
+          dest.toFile.setLastModified(mtime)
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        // mod-times a minute apart: the file source replays in
+        // modification-time order, pinning batch order = id order
+        val t0 = System.currentTimeMillis() - 120000L
+        stageHalf(docs.filter(col("doc_id") <= cut), "replay-0.parquet", t0)
+        stageHalf(docs.filter(col("doc_id") > cut), "replay-1.parquet",
+          t0 + 60000L)
+        memoReplay += dir -> d.toString
+        d.toString
       })
     }
 
   def q193StreamNearDup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
 
-    val rows = docRows(s, dir)
-    // two micro-batches: state-carry across batches is what the parity
-    // proves, and each extra batch pays a full state-store commit round
-    val chunkSize = math.max(1, rows.size / 2)
     val qname = "graft_q193_bands"
     s.catalog.dropTempView(qname)
-    val stream = MemoryStream[StreamDoc]
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir(s, dir))
     val bandKeys = (0 until Dedup.SimhashNumBands).map { b =>
       s"(simhash div ${1L << (b * Dedup.SimhashBandBits)}) % " +
         s"${1L << Dedup.SimhashBandBits} + ${b.toLong << 32}"
     }.mkString("array(", ", ", ")")
-    val banded = stream.toDF()
+    val banded = streamed
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(Dedup.shinglesSpark))
       .withColumn("simhash", expr(Dedup.simhashSpark))
@@ -488,12 +518,10 @@ object StreamingQueries {
     withShufflePartitions(s, 4) {
       val query = verdicts.toDF().writeStream.format("memory")
         .queryName(qname).outputMode("append").start()
-      try {
-        rows.grouped(chunkSize).foreach { chunk =>
-          stream.addData(chunk)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      // one file per trigger: processAllAvailable drains BOTH replay
+      // files as two micro-batches with state carried across them
+      try query.processAllAvailable()
+      finally query.stop()
     }
     val killed = s.table(qname).filter(col("earlier"))
       .select(col("doc_id")).distinct()
