@@ -287,6 +287,63 @@ object PipelineQueries {
 
   val q207Sql: String = q47Sql
 
+  // --------------------------------- q208 incremental tiling invariant
+  /** The reference's operational contract (README.md:83-84): consecutive
+    * incremental exports tile — two incrementals over [t0,t1) ∪ [t1,t2)
+    * must reproduce the FULL export's record multiset exactly, with
+    * per-window manifest accounting summing to the full window's.
+    * Source spreads cell ts over [1000,1010); windows are [1000,1005)
+    * and [1005,1010), each range PUSHED into its scan. Checked: window
+    * totals tile (5000+5000=10000), the incremental DOC multiset union
+    * equals the full export's (zero full-outer count mismatches — the
+    * q88 reconciliation join), manifest ids tile with no overlap
+    * between windows (a record exports in exactly ONE incremental),
+    * and every id the full export emits appears in exactly one window. */
+  def q208IncrementalTiling(s: SparkSession, dir: String): DataFrame = {
+    def windowRecs(lo: Long, hi: Long, snapshotType: String): DataFrame = {
+      val raw = s.read.format("graft.sources.EnvelopeSource")
+        .option("n", N).option("scanWidth", 64).option("tsSpread", 10)
+        .load()
+        .filter(col("ts") >= lo && col("ts") < hi)
+      ExportPipeline.records(ExportPipeline.run(
+        raw, Fixture.Topic, Fixture.keyService, snapshotType = snapshotType))
+    }
+    val full = windowRecs(1000L, 1010L, "full")
+    val inc1 = windowRecs(1000L, 1005L, "incremental")
+    val inc2 = windowRecs(1005L, 1010L, "incremental")
+    val incs = inc1.unionAll(inc2)
+
+    val docMismatch = incs
+      .groupBy(col("doc").as("line")).agg(count(lit(1)).as("ni"))
+      .join(full.select(col("doc").as("line"))
+        .groupBy(col("line")).agg(count(lit(1)).as("nf")),
+        Seq("line"), "full_outer")
+      .filter(coalesce(col("ni"), lit(0L)) =!= coalesce(col("nf"), lit(0L)))
+      .count()
+    val idOverlap = inc1.select(col("m_id"))
+      .join(inc2.select(col("m_id")), Seq("m_id"), "inner").count()
+    val idMismatch = incs
+      .groupBy(col("m_id")).agg(count(lit(1)).as("ni"))
+      .join(full.groupBy(col("m_id")).agg(count(lit(1)).as("nf")),
+        Seq("m_id"), "full_outer")
+      .filter(coalesce(col("ni"), lit(0L)) =!= coalesce(col("nf"), lit(0L)))
+      .count()
+
+    import s.implicits._
+    Seq((full.count(), inc1.count(), inc2.count(),
+      docMismatch, idOverlap, idMismatch))
+      .toDF("n_full", "n_inc1", "n_inc2",
+        "n_doc_mismatch", "n_id_overlap", "n_id_mismatch")
+  }
+
+  val q208Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_full,
+      |CAST(5000 AS BIGINT) AS n_inc1,
+      |CAST(5000 AS BIGINT) AS n_inc2,
+      |CAST(0 AS BIGINT) AS n_doc_mismatch,
+      |CAST(0 AS BIGINT) AS n_id_overlap,
+      |CAST(0 AS BIGINT) AS n_id_mismatch""".stripMargin
+
   // ------------------------------------------- q49 businessAudit e2e
   /** `data:businessAudit` corpus end-to-end: the decrypted payloads are
     * audit events whose `context` the pipeline lifts, stamping
@@ -600,7 +657,8 @@ object PipelineQueries {
     "q49_business_audit" -> (q49BusinessAudit _),
     "q50_equality_export" -> (q50EqualityExport _),
     "q56_streaming_export" -> (q56StreamingParity _),
-    "q207_sortedrun_export" -> (q207SortedRunExport _))
+    "q207_sortedrun_export" -> (q207SortedRunExport _),
+    "q208_incremental_tiling" -> (q208IncrementalTiling _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -613,5 +671,6 @@ object PipelineQueries {
     "q49_business_audit" -> q49Sql,
     "q50_equality_export" -> q50Sql,
     "q56_streaming_export" -> q56Sql,
-    "q207_sortedrun_export" -> q207Sql)
+    "q207_sortedrun_export" -> q207Sql,
+    "q208_incremental_tiling" -> q208Sql)
 }
