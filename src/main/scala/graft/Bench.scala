@@ -23,20 +23,47 @@ import graft.core.Sessions
   * round-robin) so a window covering a whole interleaved pass cannot
   * pin the min high.
   *
+  * Scaling curve: unless SPARK_GRAFT_SF_DIR2 is set empty, the same
+  * warmup+interleaved-reps methodology runs a SECOND time at the
+  * smaller scale (default /root/testdata/sf0.01) and the artifact
+  * file carries `queries_sf2` plus a per-query `ratio` column
+  * (primary/secondary wall time). At a 10× data ratio, ratio ≈ 10 is
+  * linear scaling, ratio ≈ 1 is fixed-overhead-dominated (fixture
+  * pipeline queries, streaming state-store commit rounds), and
+  * ratio >> 10 is the superlinear smell the curve exists to catch —
+  * those names land in `superlinear` and a count lands on stdout.
+  *
   * A query that throws is reported as -1 in the `queries` map (its
   * stack trace goes to stderr) so a broken query can never masquerade
   * as a fast one; `total` sums successful queries only.
   */
 object Bench {
+
+  private final case class Pass(samples: Map[String, Vector[Double]],
+      warmups: Map[String, Option[Double]], failed: Set[String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2",
+      "/root/testdata/sf0.01") match {
+      case d if d.isEmpty || d == sfDir => None
+      case d if !java.nio.file.Files.isDirectory(java.nio.file.Path.of(d)) => None
+      case d => Some(d)
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+    // local-iteration aid, mirroring Verify: SPARK_GRAFT_BENCH_ONLY=q63,q147
+    // benches only the named prefixes; absent = all (driver).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
+
+    def timeOnce(dir: String)(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED: $e")
@@ -45,57 +72,88 @@ object Bench {
       }
     }
 
-    // local-iteration aid, mirroring Verify: SPARK_GRAFT_BENCH_ONLY=q63,q147
-    // benches only the named prefixes; absent = all (driver).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
-    // warmup pass: the only COLD run per query
-    val warmups: Map[String, Option[Double]] =
-      names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
-    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
-      .withDefaultValue(Vector.empty)
-    val failed = scala.collection.mutable.Set.empty[String]
-    failed ++= names.filter(warmups(_).isEmpty)
-    // interleaved timed passes
-    for (_ <- 1 to reps; n <- names if !failed(n))
-      timeOnce(SparkEntry.queries(n)) match {
-        case Some(t) => samples(n) = samples(n) :+ t
-        case None => failed += n
+    /** One full warmup + interleaved-reps + rescue measurement of every
+      * query at `dir` (the round-robin methodology above). */
+    def measure(dir: String): Pass = {
+      val warmups: Map[String, Option[Double]] =
+        names.map(n => n -> timeOnce(dir)(SparkEntry.queries(n))).toMap
+      val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      val failed = scala.collection.mutable.Set.empty[String]
+      failed ++= names.filter(warmups(_).isEmpty)
+      for (_ <- 1 to reps; n <- names if !failed(n))
+        timeOnce(dir)(SparkEntry.queries(n)) match {
+          case Some(t) => samples(n) = samples(n) :+ t
+          case None => failed += n
+        }
+      // rescue pass: one extra rep for queries whose spread exceeds 2x
+      // their min (a throttle window spanning a whole interleaved pass)
+      val noisy = names.filter { n =>
+        !failed(n) && samples(n).size == reps && reps > 1 &&
+          (samples(n).max - samples(n).min) > 2 * samples(n).min
       }
-    // rescue pass: one extra rep for queries whose spread exceeds 2x
-    // their min (a throttle window spanning a whole interleaved pass)
-    val noisy = names.filter { n =>
-      !failed(n) && samples(n).size == reps && reps > 1 &&
-        (samples(n).max - samples(n).min) > 2 * samples(n).min
+      if (noisy.nonEmpty)
+        System.err.println(s"[bench] rescue rep at $dir for noisy: ${noisy.mkString(", ")}")
+      for (n <- noisy)
+        timeOnce(dir)(SparkEntry.queries(n)).foreach(t => samples(n) = samples(n) :+ t)
+      Pass(samples.toMap.withDefaultValue(Vector.empty), warmups, failed.toSet)
     }
-    if (noisy.nonEmpty)
-      System.err.println(s"[bench] rescue rep for noisy: ${noisy.mkString(", ")}")
-    for (n <- noisy)
-      timeOnce(SparkEntry.queries(n)).foreach(t => samples(n) = samples(n) :+ t)
 
-    def ok(n: String): Boolean = !failed(n) && samples(n).size >= reps
-    names.filterNot(ok).foreach(n =>
+    val p1 = measure(sfDir)
+    def ok(p: Pass)(n: String): Boolean = !p.failed(n) && p.samples(n).size >= reps
+    def minOf(p: Pass)(n: String): Double = p.samples(n).min
+
+    names.filterNot(ok(p1)).foreach(n =>
       System.err.println(s"[bench] $n FAILED (reported as -1)"))
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = names.map { k =>
-      "\"" + k + "\":" + (if (ok(k)) fmt(samples(k).min) else "-1")
-    }.mkString("{", ",", "}")
-    val spread = names.collect { case k if ok(k) =>
-      "\"" + k + "\":" + fmt(samples(k).max - samples(k).min)
-    }.mkString("{", ",", "}")
+    def jmap(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val qs = jmap(names.map(k =>
+      k -> (if (ok(p1)(k)) fmt(minOf(p1)(k)) else "-1")))
+    val spread = jmap(names.collect { case k if ok(p1)(k) =>
+      k -> fmt(p1.samples(k).max - p1.samples(k).min) })
     // Cold-path observability: a cold-path regression moves
     // `warmup_total` even when the warm mins hold steady.
-    val warmupsJson = names.collect { case k if warmups(k).isDefined =>
-      "\"" + k + "\":" + fmt(warmups(k).get)
-    }.mkString("{", ",", "}")
-    val warmupTotal = warmups.values.flatten.sum
-    val total = names.collect { case k if ok(k) => samples(k).min }.sum
-    val nFailed = names.count(!ok(_))
+    val warmupsJson = jmap(names.collect { case k if p1.warmups(k).isDefined =>
+      k -> fmt(p1.warmups(k).get) })
+    val warmupTotal = p1.warmups.values.flatten.sum
+    val total = names.collect { case k if ok(p1)(k) => minOf(p1)(k) }.sum
+    val nFailed = names.count(!ok(p1)(_))
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed queries failed (reported as -1)")
+
+    // ---- scaling curve at the secondary sf ----
+    val p2 = sfDir2.map { d =>
+      System.err.println(s"[bench] scaling-curve pass at $d")
+      measure(d)
+    }
+    val ratios: Map[String, Double] = (for {
+      p <- p2.toSeq
+      d2 <- sfDir2.toSeq
+      n <- names
+      if ok(p1)(n) && ok(p)(n) && minOf(p)(n) > 0
+    } yield n -> minOf(p1)(n) / minOf(p)(n)).toMap
+    // 10x data between sf0.1 and sf0.01: a query whose time grows
+    // materially FASTER than the data is superlinear. 15 allows
+    // constant-factor noise on sub-second denominators.
+    val superlinear = names.filter(n => ratios.getOrElse(n, 0.0) > 15.0)
+    if (superlinear.nonEmpty)
+      System.err.println(s"[bench] superlinear vs $sfDir2: ${superlinear.mkString(", ")}")
+    val sf2Part = (p2, sfDir2) match {
+      case (Some(p), Some(d2)) =>
+        val qs2 = jmap(names.map(k =>
+          k -> (if (ok(p)(k)) fmt(minOf(p)(k)) else "-1")))
+        val total2 = names.collect { case k if ok(p)(k) => minOf(p)(k) }.sum
+        val ratioJson = jmap(names.collect { case k if ratios.contains(k) =>
+          k -> fmt(ratios(k)) })
+        val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf2":"$d2","total_sf2":${fmt(total2)},"queries_sf2":$qs2""" +
+          s""","ratio":$ratioJson,"superlinear":$slJson"""
+      case _ => ""
+    }
+
     // stdout gets the COMPACT line only: every shipped BENCH_r*.json
     // carries a 2000-char stdout tail, so if the driver parses within
     // that window the printed line must FIT it. With 166 queries the
@@ -110,30 +168,36 @@ object Bench {
     def pctl(sorted: Vector[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(((sorted.size - 1) * p).round.toInt.min(sorted.size - 1))
+    val ratioScalars =
+      if (ratios.isEmpty) ""
+      else {
+        val rs = ratios.values.toVector.sorted
+        s""","ratio_p50":${fmt(pctl(rs, 0.5))},"ratio_max":${fmt(rs.last)}""" +
+          s""","superlinear_n":${superlinear.size}"""
+      }
     def lineFor(floor: Double): String = {
-      val kept = names.filter(n => !ok(n) || samples(n).min >= floor)
-      val qsKept = kept.map { k =>
-        "\"" + k + "\":" + (if (ok(k)) fmt(samples(k).min) else "-1")
-      }.mkString("{", ",", "}")
-      val fast = names.filter(n => ok(n) && samples(n).min < floor)
+      val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)
+      val qsKept = jmap(kept.map(k =>
+        k -> (if (ok(p1)(k)) fmt(minOf(p1)(k)) else "-1")))
+      val fast = names.filter(n => ok(p1)(n) && minOf(p1)(n) < floor)
       val fastPart =
         if (fast.isEmpty) ""
         else {
-          val sortedFast = fast.map(samples(_).min).sorted.toVector
+          val sortedFast = fast.map(minOf(p1)).sorted.toVector
           s""","fast_n":${fast.size},"fast_sum":${fmt(sortedFast.sum)}""" +
             s""","fast_p50":${fmt(pctl(sortedFast, 0.5))}""" +
             s""","fast_p95":${fmt(pctl(sortedFast, 0.95))}"""
         }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$ratioScalars,"reps":$reps,"sf":"$sfDir"}"""
     }
     val line = Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineFor)
       .find(_.length <= 1800).getOrElse(lineFor(Double.MaxValue))
     println(line)
     // The file copy carries the full diagnostics (spread = max-min per
-    // query; warmup = the one cold pass — a cold-path regression moves
-    // warmup_total even when warm mins hold steady).
+    // query; warmup = the one cold pass; queries_sf2/ratio = the
+    // scaling curve vs the secondary sf).
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part,"reps":$reps,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.writeString(java.nio.file.Path.of(outFile), full + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outFile: $e") }
