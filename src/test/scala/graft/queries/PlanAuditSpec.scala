@@ -145,6 +145,35 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the window shuffle (+ at most the agg) only:\n$p")
   }
 
+  test("shuffle budgets hold for the ten heaviest queries") {
+    // Exchange-count ceilings measured from the current plans: a
+    // future regression that plants an extra shuffle (a lost
+    // broadcast, a re-partition creeping in, a window losing its
+    // partitioning reuse) fails HERE, not as a silent bench drift.
+    // Streaming-backed queries tally their batch reporting plan (the
+    // stream's own exchanges are state-store-scoped and pinned by the
+    // parity oracles); q185's large budget is structural — it unions
+    // every funnel gate's standalone reconciliation into one report.
+    val budgets = Map(
+      "q193_stream_neardup" -> 2,
+      "q197_lsh_pr_curve" -> 5,
+      "q56_streaming_export" -> 0,
+      "q64_stream_join" -> 1,
+      "q168_kmeans" -> 0,
+      "q83_stream_sessions" -> 1,
+      "q185_release_funnel" -> 154,
+      "q35_phash_neardup" -> 2,
+      "q91_stream_state" -> 2,
+      "q126_stream_static" -> 2)
+    for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange (hash|range|Single)".r.findAllIn(p).size
+      assert(shuffles <= budget,
+        s"$name plans $shuffles shuffles, budget $budget:\n${p.take(3000)}")
+    }
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
