@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.io.{BufferedOutputStream, File, FileOutputStream, OutputStream}
+import java.io.{BufferedOutputStream, File, OutputStream}
 import java.security.MessageDigest
 import java.util.Base64
 
@@ -56,7 +56,14 @@ object SnapshotWriter {
       maxBatchBytes: Int = 100000,
       compression: String = "gz", // gz | bz2 | lz4
       scanWidth: Int = 128, // slice width over the 256-value byte space
-      snapshotType: String = "full") // data_product_type metadata field
+      snapshotType: String = "full", // data_product_type metadata field
+      // Fault-injection knob for exactly-once specs (the sink-side
+      // analogue of FlakyEnvelopeStore.failAfter): when > 0, each
+      // writer task's FIRST attempt throws after writing this many
+      // records — mid-partition, after files have already landed — so
+      // Spark retries the task and the spec can assert the final
+      // directory is byte-identical to a fault-free run. 0 = disabled.
+      faultFirstAttemptAfter: Int = 0)
 
   final case class FileAccounting(
       slice: String, file: String, manifest_file: String,
@@ -96,6 +103,29 @@ object SnapshotWriter {
       case "lz4" => new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(in)
       case other => throw new IllegalArgumentException(s"compression: $other")
     }
+
+  /** Atomically-visible file publication: write to a temp name in the
+    * same directory, then `ATOMIC_MOVE` into place. A concurrent
+    * consumer (q88/q92-style re-import) can never observe a torn file
+    * mid-write or mid-retry — the local-filesystem analogue of the
+    * all-or-nothing S3 PUT the reference gets for free
+    * (S3ObjectServiceImpl.kt:24-34). REPLACE_EXISTING makes a task
+    * retry's deterministic rewrite idempotent. */
+  private def atomicWrite(file: File, bytes: Array[Byte]): Unit = {
+    file.getParentFile.mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(
+      file.getParentFile.toPath, "." + file.getName + ".", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, file.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Observability for the retry spec: how many injected writer faults
+    * actually fired (a retry test that never faulted proves nothing). */
+  val faultsInjected = new java.util.concurrent.atomic.AtomicInteger
 
   private def ivFor(topic: String, slice: String, batch: Int): Array[Byte] =
     MessageDigest.getInstance("MD5")
@@ -166,14 +196,13 @@ object SnapshotWriter {
             stream.close()
             val name = f"$filePrefix-$currentBatch%06d.txt.${cfg.compression}.enc"
             val outFile = new File(cfg.outputDir, name)
-            outFile.getParentFile.mkdirs()
             // object put + metadata sidecar retry with the reference's
             // envelope (S3ObjectServiceImpl.kt:19-23: 5 attempts, x2
-            // backoff) — idempotent (full rewrite), so a retried put
-            // after a partial failure is safe
+            // backoff) — each publication is atomic (temp + ATOMIC_MOVE)
+            // and the rewrite is deterministic per (slice, batch), so a
+            // retried put after a partial failure is safe and invisible
             Retry.withRetry(Retry.Policy()) {
-              val fos = new FileOutputStream(outFile)
-              try fos.write(target.toByteArray) finally fos.close()
+              atomicWrite(outFile, target.toByteArray)
               // metadata sidecar (S3 user-metadata analogue) — the
               // full reference object-metadata surface
               // (S3ObjectServiceImpl.kt:38-47): crypto fields PLUS the
@@ -183,23 +212,22 @@ object SnapshotWriter {
                 ivFor(cfg.topic, label, manifestNum))
               val meta =
                 s"""{"contentType":"binary/octetstream","x-amz-meta-title":"$name","iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}","data_product":"${cfg.topic}","data_product_type":"${cfg.snapshotType}","contentLength":${target.size()}}"""
-              java.nio.file.Files.writeString(
-                new File(cfg.outputDir, s"$name.metadata.json").toPath, meta)
+              atomicWrite(new File(cfg.outputDir, s"$name.metadata.json"),
+                meta.getBytes("UTF-8"))
             }
             val manifestName = f"$filePrefix-$manifestNum%06d.csv"
             val mFile = new File(cfg.manifestDir, manifestName)
-            mFile.getParentFile.mkdirs()
             // manifest upload retry (StreamingManifestWriter.kt:18-22)
             // + the manifest's own metadata
             // (StreamingManifestWriter.kt:60-65: text/plain, title,
             // length)
             Retry.withRetry(Retry.Policy()) {
               val body = manifestBuf.toString
-              java.nio.file.Files.writeString(mFile.toPath, body)
+              atomicWrite(mFile, body.getBytes("UTF-8"))
               val mMeta =
                 s"""{"contentType":"text/plain","x-amz-meta-title":"$manifestName","contentLength":${body.getBytes("UTF-8").length}}"""
-              java.nio.file.Files.writeString(
-                new File(cfg.manifestDir, s"$manifestName.metadata.json").toPath, mMeta)
+              atomicWrite(new File(cfg.manifestDir, s"$manifestName.metadata.json"),
+                mMeta.getBytes("UTF-8"))
             }
             results += FileAccounting(label, name, manifestName,
               recordsInBatch, batchSizeBytes, target.size().toLong)
@@ -209,7 +237,21 @@ object SnapshotWriter {
 
         def closeSlice(): Unit = if (currentSlice >= 0) flush(openNext = false)
 
+        // sink-side fault injection (see Config.faultFirstAttemptAfter):
+        // only first attempts of real tasks fault — retries run clean
+        val tc = org.apache.spark.TaskContext.get()
+        val faultAt =
+          if (cfg.faultFirstAttemptAfter > 0 && tc != null && tc.attemptNumber() == 0)
+            cfg.faultFirstAttemptAfter
+          else Int.MaxValue
+        var written = 0L
+
         rows.foreach { r =>
+          if (written >= faultAt) {
+            faultsInjected.incrementAndGet()
+            throw new java.io.IOException(
+              s"injected mid-partition writer fault after $written records")
+          }
           if (r.slice != currentSlice) {
             closeSlice()
             currentSlice = r.slice
@@ -225,6 +267,7 @@ object SnapshotWriter {
           stream.write(item.getBytes("UTF-8"))
           batchSizeBytes += item.length
           recordsInBatch += 1
+          written += 1
           manifestBuf.append(manifestLine(r))
         }
         closeSlice()

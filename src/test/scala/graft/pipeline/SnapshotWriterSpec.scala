@@ -122,6 +122,46 @@ class SnapshotWriterSpec extends SparkSuite {
     }
   }
 
+  test("task retry: a writer fault mid-partition yields byte-identical output " +
+      "(temp+ATOMIC_MOVE publication = the S3 atomic-PUT analogue, " +
+      "S3ObjectServiceImpl.kt:24-34; deterministic rewrite per (slice, batch))") {
+    // the shared session runs local[4,2]: every writer task's first
+    // attempt dies after 300 records — after at least one file has
+    // already been published — and the retry attempt rewrites the
+    // partition from scratch
+    assert(spark.sparkContext.master.endsWith(",2]"),
+      s"retry spec needs task retries enabled: ${spark.sparkContext.master}")
+    val (cleanOut, cleanMan, cleanAcct) = writeAll("gz")
+    val before = SnapshotWriter.faultsInjected.get()
+    val out = tmpDir(); val man = tmpDir()
+    val cfg = SnapshotWriter.Config(out.getAbsolutePath, man.getAbsolutePath,
+      "db.database.collection", 20000, "gz", 128,
+      faultFirstAttemptAfter = 300)
+    val acct = SnapshotWriter.write(recs, cfg, Fixture.keyService).collect().toSeq
+    // the fault actually FIRED (hash partitioning may coalesce both
+    // slices into one task, so >=1 — a retry test that never faulted
+    // proves nothing)
+    val fired = SnapshotWriter.faultsInjected.get() - before
+    assert(fired >= 1, s"expected >=1 injected writer faults, saw $fired")
+    // accounting identical to the fault-free run
+    assert(acct.toSet == cleanAcct.toSet)
+    // directory listings identical; no stray temp files survive
+    def listing(d: File): Seq[String] = d.list().sorted.toSeq
+    assert(listing(out) == listing(cleanOut))
+    assert(listing(man) == listing(cleanMan))
+    assert(!listing(out).exists(_.endsWith(".tmp")))
+    assert(!listing(man).exists(_.endsWith(".tmp")))
+    // every file byte-identical: snapshots, sidecars, manifests
+    for (n <- listing(out))
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(new File(out, n).toPath),
+        Files.readAllBytes(new File(cleanOut, n).toPath)), s"object $n differs")
+    for (n <- listing(man))
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(new File(man, n).toPath),
+        Files.readAllBytes(new File(cleanMan, n).toPath)), s"manifest $n differs")
+  }
+
   test("csv escaping quotes embedded delimiters (DomainClasses.kt:88)") {
     assert(SnapshotWriter.escapeCsv("plain") == "plain")
     assert(SnapshotWriter.escapeCsv("""a,b""") == "\"a,b\"")
