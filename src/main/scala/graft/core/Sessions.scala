@@ -77,11 +77,6 @@ object Sessions {
     pinnedRddIds(df).foreach(_.unpersist(blocking = false))
   }
 
-  /** `maxTaskFailures > 1` enables task retry in local mode
-    * (`local[N, F]`) — specs exercising fault-injected sources need a
-    * second attempt; production clusters retry by default
-    * (spark.task.maxFailures=4), so retrying-local is the FAITHFUL
-    * mode and plain local the exception. */
   /** Single-slot per-dir registry for managed [[Sessions.pin]]ned (or
     * `.cache()`d) artifacts — the pattern shared by the CC edge/label
     * tables, PageRank, and the 2-hop adjacency: at most ONE artifact
@@ -89,7 +84,15 @@ object Sessions {
     * artifact's storage actually FREED on replacement (via
     * [[Sessions.unpin]] — plain `unpersist` is a no-op on
     * localCheckpoint blocks) so a long-lived session switching dirs
-    * holds bounded storage. */
+    * holds bounded storage.
+    *
+    * Concurrency contract: dir switches are assumed SINGLE-THREADED
+    * (the bench/verify drivers run queries sequentially). Because
+    * `unpin` frees the superseded artifact's localCheckpoint blocks —
+    * and localCheckpoint truncated its lineage — a consumer still
+    * iterating the OLD DataFrame when another thread switches dirs
+    * would fail with lost blocks rather than recompute. Don't share a
+    * PinnedCache across concurrently-switching drivers. */
   final class PinnedCache {
     @transient private var entry: Option[(String, org.apache.spark.sql.DataFrame)] = None
 
@@ -113,6 +116,11 @@ object Sessions {
     }
   }
 
+  /** `maxTaskFailures > 1` enables task retry in local mode
+    * (`local[N, F]`) — specs exercising fault-injected sources need a
+    * second attempt; production clusters retry by default
+    * (spark.task.maxFailures=4), so retrying-local is the FAITHFUL
+    * mode and plain local the exception. */
   def local(cpus: String, maxTaskFailures: Int = 1): SparkSession = {
     val master =
       if (maxTaskFailures > 1) s"local[$cpus,$maxTaskFailures]"

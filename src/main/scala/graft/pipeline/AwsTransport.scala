@@ -138,7 +138,12 @@ final class AwsHttpTransport(endpoint: String, region: String,
       else query.map { case (k, v) =>
         s"${AwsSigV4.uriEncode(k, keepSlash = false)}=${AwsSigV4.uriEncode(v, keepSlash = false)}"
       }.mkString("?", "&", "")
-    var b = HttpRequest.newBuilder(URI.create(endpoint + path + qs))
+    // wire path must BE the signed canonical path: build the URI from
+    // the same uriEncode the canonical request uses, or keys containing
+    // space/'%'/'#'/'?' either break URI.create or sign a different
+    // path than the one sent (SignatureDoesNotMatch at the endpoint)
+    var b = HttpRequest.newBuilder(
+      URI.create(endpoint + AwsSigV4.uriEncode(path, keepSlash = true) + qs))
     signed.foreach { case (k, v) =>
       if (!k.equalsIgnoreCase("content-length")) b = b.header(k, v)
     }

@@ -37,8 +37,12 @@ final class PushGatewayClient(baseUrl: String, job: String,
   private[pipeline] def pathFor(key: Map[String, String]): String = {
     val segs = key.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       if (v.contains("/") || v.isEmpty)
+        // pushgateway convention: empty value = the single padding char
+        // '=' (withoutPadding would emit an empty path segment — a
+        // double slash the gateway can't route)
         Seq(s"${enc(k)}@base64",
-          java.util.Base64.getUrlEncoder.withoutPadding
+          if (v.isEmpty) "="
+          else java.util.Base64.getUrlEncoder.withoutPadding
             .encodeToString(v.getBytes(StandardCharsets.UTF_8)))
       else Seq(enc(k), enc(v))
     }

@@ -10,9 +10,10 @@ import scala.collection.mutable
 import graft.pipeline.Fixture
 
 /** Block-indexed sorted-run snapshot format — the in-repo, runnable
-  * realization of the 5-step HFile-snapshot scan contract that
-  * [[HFileSnapshotStoreSketch]] documents (the reference scans the
-  * live cluster instead, batch/HBaseReader.kt:145-187). The layout
+  * realization of the 5-step HFile-snapshot scan contract (now also
+  * implemented over the real HFile v2 byte format in HFileV2.scala;
+  * the reference scans the live cluster instead,
+  * batch/HBaseReader.kt:145-187). The layout
   * mirrors an HBase snapshot's shape: a snapshot directory holds a
   * manifest plus one sorted run file per (region × generation) —
   * a region is a key range (first unsigned row-key byte), and a
@@ -202,15 +203,25 @@ final case class SortedRunStore(dir: String,
     val runs = SortedRunFormat.readManifest(dir)
       .filter(r => r.lastByte >= lo && r.firstByte < hi)
     val seekKey = Array[Byte]((lo & 0xff).toByte)
-    val scanners = runs.map(r => new RunScanner(
-      Paths.get(dir, r.file).toString, seekKey, lo, hi, ts, failAfterEntries))
+    val scanners = runs.zipWithIndex.map { case (r, ord) => new RunScanner(
+      Paths.get(dir, r.file).toString, seekKey, lo, hi, ts, failAfterEntries,
+      ordinal = ord) }
       .filter(_.hasNext)
 
-    // max-heap: smallest key first, largest ts first within a key
+    // max-heap: smallest key first, largest ts first within a key;
+    // equal (key, ts) across runs resolves to the NEWER generation
+    // (higher manifest ordinal — the manifest lists generations
+    // ascending per region), mirroring HBase's file-sequence-id
+    // tie-break, so the emitted value never depends on scanner
+    // insertion order
     val ord = new Ordering[RunScanner] {
       override def compare(a: RunScanner, b: RunScanner): Int = {
         val c = java.util.Arrays.compareUnsigned(b.head.key, a.head.key)
-        if (c != 0) c else java.lang.Long.compare(a.head.ts, b.head.ts)
+        if (c != 0) c
+        else {
+          val t = java.lang.Long.compare(a.head.ts, b.head.ts)
+          if (t != 0) t else Integer.compare(a.ordinal, b.ordinal)
+        }
       }
     }
     val pq = mutable.PriorityQueue(scanners: _*)(ord)
@@ -258,7 +269,10 @@ private[sources] final case class RunEntry(key: Array[Byte], ts: Long,
   * IOException per `reopensLeft` by reopening and reseeking to
   * strictly past the last entry it returned. */
 private[sources] final class RunScanner(path: String, seekKey: Array[Byte],
-    loByte: Int, hiByte: Int, range: TsRange, failAfter: Option[Int])
+    loByte: Int, hiByte: Int, range: TsRange, failAfter: Option[Int],
+    // generation ordinal (manifest position): breaks (key, ts) ties in
+    // the merge deterministically — see SortedRunStore's heap ordering
+    val ordinal: Int = 0)
     extends Iterator[RunEntry] {
 
   private val index = SortedRunFormat.readBlockIndex(path)
