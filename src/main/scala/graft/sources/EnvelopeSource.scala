@@ -170,14 +170,18 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
   /** One input partition per signed-byte key-range slice
     * (HBasePartitioner analogue). The store rides in the partition —
     * `store=sortedrun` swaps the generated fixture for the
-    * block-indexed [[SortedRunStore]] snapshot scan (the exercised
-    * form of the [[HFileSnapshotStoreSketch]] contract); a production
-    * HBase deployment makes the same one-line swap here. */
+    * block-indexed [[SortedRunStore]] snapshot scan, and `store=hfile`
+    * for the [[HFileSnapshotStore]] reading the HBase HFile v2 format
+    * itself; a production snapshot deployment is that same one-line
+    * swap. */
   override def planInputPartitions(): Array[InputPartition] = {
     val store: EnvelopeStore = storeKind match {
       case "sortedrun" =>
         require(path.nonEmpty, "store=sortedrun requires a path option")
         SortedRunStore(path)
+      case "hfile" =>
+        require(path.nonEmpty, "store=hfile requires a path option")
+        HFileSnapshotStore(path)
       case "flaky" => // fault-injection seam for the task-retry spec
         FlakyEnvelopeStore(
           FixtureEnvelopeStore(n, corrupt, tsSpread, versions), failAfter)

@@ -53,8 +53,9 @@ object VersionSelect {
   * slice planning, column pruning, the `InternalRow` adapter) is
   * store-independent; a store only answers "stream the cells of one
   * key slice under one ts range". [[FixtureEnvelopeStore]] streams the
-  * deterministic fixture; [[HFileSnapshotStoreSketch]] documents what
-  * a real HBase-snapshot implementation fills in.
+  * deterministic fixture; [[SortedRunStore]] and [[HFileSnapshotStore]]
+  * scan block-indexed snapshot files on disk (the latter the HBase
+  * HFile v2 format itself).
   *
   * Partial-progress / retry contract (the reference's resume-at-key,
   * HBaseReader.kt:62-90, translated to Spark's execution model): the
@@ -142,41 +143,7 @@ object FlakyEnvelopeStore {
   val faultsInjected = new java.util.concurrent.atomic.AtomicInteger
 }
 
-/** Documented skeleton of the real thing: an HBase-SNAPSHOT store
-  * reading HFiles directly (the reference reads the live cluster,
-  * HBaseReader.kt:145-187; at 100 TB the snapshot path is the right
-  * scan layer — no region-server load, no RPC throttling, stable
-  * input for retries). The sandbox ships no HBase/HFile runtime, so
-  * `scan` aborts; the structure documents exactly what a production
-  * build fills in, and everything above the [[EnvelopeStore]] seam —
-  * planning, pushdown, pruning, the row adapter — is already done.
-  *
-  * Every step below is EXERCISED CODE against the in-repo sorted-run
-  * format: [[SortedRunStore]] implements this exact contract over
-  * block-indexed run files (manifest resolve → block-index seek →
-  * heap-merge with the ts range applied at the decoder →
-  * stop-at-slice-end → reopen-at-key retry), and EnvelopeStoreSpec
-  * runs both stores through the same slice/ts/version contract — so
-  * the production HFile port swaps the file decoder, not the design.
-  *
-  * A production `scan(slice, ts)` would:
-  *  1. resolve the snapshot manifest to the HFiles of the regions
-  *     overlapping [slice.startByte, slice.stopByte) (manifest read
-  *     once per job, broadcast to executors);
-  *  2. open each HFile's block index and SEEK to the first row key ≥
-  *     the slice start (the `SliceIndex` memo deletes to this seek);
-  *  3. merge-iterate the per-file scanners heap-wise in row-key
-  *     order, applying `ts` as scanner time-range so out-of-range
-  *     cells never leave the block decoder, and keeping only the
-  *     latest in-range version per key ([[VersionSelect]] arithmetic);
-  *  4. stop at the first key ≥ slice.stopByte;
-  *  5. on a transient scanner drop, reopen WITHIN the attempt at the
-  *     last emitted key + 1 (the trait's retry contract) — never
-  *     persist progress across attempts.
-  */
-final class HFileSnapshotStoreSketch(snapshotDir: String) extends EnvelopeStore {
-  override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] =
-    throw new UnsupportedOperationException(
-      s"HFile snapshot scan of $snapshotDir requires an HBase runtime; " +
-        "see the class scaladoc for the production implementation plan")
-}
+// The HBase-snapshot scan layer itself — the real HFile v2 decoder and
+// its [[HFileSnapshotStore]] — lives in HFileV2.scala. (Earlier rounds
+// kept a documented throwing sketch here; the format is public, so the
+// decoder now exists as exercised code and the sketch is retired.)

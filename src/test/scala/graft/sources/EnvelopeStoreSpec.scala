@@ -69,10 +69,23 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     }
   }
 
+  /** Builds an HFile v2 snapshot with the given fixture shape in a
+    * fresh temp dir (tiny blocks, gzip codec, so every scan exercises
+    * the seek + decompress + checksum paths). */
+  private def hfileStore(n: Long, tsSpread: Long, versions: Int,
+      regions: Int = 4, gens: Int = 2): HFileSnapshotStore = {
+    val dir = Files.createTempDirectory("graft-hfile-spec")
+    HFileFixture.writeSnapshot(dir, n, versions, regions, gens, tsSpread,
+      codec = HFileV2Format.CodecGz, blockEntries = 16)
+    HFileSnapshotStore(dir.toString)
+  }
+
   storeContract("fixture store",
     (n, spread, vs) => FixtureEnvelopeStore(n, corrupt = false, spread, vs))
   storeContract("sorted-run store",
     (n, spread, vs) => sortedRunStore(n, spread, vs))
+  storeContract("hfile store",
+    (n, spread, vs) => hfileStore(n, spread, vs))
 
   test("KeySlice covers the signed byte space exactly, no overlap") {
     val slices = (0 until 256 / 8).map(KeySlice(_, 8))
@@ -175,10 +188,108 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("the HFile snapshot sketch refuses to scan without a runtime") {
-    val sketch = new HFileSnapshotStoreSketch("/nonexistent/snapshot")
-    intercept[UnsupportedOperationException] {
-      sketch.scan(KeySlice(0, 8), TsRange.All)
+  // ------------------------------------------------ HFile v2 format
+
+  test("hfile cells are byte-identical to the fixture store's (gz and none codecs)") {
+    val fix = FixtureEnvelopeStore(200L, corrupt = false, 0L, 5)
+    def dump(s: EnvelopeStore, range: TsRange) =
+      (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value)).sortBy(_._1.toString)
+    for (codec <- Seq(HFileV2Format.CodecGz, HFileV2Format.CodecNone)) {
+      val dir = Files.createTempDirectory("graft-hfile-codec")
+      HFileFixture.writeSnapshot(dir, 200L, 5, regions = 4, gens = 2,
+        codec = codec, blockEntries = 16)
+      val hf = HFileSnapshotStore(dir.toString)
+      assert(dump(hf, TsRange.All) === dump(fix, TsRange.All), s"codec $codec")
+      val capped = TsRange(0L, t0 + 2L)
+      assert(dump(hf, capped) === dump(fix, capped), s"codec $codec capped")
+      assert(dump(hf, capped).nonEmpty)
     }
+  }
+
+  test("hfile trailer round-trips the published 212-byte v2 layout") {
+    val dir = Files.createTempDirectory("graft-hfile-trailer")
+    HFileFixture.writeSnapshot(dir, 64L, 1, regions = 1, gens = 1,
+      blockEntries = 16)
+    val file = Files.list(dir).iterator().next()
+    assert(file.toString.endsWith(".hfile"))
+    val raf = new java.io.RandomAccessFile(file.toFile, "r")
+    try {
+      val t = HFileV2Format.readTrailer(raf)
+      assert(t.majorVersion === 2 && t.minorVersion === 3)
+      assert(t.numDataIndexLevels === 1)
+      assert(t.entryCount === 64L)
+      assert(t.compressionCodec === HFileV2Format.CodecGz)
+      assert(t.dataIndexCount === 4) // 64 entries / 16 per block
+      assert(t.firstDataBlockOffset === 0L)
+      assert(t.loadOnOpenDataOffset > t.lastDataBlockOffset)
+      assert(t.fileInfoOffset > t.loadOnOpenDataOffset)
+      // the version int at the very end packs major | minor << 24
+      raf.seek(raf.length() - 4)
+      val v = raf.readInt()
+      assert((v & 0x00ffffff) === 2 && (v >>> 24) === 3)
+    } finally raf.close()
+  }
+
+  test("hfile slice pruning opens only the slice's region files") {
+    val dir = Files.createTempDirectory("graft-hfile-prune")
+    HFileFixture.writeSnapshot(dir, 512L, 3, regions = 4, gens = 2,
+      blockEntries = 16)
+    val store = HFileSnapshotStore(dir.toString)
+    store.scan(KeySlice(0, 8), TsRange.All).hasNext // warm the meta memo
+    val before = HFileV2Format.opens.get()
+    val cells = store.scan(KeySlice(3, 8), TsRange.All).toSeq
+    val opened = HFileV2Format.opens.get() - before
+    assert(opened <= 2, s"slice scan opened $opened files, expected <= 2")
+    assert(cells.nonEmpty)
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    assert(all.size === 512)
+  }
+
+  test("a bit-flipped hfile block fails its checksum, never decodes silently") {
+    val dir = Files.createTempDirectory("graft-hfile-corrupt")
+    HFileFixture.writeSnapshot(dir, 64L, 1, regions = 1, gens = 1,
+      blockEntries = 16)
+    val file = Files.list(dir).iterator().next()
+    val bytes = Files.readAllBytes(file)
+    // flip one byte inside the first data block's payload (past the
+    // 33-byte header, well before load-on-open)
+    bytes(40) = (bytes(40) ^ 0x5a).toByte
+    Files.write(file, bytes)
+    val store = HFileSnapshotStore(file.getParent.toString)
+    val ex = intercept[java.io.IOException] {
+      (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    }
+    assert(ex.getMessage.contains("checksum mismatch"))
+  }
+
+  test("hadoop vint round-trips across the encoding's ranges") {
+    import HFileV2Format.{readVLong, writeVLong}
+    val values = Seq(0L, 1L, -1L, 112L, 127L, 128L, -112L, -113L, 255L,
+      65535L, Int.MaxValue.toLong, Long.MaxValue, Long.MinValue, -987654321L)
+    for (v <- values) {
+      val buf = new java.io.ByteArrayOutputStream()
+      writeVLong(new java.io.DataOutputStream(buf), v)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+      assert(readVLong(in) === v, s"vint round-trip of $v")
+    }
+  }
+
+  test("hfile generation tie-break: equal (row, ts) resolves to the newer file") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("graft-hfile-tie")
+    val row = Array[Byte](10, 1, 2, 3)
+    // same (row, ts) in two generation files with different values —
+    // the HBase sequence-id rule: the newer file (later name) wins
+    HFileV2Writer.writeHFile(dir.resolve("region-r000-g0.hfile"),
+      Iterator((row, 5L, "old".getBytes(UTF_8))), HFileV2Format.CodecNone)
+    HFileV2Writer.writeHFile(dir.resolve("region-r000-g1.hfile"),
+      Iterator((row, 5L, "new".getBytes(UTF_8))), HFileV2Format.CodecNone)
+    val store = HFileSnapshotStore(dir.toString)
+    val cells = store.scan(KeySlice(0, 128), TsRange.All).toSeq
+    assert(cells.map(_.value) === Seq("new"))
   }
 }
