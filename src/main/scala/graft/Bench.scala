@@ -33,6 +33,15 @@ import graft.core.Sessions
   * ratio >> 10 is the superlinear smell the curve exists to catch —
   * those names land in `superlinear` and a count lands on stdout.
   *
+  * Export-fixture curve: the export battery (PipelineQueries — q40…
+  * q52, q88/q92, q207–q209) generates its fixtures at a fixed record
+  * count, so the sf curve reads ≈ 1 for it regardless of plan quality.
+  * Unless SPARK_GRAFT_EXPORT_N ≤ 10000, that family is re-measured at
+  * the larger fixture (default 30k = 3×) via
+  * `PipelineQueries.withFixtureN`, and `ratio_export` /
+  * `superlinear_export` land in the artifact with the same
+  * 1.5×-data-ratio alarm the sf curve uses.
+  *
   * A query that throws is reported as -1 in the `queries` map (its
   * stack trace goes to stderr) so a broken query can never masquerade
   * as a fast one; `total` sums successful queries only.
@@ -72,23 +81,23 @@ object Bench {
       }
     }
 
-    /** One full warmup + interleaved-reps + rescue measurement of every
-      * query at `dir` (the round-robin methodology above). */
-    def measure(dir: String): Pass = {
+    /** One full warmup + interleaved-reps + rescue measurement of
+      * `qnames` at `dir` (the round-robin methodology above). */
+    def measure(dir: String, qnames: Seq[String] = names): Pass = {
       val warmups: Map[String, Option[Double]] =
-        names.map(n => n -> timeOnce(dir)(SparkEntry.queries(n))).toMap
+        qnames.map(n => n -> timeOnce(dir)(SparkEntry.queries(n))).toMap
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
       val failed = scala.collection.mutable.Set.empty[String]
-      failed ++= names.filter(warmups(_).isEmpty)
-      for (_ <- 1 to reps; n <- names if !failed(n))
+      failed ++= qnames.filter(warmups(_).isEmpty)
+      for (_ <- 1 to reps; n <- qnames if !failed(n))
         timeOnce(dir)(SparkEntry.queries(n)) match {
           case Some(t) => samples(n) = samples(n) :+ t
           case None => failed += n
         }
       // rescue pass: one extra rep for queries whose spread exceeds 2x
       // their min (a throttle window spanning a whole interleaved pass)
-      val noisy = names.filter { n =>
+      val noisy = qnames.filter { n =>
         !failed(n) && samples(n).size == reps && reps > 1 &&
           (samples(n).max - samples(n).min) > 2 * samples(n).min
       }
@@ -154,6 +163,46 @@ object Bench {
       case _ => ""
     }
 
+    // ---- export-fixture scaling curve ----
+    // The parquet-backed sf curve can't see the export battery: its
+    // fixtures are GENERATED at a fixed record count, so the sf ratio
+    // ≈ 1 measures only fixed overhead. Re-measure just that family at
+    // a larger fixture (default 30k = 3x the oracle size) under the
+    // same methodology and alarm on superlinear growth the same way —
+    // threshold 1.5x the data ratio, the slack the sf curve allows
+    // (15 on 10x), floored at 3 for sub-second denominator noise.
+    val exportN = sys.env.getOrElse("SPARK_GRAFT_EXPORT_N", "30000").toLong
+    val exportNames = names.filter(graft.queries.PipelineQueries.queries.contains)
+    val pE: Option[Pass] =
+      if (exportN > 10000 && exportNames.nonEmpty) {
+        System.err.println(s"[bench] export-scaling pass at fixture N=$exportN")
+        Some(graft.queries.PipelineQueries.withFixtureN(exportN) {
+          measure(sfDir, exportNames)
+        })
+      } else None
+    val exportDataRatio = exportN / 10000.0
+    val ratiosE: Map[String, Double] = (for {
+      p <- pE.toSeq
+      n <- exportNames
+      if ok(p1)(n) && ok(p)(n) && minOf(p1)(n) > 0
+    } yield n -> minOf(p)(n) / minOf(p1)(n)).toMap
+    val superlinearE = exportNames.filter(n =>
+      ratiosE.getOrElse(n, 0.0) > math.max(3.0, 1.5 * exportDataRatio))
+    if (superlinearE.nonEmpty)
+      System.err.println(
+        s"[bench] superlinear at fixture N=$exportN: ${superlinearE.mkString(", ")}")
+    val exportPart = pE match {
+      case Some(p) =>
+        val qsE = jmap(exportNames.map(k =>
+          k -> (if (ok(p)(k)) fmt(minOf(p)(k)) else "-1")))
+        val ratioJson = jmap(exportNames.collect { case k if ratiosE.contains(k) =>
+          k -> fmt(ratiosE(k)) })
+        val slJson = superlinearE.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","export_n":$exportN,"queries_export":$qsE""" +
+          s""","ratio_export":$ratioJson,"superlinear_export":$slJson"""
+      case None => ""
+    }
+
     // stdout gets the COMPACT line only: every shipped BENCH_r*.json
     // carries a 2000-char stdout tail, so if the driver parses within
     // that window the printed line must FIT it. With 166 queries the
@@ -168,13 +217,22 @@ object Bench {
     def pctl(sorted: Vector[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(((sorted.size - 1) * p).round.toInt.min(sorted.size - 1))
-    val ratioScalars =
-      if (ratios.isEmpty) ""
+    val ratioScalars = {
+      val sf = if (ratios.isEmpty) ""
       else {
         val rs = ratios.values.toVector.sorted
         s""","ratio_p50":${fmt(pctl(rs, 0.5))},"ratio_max":${fmt(rs.last)}""" +
           s""","superlinear_n":${superlinear.size}"""
       }
+      val ex = if (ratiosE.isEmpty) ""
+      else {
+        val rs = ratiosE.values.toVector.sorted
+        s""","export_ratio_p50":${fmt(pctl(rs, 0.5))}""" +
+          s""","export_ratio_max":${fmt(rs.last)}""" +
+          s""","superlinear_export_n":${superlinearE.size}"""
+      }
+      sf + ex
+    }
     def lineFor(floor: Double): String = {
       val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)
       val qsKept = jmap(kept.map(k =>
@@ -197,7 +255,7 @@ object Bench {
     // query; warmup = the one cold pass; queries_sf2/ratio = the
     // scaling curve vs the secondary sf).
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart,"reps":$reps,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.writeString(java.nio.file.Path.of(outFile), full + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outFile: $e") }

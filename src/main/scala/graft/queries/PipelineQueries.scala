@@ -13,25 +13,50 @@ import graft.pipeline.{ExportPipeline, Fixture, Transforms}
   */
 object PipelineQueries {
 
-  private val N = 10000L
+  /** Export-fixture record count. Default 10,000 — the reference
+    * integration corpus, and the size every oracle constant in this
+    * file assumes (Verify always runs at the default). The bench's
+    * export-scaling pass raises it via [[withFixtureN]] to measure how
+    * the scan → pipeline → sink path scales with fixture size — the
+    * parquet-backed sf curve can't see these queries (their inputs are
+    * generated, not read from the sf dir). Must stay divisible by the
+    * fixture's modular spreads (versions 5, tsSpread 10, corruption
+    * slots per 100). */
+  @volatile private var fixtureN: Long = 10000L
+  private def N: Long = fixtureN
+
+  /** Runs `body` with the export fixture scaled to `n` records,
+    * restoring the default (and the N-keyed corpus cache) after.
+    * Bench-only: oracle constants hold ONLY at the default size. */
+  def withFixtureN[A](n: Long)(body: => A): A = {
+    require(n % 100 == 0 && n % 5 == 0, s"fixture N must keep the modular spreads: $n")
+    fixtureN = n
+    try body finally fixtureN = 10000L
+  }
 
   // q40 and q42 both consume the clean-corpus pipeline output; cache it
   // once per JVM (the corpus is dir-independent) instead of re-running
-  // 10k decrypt+validate passes per query.
-  @transient private var cachedClean: Option[DataFrame] = None
+  // 10k decrypt+validate passes per query. Keyed by the fixture size so
+  // the export-scaling pass never reuses a differently-sized corpus,
+  // single-slot so the superseded one's storage is released.
+  @transient private var cachedClean: Option[(Long, DataFrame)] = None
   private def cleanRecords(s: SparkSession): DataFrame = synchronized {
-    cachedClean.getOrElse {
-      val recs = ExportPipeline.records(ExportPipeline.run(
-        Fixture.generate(s, N), Fixture.Topic, Fixture.keyService)).cache()
-      cachedClean = Some(recs)
-      recs
+    cachedClean match {
+      case Some((n, df)) if n == fixtureN => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        cachedClean = None
+        val recs = ExportPipeline.records(ExportPipeline.run(
+          Fixture.generate(s, N), Fixture.Topic, Fixture.keyService)).cache()
+        cachedClean = Some((fixtureN, recs))
+        recs
     }
   }
 
   /** Unpersists the clean-corpus cache (long-lived JVMs that move past
     * the golden queries reclaim the storage here). */
   def clearCleanCache(): Unit = synchronized {
-    cachedClean.foreach(_.unpersist()); cachedClean = None
+    cachedClean.foreach(_._2.unpersist()); cachedClean = None
   }
 
   // ------------------------------------------------ q40 roundtrip
@@ -287,6 +312,29 @@ object PipelineQueries {
 
   val q207Sql: String = q47Sql
 
+  // ------------------------------------- q210 HBase HFile v2 store
+  /** q47's multi-version export contract with the scan reading the
+    * HBase HFile v2 BYTE FORMAT itself ([[graft.sources
+    * .HFileSnapshotStore]]): 212-byte v2 trailers, root block index
+    * seek, DATABLK* decode with gzip + CRC32 checksum verification,
+    * FileInfo first/last-key pruning, heap-merge of region generation
+    * files with the pushed ts range applied at the decoder — the
+    * production snapshot-scan layer for the reference's table
+    * (HBaseReader.kt:145-187 reads the same cells over RPC). Same
+    * corpus, so every golden constant of q47 must hold verbatim. */
+  def q210HfileStore(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sources.HFileFixture.snapshotDir(
+      N, versions = 5, regions = 4, gens = 2)
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "hfile").option("path", snap)
+      .option("scanWidth", 64)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    multiversionContract(raw, s)
+  }
+
+  val q210Sql: String = q47Sql
+
   // --------------------------------- q208 incremental tiling invariant
   /** The reference's operational contract (README.md:83-84): consecutive
     * incremental exports tile — two incrementals over [t0,t1) ∪ [t1,t2)
@@ -308,9 +356,12 @@ object PipelineQueries {
       ExportPipeline.records(ExportPipeline.run(
         raw, Fixture.Topic, Fixture.keyService, snapshotType = snapshotType))
     }
-    val full = windowRecs(1000L, 1010L, "full")
-    val inc1 = windowRecs(1000L, 1005L, "incremental")
-    val inc2 = windowRecs(1005L, 1010L, "incremental")
+    // each window pipeline (scan → parse → decrypt → validate) feeds
+    // ~3 actions below (reconciliation joins + counts) — cache the
+    // record relations so each pipeline runs once, not three times
+    val full = windowRecs(1000L, 1010L, "full").cache()
+    val inc1 = windowRecs(1000L, 1005L, "incremental").cache()
+    val inc2 = windowRecs(1005L, 1010L, "incremental").cache()
     val incs = inc1.unionAll(inc2)
 
     val docMismatch = incs
@@ -330,11 +381,75 @@ object PipelineQueries {
       .count()
 
     import s.implicits._
-    Seq((full.count(), inc1.count(), inc2.count(),
+    val outRow = Seq((full.count(), inc1.count(), inc2.count(),
       docMismatch, idOverlap, idMismatch))
       .toDF("n_full", "n_inc1", "n_inc2",
         "n_doc_mismatch", "n_id_overlap", "n_id_mismatch")
+    full.unpersist(); inc1.unpersist(); inc2.unpersist()
+    outRow
   }
+
+  // ------------------------------ q209 sorted-run scan → sink golden
+  /** The block-indexed sorted-run store feeding the FULL export path,
+    * scan to sink: the q207 snapshot (key i: 1 + i%5 versions split
+    * across 2 generation files per region) is scanned through the DSv2
+    * source with the ts range pushed to the block decoder, run through
+    * parse → decrypt → validate → sanitise, and written by the
+    * byte-rolling encrypted [[graft.pipeline.SnapshotWriter]] with
+    * paired manifests — the complete reference job
+    * (HBaseReader.kt:145-187 → S3StreamingWriter.kt:73-187) with the
+    * scan side swapped for the on-disk sorted-run format. Goldens:
+    * every record written exactly once across the four scanWidth=64
+    * slices, every file decrypt+decompress round-trips, the exported
+    * version content survives the sink byte-for-byte (6,000 "v":2
+    * docs — the multi-version merge result, not just row counts), and
+    * every manifest line-count matches its batch. */
+  def q209SortedRunWriter(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SnapshotWriter
+    val ks = Fixture.keyService
+    val snap = graft.sources.SortedRunFixture.snapshotDir(
+      N, versions = 5, regions = 4, gens = 2)
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "sortedrun").option("path", snap)
+      .option("scanWidth", 64)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    val recs = ExportPipeline.records(ExportPipeline.run(
+      raw, Fixture.Topic, ks))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q209-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-q209-man")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 100000, compression = "gz",
+      scanWidth = 64)
+    val acct = SnapshotWriter.write(recs, cfg, ks).collect().toSeq
+    val nRecords = acct.map(_.records).sum
+    val nManifestMismatch = acct.count { fa =>
+      val lines = java.nio.file.Files.readString(
+        new java.io.File(manDir.toFile, fa.manifest_file).toPath)
+        .split("\n").count(_.nonEmpty)
+      lines != fa.records
+    }
+    val lines = acct.flatMap(fa =>
+      SnapshotWriter.readBack(outDir.toString, fa.file, "gz", ks))
+    val nLines = lines.length.toLong
+    val nV2 = lines.count(_.contains("\"v\":2")).toLong
+    val nV1 = lines.count(_.contains("\"v\":1")).toLong
+    val slices = acct.map(_.slice).distinct.sorted.mkString(",")
+    deleteRecursively(outDir)
+    deleteRecursively(manDir)
+    import s.implicits._
+    Seq((nRecords, nLines, nV1, nV2, nManifestMismatch.toLong, slices))
+      .toDF("n_records", "n_lines", "n_v1", "n_v2",
+        "n_manifest_mismatch", "slices")
+  }
+
+  val q209Sql: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_records,
+      |CAST(10000 AS BIGINT) AS n_lines,
+      |CAST(2000 AS BIGINT) AS n_v1,
+      |CAST(6000 AS BIGINT) AS n_v2,
+      |CAST(0 AS BIGINT) AS n_manifest_mismatch,
+      |'000-064,064-000,064-128,128-064' AS slices""".stripMargin
 
   val q208Sql: String =
     """SELECT CAST(10000 AS BIGINT) AS n_full,
@@ -658,7 +773,9 @@ object PipelineQueries {
     "q50_equality_export" -> (q50EqualityExport _),
     "q56_streaming_export" -> (q56StreamingParity _),
     "q207_sortedrun_export" -> (q207SortedRunExport _),
-    "q208_incremental_tiling" -> (q208IncrementalTiling _))
+    "q208_incremental_tiling" -> (q208IncrementalTiling _),
+    "q209_sortedrun_writer" -> (q209SortedRunWriter _),
+    "q210_hfile_store" -> (q210HfileStore _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -672,5 +789,7 @@ object PipelineQueries {
     "q50_equality_export" -> q50Sql,
     "q56_streaming_export" -> q56Sql,
     "q207_sortedrun_export" -> q207Sql,
-    "q208_incremental_tiling" -> q208Sql)
+    "q208_incremental_tiling" -> q208Sql,
+    "q209_sortedrun_writer" -> q209Sql,
+    "q210_hfile_store" -> q210Sql)
 }

@@ -164,7 +164,15 @@ class PlanAuditSpec extends SparkSuite {
       "q185_release_funnel" -> 154,
       "q35_phash_neardup" -> 2,
       "q91_stream_state" -> 2,
-      "q126_stream_static" -> 2)
+      "q126_stream_static" -> 2,
+      // q207's report is one global agg over the sorted-run export
+      // pipeline (partial agg → single-partition exchange); q208's
+      // report is a LOCAL relation — its three window pipelines and
+      // reconciliation joins execute eagerly inside the query (each
+      // window relation cached once), so any shuffle regression there
+      // surfaces as bench drift on the pinned 0-exchange report shape
+      "q207_sortedrun_export" -> 1,
+      "q208_incremental_tiling" -> 0)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
       val p = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
