@@ -41,37 +41,50 @@ object StreamingQueries {
   // Replay-feed memos: the driver-side collect exists only to FEED the
   // in-process MemoryStream simulator (deterministic replay of the
   // fixture), and re-collecting 100k rows per bench rep measures the
-  // feed, not the streaming plan. Keyed by fixture dir; a production
-  // job reads a real source and has no feed at all.
-  @transient private var memoEvents: Map[String, Seq[StreamEvent]] = Map.empty
-  private def eventRows(s: SparkSession, dir: String): Seq[StreamEvent] =
+  // feed, not the streaming plan. SINGLE-SLOT per feed (the
+  // Sessions.PinnedCache pattern): a dir switch drops the superseded
+  // replay rows, so a long-lived session holds ONE fixture's feed —
+  // not every dir it ever benched. A production job reads a real
+  // source and has no feed at all.
+  @transient private var memoEvents: Option[(String, Seq[StreamEvent])] = None
+  private[graft] def eventRows(s: SparkSession, dir: String): Seq[StreamEvent] =
     synchronized {
-      memoEvents.getOrElse(dir, {
-        val rows = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-          .collect()
-          .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(2),
-            r.getDouble(3)))
-          .toSeq
-        memoEvents += dir -> rows
-        rows
-      })
+      memoEvents match {
+        case Some((d, rows)) if d == dir => rows
+        case _ =>
+          val rows = Tables.load(s, dir, "events")
+            .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+            .collect()
+            .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(2),
+              r.getDouble(3)))
+            .toSeq
+          memoEvents = Some(dir -> rows)
+          rows
+      }
     }
 
-  @transient private var memoEventsU: Map[String, Seq[StreamEventU]] = Map.empty
-  private def eventRowsU(s: SparkSession, dir: String): Seq[StreamEventU] =
+  @transient private var memoEventsU: Option[(String, Seq[StreamEventU])] = None
+  private[graft] def eventRowsU(s: SparkSession, dir: String): Seq[StreamEventU] =
     synchronized {
-      memoEventsU.getOrElse(dir, {
-        val rows = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          .collect()
-          .map(r => StreamEventU(r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getString(3)))
-          .toSeq
-        memoEventsU += dir -> rows
-        rows
-      })
+      memoEventsU match {
+        case Some((d, rows)) if d == dir => rows
+        case _ =>
+          val rows = Tables.load(s, dir, "events")
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+            .collect()
+            .map(r => StreamEventU(r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getString(3)))
+            .toSeq
+          memoEventsU = Some(dir -> rows)
+          rows
+      }
     }
+
+  /** Observability for the bounded-memo spec: which fixture dirs the
+    * replay feeds currently hold (at most one per feed). */
+  private[graft] def replayMemoDirs: Seq[String] = synchronized {
+    (memoEvents.map(_._1).toSeq ++ memoEventsU.map(_._1).toSeq).distinct
+  }
 
   // --------------------------------------- q57 stream window parity
   /** Event-time tumbling-window aggregation under Structured Streaming

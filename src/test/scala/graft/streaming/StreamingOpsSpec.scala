@@ -119,4 +119,21 @@ class StreamingOpsSpec extends SparkSuite {
         (30L, true), (40L, false)), out)
     } finally q.stop()
   }
+
+  test("replay-feed memos are single-slot: a dir switch drops the superseded feed") {
+    // same class as the PinnedCache storage-release contract, but for
+    // the driver-side replay rows: a session benching dir A then dir B
+    // must not accumulate both feeds on the heap
+    val a = "/root/testdata/sf0.001"
+    val b = "/root/testdata/sf0.01"
+    graft.queries.StreamingQueries.eventRows(spark, a)
+    graft.queries.StreamingQueries.eventRowsU(spark, a)
+    assert(graft.queries.StreamingQueries.replayMemoDirs == Seq(a))
+    graft.queries.StreamingQueries.eventRows(spark, b)
+    graft.queries.StreamingQueries.eventRowsU(spark, b)
+    assert(graft.queries.StreamingQueries.replayMemoDirs == Seq(b))
+    // idempotent on the held dir (no rebuild, no growth)
+    graft.queries.StreamingQueries.eventRows(spark, b)
+    assert(graft.queries.StreamingQueries.replayMemoDirs == Seq(b))
+  }
 }
