@@ -507,7 +507,8 @@ object HFileV2Writer {
   *     block raises, it never decodes silently (the trait's retry
   *     contract then reruns the task attempt cleanly).
   */
-final case class HFileSnapshotStore(dir: String) extends EnvelopeStore {
+final case class HFileSnapshotStore(dir: String,
+    failAfterEntries: Option[Int] = None) extends EnvelopeStore {
 
   import HFileV2Format._
 
@@ -527,7 +528,7 @@ final case class HFileSnapshotStore(dir: String) extends EnvelopeStore {
       firstB < hi && lastB.forall(_ >= lo)
     }
     val scanners = pruned.map { case (p, ord) =>
-      new HFileScanner(p, lo, hi, ts, ord)
+      new HFileScanner(p, lo, hi, ts, ord, failAfterEntries)
     }.filter(_.hasNext)
 
     val ord = new Ordering[HFileScanner] {
@@ -580,58 +581,106 @@ private[sources] final case class HFileEntry(key: Array[Byte], ts: Long,
 /** Sequential KeyValue scanner over one HFile, seeked to a slice
   * start: decodes blocks in file order (verifying each checksum),
   * skips pre-slice rows, drops out-of-ts-range cells without
-  * materializing values, and ends at the slice stop byte. */
+  * materializing values, and ends at the slice stop byte. Survives one
+  * (injected or real) IOException per `reopensLeft` by reopening the
+  * file and reseeking to strictly past the last entry it returned —
+  * the same within-attempt reopen-at-key contract [[RunScanner]]
+  * implements (the reference's resume-at-key, HBaseReader.kt:62-90). */
 private[sources] final class HFileScanner(path: String, loByte: Int,
-    hiByte: Int, range: TsRange, val ordinal: Int)
+    hiByte: Int, range: TsRange, val ordinal: Int,
+    failAfter: Option[Int] = None)
     extends Iterator[HFileEntry] {
 
   import HFileV2Format._
 
   private val meta = readMeta(path)
-  HFileV2Format.opens.incrementAndGet()
-  private val raf = new RandomAccessFile(path, "r")
   private val seekRow = Array[Byte]((loByte & 0xff).toByte)
-  private var blockIdx = seekBlock(meta.index, seekRow)
+  private var raf: RandomAccessFile = _
+  private var blockIdx = 0
   private var in: DataInputStream = _
   private var exhausted = false
   private var nextE: HFileEntry = _
+  private var lastRow: Array[Byte] = _
+  private var lastTs = 0L
+  private var decoded = 0
+  private var faultFired = false
+  private var reopensLeft = 2
 
-  private def openBlock(): Boolean = {
-    if (blockIdx >= meta.index.length) { close(); return false }
-    val (payload, _) = readBlock(raf, meta.index(blockIdx).offset, DataMagic,
-      meta.trailer.compressionCodec)
-    in = new DataInputStream(new ByteArrayInputStream(payload))
-    blockIdx += 1
-    true
+  open()
+
+  /** (Re)open the file positioned at the seek block for either the
+    * slice start (fresh scan) or the last returned row (retry). */
+  private def open(): Unit = {
+    HFileV2Format.opens.incrementAndGet()
+    raf = new RandomAccessFile(path, "r")
+    blockIdx = seekBlock(meta.index, if (lastRow == null) seekRow else lastRow)
+    in = null
   }
+
+  /** An entry at (row, ts) is not-yet-returned iff it sorts strictly
+    * after the resume point in (row ASC, ts DESC) file order. Skipped
+    * (pre-seek / out-of-range) entries re-skip deterministically on
+    * replay, so the predicate only needs the last RETURNED entry. */
+  private def behindResumePoint(row: Array[Byte], ts: Long): Boolean =
+    if (lastRow == null) java.util.Arrays.compareUnsigned(row, seekRow) < 0
+    else {
+      val c = java.util.Arrays.compareUnsigned(row, lastRow)
+      c < 0 || (c == 0 && ts >= lastTs)
+    }
 
   private def close(): Unit = {
     exhausted = true
-    try raf.close() catch { case _: IOException => }
+    try if (raf != null) raf.close() catch { case _: IOException => }
   }
 
-  private def advance(): Unit = {
-    while (nextE == null && !exhausted) {
+  /** Decode forward to the next emittable entry; null = end of slice
+    * or file. Throws IOException on faults (incl. injected). */
+  private def decodeNext(): HFileEntry = {
+    while (true) {
       if (in == null || in.available() == 0) {
-        if (!openBlock()) return
+        if (blockIdx >= meta.index.length) return null
+        val (payload, _) = readBlock(raf, meta.index(blockIdx).offset,
+          DataMagic, meta.trailer.compressionCodec)
+        in = new DataInputStream(new ByteArrayInputStream(payload))
+        blockIdx += 1
+      }
+      decoded += 1
+      if (!faultFired && failAfter.exists(decoded >= _)) {
+        faultFired = true
+        throw new IOException(s"injected fault after $decoded entries")
       }
       val keyLen = in.readInt()
       val valLen = in.readInt()
       val key = new Array[Byte](keyLen)
       in.readFully(key)
       val row = rowOf(key)
-      val firstB = row(0) & 0xff
-      if (firstB >= hiByte) { close(); return } // stop-at-slice-end
+      if ((row(0) & 0xff) >= hiByte) return null // stop-at-slice-end
       val ts = java.nio.ByteBuffer.wrap(key, keyLen - 9, 8).getLong
-      if (firstB < loByte || !range.contains(ts)) {
-        // pre-seek row or out-of-range version: never materialize
+      if (behindResumePoint(row, ts) || !range.contains(ts)) {
+        // pre-seek row, already-returned entry on a reopen, or
+        // out-of-range version: never materialize the value
         in.skipBytes(valLen)
       } else {
         val value = new Array[Byte](valLen)
         in.readFully(value)
-        nextE = HFileEntry(row, ts, value)
+        return HFileEntry(row, ts, value)
       }
     }
+    null // unreachable
+  }
+
+  private def advanceWithRetry(): HFileEntry = {
+    while (true) {
+      try return decodeNext()
+      catch {
+        case e: IOException =>
+          if (reopensLeft == 0) throw e
+          reopensLeft -= 1
+          try if (raf != null) raf.close() catch { case _: IOException => }
+          open()
+      }
+    }
+    null // unreachable
   }
 
   def head: HFileEntry = {
@@ -640,7 +689,11 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
   }
 
   override def hasNext: Boolean = {
-    if (nextE == null && !exhausted) advance()
+    if (nextE == null && !exhausted) {
+      nextE = advanceWithRetry()
+      if (nextE == null) close()
+      else { lastRow = nextE.key; lastTs = nextE.ts }
+    }
     nextE != null
   }
 

@@ -172,7 +172,11 @@ class PlanAuditSpec extends SparkSuite {
       // window relation cached once), so any shuffle regression there
       // surfaces as bench drift on the pinned 0-exchange report shape
       "q207_sortedrun_export" -> 1,
-      "q208_incremental_tiling" -> 0)
+      "q208_incremental_tiling" -> 0,
+      // q209 collects writer accounting inside the query (local
+      // report); q210 is q207's shape over the HFile v2 store
+      "q209_sortedrun_writer" -> 0,
+      "q210_hfile_store" -> 1)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
       val p = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

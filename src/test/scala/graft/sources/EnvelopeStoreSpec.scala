@@ -278,6 +278,21 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("hfile reopen-at-key retry: injected mid-scan faults change nothing") {
+    val dir = Files.createTempDirectory("graft-hfile-fault")
+    HFileFixture.writeSnapshot(dir, 300L, 4, regions = 2, gens = 2,
+      blockEntries = 16)
+    def dump(store: HFileSnapshotStore, range: TsRange) =
+      (0 until 256 / 32).flatMap(i => store.scan(KeySlice(i, 32), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+    val clean = HFileSnapshotStore(dir.toString)
+    for (failAt <- Seq(1, 7, 50); range <- Seq(TsRange.All, TsRange(0L, t0 + 1L))) {
+      val flaky = HFileSnapshotStore(dir.toString, failAfterEntries = Some(failAt))
+      assert(dump(flaky, range) === dump(clean, range),
+        s"fault after $failAt entries must not change the scan (range $range)")
+    }
+  }
+
   test("hfile generation tie-break: equal (row, ts) resolves to the newer file") {
     import java.nio.charset.StandardCharsets.UTF_8
     val dir = Files.createTempDirectory("graft-hfile-tie")
