@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -146,13 +147,13 @@ object Curation {
         lit(-1.5) + lit(6.0) * col("stop_ratio") - lit(8.0) * col("digit_ratio")
           - lit(4.0) * col("upper_ratio")
           + lit(0.01) * col("n_tokens").cast("double"), 6))
-      .select(col("doc_id"), col("lang"), col("logit"))
+      .select(col("doc_id"), col("lang"), col("source"), col("logit"))
 
   /** q97's logit pipeline as a SQL CTE chain ending in
     * `l(doc_id, lang, logit)` — shared by q97Sql and q198Sql. */
   private val q97LogitCte: String =
-    """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
-      |f AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+    """WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, lang, source, len(toks) AS n_tokens,
       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
       |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
       |  (CAST(length(text) AS DOUBLE) -
@@ -162,7 +163,7 @@ object Curation {
       |    CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE))
       |    / CAST(length(text) AS DOUBLE) AS upper_ratio
       | FROM t),
-      |l AS (SELECT doc_id, lang,
+      |l AS (SELECT doc_id, lang, source,
       |  round(-1.5 + 6.0 * stop_ratio - 8.0 * digit_ratio
       |  - 4.0 * upper_ratio + 0.01 * CAST(n_tokens AS DOUBLE), 6) AS logit FROM f)""".stripMargin
 
@@ -1537,8 +1538,274 @@ object Curation {
       |floor_q + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
       |FROM l ORDER BY source""".stripMargin
 
+  // ------------------------------------------- q211 naive bayes gate
+  /** TRAINED multinomial Naive-Bayes language gate — the learned
+    * complement of q97's fixed-weight scorer: the model every corpus
+    * pipeline actually ships (CCNet / fastText-style quality and
+    * language classifiers are trained ON the corpus, not hand-tuned).
+    * Train on the 80% hash split (`doc_id % 5 < 4`), evaluate the
+    * held-out 20%: per-token (count,class) statistics with Laplace
+    * smoothing collapse into one log-likelihood-ratio per token plus
+    * two constants (class prior, unseen-token LLR); a document's
+    * score is `prior + Σ count_d(t) · llr(t)` and `score ≥ 0` decides
+    * `en`. Output: the held-out confusion matrix with the exact score
+    * mass per cell.
+    *
+    * Determinism: each per-token LLR is one fixed IEEE expression
+    * over integer counts (`ln(int/int) − ln(int/int)`), quantized to
+    * DECIMAL(25,6) at birth; every later op — count×llr products
+    * (DECIMAL(12,0)×DECIMAL(25,6), width 38, exact), per-doc sums,
+    * the ≥ 0 threshold — is exact decimal arithmetic, so the
+    * confusion matrix is bit-identical across engines and plans.
+    *
+    * Scale: training is one token-keyed map-side-combined count (the
+    * model relation is VOCABULARY-sized, orders below the corpus);
+    * totals broadcast as scalars; apply re-joins the model onto the
+    * held-out token bag — broadcast here, a fixed-width token-keyed
+    * shuffle when the vocabulary outgrows broadcast — then one
+    * doc-keyed aggregation. Nothing corpus-sized ever sorts. */
+  def q211NbGate(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("is_en", col("lang") === "en")
+      .withColumn("is_train", col("doc_id") % 5 < 4)
+    val counts = tok.filter(col("is_train")).groupBy("tok").agg(
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("c_en"),
+      sum(when(!col("is_en"), 1L).otherwise(0L)).as("c_non"))
+    val totals = counts.agg(sum("c_en").as("tot_en"),
+      sum("c_non").as("tot_non"), count(lit(1)).as("v"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("llr", expr(
+        "CAST(LN(CAST(c_en + 1 AS DOUBLE) / CAST(tot_en + v AS DOUBLE)) - " +
+          "LN(CAST(c_non + 1 AS DOUBLE) / CAST(tot_non + v AS DOUBLE)) " +
+          "AS DECIMAL(25,6))"))
+      .select("tok", "llr")
+    val docSplit = docs(s, dir).agg(
+      sum(when(col("lang") === "en" && col("doc_id") % 5 < 4, 1L)
+        .otherwise(0L)).as("nd_en"),
+      sum(when(col("lang") =!= "en" && col("doc_id") % 5 < 4, 1L)
+        .otherwise(0L)).as("nd_non"))
+    val consts = totals.crossJoin(docSplit).select(
+      expr("CAST(LN(CAST(1 AS DOUBLE) / CAST(tot_en + v AS DOUBLE)) - " +
+        "LN(CAST(1 AS DOUBLE) / CAST(tot_non + v AS DOUBLE)) " +
+        "AS DECIMAL(25,6))").as("llr_unseen"),
+      expr("CAST(LN(CAST(nd_en AS DOUBLE) / CAST(nd_non AS DOUBLE)) " +
+        "AS DECIMAL(25,6))").as("prior"))
+    val scored = tok.filter(!col("is_train"))
+      .groupBy("doc_id", "is_en", "tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("term", col("cnt").cast(DecimalType(12, 0)) *
+        coalesce(col("llr"), col("llr_unseen")))
+      .groupBy("doc_id", "is_en", "prior")
+      .agg(sum(col("term")).as("tsum"))
+      .withColumn("score", col("prior") + col("tsum"))
+    scored
+      .withColumn("actual", when(col("is_en"), "en").otherwise("other"))
+      .withColumn("pred",
+        when(col("score") >= 0, "en").otherwise("other"))
+      .groupBy("actual", "pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).cast("double").as("sum_score"))
+      .orderBy("actual", "pred")
+  }
+
+  val q211Sql: String =
+    """WITH tok AS (SELECT doc_id, lang = 'en' AS is_en,
+      |  doc_id % 5 < 4 AS is_train,
+      |  unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnts AS (SELECT tok,
+      |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+      |  CAST(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS c_non
+      |  FROM tok WHERE is_train GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_en) AS BIGINT) AS tot_en,
+      |  CAST(SUM(c_non) AS BIGINT) AS tot_non, COUNT(*) AS v FROM cnts),
+      |model AS (SELECT tok,
+      |  CAST(LN(CAST(c_en + 1 AS DOUBLE) / CAST(tot_en + v AS DOUBLE)) -
+      |    LN(CAST(c_non + 1 AS DOUBLE) / CAST(tot_non + v AS DOUBLE))
+      |    AS DECIMAL(25,6)) AS llr
+      |  FROM cnts CROSS JOIN tot),
+      |ds AS (SELECT
+      |  CAST(SUM(CASE WHEN lang = 'en' AND doc_id % 5 < 4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nd_en,
+      |  CAST(SUM(CASE WHEN lang <> 'en' AND doc_id % 5 < 4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nd_non
+      |  FROM documents),
+      |consts AS (SELECT
+      |  CAST(LN(CAST(1 AS DOUBLE) / CAST(tot_en + v AS DOUBLE)) -
+      |    LN(CAST(1 AS DOUBLE) / CAST(tot_non + v AS DOUBLE))
+      |    AS DECIMAL(25,6)) AS llr_unseen,
+      |  CAST(LN(CAST(nd_en AS DOUBLE) / CAST(nd_non AS DOUBLE))
+      |    AS DECIMAL(25,6)) AS prior
+      |  FROM tot CROSS JOIN ds),
+      |tc AS (SELECT doc_id, is_en, tok, COUNT(*) AS cnt
+      |  FROM tok WHERE NOT is_train GROUP BY 1, 2, 3),
+      |sc AS (SELECT t.doc_id, t.is_en, c.prior,
+      |  SUM(CAST(t.cnt AS DECIMAL(12,0)) * COALESCE(m.llr, c.llr_unseen))
+      |    AS tsum
+      |  FROM tc t LEFT JOIN model m USING (tok) CROSS JOIN consts c
+      |  GROUP BY 1, 2, 3)
+      |SELECT CASE WHEN is_en THEN 'en' ELSE 'other' END AS actual,
+      |  CASE WHEN prior + tsum >= 0 THEN 'en' ELSE 'other' END AS pred,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(prior + tsum) AS DOUBLE) AS sum_score
+      |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------- q212 dsir importance
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): estimate target and raw distributions
+    * over HASHED features, weight each document by the sum of its
+    * features' log importance ratios, and keep the documents that
+    * look like the target. Features here are 64 arithmetic token
+    * buckets (`(ascii(first char)·31 + length) % 64` — the same
+    * integer expression in every engine, unlike murmur); the target
+    * distribution is the English subcorpus, the raw distribution the
+    * whole corpus; a document is selected when its importance
+    * log-ratio sum is ≥ 0. Output: per-source selection counts and
+    * selected score mass — the resampling plan's per-source shape.
+    *
+    * Determinism: bucket ids and counts are integers; each bucket's
+    * log ratio is one fixed IEEE expression quantized to
+    * DECIMAL(25,6); per-doc sums are exact decimal arithmetic
+    * (q211's scheme).
+    *
+    * Scale: the model is exactly 64 rows — a broadcast constant by
+    * construction, no vocabulary growth at 100 TB (that is DSIR's
+    * point: hashing bounds the estimator). Bucket assignment is
+    * scan-local; one doc-keyed aggregation scores; one source-keyed
+    * map-side-combined aggregation reports. */
+  def q212DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val b = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt",
+        expr("(ascii(substr(tok, 1, 1)) * 31 + length(tok)) % 64"))
+    val raw = b.groupBy("bkt").agg(count(lit(1)).as("r_cnt"))
+    val tgt = b.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("t_cnt"))
+    val tot = raw.agg(sum("r_cnt").as("r_tot"))
+      .crossJoin(tgt.agg(sum("t_cnt").as("t_tot")))
+    val lrm = raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lr", expr(
+        "CAST(LN(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE) / " +
+          "CAST(t_tot + 64 AS DOUBLE)) - " +
+          "LN(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_tot + 64 AS DOUBLE)) " +
+          "AS DECIMAL(25,6))"))
+      .select("bkt", "lr")
+    b.groupBy("doc_id", "source", "bkt").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lrm), "bkt")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt").cast(DecimalType(12, 0)) * col("lr"))
+        .as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("score") >= 0, col("score")).otherwise(lit(0)))
+          .cast("double").as("sel_score_sum"))
+      .orderBy("source")
+  }
+
+  val q212Sql: String =
+    """WITH b AS (SELECT doc_id, source, lang,
+      |  (ascii(substr(tok, 1, 1)) * 31 + length(tok)) % 64 AS bkt
+      |  FROM (SELECT doc_id, source, lang,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |raw AS (SELECT bkt, COUNT(*) AS r_cnt FROM b GROUP BY 1),
+      |tgt AS (SELECT bkt, COUNT(*) AS t_cnt FROM b WHERE lang = 'en'
+      |  GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(SUM(r_cnt) AS BIGINT) FROM raw) AS r_tot,
+      |  (SELECT CAST(SUM(t_cnt) AS BIGINT) FROM tgt) AS t_tot),
+      |lrm AS (SELECT r.bkt,
+      |  CAST(LN(CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE) /
+      |    CAST(tot.t_tot + 64 AS DOUBLE)) -
+      |    LN(CAST(r.r_cnt + 1 AS DOUBLE) / CAST(tot.r_tot + 64 AS DOUBLE))
+      |    AS DECIMAL(25,6)) AS lr
+      |  FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN tot),
+      |db AS (SELECT doc_id, source, bkt, COUNT(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3),
+      |sc AS (SELECT d.doc_id, d.source,
+      |  SUM(CAST(d.cnt AS DECIMAL(12,0)) * l.lr) AS score
+      |  FROM db d JOIN lrm l USING (bkt) GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_selected,
+      |  CAST(SUM(CASE WHEN score >= 0 THEN score ELSE 0 END) AS DOUBLE)
+      |    AS sel_score_sum
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------- q214 source calibration KS
+  /** Per-source score-calibration audit: the exact Kolmogorov–Smirnov
+    * distance between each source's q97-logit distribution and the
+    * whole corpus's. A threshold tuned on the pooled distribution is
+    * only fair if every source's scores are drawn from roughly that
+    * distribution; a source with a large KS needs its own cut (the
+    * per-source re-calibration every mixed-corpus quality gate does).
+    * Complements q205 (χ² on a categorical axis) with the
+    * continuous-score axis.
+    *
+    * Exactness: the KS sup runs over the GLOBAL distinct-logit grid —
+    * every source observation is a corpus observation, so the sup
+    * over that grid IS the sup over both empirical CDFs. CDF
+    * differences compare via integer cross-multiplication
+    * (`|scum·n_g − gcum·n_s|`), so the argmax involves no division;
+    * the one floating-point op is the final reported ratio.
+    *
+    * Scale: the grid's cardinality is bounded by the 6-dp score
+    * RESOLUTION, not the corpus (the q198 histogram argument); the
+    * source×grid relation is |sources|·|grid| and every window runs
+    * on it, partitioned by source — the corpus itself contributes two
+    * map-side-combined histograms and never sorts. */
+  def q214SourceCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(s, dir).select(col("source"), col("logit"))
+    val grid = sd.groupBy("logit").agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum",
+        sum(col("gcnt")).over(Window.orderBy("logit")))
+    val nsrc = sd.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val sh = sd.groupBy("source", "logit").agg(count(lit(1)).as("scnt"))
+    val ws = Window.partitionBy("source").orderBy("logit")
+    broadcast(nsrc).crossJoin(grid.select("logit", "gcum"))
+      .join(sh, Seq("source", "logit"), "left")
+      .withColumn("scnt0", coalesce(col("scnt"), lit(0L)))
+      .withColumn("scum", sum(col("scnt0")).over(ws))
+      .crossJoin(broadcast(sd.agg(count(lit(1)).as("n_g"))))
+      .withColumn("diff",
+        abs(col("scum") * col("n_g") - col("gcum") * col("n_s")))
+      .groupBy("source")
+      .agg(max("n_s").as("n_src"), max("n_g").as("n_global"),
+        max("diff").as("ks_num"))
+      .withColumn("ks", col("ks_num").cast("double") /
+        (col("n_src") * col("n_global")).cast("double"))
+      .orderBy("source")
+  }
+
+  val q214Sql: String =
+    s"""$q97LogitCte,
+       |g AS (SELECT logit, COUNT(*) AS gcnt FROM l GROUP BY 1),
+       |gc AS (SELECT logit,
+       |  CAST(SUM(gcnt) OVER (ORDER BY logit) AS BIGINT) AS gcum FROM g),
+       |ns AS (SELECT source, COUNT(*) AS n_s FROM l GROUP BY 1),
+       |sh AS (SELECT source, logit, COUNT(*) AS scnt FROM l GROUP BY 1, 2),
+       |cr AS (SELECT ns.source, ns.n_s, gc.logit, gc.gcum,
+       |  COALESCE(sh.scnt, 0) AS scnt0
+       |  FROM ns CROSS JOIN gc
+       |  LEFT JOIN sh ON sh.source = ns.source AND sh.logit = gc.logit),
+       |cum AS (SELECT source, n_s, logit, gcum,
+       |  CAST(SUM(scnt0) OVER (PARTITION BY source ORDER BY logit)
+       |    AS BIGINT) AS scum FROM cr),
+       |tot AS (SELECT COUNT(*) AS n_g FROM l)
+       |SELECT source, MAX(n_s) AS n_src, MAX(n_g) AS n_global,
+       |  CAST(MAX(ABS(scum * n_g - gcum * n_s)) AS BIGINT) AS ks_num,
+       |  CAST(MAX(ABS(scum * n_g - gcum * n_s)) AS DOUBLE) /
+       |    CAST(MAX(n_s) * MAX(n_g) AS DOUBLE) AS ks
+       |FROM cum CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_nb_gate" -> (q211NbGate _),
+    "q212_dsir_select" -> (q212DsirSelect _),
+    "q214_source_calibration" -> (q214SourceCalibration _),
     "q194_budget_apportion" -> (q194BudgetApportion _),
     "q196_temperature_mix" -> (q196TemperatureMix _),
     "q198_score_auc" -> (q198ScoreAuc _),
@@ -1566,6 +1833,9 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q211_nb_gate" -> q211Sql,
+    "q212_dsir_select" -> q212Sql,
+    "q214_source_calibration" -> q214Sql,
     "q194_budget_apportion" -> q194Sql,
     "q196_temperature_mix" -> q196Sql,
     "q198_score_auc" -> q198Sql,

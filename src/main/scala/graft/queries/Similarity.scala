@@ -1521,7 +1521,86 @@ object Similarity {
        |FROM m ORDER BY qid""".stripMargin
   }
 
+  // --------------------------------------- q213 prototype pruning
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): within each label class, rank vectors by
+    * distance to the class centroid and prune the closest 25% — the
+    * most PROTOTYPICAL examples, which are the most redundant when
+    * data is abundant (keep-hard beats keep-easy at scale). The
+    * embedding-space complement of q186's SemDeDup (which prunes
+    * near-DUPLICATES; this prunes near-CENTROID mass).
+    *
+    * Exactness: embeddings quantize once to 6-dp micro-units (the
+    * q188 idiom); with per-(label,dim) sums S and class size n, the
+    * comparison key is `n²·‖v−c‖² = Σ_d (n·qv_d − S_d)²` — centroid
+    * division never happens, every term is integer, squares
+    * accumulate in DECIMAL(38,0)/HUGEINT, and the within-class rank
+    * (tie-broken by vec_id) is bit-identical across engines.
+    *
+    * Scale: the stats relation is |labels|·|dims| rows — broadcast
+    * back onto a second scan (the q188/q110 stats-broadcast shape);
+    * the corpus shuffles once on vec_id to assemble distances. The
+    * within-label rank is the one ordered pass; at 100 TB it swaps
+    * for a distance-HISTOGRAM threshold (d²n² is quantized, so a
+    * bounded histogram + prefix sum finds the k-th smallest exactly —
+    * the q198 shape) with only the boundary bucket re-ranked. */
+  def q213PrototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos").as("p"),
+        expr("CAST(CAST(CAST(col AS DOUBLE) AS DECIMAL(25,6)) * 1000000 " +
+          "AS BIGINT)").as("qv"))
+    val stats = ex.groupBy("label", "p")
+      .agg(sum("qv").as("sd"), count(lit(1)).as("n"))
+    val d2 = ex.join(broadcast(stats), Seq("label", "p"))
+      .withColumn("diff", expr("CAST(n * qv - sd AS DECIMAL(19,0))"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("CAST(diff * diff AS DECIMAL(38,0))")).as("d2n2"),
+        max("n").as("n"))
+    val w = Window.partitionBy("label").orderBy("d2n2", "vec_id")
+    d2.withColumn("rk", row_number().over(w))
+      .withColumn("pruned", col("rk") <= expr("n div 4"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(!col("pruned"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("pruned"), col("vec_id")).otherwise(0L))
+          .as("kept_id_sum"),
+        max(when(col("pruned"), col("d2n2"))).cast("double")
+          .as("max_pruned_d2n2"))
+      .orderBy("label")
+  }
+
+  val q213Sql: String =
+    """WITH ex AS (SELECT vec_id, label, s.p AS p, s.qv AS qv FROM (
+      |  SELECT vec_id, label,
+      |    unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> {'p': i - 1,
+      |            'qv': CAST(CAST(CAST(embedding[i] AS DOUBLE)
+      |                  AS DECIMAL(25,6)) * 1000000 AS BIGINT)})) AS s
+      |  FROM embeddings)),
+      |st AS (SELECT label, p, CAST(SUM(qv) AS BIGINT) AS sd,
+      |  COUNT(*) AS n FROM ex GROUP BY 1, 2),
+      |d2 AS (SELECT vec_id, e.label,
+      |  SUM(CAST(n * qv - sd AS HUGEINT) * CAST(n * qv - sd AS HUGEINT))
+      |    AS d2n2,
+      |  MAX(n) AS n
+      |  FROM ex e JOIN st USING (label, p) GROUP BY 1, 2),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+      |    ORDER BY d2n2, vec_id) AS rk FROM d2),
+      |fl AS (SELECT *, rk <= n // 4 AS pruned FROM rk)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      |  CAST(SUM(CASE WHEN NOT pruned THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN NOT pruned THEN vec_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum,
+      |  CAST(MAX(CASE WHEN pruned THEN d2n2 END) AS DOUBLE)
+      |    AS max_pruned_d2n2
+      |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_prototype_prune" -> (q213PrototypePrune _),
     "q195_retrieval_metrics" -> (q195RetrievalMetrics _),
     "q186_semdedup" -> (q186SemDedup _),
     "q188_int8_quant" -> (q188Int8Quant _),
@@ -1546,6 +1625,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q213_prototype_prune" -> q213Sql,
     "q195_retrieval_metrics" -> q195Sql,
     "q186_semdedup" -> q186Sql,
     "q188_int8_quant" -> q188Sql,

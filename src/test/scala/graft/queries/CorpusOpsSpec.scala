@@ -586,4 +586,143 @@ class CorpusOpsSpec extends SparkSuite {
     }
     assert(out.toSeq === expected)
   }
+
+  // ------------------------------------------------------------ q211
+  test("q211 NB gate matches a BigDecimal train+apply recompute") {
+    val got = Curation.q211NbGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val train = docs.filter(_._1 % 5 < 4)
+    val trainTok = train.flatMap { case (_, lang, text) =>
+      text.split(" ", -1).map(t => (t, lang == "en")) }
+    val counts = trainTok.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val (totEn, totNon) = (counts.values.map(_._1).sum,
+      counts.values.map(_._2).sum)
+    val v = counts.size.toLong
+    val llr = counts.map { case (t, (ce, cn)) =>
+      t -> q6(math.log((ce + 1).toDouble / (totEn + v).toDouble) -
+        math.log((cn + 1).toDouble / (totNon + v).toDouble)) }
+    val llrUnseen = q6(math.log(1.0 / (totEn + v).toDouble) -
+      math.log(1.0 / (totNon + v).toDouble))
+    val prior = q6(math.log(
+      train.count(_._2 == "en").toDouble /
+        train.count(_._2 != "en").toDouble))
+    val cells = docs.filter(_._1 % 5 >= 4).map { case (_, lang, text) =>
+      val score = prior + text.split(" ", -1).groupBy(identity)
+        .map { case (t, xs) =>
+          llr.getOrElse(t, llrUnseen) * BigDecimal(xs.length) }
+        .sum
+      val actual = if (lang == "en") "en" else "other"
+      val pred = if (score >= 0) "en" else "other"
+      ((actual, pred), score)
+    }
+    val expected = cells.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case ((a, p), xs) =>
+        (a, p, xs.length.toLong, xs.map(_._2).sum.toDouble) }
+    assert(got.toSeq === expected)
+    assert(got.map(_._3).sum === docs.count(_._1 % 5 >= 4).toLong,
+      "confusion covers every held-out doc")
+  }
+
+  // ------------------------------------------------------------ q212
+  test("q212 DSIR selection matches a BigDecimal recompute") {
+    val got = Curation.q212DsirSelect(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def bkt(t: String): Int =
+      ((if (t.isEmpty) 0 else t.codePointAt(0)) * 31 + t.length) % 64
+    val all = docs.flatMap(d => d._4.split(" ", -1).map(t => (d._3, bkt(t))))
+    val raw = all.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val tgt = all.filter(_._1 == "en").groupBy(_._2)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val (rTot, tTot) = (raw.values.sum, tgt.values.sum)
+    val lr = raw.map { case (b, rc) =>
+      b -> q6(math.log((tgt.getOrElse(b, 0L) + 1).toDouble /
+        (tTot + 64).toDouble) -
+        math.log((rc + 1).toDouble / (rTot + 64).toDouble)) }
+    val scored = docs.map { case (_, src, _, text) =>
+      val score = text.split(" ", -1).groupBy(bkt)
+        .map { case (b, xs) => lr(b) * BigDecimal(xs.length) }.sum
+      (src, score)
+    }
+    val expected = scored.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, xs) =>
+        (src, xs.length.toLong, xs.count(_._2 >= 0).toLong,
+          xs.filter(_._2 >= 0).map(_._2).sum.toDouble) }
+    assert(got.toSeq === expected)
+  }
+
+  // ------------------------------------------------------------ q213
+  test("q213 prototype pruning matches an exact BigInt recompute") {
+    val got = Similarity.q213PrototypePrune(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val vecs = graft.core.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(f => BigDecimal(f.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact).toArray))
+    val expected = vecs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (label, xs) =>
+        val n = xs.length
+        val dims = xs.head._3.length
+        val sums = Array.tabulate(dims)(p => xs.map(_._3(p)).sum)
+        val ranked = xs.map { case (id, _, qv) =>
+          val d2n2 = (0 until dims).map { p =>
+            val diff = BigInt(n) * qv(p) - sums(p)
+            diff * diff
+          }.sum
+          (id, d2n2)
+        }.sortBy(t => (t._2, t._1))
+        val k = n / 4
+        val kept = ranked.drop(k)
+        (label, n.toLong, k.toLong, kept.length.toLong,
+          kept.map(_._1).sum)
+    }
+    assert(got.toSeq === expected)
+  }
+
+  // ------------------------------------------------------------ q214
+  test("q214 per-source KS matches an in-memory CDF recompute") {
+    val got = Curation.q214SourceCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // the score definition is q97's (shared scoredDocs); the KS
+    // machinery is what this pin recomputes independently
+    val scores = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bySource = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getString(1), scores(r.getLong(0))))
+    val grid = bySource.map(_._2).distinct.sorted
+    val nG = bySource.length.toLong
+    val expected = bySource.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, xs) =>
+        val nS = xs.length.toLong
+        val ksNum = grid.map { x =>
+          val scum = xs.count(_._2 <= x).toLong
+          val gcum = bySource.count(_._2 <= x).toLong
+          (scum * nG - gcum * nS).abs
+        }.max
+        (src, nS, nG, ksNum, ksNum.toDouble / (nS * nG).toDouble)
+    }
+    assert(got.toSeq === expected)
+    assert(got.map(_._2).sum === nG, "sources partition the corpus")
+    got.foreach { case (src, _, _, _, ks) =>
+      assert(ks > 0.0 && ks <= 1.0, s"$src KS in (0,1]") }
+  }
 }

@@ -275,4 +275,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.indexOf("HashAggregate", wIdx) >= 0,
       s"window must consume the aggregate, not raw pairs:\n${p.take(2000)}")
   }
+
+  test("q211–q214 broadcast their model/stats relations onto the corpus") {
+    // NB model (vocab-sized), DSIR log-ratio table (64 rows), the
+    // per-(label,dim) centroid sums, and the per-source count side
+    // must all ship TO the big scan, never shuffle it
+    for (name <- Seq("q211_nb_gate", "q212_dsir_select",
+        "q213_prototype_prune", "q214_source_calibration")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its model broadcast:\n${p.take(2000)}")
+    }
+    // q213's corpus side must not re-shuffle for the stats join: the
+    // only hash exchanges are the stats aggregation itself, the
+    // vec-level distance assembly, and the final per-label report
+    val p213 = plan("q213_prototype_prune")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p213).length
+    assert(exchanges <= 3,
+      s"q213 plans $exchanges hash exchanges:\n${p213.take(3000)}")
+  }
 }
