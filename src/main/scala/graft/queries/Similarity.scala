@@ -1521,6 +1521,256 @@ object Similarity {
        |FROM m ORDER BY qid""".stripMargin
   }
 
+  // ----------------------------------------- q215 label-noise audit
+  /** kNN label-agreement noise detection (the Confident-Learning-style
+    * audit a labeled corpus runs before training): for every vector,
+    * the fraction of its 5 nearest neighbors sharing its label; a
+    * vector whose neighborhood mostly DISAGREES (< half same-label) is
+    * a flagged candidate mislabel. Reported per label: vectors with
+    * neighbors, neighbor/agreement mass, flagged count.
+    *
+    * Spark-first scale shape: neighbors come from the IVF coarse cell
+    * (the q39/q186 zero-shuffle per-row fold over the K-seed literal),
+    * so the quadratic is CELL-LOCAL — never an all-pairs corpus join;
+    * the top-5 window partitions by vec_id inside the cell join's
+    * partitioning. Vectors alone in their cell have no neighbors and
+    * drop out (production runs probe adjacent cells; the oracle pins
+    * the single-probe contract). Agreement ratios divide ONCE at the
+    * |labels|-row report — everything upstream is integer. */
+  def q215LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val q = new IvfQuantizer(s, dir)
+    val n = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding"), expr(normSpark).as("nrm"))
+    val assigned = n.withColumn("cell",
+      q.bestCell(col("embedding"), col("nrm")))
+    val a = assigned.select(col("cell"), col("vec_id"), col("label"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("cid"),
+      col("label").as("clabel"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("cid"))
+    a.join(b, "cell").filter(col("vec_id") =!= col("cid"))
+      .withColumn("cosine",
+        dotC(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("clabel") === col("label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("n_nbrs").as("n_nbrs"), sum("n_same").as("n_same"),
+        sum(when(col("n_same") * 2 < col("n_nbrs"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("agreement",
+        col("n_same").cast("double") / col("n_nbrs").cast("double"))
+      .orderBy("label")
+  }
+
+  val q215Sql: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding, $normDuck AS nrm
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |scored AS (SELECT n.vec_id, n.label, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, label, embedding, nrm, seed_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id, a.label, b.vec_id AS cid,
+       |  b.label AS clabel,
+       |  ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+       |  FROM pairs) WHERE rn <= 5),
+       |pv AS (SELECT vec_id, label, COUNT(*) AS n_nbrs,
+       |  CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_same
+       |  FROM top GROUP BY 1, 2)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(n_nbrs) AS BIGINT) AS n_nbrs,
+       |  CAST(SUM(n_same) AS BIGINT) AS n_same,
+       |  CAST(SUM(CASE WHEN n_same * 2 < n_nbrs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(n_nbrs) AS DOUBLE)
+       |    AS agreement
+       |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------ q216 truncated-dim recall
+  /** Matryoshka-style dimension-truncation audit: recall@5 of a
+    * 16-dim PREFIX index against the full-dim brute-force truth for
+    * the fixed q30 query set. The go/no-go number before switching a
+    * billion-vector ANN tier to prefix dimensions (4× cheaper dot
+    * products and memory) — MRL embeddings keep recall high, generic
+    * embeddings often don't; this measures, not guesses.
+    *
+    * Scale: both sides are the q30 shape — a broadcast fixed query
+    * set over one corpus scan, TakeOrderedAndProject-bounded — so the
+    * audit costs two linear passes; the truncated pass reads the same
+    * scan with a sliced vector (the native vec_dot kernel runs on the
+    * 16-element slice). */
+  val TruncDims = 16
+
+  def q216TruncRecall(s: SparkSession, dir: String): DataFrame = {
+    val full = qKnnBrute(s, dir).select(col("qid"), col("cid"))
+    val t = emb(s, dir).select(col("vec_id"),
+      expr(s"slice(embedding, 1, $TruncDims)").as("te"))
+      .withColumn("tn", expr("sqrt(vec_dot(te, te))"))
+    val qs = t.filter(col("vec_id") < 8).select(col("vec_id").as("qid"),
+      col("te").as("qe"), col("tn").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    val trunc = t.select(col("vec_id").as("cid"), col("te").as("ce"),
+      col("tn").as("cn"))
+      .crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dotC(col("qe"), col("ce")) /
+        (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    full.join(trunc, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_at_5", col("hits").cast("double") / 5.0)
+      .orderBy("qid")
+  }
+
+  val q216Sql: String = {
+    val truncDot = dotDuck("q.te", "c.te")
+    s"""WITH full_knn AS ($qKnnBruteSql),
+       |t AS (SELECT vec_id, embedding[1:$TruncDims] AS te FROM embeddings),
+       |tn AS (SELECT vec_id, te,
+       |  sqrt(list_sum(list_transform(te,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM t),
+       |tp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |  $truncDot / (q.nrm * c.nrm) AS cosine
+       |  FROM tn q, tn c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |trunc AS (SELECT qid, cid, 1 AS hit FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY cosine DESC, cid) AS rn FROM tp) WHERE rn <= 5)
+       |SELECT f.qid, CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits,
+       |  CAST(SUM(COALESCE(t.hit, 0)) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM full_knn f LEFT JOIN trunc t
+       |  ON f.qid = t.qid AND f.cid = t.cid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --------------------------------------- q217 MMR diversity rerank
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity-aware top-k every retrieval stack applies
+    * after ANN: from each query's top-[[MmrPoolK]] relevance pool,
+    * greedily select [[MmrSelectK]] results maximizing
+    * `0.7·rel − 0.3·max_sim_to_already_selected`, so near-duplicate
+    * hits can't crowd the result page. The greedy loop unrolls into
+    * [[MmrSelectK]] deterministic argmax stages (ties to lowest cid),
+    * identical in the Spark plan and the SQL oracle.
+    *
+    * Scale: the pool is K·|queries| rows by construction (the q30
+    * TakeOrderedAndProject bound), materialized ONCE via
+    * localCheckpoint so the unrolled stages and the K²-bounded
+    * pairwise-sim relation reuse it instead of re-scanning the
+    * corpus; every per-stage join keys on (qid, cid) over those
+    * bounded relations. The corpus contributes exactly one broadcast-
+    * query-set scan. */
+  val MmrPoolK = 20
+  val MmrSelectK = 5
+
+  def q217MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val n = emb(s, dir).select(col("vec_id"), col("embedding"),
+      expr(normSpark).as("nrm"))
+    val qs = n.filter(col("vec_id") < 8).select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val wPool = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("cid"))
+    val pool = n
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      .crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rel", dotC(col("qe"), col("ce")) /
+        (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= MmrPoolK)
+      .select("qid", "cid", "ce", "cn", "rel")
+      .localCheckpoint()
+    val sims = pool
+      .select(col("qid"), col("cid").as("ca"), col("ce").as("ea"),
+        col("cn").as("na"))
+      .join(pool.select(col("qid"), col("cid").as("cb"),
+        col("ce").as("eb"), col("cn").as("nb")), "qid")
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("sim", dotC(col("ea"), col("eb")) /
+        (col("na") * col("nb")))
+      .select(col("qid").as("sqid"), col("ca"), col("cb"), col("sim"))
+    var selected = pool
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("rel"), lit(1).as("k"))
+    for (k <- 2 to MmrSelectK) {
+      val selR = selected.select(col("qid").as("pqid"),
+        col("cid").as("scid"))
+      val rem = pool.join(
+        selR.select(col("pqid").as("qid"), col("scid").as("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val wk = Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))
+      val next = rem.select(col("qid"), col("cid"), col("rel"))
+        .join(sims, col("qid") === col("sqid") && col("cid") === col("ca"))
+        .join(selR, col("qid") === col("pqid") && col("cb") === col("scid"))
+        .groupBy(col("qid"), col("cid"), col("rel"))
+        .agg(max(col("sim")).as("mx"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("mx"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("rel"), lit(k).as("k"))
+      selected = selected.unionByName(next)
+    }
+    selected.orderBy("qid", "k")
+  }
+
+  val q217Sql: String = {
+    val steps = (2 to MmrSelectK).map { k =>
+      val prevSel = (1 until k).map(i => s"SELECT qid, cid FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$k AS ($prevSel),
+         |ms$k AS (SELECT p.qid, p.cid, p.rel, MAX(si.sim) AS mx
+         |  FROM pool p
+         |  LEFT JOIN sel$k x ON x.qid = p.qid AND x.cid = p.cid
+         |  JOIN sims si ON si.qid = p.qid AND si.ca = p.cid
+         |  JOIN sel$k s ON s.qid = si.qid AND s.cid = si.cb
+         |  WHERE x.cid IS NULL
+         |  GROUP BY 1, 2, 3),
+         |s$k AS (SELECT qid, cid, rel, $k AS k FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY 0.7 * rel - 0.3 * mx DESC, cid) AS rn FROM ms$k)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MmrSelectK).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm
+       |  FROM embeddings),
+       |pr AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.embedding AS ce,
+       |  c.nrm AS cn,
+       |  ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS rel
+       |  FROM n q, n c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |pool AS (SELECT qid, cid, ce, cn, rel FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY rel DESC, cid) AS rn FROM pr) WHERE rn <= $MmrPoolK),
+       |sims AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+       |  ${dotDuck("a.ce", "b.ce")} / (a.cn * b.cn) AS sim
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid),
+       |s1 AS (SELECT qid, cid, rel, 1 AS k FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY rel DESC, cid) AS rn FROM pool) WHERE rn = 1),
+       |$steps
+       |SELECT qid, cid, rel, k FROM ($unions) ORDER BY qid, k""".stripMargin
+  }
+
   // --------------------------------------- q213 prototype pruning
   /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond
     * neural scaling laws"): within each label class, rank vectors by
@@ -1601,6 +1851,9 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_prototype_prune" -> (q213PrototypePrune _),
+    "q215_label_noise" -> (q215LabelNoise _),
+    "q216_trunc_recall" -> (q216TruncRecall _),
+    "q217_mmr_rerank" -> (q217MmrRerank _),
     "q195_retrieval_metrics" -> (q195RetrievalMetrics _),
     "q186_semdedup" -> (q186SemDedup _),
     "q188_int8_quant" -> (q188Int8Quant _),
@@ -1626,6 +1879,9 @@ object Similarity {
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
     "q213_prototype_prune" -> q213Sql,
+    "q215_label_noise" -> q215Sql,
+    "q216_trunc_recall" -> q216Sql,
+    "q217_mmr_rerank" -> q217Sql,
     "q195_retrieval_metrics" -> q195Sql,
     "q186_semdedup" -> q186Sql,
     "q188_int8_quant" -> q188Sql,

@@ -725,4 +725,118 @@ class CorpusOpsSpec extends SparkSuite {
     got.foreach { case (src, _, _, _, ks) =>
       assert(ks > 0.0 && ks <= 1.0, s"$src KS in (0,1]") }
   }
+
+  /** (vec_id, label, embedding-as-doubles) for the in-memory ANN
+    * recomputes below. */
+  private def vecsInMemory: Array[(Long, Int, Array[Double])] =
+    graft.core.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // ------------------------------------------------------------ q215
+  test("q215 label-noise audit matches an in-memory cell recompute") {
+    val got = Similarity.q215LabelNoise(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val vecs = vecsInMemory
+    // seed selection + assignment mirror the IVF contract (Knuth
+    // hash picks the K seeds; argmax cosine with ties to lowest seed)
+    def ivfHash(id: Long): Long = ((id % 2147483648L) * 2654435761L) %
+      4294967296L
+    val seeds = vecs.sortBy(v => (ivfHash(v._1), v._1))
+      .take(Similarity.IvfSeedCount).sortBy(_._1)
+    val cellOf = vecs.map { v =>
+      v._1 -> seeds.maxBy(sd => (cosine(v._3, sd._3), -sd._1))._1
+    }.toMap
+    val byCell = vecs.groupBy(v => cellOf(v._1))
+    val perVec = vecs.flatMap { v =>
+      val peers = byCell(cellOf(v._1)).filter(_._1 != v._1)
+      if (peers.isEmpty) None
+      else {
+        val top = peers.map(p => (p._1, p._2, cosine(v._3, p._3)))
+          .sortBy(t => (-t._3, t._1)).take(5)
+        Some((v._2, top.length.toLong,
+          top.count(_._2 == v._2).toLong))
+      }
+    }
+    val expected = perVec.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (label, xs) =>
+        (label, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum,
+          xs.count(t => t._3 * 2 < t._2).toLong)
+    }
+    assert(got.toSeq === expected)
+  }
+
+  // ------------------------------------------------------------ q216
+  test("q216 truncation recall matches an in-memory brute recompute") {
+    val got = Similarity.q216TruncRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = vecsInMemory
+    def top5(dims: Int): Map[Long, Set[Long]] =
+      vecs.filter(_._1 < 8).map { q =>
+        q._1 -> vecs.filter(_._1 != q._1)
+          .map(c => (c._1, cosine(q._3.take(dims), c._3.take(dims))))
+          .sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+      }.toMap
+    val full = top5(vecs.head._3.length)
+    val trunc = top5(Similarity.TruncDims)
+    val expected = full.toSeq.sortBy(_._1).map { case (qid, f) =>
+      val hits = (f & trunc(qid)).size.toLong
+      (qid, hits, hits.toDouble / 5.0)
+    }
+    assert(got.toSeq === expected)
+    assert(got.map(_._2).sum < 40L,
+      "truncation must lose recall on non-MRL embeddings")
+  }
+
+  // ------------------------------------------------------------ q217
+  test("q217 MMR matches an in-memory greedy recompute and diversifies") {
+    val got = Similarity.q217MmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val vecs = vecsInMemory
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val expected = vecs.filter(_._1 < 8).map(_._1).sorted.flatMap { qid =>
+      val pool = vecs.filter(_._1 != qid)
+        .map(c => (c._1, cosine(byId(qid), c._3)))
+        .sortBy(t => (-t._2, t._1)).take(Similarity.MmrPoolK)
+      var sel = List(pool.head)
+      var rest = pool.tail.toList
+      for (_ <- 2 to Similarity.MmrSelectK) {
+        val next = rest.map { c =>
+          val mx = sel.map(s => cosine(byId(c._1), byId(s._1))).max
+          (c, 0.7 * c._2 - 0.3 * mx)
+        }.minBy(t => (-t._2, t._1._1))._1
+        sel = sel :+ next
+        rest = rest.filterNot(_._1 == next._1)
+      }
+      sel.zipWithIndex.map { case ((cid, rel), i) => (qid, cid, rel, i + 1) }
+    }
+    assert(got.toSeq === expected.toSeq)
+    // the property MMR exists for: the selected set is more diverse
+    // (lower mean intra-set similarity) than the pure-relevance top-5
+    val mmrDiv = expected.groupBy(_._1).values.map { xs =>
+      val ids = xs.map(_._2)
+      val ps = for (a <- ids; b <- ids if a < b)
+        yield cosine(byId(a), byId(b))
+      ps.sum / ps.length
+    }.sum
+    val relDiv = vecs.filter(_._1 < 8).map(_._1).map { qid =>
+      val ids = vecs.filter(_._1 != qid)
+        .map(c => (c._1, cosine(byId(qid), c._3)))
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1)
+      val ps = for (a <- ids; b <- ids if a < b)
+        yield cosine(byId(a), byId(b))
+      ps.sum / ps.length
+    }.sum
+    assert(mmrDiv < relDiv,
+      s"MMR must reduce intra-set similarity: $mmrDiv vs $relDiv")
+  }
 }

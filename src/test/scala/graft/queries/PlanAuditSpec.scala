@@ -294,4 +294,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 3,
       s"q213 plans $exchanges hash exchanges:\n${p213.take(3000)}")
   }
+
+  test("q215/q216 stay cell-local / broadcast-bounded") {
+    // q215's IVF assignment is a scan-local fold (no exchange to
+    // assign cells); the only shuffles are the cell join's two sides
+    // and the two report aggregations
+    val p215 = plan("q215_label_noise")
+    val ex215 = "Exchange hashpartitioning".r.findAllIn(p215).length
+    assert(ex215 <= 5,
+      s"q215 plans $ex215 hash exchanges:\n${p215.take(3000)}")
+    // q216's fixed query set broadcasts over both scans — the corpus
+    // is never shuffled for the similarity passes
+    val p216 = plan("q216_trunc_recall")
+    assert(p216.contains("Broadcast"),
+      s"q216 lost the query-set broadcast:\n${p216.take(2000)}")
+  }
 }
