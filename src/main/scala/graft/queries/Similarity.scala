@@ -372,11 +372,16 @@ object Similarity {
     * array-of-structs; cell assignment becomes a per-row fold — ZERO
     * shuffle. The Scala norm fold mirrors the Spark/DuckDB
     * left-to-right double accumulation bit-for-bit. */
-  private[graft] final class IvfQuantizer(s: SparkSession, dir: String) {
+  /** `seedFilter` restricts SEED candidacy (not assignment): q219
+    * builds the coarse quantizer from the OLD corpus slice only, then
+    * assigns everything — the index-staleness shape. Default keeps
+    * the original whole-corpus behaviour for every other caller. */
+  private[graft] final class IvfQuantizer(s: SparkSession, dir: String,
+      seedFilter: Column = lit(true)) {
     val n: DataFrame = emb(s, dir).select(col("vec_id"), col("embedding"),
       expr(normSpark).as("nrm"))
 
-    private val seedRows = n
+    private val seedRows = n.filter(seedFilter)
       .orderBy(ivfHash(col("vec_id")), col("vec_id"))
       .limit(IvfSeedCount)
       .select(col("vec_id"), col("embedding"))
@@ -1661,6 +1666,93 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------ q219 index staleness audit
+  /** ANN index-staleness audit — the monitor that decides WHEN to
+    * rebuild a coarse quantizer as the corpus grows: build the IVF
+    * cells from the OLD slice only (`vec_id % 5 < 4`, the standing
+    * 80/20 convention), assign the WHOLE corpus, and report per cell
+    * the old/new membership, the growth ratio, and the exact squared
+    * centroid drift between the old members' centroid and the
+    * all-members centroid. A cell whose centroid moved or whose
+    * population ballooned is routing probes badly; past a threshold
+    * the index re-trains (this query is that threshold's input).
+    *
+    * Exactness: the q213 no-division trick, twice — with per-(cell,
+    * dim) micro-unit sums S_old/S_all and counts n_old/n_all, the
+    * drift numerator per dim is `n_all·S_old − n_old·S_all` (integer),
+    * squared into DECIMAL(38,0)/HUGEINT; the only divisions are the
+    * final reported doubles. Cells are old-seeded, so n_old ≥ 1 by
+    * construction (each seed assigns to itself at cosine 1).
+    *
+    * Scale: seed selection collects K rows (constant in N, the IVF
+    * contract); assignment is the zero-shuffle per-row fold; the
+    * posexplode aggregate is map-side combined to |cells|·|dims|
+    * rows and everything after runs on that bounded relation. */
+  def q219IndexStaleness(s: SparkSession, dir: String): DataFrame = {
+    val isOld = col("vec_id") % 5 < 4
+    val q = new IvfQuantizer(s, dir, isOld)
+    val ex = q.assigned
+      .withColumn("is_old", isOld)
+      .select(col("cell"), col("is_old"), posexplode(col("embedding")))
+      .select(col("cell"), col("is_old"), col("pos").as("p"),
+        expr("CAST(CAST(CAST(col AS DOUBLE) AS DECIMAL(25,6)) * 1000000 " +
+          "AS BIGINT)").as("qv"))
+    ex.groupBy("cell", "p")
+      .agg(sum(when(col("is_old"), col("qv")).otherwise(0L)).as("so"),
+        sum(col("qv")).as("sa"),
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("no"),
+        count(lit(1)).as("na"))
+      .withColumn("dn", expr("CAST(na * so - no * sa AS DECIMAL(38,0))"))
+      .groupBy("cell")
+      .agg(max("no").as("n_old"), max("na").as("n_all"),
+        sum(expr("CAST(dn * dn AS DECIMAL(38,0))")).as("drift_num"))
+      .withColumn("n_new", col("n_all") - col("n_old"))
+      .withColumn("growth",
+        col("n_new").cast("double") / col("n_old").cast("double"))
+      .withColumn("drift_uu2",
+        col("drift_num").cast("double") /
+          ((col("n_old").cast("double") * col("n_all").cast("double")) *
+            (col("n_old").cast("double") * col("n_all").cast("double"))))
+      .select("cell", "n_old", "n_new", "growth", "drift_uu2")
+      .orderBy("cell")
+  }
+
+  val q219Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n WHERE vec_id % 5 < 4
+       |  ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |ex AS (SELECT cell, vec_id % 5 < 4 AS is_old, s.p AS p, s.qv AS qv
+       |  FROM (SELECT cell, vec_id,
+       |    unnest(list_transform(range(1, len(embedding) + 1),
+       |      i -> {'p': i - 1,
+       |            'qv': CAST(CAST(CAST(embedding[i] AS DOUBLE)
+       |                  AS DECIMAL(25,6)) * 1000000 AS BIGINT)})) AS s
+       |    FROM assigned)),
+       |st AS (SELECT cell, p,
+       |  CAST(SUM(CASE WHEN is_old THEN qv ELSE 0 END) AS BIGINT) AS so,
+       |  CAST(SUM(qv) AS BIGINT) AS sa,
+       |  CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS no,
+       |  COUNT(*) AS na
+       |  FROM ex GROUP BY 1, 2),
+       |dd AS (SELECT cell, no, na,
+       |  CAST(na * so - no * sa AS HUGEINT) AS dn FROM st),
+       |ag AS (SELECT cell, MAX(no) AS n_old, MAX(na) AS n_all,
+       |  SUM(dn * dn) AS drift_num FROM dd GROUP BY 1)
+       |SELECT cell, n_old, n_all - n_old AS n_new,
+       |  CAST(n_all - n_old AS DOUBLE) / CAST(n_old AS DOUBLE) AS growth,
+       |  CAST(drift_num AS DOUBLE) /
+       |    ((CAST(n_old AS DOUBLE) * CAST(n_all AS DOUBLE)) *
+       |     (CAST(n_old AS DOUBLE) * CAST(n_all AS DOUBLE))) AS drift_uu2
+       |FROM ag ORDER BY cell""".stripMargin
+
   // --------------------------------------- q217 MMR diversity rerank
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversity-aware top-k every retrieval stack applies
@@ -1861,6 +1953,7 @@ object Similarity {
     "q215_label_noise" -> (q215LabelNoise _),
     "q216_trunc_recall" -> (q216TruncRecall _),
     "q217_mmr_rerank" -> (q217MmrRerank _),
+    "q219_index_staleness" -> (q219IndexStaleness _),
     "q195_retrieval_metrics" -> (q195RetrievalMetrics _),
     "q186_semdedup" -> (q186SemDedup _),
     "q188_int8_quant" -> (q188Int8Quant _),
@@ -1889,6 +1982,7 @@ object Similarity {
     "q215_label_noise" -> q215Sql,
     "q216_trunc_recall" -> q216Sql,
     "q217_mmr_rerank" -> q217Sql,
+    "q219_index_staleness" -> q219Sql,
     "q195_retrieval_metrics" -> q195Sql,
     "q186_semdedup" -> q186Sql,
     "q188_int8_quant" -> q188Sql,

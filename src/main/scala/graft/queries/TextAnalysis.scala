@@ -166,6 +166,66 @@ object TextAnalysis {
        |FROM mm ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------- q218 source keyness lift
+  /** Per-source keyness lift over the induced head vocabulary — the
+    * log-odds-keyword-extraction shape that surfaces each source's
+    * domain jargon and boilerplate vocabulary: take the
+    * [[StopwordTopK]] tokens by corpus occurrence count (ties to
+    * token order), then for each (token, source) report the lift
+    * `(cf_src/n_src) / (cf/n)` over token-occurrence rates. Lift ≈ 1
+    * marks corpus-wide vocabulary; lift ≫ 1 marks a source-bound
+    * term — the rows a per-source boilerplate filter or a domain
+    * classifier's feature list keeps. (The fixture's language axis is
+    * deliberately signal-free — the `lang` column is independent of
+    * token choice — while sources carry real vocabulary bias, so the
+    * audit runs on the axis the data actually discriminates.)
+    *
+    * Determinism: occurrence counts are exact integers; both lift
+    * divisions are written in the same IEEE order in both engines.
+    *
+    * Scale: one token-keyed map-side-combined count; the top-k runs
+    * as TakeOrderedAndProject (no global sort); the source breakdown
+    * re-aggregates only rows matching the k winners via a broadcast
+    * semi-join, so the corpus shuffles once on (token) and once on
+    * (token, source) — both fixed-width keys — and the output is at
+    * most k·|sources| rows. */
+  val StopwordTopK = 20
+
+  def q218StopwordLift(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val srcN = tok.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("tok")).limit(StopwordTopK)
+    tok.join(broadcast(top), "tok")
+      .groupBy("tok", "cf", "source").agg(count(lit(1)).as("cf_src"))
+      .join(broadcast(srcN), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("rate", col("cf").cast("double") / col("n").cast("double"))
+      .withColumn("lift",
+        (col("cf_src").cast("double") / col("n_src").cast("double")) /
+          (col("cf").cast("double") / col("n").cast("double")))
+      .select("tok", "source", "cf", "cf_src", "n_src", "rate", "lift")
+      .orderBy("tok", "source")
+  }
+
+  val q218Sql: String =
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tot AS (SELECT COUNT(*) AS n FROM tok),
+       |sn AS (SELECT source, COUNT(*) AS n_src FROM tok GROUP BY 1),
+       |top AS (SELECT tok, COUNT(*) AS cf FROM tok GROUP BY 1
+       |  ORDER BY cf DESC, tok LIMIT $StopwordTopK),
+       |ts AS (SELECT t.tok, t.cf, k.source, COUNT(*) AS cf_src
+       |  FROM tok k JOIN top t USING (tok) GROUP BY 1, 2, 3)
+       |SELECT ts.tok, ts.source, ts.cf, ts.cf_src, sn.n_src,
+       |  CAST(ts.cf AS DOUBLE) / CAST(tot.n AS DOUBLE) AS rate,
+       |  (CAST(ts.cf_src AS DOUBLE) / CAST(sn.n_src AS DOUBLE)) /
+       |    (CAST(ts.cf AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lift
+       |FROM ts JOIN sn USING (source) CROSS JOIN tot
+       |ORDER BY tok, source""".stripMargin
+
   // ------------------------------------------------ q51 BPE-ish tokens
   /** Subword-grade token counting via a BPE-style pre-split regex —
     * the GPT-2 tokenizer's split shape (contraction suffixes, letter
@@ -968,6 +1028,7 @@ object TextAnalysis {
     "q27_lang_dist" -> (qLangDist _),
     "q28_fingerprint" -> (qFingerprint _),
     "q38_lang_detect" -> (qLangDetect _),
+    "q218_stopword_lift" -> (q218StopwordLift _),
     "q51_token_bpe" -> (qTokenBpe _),
     "q58_pii_redact" -> (qPiiRedact _),
     "q59_repetition" -> (qRepetition _))
@@ -989,6 +1050,7 @@ object TextAnalysis {
     "q27_lang_dist" -> qLangDistSql,
     "q28_fingerprint" -> qFingerprintSql,
     "q38_lang_detect" -> qLangDetectSql,
+    "q218_stopword_lift" -> q218Sql,
     "q51_token_bpe" -> qTokenBpeSql,
     "q58_pii_redact" -> qPiiRedactSql,
     "q59_repetition" -> qRepetitionSql)

@@ -839,4 +839,76 @@ class CorpusOpsSpec extends SparkSuite {
     assert(mmrDiv < relDiv,
       s"MMR must reduce intra-set similarity: $mmrDiv vs $relDiv")
   }
+
+  // ------------------------------------------------------------ q218
+  test("q218 source keyness lift matches an in-memory recompute") {
+    val got = TextAnalysis.q218StopwordLift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val occ = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val n = occ.length.toLong
+    val srcN = occ.groupBy(_._1).map { case (sc, xs) =>
+      sc -> xs.length.toLong }
+    val cf = occ.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val top = cf.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.StopwordTopK)
+    val expected = top.flatMap { case (t, c) =>
+      occ.filter(_._2 == t).groupBy(_._1).toSeq.map { case (src, xs) =>
+        val cs = xs.length.toLong
+        (t, src, c, cs, srcN(src), c.toDouble / n.toDouble,
+          (cs.toDouble / srcN(src).toDouble) / (c.toDouble / n.toDouble))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    // the separation the op exists for: some term is source-bound,
+    // some term is corpus-wide
+    assert(got.exists(t => t._7 > 1.3), "some token must be source-bound")
+    assert(got.exists(t => t._7 > 0.9 && t._7 < 1.1),
+      "some token must be corpus-wide")
+  }
+
+  // ------------------------------------------------------------ q219
+  test("q219 staleness audit matches an exact BigInt recompute") {
+    val got = Similarity.q219IndexStaleness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val vecs = vecsInMemory
+    def ivfHash(id: Long): Long = ((id % 2147483648L) * 2654435761L) %
+      4294967296L
+    val seeds = vecs.filter(_._1 % 5 < 4)
+      .sortBy(v => (ivfHash(v._1), v._1))
+      .take(Similarity.IvfSeedCount).sortBy(_._1)
+    def q6u(x: Double): Long = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000)).toLongExact
+    val assigned = vecs.map { v =>
+      (seeds.maxBy(sd => (cosine(v._3, sd._3), -sd._1))._1, v._1 % 5 < 4,
+        v._3.map(q6u))
+    }
+    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (cell, xs) =>
+        val dims = xs.head._3.length
+        val (old, nAll) = (xs.filter(_._2), xs.length.toLong)
+        val nOld = old.length.toLong
+        val drift = (0 until dims).map { p =>
+          val so = old.map(x => BigInt(x._3(p))).sum
+          val sa = xs.map(x => BigInt(x._3(p))).sum
+          val dn = BigInt(nAll) * so - BigInt(nOld) * sa
+          dn * dn
+        }.sum
+        (cell, nOld, nAll - nOld,
+          (nAll - nOld).toDouble / nOld.toDouble,
+          drift.toDouble / ((nOld.toDouble * nAll.toDouble) *
+            (nOld.toDouble * nAll.toDouble)))
+    }
+    assert(got.toSeq === expected)
+    assert(got.map(t => t._2 + t._3).sum === vecs.length.toLong,
+      "cells partition the corpus")
+    got.foreach { case (cell, nOld, _, growth, drift) =>
+      assert(nOld >= 1L, s"cell $cell must contain its own seed")
+      assert(growth >= 0.0 && drift >= 0.0, s"cell $cell sane metrics")
+    }
+  }
 }

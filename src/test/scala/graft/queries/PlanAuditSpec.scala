@@ -309,4 +309,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(p216.contains("Broadcast"),
       s"q216 lost the query-set broadcast:\n${p216.take(2000)}")
   }
+
+  test("q218/q219 ship their bounded relations to the corpus scan") {
+    // q218: the top-k winners, per-source totals, and the scalar
+    // token count all broadcast; the top-k itself plans without a
+    // global sort
+    val p218 = plan("q218_stopword_lift")
+    assert(p218.contains("TakeOrderedAndProject"),
+      s"q218 must plan the induced head as top-k:\n${p218.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p218).size >= 2,
+      s"q218 lost its winner/source broadcasts:\n${p218.take(2000)}")
+    // q219: assignment is the scan-local seed fold (no exchange to
+    // assign); the only hash exchanges are the per-(cell,dim) stats
+    // aggregation and the per-cell report
+    val p219 = plan("q219_index_staleness")
+    val ex219 = "Exchange hashpartitioning".r.findAllIn(p219).length
+    assert(ex219 <= 2,
+      s"q219 plans $ex219 hash exchanges:\n${p219.take(3000)}")
+  }
 }
