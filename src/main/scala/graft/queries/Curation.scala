@@ -1801,8 +1801,112 @@ object Curation {
        |    CAST(MAX(n_s) * MAX(n_g) AS DOUBLE) AS ks
        |FROM cum CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ q220 bloom FPR audit
+  /** Deterministic Bloom-filter build + false-positive-rate
+    * calibration — the q197 philosophy (measure the structure's real
+    * error against its theory BEFORE trusting it at scale) applied to
+    * the membership filter every 100 TB join-pruning and dedup-probe
+    * path leans on. Unlike library blooms (murmur-hashed,
+    * engine-private), this one is DATA: k=[[BloomK]] affine positions
+    * per key over [[BloomBitsM]] bits, packed 62 bits per word via
+    * `bit_or` aggregation into a ≤⌈m/62⌉-row relation, so the filter
+    * itself is reproducible in any engine and the oracle checks the
+    * BITS, not just the rates. Probes are a shifted non-member id
+    * set; a probe whose k bits are all set is a false positive.
+    * Output: member/probe/FP counts, measured FPR, load factor, and
+    * the theoretical rate `(1 − e^{−k·n/m})^k` (quantized to 6 dp,
+    * the established libm-value rule).
+    *
+    * Scale: one map-side-combined `bit_or` aggregation builds the
+    * filter (the words relation is m/62 rows — broadcast by
+    * construction); probing is a scan-local position computation plus
+    * a broadcast join; the report is one row. */
+  val BloomBitsM = 4096
+  val BloomK = 3
+  private val BloomWordBits = 62
+
+  /** `((A_j·(x % P) + B_j) % P) % m` with the shared Mersenne-prime
+    * coefficients — rendered identically into both dialects. */
+  private def bloomPos(x: String, j: Int): String = {
+    val a = 1000003L * (j + 1) + 17L
+    val b = 7919L * (j + 1) + 3L
+    s"((($a * ($x % 2147483647) + $b) % 2147483647) % $BloomBitsM)"
+  }
+
+  def q220BloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val posArr = (0 until BloomK).map(bloomPos("doc_id", _))
+      .mkString("array(", ", ", ")")
+    val members = docs(s, dir).select(col("doc_id"))
+    val bloom = members
+      .select(explode(expr(posArr)).as("pos"))
+      .select(expr(s"pos div $BloomWordBits").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits " +
+          "AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+    val probePos = (0 until BloomK).map(bloomPos("(doc_id + 1000000)", _))
+      .mkString("array(", ", ", ")")
+    val probeHits = members
+      .select(col("doc_id"), explode(expr(probePos)).as("pos"))
+      .select(col("doc_id"),
+        expr(s"pos div $BloomWordBits").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits " +
+          "AS INT))").as("m"))
+      .join(broadcast(bloom), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(expr("(mask & m) != 0"), 1L).otherwise(0L)).as("hits"))
+    val fp = probeHits.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("hits") === BloomK, 1L).otherwise(0L)).as("n_fp"))
+    members.agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(fp))
+      .crossJoin(broadcast(
+        bloom.agg(sum(expr("bit_count(mask)")).cast("long").as("bits_set"))))
+      .select(col("n_members"), col("n_probes"), col("n_fp"),
+        col("bits_set"),
+        (col("n_fp").cast("double") / col("n_probes").cast("double"))
+          .as("fpr"),
+        (col("bits_set").cast("double") / lit(BloomBitsM.toDouble))
+          .as("load_factor"),
+        expr(s"CAST(CAST(pow(1.0 - exp(CAST(-$BloomK * n_members AS " +
+          s"DOUBLE) / $BloomBitsM.0), $BloomK.0) AS DECIMAL(25,6)) " +
+          "AS DOUBLE)").as("theory_fpr"))
+  }
+
+  val q220Sql: String = {
+    val posArr = (0 until BloomK).map(bloomPos("doc_id", _))
+      .mkString("[", ", ", "]")
+    val probeArr = (0 until BloomK).map(bloomPos("(doc_id + 1000000)", _))
+      .mkString("[", ", ", "]")
+    s"""WITH mem AS (SELECT doc_id FROM documents),
+       |mp AS (SELECT unnest($posArr) AS pos FROM mem),
+       |bloom AS (SELECT pos // $BloomWordBits AS w,
+       |  bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INT))
+       |    AS mask
+       |  FROM mp GROUP BY 1),
+       |pp AS (SELECT doc_id, unnest($probeArr) AS pos FROM mem),
+       |ph AS (SELECT p.doc_id,
+       |  CAST(SUM(CASE WHEN (b.mask & (CAST(1 AS BIGINT) <<
+       |    CAST(p.pos % $BloomWordBits AS INT))) != 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM pp p LEFT JOIN bloom b ON b.w = p.pos // $BloomWordBits
+       |  GROUP BY 1),
+       |fp AS (SELECT COUNT(*) AS n_probes,
+       |  CAST(SUM(CASE WHEN hits = $BloomK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fp FROM ph),
+       |bs AS (SELECT CAST(SUM(bit_count(mask)) AS BIGINT) AS bits_set
+       |  FROM bloom),
+       |nm AS (SELECT COUNT(*) AS n_members FROM mem)
+       |SELECT n_members, n_probes, n_fp, bits_set,
+       |  CAST(n_fp AS DOUBLE) / CAST(n_probes AS DOUBLE) AS fpr,
+       |  CAST(bits_set AS DOUBLE) / $BloomBitsM.0 AS load_factor,
+       |  CAST(CAST(pow(1.0 - exp(CAST(-$BloomK * n_members AS DOUBLE)
+       |    / $BloomBitsM.0), $BloomK.0) AS DECIMAL(25,6)) AS DOUBLE)
+       |    AS theory_fpr
+       |FROM nm CROSS JOIN fp CROSS JOIN bs""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_bloom_fpr" -> (q220BloomFpr _),
     "q211_nb_gate" -> (q211NbGate _),
     "q212_dsir_select" -> (q212DsirSelect _),
     "q214_source_calibration" -> (q214SourceCalibration _),
@@ -1833,6 +1937,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q220_bloom_fpr" -> q220Sql,
     "q211_nb_gate" -> q211Sql,
     "q212_dsir_select" -> q212Sql,
     "q214_source_calibration" -> q214Sql,

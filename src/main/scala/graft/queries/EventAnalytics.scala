@@ -901,8 +901,78 @@ object EventAnalytics {
        |  / COUNT(*), 4) AS dup_rate
        |FROM ep GROUP BY n_events ORDER BY n_events""".stripMargin
 
+  // -------------------------------------- q221 CUSUM changepoint
+  /** Offline changepoint detection per event stream — the CUSUM
+    * estimator `k* = argmax_k |S_k − (k/n)·S_n|` over each event
+    * type's time-ordered value series, the monitor that catches a
+    * level shift in an ingest metric (a source going bad mid-crawl, a
+    * schema change flipping a value's unit) before it contaminates a
+    * training mix. Emits per type the change index, its timestamp,
+    * and the normalized statistic.
+    *
+    * Exactness: values quantize once to 6-dp micro-units; prefix sums
+    * are exact integers; the argmax key is the cross-multiplied
+    * integer `|S_k·n − k·S_n|` lifted into DECIMAL(38,0)/HUGEINT
+    * before the products (overflow-safe past int64 corpora), ties to
+    * the earliest k. The one division produces the reported double.
+    *
+    * Scale: one shuffle on event_type; the prefix sum and argmax run
+    * inside that partitioning in time order — the layout event data
+    * already has. Type cardinality bounds the output. */
+  def q221CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts div 1000").as("tus"), col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        .as("qv"))
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    val scored = e
+      .withColumn("k", row_number().over(w))
+      .withColumn("sk", sum(col("qv")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("qv")).over(wAll))
+      .withColumn("d", expr(
+        "abs(CAST(sk AS DECIMAL(38,0)) * n - CAST(k AS DECIMAL(38,0)) * sn)"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("d").desc, col("k"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("k").cast("long").as("cp_k"),
+        col("tus").as("cp_tus"),
+        col("d").cast("double").as("d_num"),
+        (col("d").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("stat_uu"))
+      .orderBy("event_type")
+  }
+
+  val q221Sql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |  CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS qv
+      |  FROM events),
+      |p AS (SELECT *,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY tus, event_id) AS BIGINT) AS k,
+      |  CAST(SUM(qv) OVER (PARTITION BY event_type
+      |    ORDER BY tus, event_id) AS BIGINT) AS sk,
+      |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |  CAST(SUM(qv) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+      |  FROM e),
+      |d AS (SELECT *,
+      |  abs(CAST(sk AS HUGEINT) * n - CAST(k AS HUGEINT) * sn) AS dd
+      |  FROM p),
+      |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY event_type ORDER BY dd DESC, k) AS rn FROM d)
+      |  WHERE rn = 1)
+      |SELECT event_type, n, k AS cp_k, tus AS cp_tus,
+      |  CAST(dd AS DOUBLE) AS d_num,
+      |  CAST(dd AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |    AS stat_uu
+      |FROM top ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
     "q178_rank_funcs" -> (q178RankFuncs _),
@@ -928,6 +998,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q221_cusum_changepoint" -> q221Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

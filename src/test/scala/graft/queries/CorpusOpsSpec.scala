@@ -911,4 +911,58 @@ class CorpusOpsSpec extends SparkSuite {
       assert(growth >= 0.0 && drift >= 0.0, s"cell $cell sane metrics")
     }
   }
+
+  // ------------------------------------------------------------ q220
+  test("q220 bloom bits and FPR match an in-memory filter recompute") {
+    val r = Curation.q220BloomFpr(spark, dir).head()
+    val ids = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val m = Curation.BloomBitsM
+    def pos(x: Long, j: Int): Int = {
+      val a = 1000003L * (j + 1) + 17L
+      val b = 7919L * (j + 1) + 3L
+      (((a * (x % 2147483647L) + b) % 2147483647L) % m).toInt
+    }
+    val bits = new java.util.BitSet(m)
+    for (id <- ids; j <- 0 until Curation.BloomK) bits.set(pos(id, j))
+    val fp = ids.count(id =>
+      (0 until Curation.BloomK).forall(j => bits.get(pos(id + 1000000L, j))))
+    assert(r.getAs[Long]("n_members") === ids.length.toLong)
+    assert(r.getAs[Long]("n_probes") === ids.length.toLong)
+    assert(r.getAs[Long]("bits_set") === bits.cardinality().toLong)
+    assert(r.getAs[Long]("n_fp") === fp.toLong)
+    assert(r.getAs[Double]("fpr") === fp.toDouble / ids.length.toDouble)
+    // the calibration property: a filter this loaded must show real
+    // false positives, and the measured rate must be in (0, 1)
+    assert(r.getAs[Double]("load_factor") > 0.1)
+    assert(r.getAs[Double]("fpr") > 0.0 && r.getAs[Double]("fpr") < 1.0)
+  }
+
+  // ------------------------------------------------------------ q221
+  test("q221 CUSUM changepoints match an exact BigInt recompute") {
+    val got = EventAnalytics.q221CusumChangepoint(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "ts div 1000 as tus", "event_id",
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) as qv")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (tpe, xs) =>
+        val sorted = xs.sortBy(t => (t._2, t._3))
+        val n = sorted.length.toLong
+        val sn = sorted.map(t => BigInt(t._4)).sum
+        var sk = BigInt(0)
+        val ds = sorted.zipWithIndex.map { case (t, i) =>
+          sk += t._4
+          (i + 1L, t._2, (sk * n - BigInt(i + 1) * sn).abs)
+        }
+        val best = ds.maxBy(t => (t._3, -t._1))
+        (tpe, n, best._1, best._2, best._3.toDouble)
+    }
+    assert(got.toSeq === expected)
+    got.foreach { case (tpe, n, k, _, _) =>
+      assert(k >= 1L && k <= n, s"$tpe changepoint index in range") }
+  }
 }

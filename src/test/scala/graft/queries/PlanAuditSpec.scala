@@ -327,4 +327,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(ex219 <= 2,
       s"q219 plans $ex219 hash exchanges:\n${p219.take(3000)}")
   }
+
+  test("q220/q221 keep the filter broadcast and one stream shuffle") {
+    // q220: the bloom words relation (≤ ⌈m/62⌉ rows) must ship TO the
+    // probe scan, never shuffle it
+    val p220 = plan("q220_bloom_fpr")
+    assert(p220.contains("BroadcastHashJoin"),
+      s"q220 lost the bloom-words broadcast:\n${p220.take(2000)}")
+    // q221: one event_type shuffle feeds both windows and the argmax
+    val p221 = plan("q221_cusum_changepoint")
+    val ex221 = "Exchange hashpartitioning".r.findAllIn(p221).length
+    assert(ex221 <= 1,
+      s"q221 plans $ex221 hash exchanges:\n${p221.take(3000)}")
+  }
 }
