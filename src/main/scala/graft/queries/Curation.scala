@@ -1904,9 +1904,116 @@ object Curation {
        |FROM nm CROSS JOIN fp CROSS JOIN bs""".stripMargin
   }
 
+  // --------------------------------- q222 consistent-hash rebalance
+  /** Consistent-hashing placement audit — the shard-assignment
+    * algebra a 1000-executor layout leans on, measured instead of
+    * assumed: [[HashRingNodes]] nodes × [[HashRingVnodes]] virtual
+    * nodes take affine ring positions; every key routes to the
+    * successor vnode (first position ≥ its own hash, wrapping to the
+    * ring minimum). The audit reports per-node load before and after
+    * REMOVING node 0, plus the moved-key fraction — consistent
+    * hashing's selling point is that only ~1/N of keys move, and this
+    * is the query that verifies the claim on real keys before a
+    * resharding window is scheduled.
+    *
+    * Exactness: ring positions and key hashes are the shared affine-
+    * mod-P arithmetic; successor selection is integer MIN; ring
+    * position collisions resolve to the lowest node id in both
+    * engines.
+    *
+    * Scale: the ring is N·V rows — broadcast by construction; each
+    * routing pass is one scan + broadcast join + map-side-combined
+    * MIN per key; the report aggregates to |nodes| rows. */
+  val HashRingNodes = 16
+  val HashRingVnodes = 8
+
+  def q222ConsistentHash(s: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    val ringRows = for (node <- 0 until HashRingNodes;
+        v <- 0 until HashRingVnodes) yield {
+      // Quadratic integer mix: an affine map with a small slope would
+      // park all 128 vnodes at the ring's start (routing ~all keys to
+      // the wrap target), and a pure multiplicative map puts the
+      // vnodes on one lattice with visibly periodic arc lengths — the
+      // x² term breaks the lattice so arcs spread naturally
+      val x = node.toLong * HashRingVnodes + v
+      (node.toLong, (x * x * 999983L + x * 2654435761L + 17L) % p)
+    }
+    import s.implicits._
+    val ring = ringRows.toDF("node", "rpos")
+    val keys = docs(s, dir).select(col("doc_id"),
+      expr(s"((doc_id % $p) * 1540483477 + 12345) % $p").as("kpos"))
+    def route(r: DataFrame): DataFrame = {
+      val minPos = r.agg(min("rpos").as("rp0"),
+        min(struct(col("rpos"), col("node"))).as("w0"))
+      keys.crossJoin(broadcast(r))
+        .filter(col("rpos") >= col("kpos"))
+        .groupBy("doc_id", "kpos")
+        .agg(min(struct(col("rpos"), col("node"))).as("succ"))
+        .join(keys, Seq("doc_id", "kpos"), "right")
+        .crossJoin(broadcast(minPos))
+        .select(col("doc_id"),
+          coalesce(col("succ.node"), col("w0.node")).as("node"))
+    }
+    val before = route(ring)
+    val after = route(ring.filter(col("node") =!= 0L))
+    val moved = before.withColumnRenamed("node", "n1")
+      .join(after.withColumnRenamed("node", "n2"), "doc_id")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("n1") =!= col("n2"), 1L).otherwise(0L)).as("moved"))
+    before.groupBy("node").agg(count(lit(1)).as("n_before"))
+      .join(after.groupBy("node").agg(count(lit(1)).as("n_after")),
+        Seq("node"), "full")
+      .select(col("node"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .crossJoin(broadcast(moved))
+      .withColumn("moved_frac",
+        col("moved").cast("double") / col("n_keys").cast("double"))
+      .orderBy("node")
+  }
+
+  val q222Sql: String = {
+    val p = 2147483647L
+    val ringVals = (for (node <- 0 until HashRingNodes;
+        v <- 0 until HashRingVnodes) yield {
+      val x = node.toLong * HashRingVnodes + v
+      s"($node, ${(x * x * 999983L + x * 2654435761L + 17L) % p})"
+    }).mkString(", ")
+    s"""WITH ring(node, rpos) AS (VALUES $ringVals),
+       |keys AS (SELECT doc_id,
+       |  ((doc_id % $p) * 1540483477 + 12345) % $p AS kpos
+       |  FROM documents),
+       |r1 AS (SELECT * FROM ring),
+       |r2 AS (SELECT * FROM ring WHERE node <> 0),
+       |b AS (SELECT k.doc_id, COALESCE(
+       |  (SELECT r.node FROM r1 r WHERE r.rpos >= k.kpos
+       |     ORDER BY r.rpos, r.node LIMIT 1),
+       |  (SELECT r.node FROM r1 r ORDER BY r.rpos, r.node LIMIT 1))
+       |  AS node FROM keys k),
+       |a AS (SELECT k.doc_id, COALESCE(
+       |  (SELECT r.node FROM r2 r WHERE r.rpos >= k.kpos
+       |     ORDER BY r.rpos, r.node LIMIT 1),
+       |  (SELECT r.node FROM r2 r ORDER BY r.rpos, r.node LIMIT 1))
+       |  AS node FROM keys k),
+       |mv AS (SELECT COUNT(*) AS n_keys,
+       |  CAST(SUM(CASE WHEN b.node <> a.node THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moved
+       |  FROM b JOIN a USING (doc_id)),
+       |nb AS (SELECT node, COUNT(*) AS n_before FROM b GROUP BY 1),
+       |na AS (SELECT node, COUNT(*) AS n_after FROM a GROUP BY 1)
+       |SELECT CAST(COALESCE(nb.node, na.node) AS BIGINT) AS node,
+       |  CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       |  mv.n_keys, mv.moved,
+       |  CAST(mv.moved AS DOUBLE) / CAST(mv.n_keys AS DOUBLE) AS moved_frac
+       |FROM nb FULL OUTER JOIN na USING (node) CROSS JOIN mv
+       |ORDER BY node""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_bloom_fpr" -> (q220BloomFpr _),
+    "q222_consistent_hash" -> (q222ConsistentHash _),
     "q211_nb_gate" -> (q211NbGate _),
     "q212_dsir_select" -> (q212DsirSelect _),
     "q214_source_calibration" -> (q214SourceCalibration _),
@@ -1938,6 +2045,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q220_bloom_fpr" -> q220Sql,
+    "q222_consistent_hash" -> q222Sql,
     "q211_nb_gate" -> q211Sql,
     "q212_dsir_select" -> q212Sql,
     "q214_source_calibration" -> q214Sql,

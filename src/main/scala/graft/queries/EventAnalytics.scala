@@ -970,8 +970,90 @@ object EventAnalytics {
       |    AS stat_uu
       |FROM top ORDER BY event_type""".stripMargin
 
+  // ----------------------------------- q223 exact two-phase median
+  /** Exact k-th order statistic (the lower median) WITHOUT a global
+    * sort — the two-phase histogram-refinement selection a 100 TB
+    * column demands: phase 1 buckets each event type's micro-unit
+    * values into 256 equi-width bins (map-side-combined counts, one
+    * tiny relation) and locates via prefix sum the bin holding the
+    * k-th value plus the residual rank inside it; phase 2 sorts ONLY
+    * that bin's rows — bounded by the bin count, not n. q69/q102
+    * answer quantiles approximately or by per-group sort; this is the
+    * exact-selection plan that scales, with the bin accounting in the
+    * output so the boundedness claim is itself oracle-checked.
+    *
+    * Exactness: everything through the bin search is integer; the
+    * within-bin rank selects an exact micro-unit value; ties inside a
+    * bin cannot change the k-th VALUE (duplicate values are
+    * interchangeable at the same ranks), so no tie-break is needed
+    * for determinism.
+    *
+    * Scale: two scans of the column; the only per-row state is a bin
+    * id; the sort in phase 2 touches n/256-ish rows per type (the
+    * output proves it); nothing corpus-sized is globally ordered. */
+  val MedianBins = 256
+
+  def q223ExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        .as("qv"))
+    val span = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      min("qv").as("mn"), max("qv").as("mx"))
+      .withColumn("k", expr("(n + 1) div 2"))
+    val binned = e.join(broadcast(span), "event_type")
+      .withColumn("bin", expr(
+        s"((qv - mn) * $MedianBins) div (mx - mn + 1)"))
+    val hist = binned.groupBy("event_type", "n", "k", "bin")
+      .agg(count(lit(1)).as("bc"))
+    val wcum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("cum_before", coalesce(sum("bc").over(wcum), lit(0L)))
+      .filter(col("cum_before") < col("k") &&
+        col("k") <= col("cum_before") + col("bc"))
+      .select(col("event_type"), col("n"), col("k"), col("bin"),
+        col("bc").as("bin_count"), (col("k") - col("cum_before")).as("kk"))
+    val win = Window.partitionBy("event_type").orderBy("qv")
+    binned.select("event_type", "bin", "qv")
+      .join(broadcast(target), Seq("event_type", "bin"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === col("kk"))
+      .select(col("event_type"), col("n"), col("k"), col("bin"),
+        col("bin_count"), col("qv").as("median_us"),
+        (col("qv").cast("double") / lit(1000000.0)).as("median"))
+      .orderBy("event_type")
+  }
+
+  val q223Sql: String =
+    s"""WITH e AS (SELECT event_type,
+       |  CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS qv
+       |  FROM events),
+       |span AS (SELECT event_type, COUNT(*) AS n,
+       |  MIN(qv) AS mn, MAX(qv) AS mx, (COUNT(*) + 1) // 2 AS k
+       |  FROM e GROUP BY 1),
+       |b AS (SELECT e.event_type, e.qv, s.n, s.k,
+       |  ((e.qv - s.mn) * $MedianBins) // (s.mx - s.mn + 1) AS bin
+       |  FROM e JOIN span s USING (event_type)),
+       |h AS (SELECT event_type, n, k, bin, COUNT(*) AS bc
+       |  FROM b GROUP BY 1, 2, 3, 4),
+       |c AS (SELECT *, COALESCE(CAST(SUM(bc) OVER (PARTITION BY event_type
+       |  ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |  AS BIGINT), 0) AS cum_before FROM h),
+       |t AS (SELECT event_type, n, k, bin, bc AS bin_count,
+       |  k - cum_before AS kk FROM c
+       |  WHERE cum_before < k AND k <= cum_before + bc),
+       |g AS (SELECT event_type, qv, ROW_NUMBER() OVER
+       |  (PARTITION BY event_type ORDER BY qv) AS rn FROM e),
+       |m AS (SELECT g.event_type, g.qv FROM g
+       |  JOIN span s ON g.event_type = s.event_type AND g.rn = s.k)
+       |SELECT t.event_type, t.n, t.k, t.bin, t.bin_count,
+       |  m.qv AS median_us,
+       |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
+       |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_exact_median" -> (q223ExactMedian _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -999,6 +1081,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q221_cusum_changepoint" -> q221Sql,
+    "q223_exact_median" -> q223Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

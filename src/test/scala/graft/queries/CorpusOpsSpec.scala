@@ -965,4 +965,67 @@ class CorpusOpsSpec extends SparkSuite {
     got.foreach { case (tpe, n, k, _, _) =>
       assert(k >= 1L && k <= n, s"$tpe changepoint index in range") }
   }
+
+  // ------------------------------------------------------------ q222
+  test("q222 consistent hashing: only the removed node's keys move") {
+    val got = Curation.q222ConsistentHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ids = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val p = 2147483647L
+    val ring = for (node <- 0 until Curation.HashRingNodes;
+        v <- 0 until Curation.HashRingVnodes) yield {
+      val x = node.toLong * Curation.HashRingVnodes + v
+      (node.toLong, (x * x * 999983L + x * 2654435761L + 17L) % p)
+    }
+    def route(rg: Seq[(Long, Long)], id: Long): Long = {
+      val kp = ((id % p) * 1540483477L + 12345L) % p
+      val succ = rg.filter(_._2 >= kp)
+      val pick = if (succ.nonEmpty) succ else rg
+      pick.minBy(t => (t._2, t._1))._1
+    }
+    val before = ids.map(route(ring, _))
+    val after = ids.map(route(ring.filter(_._1 != 0L), _))
+    val moved = before.zip(after).count(t => t._1 != t._2).toLong
+    val expected = (0 until Curation.HashRingNodes).map { nd =>
+      (nd.toLong, before.count(_ == nd.toLong).toLong,
+        after.count(_ == nd.toLong).toLong, ids.length.toLong, moved)
+    }
+    assert(got.toSeq === expected)
+    // THE consistent-hashing contract: removing node 0 moves exactly
+    // node 0's keys and nothing else
+    val n0 = got.find(_._1 == 0L).get
+    assert(n0._3 === 0L, "removed node holds nothing after")
+    assert(n0._2 === moved, "moved keys == the removed node's load")
+    assert(before.zip(after).forall(t => t._1 == t._2 || t._1 == 0L),
+      "keys on surviving nodes never move")
+  }
+
+  // ------------------------------------------------------------ q223
+  test("q223 two-phase median equals brute sort; bins stay bounded") {
+    val got = EventAnalytics.q223ExactMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) as qv")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (tpe, xs) =>
+        val sorted = xs.map(_._2).sorted
+        val n = sorted.length.toLong
+        val k = (n + 1) / 2
+        val (mn, mx) = (sorted.head, sorted.last)
+        val med = sorted((k - 1).toInt)
+        val bin = ((med - mn) * EventAnalytics.MedianBins) / (mx - mn + 1)
+        val bc = sorted.count(v =>
+          ((v - mn) * EventAnalytics.MedianBins) / (mx - mn + 1) == bin).toLong
+        (tpe, n, k, bin, bc, med)
+    }
+    assert(got.toSeq === expected)
+    // the scale claim: phase 2 sorts a bin, not the stream
+    got.foreach { case (tpe, n, _, _, bc, _) =>
+      assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
+  }
 }

@@ -340,4 +340,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(ex221 <= 1,
       s"q221 plans $ex221 hash exchanges:\n${p221.take(3000)}")
   }
+
+  test("q222/q223 route via broadcast ring / bounded-bin selection") {
+    // q222: the 128-row ring must broadcast onto both routing passes
+    val p222 = plan("q222_consistent_hash")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r
+      .findAllIn(p222).nonEmpty,
+      s"q222 lost the ring broadcast:\n${p222.take(2000)}")
+    // q223: the phase-1 span/target relations broadcast back; the
+    // phase-2 sort must be a WINDOW over the bin join, not a global
+    // Sort of the stream
+    val p223 = plan("q223_exact_median")
+    assert("BroadcastHashJoin".r.findAllIn(p223).size >= 2,
+      s"q223 lost the span/target broadcasts:\n${p223.take(2000)}")
+  }
 }
