@@ -2010,8 +2010,75 @@ object Curation {
        |ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------ q228 gate agreement kappa
+  /** Cohen's kappa between two independent curation gates — the
+    * chance-corrected agreement statistic every labeling/filtering
+    * pipeline reports before trusting a cheap gate as a proxy for an
+    * expensive one (raw percent agreement is inflated whenever both
+    * gates pass most documents; kappa subtracts the agreement their
+    * marginal pass rates would produce by chance). Gate A is the
+    * stopword-density screen (`5·stopcount < n_tokens`, the integer
+    * form of ratio < 0.2, cf. q26's quality score); gate B is the
+    * shape screen (≥30 tokens and ≤2000 chars). Emits the full 2×2
+    * contingency plus p_o, p_e, and kappa.
+    *
+    * Exactness: both gates are integer predicates (no double
+    * thresholds to diverge on); the contingency is four
+    * map-side-combined counts; `p_e`'s marginal products lift into
+    * DECIMAL(38,0) before the one division each of p_o, p_e, kappa
+    * performs in double.
+    *
+    * Scale: a single scan-local projection and one global 6-counter
+    * aggregate — the cheapest possible shape; nothing downstream of
+    * the scan exceeds one row. */
+  def q228GateKappa(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("a", expr(
+        "size(filter(toks, t -> t IN ('the', 'a'))) * 5 < size(toks)"))
+      .withColumn("b",
+        col("text").isNotNull && size(col("toks")) >= 30 &&
+          length(col("text")) <= 2000)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po", expr(
+        "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("pe", expr(
+        """CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01) +
+          |CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00) AS DOUBLE) /
+          |(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin))
+      .withColumn("kappa", expr("(po - pe) / (1.0D - pe)"))
+      .select("n", "n11", "n10", "n01", "n00", "po", "pe", "kappa")
+
+  val q228Sql: String =
+    """WITH t AS (SELECT
+      |  len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |    * 5 < len(string_split(text, ' ')) AS a,
+      |  text IS NOT NULL AND len(string_split(text, ' ')) >= 30
+      |    AND length(text) <= 2000 AS b
+      |  FROM documents),
+      |c AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |  CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n00
+      |  FROM t),
+      |p AS (SELECT *,
+      |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |  CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+      |    CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+      |  FROM c)
+      |SELECT n, n11, n10, n01, n00, po, pe,
+      |  (po - pe) / (CAST(1 AS DOUBLE) - pe) AS kappa FROM p""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_gate_kappa" -> (q228GateKappa _),
     "q220_bloom_fpr" -> (q220BloomFpr _),
     "q222_consistent_hash" -> (q222ConsistentHash _),
     "q211_nb_gate" -> (q211NbGate _),
@@ -2044,6 +2111,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q228_gate_kappa" -> q228Sql,
     "q220_bloom_fpr" -> q220Sql,
     "q222_consistent_hash" -> q222Sql,
     "q211_nb_gate" -> q211Sql,

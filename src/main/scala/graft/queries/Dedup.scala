@@ -1194,7 +1194,281 @@ object Dedup {
        |  CAST(hits.n_contam AS DOUBLE) / CAST(nt.n_test AS DOUBLE) AS contam_rate
        |FROM nt CROSS JOIN hits""".stripMargin
 
+  // ------------------------------------ q225 HLL-union source similarity
+  /** Cardinality-sketch source similarity: per-source HLL-style
+    * register sketches over the distinct shingle sets, merged by MAX
+    * to estimate each pairwise UNION, and Jaccard recovered by
+    * inclusion–exclusion `(|A|+|B|-|A∪B|)/|A∪B|` — cross-checked
+    * against the exact set algebra on the same relation. q191 answers
+    * the same question with MinHash signatures; this is the
+    * complementary estimator a 100 TB layout actually ships between
+    * shards: register sketches are MERGEABLE (per-shard sketches
+    * combine by register-wise MAX with no re-scan) and, unlike
+    * MinHash, also yield the union CARDINALITY, which prices the
+    * dedup before it runs.
+    *
+    * Determinism (hash-identical in both engines):
+    *  - the register index/geometric observable come from one affine
+    *    rehash over P; rho is trailing-zero counting in pure 64-bit
+    *    bit arithmetic (`bit_count(~w & (w-1))`), identical in both;
+    *  - every harmonic-sum term is `1 / 2^M` with `M ≤ [[HllMaxRho]]`
+    *    — an exact power of two, so partial sums are exact multiples
+    *    of `2^-26` below 64 and the double SUM is order-independent
+    *    (no shuffle-order nondeterminism);
+    *  - the one log (linear-counting small-range branch) and the
+    *    final estimates quantize through DECIMAL(25,6) before the
+    *    double output, burying libm last-ulp divergence.
+    *
+    * Scale: one pass over the cached distinct (source, shingle)
+    * relation → [[HllRegisters]] rows per source (map-side-combined
+    * MAX); everything downstream — the register grid, the pairwise
+    * union merge, the report — is |sources|-bounded and broadcast.
+    * The exact columns cost one self-equi-join on the shingle key,
+    * the same co-partitioned shape as q191. */
+  val HllRegisters = 64
+  /** Geometric observable bits: h < 2^31, idx eats 6, so w < 2^25 and
+    * rho ∈ [1, 25] with w = 0 mapped to 26. */
+  val HllMaxRho = 26
+
+  def q225HllJaccard(s: SparkSession, dir: String): DataFrame = {
+    val m = HllRegisters
+    val ex = srcShingles(s, dir)
+    val rh = ex.withColumn("h", expr(s"(1299709 * (g % $P) + 104729) % $P"))
+      .withColumn("idx", expr(s"h % $m"))
+      .withColumn("w", expr(s"h div $m"))
+      .withColumn("rho", expr(
+        s"CASE WHEN w = 0 THEN $HllMaxRho ELSE bit_count(~w & (w - 1)) + 1 END"))
+    val grid = ex.select("source").distinct()
+      .crossJoin(broadcast(s.range(m).select(col("id").as("idx"))))
+    val regs = grid.join(
+        rh.groupBy("source", "idx").agg(max("rho").as("mr")),
+        Seq("source", "idx"), "left")
+      .withColumn("mr", coalesce(col("mr"), lit(0)))
+    // alpha_64 * m^2 / sum(2^-M), linear counting when raw <= 2.5m
+    def estimate(df: DataFrame, keys: Seq[String], mrCol: String): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(expr(s"1.0D / CAST(shiftleft(1L, $mrCol) AS DOUBLE)"))
+            .as("ssum"),
+          sum(when(col(mrCol) === 0, 1L).otherwise(0L)).as("zeros"))
+        .withColumn("raw", lit(0.709) * lit(m.toDouble) * lit(m.toDouble)
+          / col("ssum"))
+        .withColumn("est", expr(
+          s"""CAST(CAST(CASE WHEN raw <= 2.5 * $m AND zeros > 0
+             |THEN $m * ln(CAST($m AS DOUBLE) / CAST(zeros AS DOUBLE))
+             |ELSE raw END AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin))
+        .select((keys.map(col) :+ col("est")): _*)
+    val single = estimate(regs, Seq("source"), "mr")
+    val ra = regs.select(col("source").as("s1"), col("idx"),
+      col("mr").as("ma"))
+    val rb = regs.select(col("source").as("s2"), col("idx"),
+      col("mr").as("mb"))
+    val merged = ra.join(broadcast(rb), "idx")
+      .filter(col("s1") < col("s2"))
+      .withColumn("mu", greatest(col("ma"), col("mb")))
+    val unions = estimate(merged, Seq("s1", "s2"), "mu")
+      .withColumnRenamed("est", "est_union")
+    val sizes = ex.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val pairsExact = ex.select(col("source").as("s1"), col("g"))
+      .join(ex.select(col("source").as("s2"), col("g")), "g")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_inter"))
+    sizes.select(col("source").as("s1"), col("nsh").as("n1"))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("s2"), col("nsh").as("n2"))))
+      .filter(col("s1") < col("s2"))
+      .join(pairsExact, Seq("s1", "s2"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .withColumn("jac_exact",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .join(broadcast(single.select(col("source").as("s1"),
+        col("est").as("est1"))), Seq("s1"))
+      .join(broadcast(single.select(col("source").as("s2"),
+        col("est").as("est2"))), Seq("s2"))
+      .join(broadcast(unions), Seq("s1", "s2"))
+      .withColumn("jac_est", expr(
+        """CAST(CAST(greatest(0.0D, (est1 + est2 - est_union) / est_union)
+          |AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin))
+      .withColumn("est_err", expr(
+        "CAST(CAST(abs(jac_est - jac_exact) AS DECIMAL(25,6)) AS DOUBLE)"))
+      .select("s1", "s2", "n1", "n2", "n_inter", "n_union", "jac_exact",
+        "est1", "est2", "est_union", "jac_est", "est_err")
+      .orderBy("s1", "s2")
+  }
+
+  val q225Sql: String = {
+    val m = HllRegisters
+    def estSql(src: String, keys: String, mrCol: String, alias: String) =
+      s"""$alias AS (SELECT $keys,
+         |  CAST(CAST(CASE WHEN raw <= 2.5 * $m AND zeros > 0
+         |    THEN $m * ln(CAST($m AS DOUBLE) / CAST(zeros AS DOUBLE))
+         |    ELSE raw END AS DECIMAL(25,6)) AS DOUBLE) AS est
+         |  FROM (SELECT $keys,
+         |    0.709 * CAST($m AS DOUBLE) * CAST($m AS DOUBLE) /
+         |      SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << $mrCol)
+         |        AS DOUBLE)) AS raw,
+         |    CAST(SUM(CASE WHEN $mrCol = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zeros
+         |    FROM $src GROUP BY $keys))""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |shed AS (SELECT doc_id, source, $shinglesDuck AS sh FROM tok),
+       |ex AS (SELECT DISTINCT source, g FROM
+       |  (SELECT source, unnest(sh) AS g FROM shed)),
+       |rh AS (SELECT source,
+       |  ((1299709 * (g % $P) + 104729) % $P) % $m AS idx,
+       |  ((1299709 * (g % $P) + 104729) % $P) // $m AS w
+       |  FROM ex),
+       |rr AS (SELECT source, idx,
+       |  CASE WHEN w = 0 THEN $HllMaxRho
+       |       ELSE bit_count(~w & (w - 1)) + 1 END AS rho FROM rh),
+       |grid AS (SELECT source, t.range AS idx FROM
+       |  (SELECT DISTINCT source FROM ex) CROSS JOIN range($m) t),
+       |regs AS (SELECT g.source, g.idx, COALESCE(MAX(rho), 0) AS mr
+       |  FROM grid g LEFT JOIN rr ON g.source = rr.source AND g.idx = rr.idx
+       |  GROUP BY 1, 2),
+       |${estSql("regs", "source", "mr", "single")},
+       |mg AS (SELECT a.source AS s1, b.source AS s2, a.idx,
+       |  GREATEST(a.mr, b.mr) AS mu
+       |  FROM regs a JOIN regs b ON a.idx = b.idx AND a.source < b.source),
+       |${estSql("mg", "s1, s2", "mu", "uns")},
+       |sizes AS (SELECT source, COUNT(*) AS nsh FROM ex GROUP BY 1),
+       |inter AS (SELECT a.source AS s1, b.source AS s2,
+       |  COUNT(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p1.source AS s1, p2.source AS s2, p1.nsh AS n1, p2.nsh AS n2,
+       |  COALESCE(i.n_inter, 0) AS n_inter,
+       |  p1.nsh + p2.nsh - COALESCE(i.n_inter, 0) AS n_union,
+       |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |    CAST(p1.nsh + p2.nsh - COALESCE(i.n_inter, 0) AS DOUBLE)
+       |    AS jac_exact,
+       |  e1.est AS est1, e2.est AS est2, u.est AS est_union,
+       |  CAST(CAST(GREATEST(CAST(0 AS DOUBLE),
+       |    (e1.est + e2.est - u.est) / u.est) AS DECIMAL(25,6)) AS DOUBLE)
+       |    AS jac_est,
+       |  CAST(CAST(abs(CAST(CAST(GREATEST(CAST(0 AS DOUBLE),
+       |    (e1.est + e2.est - u.est) / u.est) AS DECIMAL(25,6)) AS DOUBLE)
+       |    - CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |      CAST(p1.nsh + p2.nsh - COALESCE(i.n_inter, 0) AS DOUBLE))
+       |    AS DECIMAL(25,6)) AS DOUBLE) AS est_err
+       |FROM sizes p1 JOIN sizes p2 ON p1.source < p2.source
+       |LEFT JOIN inter i ON i.s1 = p1.source AND i.s2 = p2.source
+       |JOIN single e1 ON e1.source = p1.source
+       |JOIN single e2 ON e2.source = p2.source
+       |JOIN uns u ON u.s1 = p1.source AND u.s2 = p2.source
+       |ORDER BY s1, s2""".stripMargin
+  }
+
+  // ----------------------------------------- q226 B-cubed cluster quality
+  /** B³ (B-cubed) evaluation of dedup clusterings against the exact
+    * content-hash gold partition — the standard per-item
+    * precision/recall for entity/duplicate clustering (Bagga & Baldwin
+    * 1998; the metric of record in dedup evaluations because, unlike
+    * pairwise F1, singletons and cluster-size skew are scored
+    * per-item). Two candidate strategies are graded side by side:
+    * `shard_exact` (dedup keyed inside each source shard only — the
+    * pipeline that never compares across shards; B³ recall prices
+    * exactly the cross-shard duplicates it misses, precision 1 by
+    * refinement) and `simhash_b16` (the top-16-bit simhash bucket —
+    * an over-merging coarse blocking; B³ precision prices the
+    * false merges, recall 1 by containment). Together they bracket
+    * the design space a real dedup has to land between.
+    *
+    * Exactness: B³ P = Σ_{c,l} n_cl²/n_c / N needs per-cell division —
+    * each cell contributes through the integer floor
+    * `(n_cl² · 10^6) div n_c` (DECIMAL(38,0)-lifted product, exact and
+    * order-independent under SUM), divided out to double once at the
+    * end; the deliberate ≤1e-6 floor bias is mirrored in the oracle.
+    *
+    * Scale: per-row projection (md5 + one simhash pass over the
+    * shingle array), then contingency counts on (strategy, sys, gold)
+    * — map-side-combinable, cluster-count-sized downstream. Nothing
+    * pairwise: B³ from the contingency table is the whole point (the
+    * naive per-item-pair form is quadratic in cluster size). */
+  def q226B3Quality(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shinglesSpark))
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("gold"),
+        expr(simhashSpark).as("simh"))
+    // 60-bit simhash -> top-16-bit bucket; empty docs (simh = -1) keep
+    // their own bucket (floor-division of -1 differs across engines)
+    val rel = base.select(lit("shard_exact").as("strategy"), col("doc_id"),
+        concat_ws(":", col("source"), col("gold")).as("sys"), col("gold"))
+      .unionAll(base.select(lit("simhash_b16").as("strategy"), col("doc_id"),
+        when(col("simh") < 0, lit(-1L))
+          .otherwise(expr(s"simh div ${1L << (SimhashBits - 16)}"))
+          .cast("string").as("sys"), col("gold")))
+    val ct = rel.groupBy("strategy", "sys", "gold")
+      .agg(count(lit(1)).as("n_cl"))
+    val nc = ct.groupBy("strategy", "sys").agg(sum("n_cl").as("n_c"))
+    val nl = ct.groupBy("strategy", "gold").agg(sum("n_cl").as("n_l"))
+    ct.join(nc, Seq("strategy", "sys"))
+      .join(nl, Seq("strategy", "gold"))
+      .withColumn("pc", expr(
+        "CAST(n_cl AS DECIMAL(38,0)) * n_cl * 1000000 div n_c"))
+      .withColumn("rc", expr(
+        "CAST(n_cl AS DECIMAL(38,0)) * n_cl * 1000000 div n_l"))
+      .groupBy("strategy")
+      .agg(sum("n_cl").as("n_items"),
+        countDistinct("sys").as("n_sys"),
+        countDistinct("gold").as("n_gold"),
+        sum(col("pc")).as("sp"), sum(col("rc")).as("sr"))
+      .withColumn("b3_precision", expr(
+        "CAST(sp AS DOUBLE) / 1000000.0D / CAST(n_items AS DOUBLE)"))
+      .withColumn("b3_recall", expr(
+        "CAST(sr AS DOUBLE) / 1000000.0D / CAST(n_items AS DOUBLE)"))
+      .withColumn("b3_f1", expr(
+        """CAST(CAST(2.0D * b3_precision * b3_recall /
+          |(b3_precision + b3_recall) AS DECIMAL(25,6)) AS DOUBLE)"""
+          .stripMargin))
+      .select("strategy", "n_items", "n_sys", "n_gold",
+        "b3_precision", "b3_recall", "b3_f1")
+      .orderBy("strategy")
+  }
+
+  val q226Sql: String =
+    s"""WITH tok AS (SELECT doc_id, source, md5(text) AS gold,
+       |  string_split(text, ' ') AS toks FROM documents),
+       |shed AS (SELECT doc_id, source, gold, $shinglesDuck AS sh FROM tok),
+       |base AS (SELECT doc_id, source, gold, $simhashDuck AS simh FROM shed),
+       |rel AS (SELECT 'shard_exact' AS strategy, doc_id,
+       |    source || ':' || gold AS sys, gold FROM base
+       |  UNION ALL SELECT 'simhash_b16', doc_id,
+       |    CAST(CASE WHEN simh < 0 THEN -1
+       |      ELSE simh // ${1L << (SimhashBits - 16)} END AS VARCHAR), gold
+       |    FROM base),
+       |ct AS (SELECT strategy, sys, gold, COUNT(*) AS n_cl
+       |  FROM rel GROUP BY 1, 2, 3),
+       |nc AS (SELECT strategy, sys, SUM(n_cl) AS n_c FROM ct GROUP BY 1, 2),
+       |nl AS (SELECT strategy, gold, SUM(n_cl) AS n_l FROM ct GROUP BY 1, 2),
+       |j AS (SELECT ct.strategy, ct.n_cl,
+       |  (CAST(ct.n_cl AS HUGEINT) * ct.n_cl * 1000000) // nc.n_c AS pc,
+       |  (CAST(ct.n_cl AS HUGEINT) * ct.n_cl * 1000000) // nl.n_l AS rc,
+       |  ct.sys, ct.gold
+       |  FROM ct JOIN nc ON ct.strategy = nc.strategy AND ct.sys = nc.sys
+       |          JOIN nl ON ct.strategy = nl.strategy AND ct.gold = nl.gold),
+       |agg AS (SELECT strategy, CAST(SUM(n_cl) AS BIGINT) AS n_items,
+       |  COUNT(DISTINCT sys) AS n_sys, COUNT(DISTINCT gold) AS n_gold,
+       |  SUM(pc) AS sp, SUM(rc) AS sr FROM j GROUP BY 1)
+       |SELECT strategy, n_items, n_sys, n_gold,
+       |  CAST(sp AS DOUBLE) / 1000000.0 / CAST(n_items AS DOUBLE)
+       |    AS b3_precision,
+       |  CAST(sr AS DOUBLE) / 1000000.0 / CAST(n_items AS DOUBLE)
+       |    AS b3_recall,
+       |  CAST(CAST(2.0 * (CAST(sp AS DOUBLE) / 1000000.0 /
+       |      CAST(n_items AS DOUBLE)) *
+       |    (CAST(sr AS DOUBLE) / 1000000.0 / CAST(n_items AS DOUBLE)) /
+       |    (CAST(sp AS DOUBLE) / 1000000.0 / CAST(n_items AS DOUBLE) +
+       |     CAST(sr AS DOUBLE) / 1000000.0 / CAST(n_items AS DOUBLE))
+       |    AS DECIMAL(25,6)) AS DOUBLE) AS b3_f1
+       |FROM agg ORDER BY strategy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_b3_quality" -> (q226B3Quality _),
+    "q225_hll_jaccard" -> (q225HllJaccard _),
     "q201_split_contam" -> (q201SplitContam _),
     "q197_lsh_pr_curve" -> (q197LshPrCurve _),
     "q191_source_jaccard" -> (q191SourceJaccard _),
@@ -1216,6 +1490,8 @@ object Dedup {
     "q79_dup_degree" -> (qDupDegree _))
 
   val oracles: Map[String, String] = Map(
+    "q226_b3_quality" -> q226Sql,
+    "q225_hll_jaccard" -> q225Sql,
     "q201_split_contam" -> q201Sql,
     "q197_lsh_pr_curve" -> q197Sql,
     "q191_source_jaccard" -> q191Sql,

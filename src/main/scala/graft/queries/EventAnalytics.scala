@@ -1051,8 +1051,92 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // --------------------------------------- q227 Gini / Lorenz activity
+  /** Gini coefficient + Lorenz curve of per-user event activity — the
+    * concentration audit behind "is this corpus a long tail or a few
+    * whales": a training mix dominated by a handful of users (or
+    * domains) inherits their biases and their PII risk, and the
+    * rebalancing ops (q105/q176/q196) need this number to decide
+    * whether to act. Emits one row per DISTINCT activity level (the
+    * grouped Lorenz curve: cumulative user share vs cumulative event
+    * share) with the corpus Gini replicated per row.
+    *
+    * Exactness: Gini over grouped data — for a block of `n_u` users
+    * with equal activity `c` spanning sorted ranks `(N0, N0+n_u]`,
+    * `Σ rank·x = c·(n_u·N0 + n_u(n_u+1)/2)` exactly; blocks sum in
+    * DECIMAL(38,0) (overflow-safe past int64 corpora) and
+    * `G = (2·Σ rank·x − (n+1)·T) / (n·T)` divides to double once.
+    * Ties carry no ambiguity: equal values are interchangeable under
+    * every rank assignment, so the grouped form IS the exact Gini.
+    *
+    * Scale: one user_id shuffle (map-side-combined count), one tiny
+    * shuffle to activity levels (distinct-activity-bounded — hundreds
+    * of rows, not users), and the prefix windows run over THAT
+    * relation; no corpus-sized global sort, which is what makes the
+    * grouped formula the 100 TB plan (the textbook per-item
+    * `row_number` form is a full sort of all users). */
+  def q227GiniActivity(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+    val lv = u.groupBy("c").agg(count(lit(1)).as("n_users"))
+    val wc = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = lv
+      .withColumn("cum_before", coalesce(sum("n_users").over(wc), lit(0L)))
+      .withColumn("cum_users", col("cum_before") + col("n_users"))
+      .withColumn("ev", expr("CAST(c AS DECIMAL(38,0)) * n_users"))
+      .withColumn("rx", expr(
+        """CAST(c AS DECIMAL(38,0)) * (CAST(n_users AS DECIMAL(38,0)) *
+          |cum_before + (CAST(n_users AS DECIMAL(38,0)) * (n_users + 1))
+          |/ 2)""".stripMargin))
+    val tot = blocks.agg(sum("n_users").as("n"), sum("ev").as("t"),
+      sum("rx").as("srx"))
+    val wev = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    blocks
+      .withColumn("cum_events", sum("ev").over(wev))
+      .crossJoin(broadcast(tot))
+      .select(col("c").as("events_per_user"), col("n_users"),
+        col("cum_users"),
+        col("cum_events").cast("decimal(38,0)").cast("long")
+          .as("cum_events"),
+        expr("CAST(cum_users AS DOUBLE) / CAST(n AS DOUBLE)")
+          .as("pop_share"),
+        expr("CAST(cum_events AS DOUBLE) / CAST(t AS DOUBLE)")
+          .as("lorenz_share"),
+        expr("""CAST((2 * srx - (CAST(n AS DECIMAL(38,0)) + 1) * t)
+          |AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE)"""
+          .stripMargin).as("gini"))
+      .orderBy("events_per_user")
+  }
+
+  val q227Sql: String =
+    """WITH u AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+      |lv AS (SELECT c, COUNT(*) AS n_users FROM u GROUP BY 1),
+      |b AS (SELECT c, n_users,
+      |  COALESCE(CAST(SUM(n_users) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    AS cum_before,
+      |  CAST(c AS HUGEINT) * n_users AS ev
+      |  FROM lv),
+      |bb AS (SELECT *, cum_before + n_users AS cum_users,
+      |  CAST(c AS HUGEINT) * (CAST(n_users AS HUGEINT) * cum_before +
+      |    (CAST(n_users AS HUGEINT) * (n_users + 1)) // 2) AS rx,
+      |  SUM(ev) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+      |  FROM b),
+      |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n, SUM(ev) AS t,
+      |  SUM(rx) AS srx FROM bb)
+      |SELECT c AS events_per_user, n_users, cum_users,
+      |  CAST(cum_events AS BIGINT) AS cum_events,
+      |  CAST(cum_users AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share,
+      |  CAST(cum_events AS DOUBLE) / CAST(t AS DOUBLE) AS lorenz_share,
+      |  CAST(2 * srx - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE) /
+      |    CAST(CAST(n AS HUGEINT) * t AS DOUBLE) AS gini
+      |FROM bb CROSS JOIN tot ORDER BY events_per_user""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_gini_activity" -> (q227GiniActivity _),
     "q223_exact_median" -> (q223ExactMedian _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
@@ -1080,6 +1164,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q227_gini_activity" -> q227Sql,
     "q221_cusum_changepoint" -> q221Sql,
     "q223_exact_median" -> q223Sql,
     "q85_approx_distinct" -> q85Sql,

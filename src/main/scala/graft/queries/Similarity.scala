@@ -1948,7 +1948,95 @@ object Similarity {
       |    AS max_pruned_d2n2
       |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- q224 reciprocal-rank fusion
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers —
+    * the standard hybrid-retrieval combiner: each candidate scores
+    * `Σ 1/(60+rank)` over the lists that retrieved it, which rewards
+    * consensus without comparing incommensurable raw scores. Here the
+    * fused retrievers are the cosine ranking and the euclidean (L2)
+    * ranking over the q30 query set — genuinely different orderings
+    * whenever candidate norms differ (cosine is scale-blind, L2 is
+    * not), the same way BM25 and dense rankings differ. Per query:
+    * top-[[RrfDepth]] from each retriever fuse into a top-10 list
+    * with both source ranks exposed.
+    *
+    * Determinism: cosine and `l2sq = |q|² + |c|² − 2·q·c` derive from
+    * the one dot-product kernel evaluated identically in both engines
+    * (bit-identical per q30's contract); ranks tiebreak on cid;
+    * `1/(60+rank)` is an exact small-integer division and the fused
+    * score adds two such doubles — no accumulation-order ambiguity.
+    *
+    * Scale: the candidate relation is the q30 broadcast shape (fixed
+    * query set × corpus scan, O(dim) kernel per pair); both rank
+    * windows share the one qid partitioning, so the corpus is sorted
+    * per query once per retriever — the declared brute baseline.
+    * RRF itself touches only 2·Depth rows per query; swapping in the
+    * IVF top-k (q32) bounds the scan too. */
+  val RrfDepth = 20
+  val RrfK = 60
+
+  def q224RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val n = emb(s, dir).select(col("vec_id"), col("embedding"),
+      expr(normSpark).as("nrm"))
+    val q = n.filter(col("vec_id") < 8).select(
+      col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(
+      col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dp", expr(dotSpark("qe", "ce")))
+      .withColumn("cosine", col("dp") / (col("qn") * col("cn")))
+      .withColumn("l2sq",
+        col("qn") * col("qn") + col("cn") * col("cn") - lit(2.0) * col("dp"))
+    val wc = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    val wl = Window.partitionBy("qid").orderBy(col("l2sq").asc, col("cid"))
+    val fused = scored
+      .withColumn("rank_cos", row_number().over(wc))
+      .withColumn("rank_l2", row_number().over(wl))
+      .filter(col("rank_cos") <= RrfDepth || col("rank_l2") <= RrfDepth)
+      .withColumn("rrf_score",
+        when(col("rank_cos") <= RrfDepth,
+          lit(1.0) / (lit(RrfK) + col("rank_cos")).cast("double"))
+          .otherwise(lit(0.0)) +
+        when(col("rank_l2") <= RrfDepth,
+          lit(1.0) / (lit(RrfK) + col("rank_l2")).cast("double"))
+          .otherwise(lit(0.0)))
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("rrf_score").desc, col("cid"))
+    fused.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("cid"), col("rn"), col("rank_cos"),
+        col("rank_l2"), col("rrf_score"))
+      .orderBy("qid", "rn")
+  }
+
+  val q224Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.nrm AS qn,
+       |  c.nrm AS cn, ${dotDuck("q.embedding", "c.embedding")} AS dp
+       |  FROM n q, n c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |sc AS (SELECT qid, cid, dp / (qn * cn) AS cosine,
+       |  qn * qn + cn * cn - CAST(2 AS DOUBLE) * dp AS l2sq FROM p),
+       |r AS (SELECT qid, cid,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+       |    AS rank_cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2sq, cid) AS rank_l2
+       |  FROM sc),
+       |f AS (SELECT qid, cid, rank_cos, rank_l2,
+       |  (CASE WHEN rank_cos <= $RrfDepth
+       |     THEN CAST(1 AS DOUBLE) / CAST($RrfK + rank_cos AS DOUBLE)
+       |     ELSE CAST(0 AS DOUBLE) END) +
+       |  (CASE WHEN rank_l2 <= $RrfDepth
+       |     THEN CAST(1 AS DOUBLE) / CAST($RrfK + rank_l2 AS DOUBLE)
+       |     ELSE CAST(0 AS DOUBLE) END) AS rrf_score
+       |  FROM r WHERE rank_cos <= $RrfDepth OR rank_l2 <= $RrfDepth)
+       |SELECT qid, cid, rn, rank_cos, rank_l2, rrf_score FROM
+       |(SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY qid ORDER BY rrf_score DESC, cid) AS rn FROM f)
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_rrf_fusion" -> (q224RrfFusion _),
     "q213_prototype_prune" -> (q213PrototypePrune _),
     "q215_label_noise" -> (q215LabelNoise _),
     "q216_trunc_recall" -> (q216TruncRecall _),
@@ -1978,6 +2066,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q224_rrf_fusion" -> q224Sql,
     "q213_prototype_prune" -> q213Sql,
     "q215_label_noise" -> q215Sql,
     "q216_trunc_recall" -> q216Sql,

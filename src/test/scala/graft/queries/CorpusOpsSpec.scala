@@ -1028,4 +1028,245 @@ class CorpusOpsSpec extends SparkSuite {
     got.foreach { case (tpe, n, _, _, bc, _) =>
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
+
+  // ------------------------------------------------- shared text hashing
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** The engine's 60-bit hashed 3-gram shingle set, independently:
+    * md5 of the space-joined trigram, first 15 hex chars as a long. */
+  private def shingleHashes(text: String): Set[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) Set.empty
+    else (0 to toks.length - 3).map { i =>
+      java.lang.Long.parseLong(
+        md5hex(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").take(15), 16)
+    }.toSet
+  }
+
+  // ------------------------------------------------------------ q224
+  test("q224 RRF fusion matches an in-memory two-retriever recompute") {
+    val got = Similarity.q224RrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))
+    val vecs = vecsInMemory
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (s, i) = (0.0, 0); while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map(v => v._1 -> math.sqrt(dot(v._3, v._3))).toMap
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val d = Similarity.RrfDepth
+    val expected = vecs.map(_._1).filter(_ < 8).sorted.flatMap { qid =>
+      val cands = vecs.map(_._1).filter(_ != qid)
+      val cos = cands.map(c => c ->
+        dot(byId(qid), byId(c)) / (norms(qid) * norms(c))).toMap
+      val l2 = cands.map(c => c -> (norms(qid) * norms(qid) +
+        norms(c) * norms(c) - 2.0 * dot(byId(qid), byId(c)))).toMap
+      val rc = cands.sortBy(c => (-cos(c), c)).zipWithIndex
+        .map { case (c, i) => c -> (i + 1) }.toMap
+      val rl = cands.sortBy(c => (l2(c), c)).zipWithIndex
+        .map { case (c, i) => c -> (i + 1) }.toMap
+      val fused = cands.filter(c => rc(c) <= d || rl(c) <= d).map { c =>
+        val sc = (if (rc(c) <= d) 1.0 / (Similarity.RrfK + rc(c)) else 0.0) +
+          (if (rl(c) <= d) 1.0 / (Similarity.RrfK + rl(c)) else 0.0)
+        (c, sc)
+      }
+      fused.sortBy(t => (-t._2, t._1)).take(10).zipWithIndex.map {
+        case ((c, sc), i) => (qid, c, i + 1, rc(c), rl(c), sc)
+      }
+    }
+    assert(got.toSeq === expected.toSeq)
+    // consensus dominance: a candidate both retrievers rank #1 must
+    // fuse #1 (2/(k+1) beats any split pair of deeper ranks)
+    expected.groupBy(_._1).foreach { case (qid, rows) =>
+      rows.find(r => r._4 == 1 && r._5 == 1).foreach { r =>
+        assert(rows.find(_._3 == 1).get._2 === r._2,
+          s"query $qid: double-#1 candidate must fuse first")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ q225
+  test("q225 HLL estimates match an in-memory register recompute") {
+    val got = Dedup.q225HllJaccard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9), r.getDouble(10), r.getDouble(11)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.flatMap(x => shingleHashes(x._2)).toSet
+    }
+    val m = Dedup.HllRegisters
+    val P = 2147483647L
+    def regsOf(set: Set[Long]): Array[Int] = {
+      val regs = Array.fill(m)(0)
+      set.foreach { g =>
+        val h = (1299709L * (g % P) + 104729L) % P
+        val idx = (h % m).toInt
+        val w = h / m
+        val rho = if (w == 0L) Dedup.HllMaxRho
+          else java.lang.Long.numberOfTrailingZeros(w) + 1
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      regs
+    }
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def est(regs: Array[Int]): Double = {
+      val ssum = regs.map(r => 1.0 / (1L << r).toDouble).sum
+      val zeros = regs.count(_ == 0)
+      val raw = 0.709 * m.toDouble * m.toDouble / ssum
+      q6(if (raw <= 2.5 * m && zeros > 0)
+        m * math.log(m.toDouble / zeros.toDouble) else raw)
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = for (i <- srcs.indices; j <- i + 1 until srcs.length)
+      yield {
+        val (s1, s2) = (srcs(i), srcs(j))
+        val (a, b) = (bySrc(s1), bySrc(s2))
+        val (ra, rb) = (regsOf(a), regsOf(b))
+        val ru = ra.zip(rb).map(t => math.max(t._1, t._2))
+        val (e1, e2, eu) = (est(ra), est(rb), est(ru))
+        val inter = (a & b).size.toLong
+        val uni = a.size + b.size - inter
+        val jx = inter.toDouble / uni.toDouble
+        val je = q6(math.max(0.0, (e1 + e2 - eu) / eu))
+        (s1, s2, a.size.toLong, b.size.toLong, inter, uni, jx,
+          e1, e2, eu, je, q6(math.abs(je - jx)))
+      }
+    assert(got.toSeq === expected.toSeq)
+    // the estimator must actually estimate: per-pair errors stay
+    // inside a generous 4.5 sigma of HLL's ~1.04/sqrt(m) relative
+    // error (at m=64 a 190-pair sample statistically produces ~3 sigma
+    // outliers), and the MEDIAN error sits well inside 1.5 sigma
+    val sigma = 1.04 / math.sqrt(m)
+    val errs = got.map { case (s1, s2, _, _, _, uni, _, _, _, eu, _, _) =>
+      val e = math.abs(eu - uni) / uni.toDouble
+      assert(e < 4.5 * sigma, s"($s1,$s2) union estimate off by > 4.5 sigma")
+      e
+    }.sorted
+    assert(errs(errs.length / 2) < 1.5 * sigma,
+      "median union estimation error must be within 1.5 sigma")
+  }
+
+  // ------------------------------------------------------------ q226
+  test("q226 B-cubed matches an in-memory contingency recompute") {
+    val got = Dedup.q226B3Quality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent simhash: majority vote per bit over the shingle set
+    def simhash(text: String): Long = {
+      val sh = shingleHashes(text)
+      if (sh.isEmpty) -1L
+      else (0 until Dedup.SimhashBits).map { j =>
+        val v = sh.toSeq.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (v >= 0) 1L << j else 0L
+      }.sum
+    }
+    val items = docs.map { case (id, src, text) =>
+      val gold = md5hex(text)
+      val sh = simhash(text)
+      val bucket = if (sh < 0) "-1" else (sh >> (Dedup.SimhashBits - 16)).toString
+      (id, s"$src:$gold", bucket, gold)
+    }
+    def b3(rel: Seq[(String, String)]): (Long, Long, Long, Double, Double, Double) = {
+      val n = rel.size.toLong
+      val ct = rel.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val nc = rel.groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+      val nl = rel.groupBy(_._2).map { case (k, xs) => k -> xs.size.toLong }
+      val sp = ct.map { case ((c, _), ncl) =>
+        (BigInt(ncl) * ncl * 1000000 / nc(c)) }.sum
+      val sr = ct.map { case ((_, l), ncl) =>
+        (BigInt(ncl) * ncl * 1000000 / nl(l)) }.sum
+      val p = sp.toDouble / 1000000.0 / n.toDouble
+      val r = sr.toDouble / 1000000.0 / n.toDouble
+      val f1 = BigDecimal(2.0 * p * r / (p + r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, nc.size.toLong, nl.size.toLong, p, r, f1)
+    }
+    val shard = b3(items.toSeq.map(t => (t._2, t._4)))
+    val bucket = b3(items.toSeq.map(t => (t._3, t._4)))
+    assert(got.toSeq === Seq(
+      ("shard_exact", shard._1, shard._2, shard._3, shard._4, shard._5,
+        shard._6),
+      ("simhash_b16", bucket._1, bucket._2, bucket._3, bucket._4, bucket._5,
+        bucket._6)).sortBy(_._1))
+    // the bracketing contract: shard dedup is a refinement of gold
+    // (perfect precision, recall prices cross-shard misses); the coarse
+    // bucket contains gold (perfect recall, precision prices over-merge)
+    val se = got.find(_._1 == "shard_exact").get
+    val sb = got.find(_._1 == "simhash_b16").get
+    assert(se._5 === 1.0, "shard_exact precision must be exactly 1")
+    assert(sb._6 === 1.0, "simhash_b16 recall must be exactly 1")
+  }
+
+  // ------------------------------------------------------------ q227
+  test("q227 Gini and Lorenz match an exact grouped recompute") {
+    val got = EventAnalytics.q227GiniActivity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val counts = graft.core.Tables.load(spark, dir, "events")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val n = counts.length.toLong
+    val t = counts.map(BigInt(_)).sum
+    val lv = counts.groupBy(identity).toSeq
+      .map { case (c, xs) => (c, xs.length.toLong) }.sortBy(_._1)
+    var (cumU, cumE, srx) = (0L, BigInt(0), BigInt(0))
+    val expected = lv.map { case (c, nu) =>
+      srx += BigInt(c) * (BigInt(nu) * cumU + BigInt(nu) * (nu + 1) / 2)
+      val before = cumU
+      cumU += nu; cumE += BigInt(c) * nu
+      (c, nu, cumU, cumE.toLong,
+        cumU.toDouble / n.toDouble, cumE.toDouble / t.toDouble, before)
+    }
+    val gini = (2 * srx - (BigInt(n) + 1) * t).toDouble /
+      (BigInt(n) * t).toDouble
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq ===
+      expected.map(e => (e._1, e._2, e._3, e._4, e._5, e._6)).toSeq)
+    got.foreach(r => assert(math.abs(r._7 - gini) < 1e-12,
+      "gini replicated per row"))
+    // Lorenz curve contracts: ends at (1,1), convex (share below pop)
+    assert(got.last._5 === 1.0 && got.last._6 === 1.0)
+    got.foreach(r => assert(r._6 <= r._5 + 1e-12,
+      "event share never exceeds population share on a sorted Lorenz"))
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  // ------------------------------------------------------------ q228
+  test("q228 kappa matches an in-memory contingency recompute") {
+    val r = Curation.q228GateKappa(spark, dir).head()
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val gates = docs.map { text =>
+      val toks = text.split(" ", -1)
+      val a = toks.count(t => t == "the" || t == "a") * 5 < toks.length
+      val b = toks.length >= 30 && text.length <= 2000
+      (a, b)
+    }
+    val n = gates.length.toLong
+    val n11 = gates.count(g => g._1 && g._2).toLong
+    val n10 = gates.count(g => g._1 && !g._2).toLong
+    val n01 = gates.count(g => !g._1 && g._2).toLong
+    val n00 = gates.count(g => !g._1 && !g._2).toLong
+    val po = (n11 + n00).toDouble / n.toDouble
+    val pe = (BigInt(n11 + n10) * (n11 + n01) +
+      BigInt(n01 + n00) * (n10 + n00)).toDouble / (n.toDouble * n.toDouble)
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n11") === n11)
+    assert(r.getAs[Long]("n10") === n10)
+    assert(r.getAs[Long]("n01") === n01)
+    assert(r.getAs[Long]("n00") === n00)
+    assert(r.getAs[Double]("po") === po)
+    assert(r.getAs[Double]("pe") === pe)
+    assert(r.getAs[Double]("kappa") === (po - pe) / (1.0 - pe))
+    // chance correction must bite: kappa strictly below raw agreement
+    assert(r.getAs[Double]("kappa") < po)
+  }
 }
