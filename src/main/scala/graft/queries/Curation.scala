@@ -2076,8 +2076,99 @@ object Curation {
       |SELECT n, n11, n10, n01, n00, po, pe,
       |  (po - pe) / (CAST(1 AS DOUBLE) - pe) AS kappa FROM p""".stripMargin
 
+  // --------------------------------------------- q230 PSI score drift
+  /** Population Stability Index of the q97 model score, per source
+    * against the corpus reference — the monitoring statistic risk
+    * teams put on every deployed score (PSI < 0.1 stable, 0.1–0.25
+    * watch, > 0.25 shifted): when a source's quality-score
+    * distribution drifts off the corpus profile, its mix weight
+    * (q105/q196) and gate thresholds (q97) were calibrated on a
+    * population that no longer exists. Complements q214 (per-source
+    * KS distance on the same score): KS is the max CDF gap — one
+    * number, no location; PSI decomposes into per-bin contributions
+    * and is the one with industry-standard alert thresholds.
+    *
+    * Determinism: the logit is q97's 6-dp-rounded score (shared
+    * `scoredDocs`, computed ONE way); bins are fixed-width over the
+    * clamped [-4, 4) range on that rounded value; Laplace-smoothed
+    * `(c+1)/(n+B)` ratios make every bin defined; each
+    * `(p−q)·ln(p/q)` term quantizes through DECIMAL(25,6) BEFORE the
+    * sum, so the 10-term aggregate is exact-decimal and
+    * order-independent (and libm ln ulp differences are buried).
+    *
+    * Scale: scan-local scoring, one (source, bin) map-side-combined
+    * count, and everything after is |sources|×10 rows; the reference
+    * histogram is one broadcast 10-row relation. */
+  val PsiBins = 10
+
+  def q230PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val sc = scoredDocs(s, dir).select(col("source"), col("logit"))
+      .withColumn("bin", expr(
+        s"least(greatest(CAST(floor((logit + 4.0D) * 1.25D) AS BIGINT), 0L), ${PsiBins - 1}L)"))
+    val bins = s.range(PsiBins).select(col("id").as("bin"))
+    val corpus = bins.join(
+        sc.groupBy("bin").agg(count(lit(1)).as("g")), Seq("bin"), "left")
+      .withColumn("g", coalesce(col("g"), lit(0L)))
+      .crossJoin(broadcast(sc.agg(count(lit(1)).as("na"))))
+    val srcTot = sc.groupBy("source").agg(count(lit(1)).as("n"))
+    val grid = srcTot.crossJoin(broadcast(bins))
+    val cells = grid.join(
+        sc.groupBy("source", "bin").agg(count(lit(1)).as("c")),
+        Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(broadcast(corpus), Seq("bin"))
+    val terms = cells.withColumn("term", expr(
+      s"""CAST(CAST(
+         |((CAST(c + 1 AS DOUBLE) / CAST(n + $PsiBins AS DOUBLE)) -
+         | (CAST(g + 1 AS DOUBLE) / CAST(na + $PsiBins AS DOUBLE))) *
+         |ln((CAST(c + 1 AS DOUBLE) / CAST(n + $PsiBins AS DOUBLE)) /
+         |   (CAST(g + 1 AS DOUBLE) / CAST(na + $PsiBins AS DOUBLE)))
+         |AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin))
+    terms.groupBy("source", "n")
+      .agg(sum(expr("CAST(term AS DECIMAL(25,6))")).as("psi_d"))
+      .select(col("source"), col("n").as("n_docs"),
+        expr("CAST(psi_d AS DOUBLE)").as("psi"),
+        expr("""CASE WHEN CAST(psi_d AS DOUBLE) > 0.25 THEN 'shifted'
+          |WHEN CAST(psi_d AS DOUBLE) > 0.1 THEN 'watch'
+          |ELSE 'stable' END""".stripMargin).as("verdict"))
+      .orderBy("source")
+  }
+
+  val q230Sql: String =
+    s"""$q97LogitCte,
+       |sc AS (SELECT source, LEAST(GREATEST(
+       |  CAST(floor((logit + 4.0) * 1.25) AS BIGINT), 0), ${PsiBins - 1})
+       |  AS bin FROM l),
+       |bins AS (SELECT t.range AS bin FROM range($PsiBins) t),
+       |ct AS (SELECT COUNT(*) AS na FROM sc),
+       |corpus AS (SELECT b.bin, COALESCE(g.g, 0) AS g, ct.na FROM bins b
+       |  LEFT JOIN (SELECT bin, COUNT(*) AS g FROM sc GROUP BY 1) g
+       |    ON b.bin = g.bin CROSS JOIN ct),
+       |st AS (SELECT source, COUNT(*) AS n FROM sc GROUP BY 1),
+       |cells AS (SELECT st.source, st.n, b.bin, COALESCE(k.c, 0) AS c
+       |  FROM st CROSS JOIN bins b
+       |  LEFT JOIN (SELECT source, bin, COUNT(*) AS c FROM sc GROUP BY 1, 2)
+       |    k ON k.source = st.source AND k.bin = b.bin),
+       |terms AS (SELECT cells.source, cells.n,
+       |  CAST(CAST(
+       |  ((CAST(c + 1 AS DOUBLE) / CAST(n + $PsiBins AS DOUBLE)) -
+       |   (CAST(g + 1 AS DOUBLE) / CAST(na + $PsiBins AS DOUBLE))) *
+       |  ln((CAST(c + 1 AS DOUBLE) / CAST(n + $PsiBins AS DOUBLE)) /
+       |     (CAST(g + 1 AS DOUBLE) / CAST(na + $PsiBins AS DOUBLE)))
+       |  AS DECIMAL(25,6)) AS DOUBLE) AS term
+       |  FROM cells JOIN corpus ON cells.bin = corpus.bin),
+       |agg AS (SELECT source, n,
+       |  SUM(CAST(term AS DECIMAL(25,6))) AS psi_d
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT source, n AS n_docs, CAST(psi_d AS DOUBLE) AS psi,
+       |  CASE WHEN CAST(psi_d AS DOUBLE) > 0.25 THEN 'shifted'
+       |       WHEN CAST(psi_d AS DOUBLE) > 0.1 THEN 'watch'
+       |       ELSE 'stable' END AS verdict
+       |FROM agg ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_psi_drift" -> (q230PsiDrift _),
     "q228_gate_kappa" -> (q228GateKappa _),
     "q220_bloom_fpr" -> (q220BloomFpr _),
     "q222_consistent_hash" -> (q222ConsistentHash _),
@@ -2111,6 +2202,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q230_psi_drift" -> q230Sql,
     "q228_gate_kappa" -> q228Sql,
     "q220_bloom_fpr" -> q220Sql,
     "q222_consistent_hash" -> q222Sql,

@@ -2035,7 +2035,77 @@ object Similarity {
        |  (PARTITION BY qid ORDER BY rrf_score DESC, cid) AS rn FROM f)
        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
+  // --------------------------------------- q229 semantic split leakage
+  /** Embedding-space split-contamination audit — q201's n-gram leakage
+    * check lifted to SEMANTIC space: after a naive hash split of the
+    * vector corpus, how many test vectors have a train near-duplicate
+    * (cosine > [[q229Tau]])? Paraphrases and re-encodings leak past
+    * any text-level decontamination; this is the number an eval split
+    * must disclose before its scores are believed, and the motivation
+    * for group-aware splitting (q107) in embedding space.
+    *
+    * Scale: the pair search is the q39 shape — IVF-cell-blocked
+    * (coarse-quantizer partition), never all-pairs; the split tag is a
+    * scan-local expression, and only train×test pairs inside a cell
+    * are scored with the O(dim) native kernel. Cross-CELL leaks are
+    * invisible by design (the same recall trade q39/q186 declare);
+    * the output discloses the blocking so the number is read as a
+    * lower bound.
+    *
+    * Determinism: split by `(vec_id * 1000003) % 10 < 8` (the q201
+    * convention), cosine from the shared kernel, counts integer. */
+  val q229Tau = 0.5
+
+  def q229SemanticLeak(s: SparkSession, dir: String): DataFrame = {
+    val tagged = new IvfQuantizer(s, dir).assigned
+      .withColumn("is_train", expr("(vec_id * 1000003) % 10 < 8"))
+    val tr = tagged.filter(col("is_train")).select(col("cell"),
+      col("vec_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val te = tagged.filter(!col("is_train")).select(col("cell"),
+      col("vec_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    val hits = tr.join(te, "cell")
+      .withColumn("cosine", dotC(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") > q229Tau)
+      .agg(count(lit(1)).as("n_cross_pairs"),
+        countDistinct(col("d2")).as("n_leaky_test"))
+    val totals = tagged.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+    totals.crossJoin(hits)
+      .select(col("n_train"), col("n_test"),
+        col("n_cross_pairs"), col("n_leaky_test"),
+        (col("n_leaky_test").cast("double") / col("n_test").cast("double"))
+          .as("leak_rate"))
+  }
+
+  val q229Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell,
+       |  (vec_id * 1000003) % 10 < 8 AS is_train FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |hits AS (SELECT COUNT(*) AS n_cross_pairs,
+       |  COUNT(DISTINCT b.vec_id) AS n_leaky_test
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+       |    AND a.is_train AND NOT b.is_train
+       |  WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    > $q229Tau),
+       |tot AS (SELECT
+       |  CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_train,
+       |  CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_test FROM assigned)
+       |SELECT n_train, n_test, n_cross_pairs, n_leaky_test,
+       |  CAST(n_leaky_test AS DOUBLE) / CAST(n_test AS DOUBLE) AS leak_rate
+       |FROM tot CROSS JOIN hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_semantic_leak" -> (q229SemanticLeak _),
     "q224_rrf_fusion" -> (q224RrfFusion _),
     "q213_prototype_prune" -> (q213PrototypePrune _),
     "q215_label_noise" -> (q215LabelNoise _),
@@ -2066,6 +2136,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q229_semantic_leak" -> q229Sql,
     "q224_rrf_fusion" -> q224Sql,
     "q213_prototype_prune" -> q213Sql,
     "q215_label_noise" -> q215Sql,

@@ -1011,7 +1011,111 @@ object TextAnalysis {
        |  sx, sy FROM m)
        |SELECT k, slope, (sy - slope * sx) / k AS intercept FROM s""".stripMargin
 
+  // ----------------------------------- q231 source unigram JS divergence
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions over the top-[[JsdVocab]] corpus tokens (+ one
+    * `<other>` mass bucket) — the symmetric, bounded (≤ ln 2)
+    * distribution distance a mix designer reads before merging or
+    * re-weighting sources: q191/q225 measure SET overlap of content;
+    * JSD measures how differently two sources USE the shared
+    * vocabulary, which is what shifts a trained model's token
+    * statistics. Reported in nats and normalized to [0,1].
+    *
+    * Determinism: the vocabulary is the corpus top-K by (count DESC,
+    * token ASC) — a total order; per-(source, bucket) counts are
+    * integers with Laplace `(c+1)/(n+V)` smoothing so every log is
+    * finite; each per-bucket term `½p·ln(p/m) + ½q·ln(q/m)` quantizes
+    * through DECIMAL(25,6) BEFORE the sum (exact-decimal, order-
+    * independent, libm-proof).
+    *
+    * Scale: one token-explode pass with a broadcast top-K join, one
+    * (source, bucket) map-side-combined count, then all arithmetic on
+    * |sources|·(V+1) rows; the pair join is |sources|²·(V+1) —
+    * broadcast-sized by construction. The top-K itself is a
+    * TakeOrdered over the token-count relation, not a global sort. */
+  val JsdVocab = 32
+
+  def q231SourceJsd(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("tok")).limit(JsdVocab)
+      .select(col("tok"), lit(1).as("hit"))
+    val bucketed = toks.join(broadcast(top), Seq("tok"), "left")
+      .withColumn("bucket",
+        when(col("hit").isNotNull, col("tok")).otherwise(lit("<other>")))
+    val buckets = top.select(col("tok").as("bucket"))
+      .unionAll(s.range(1).select(lit("<other>").as("bucket")))
+    val srcTot = bucketed.groupBy("source").agg(count(lit(1)).as("n"))
+    val cells = srcTot.crossJoin(broadcast(buckets))
+      .join(bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("c")),
+        Seq("source", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val v = JsdVocab + 1
+    val a = cells.select(col("source").as("s1"), col("bucket"),
+      col("c").as("ca"), col("n").as("n1"))
+    val b = cells.select(col("source").as("s2"), col("bucket"),
+      col("c").as("cb"), col("n").as("n2"))
+    val terms = a.join(b, "bucket").filter(col("s1") < col("s2"))
+      .withColumn("p", expr(s"CAST(ca + 1 AS DOUBLE) / CAST(n1 + $v AS DOUBLE)"))
+      .withColumn("q", expr(s"CAST(cb + 1 AS DOUBLE) / CAST(n2 + $v AS DOUBLE)"))
+      .withColumn("m", expr("(p + q) / 2.0D"))
+      .withColumn("term", expr(
+        """CAST(CAST(0.5D * p * ln(p / m) + 0.5D * q * ln(q / m)
+          |AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin))
+    terms.groupBy("s1", "s2", "n1", "n2")
+      .agg(sum(expr("CAST(term AS DECIMAL(25,6))")).as("jsd_d"))
+      .select(col("s1"), col("s2"),
+        col("n1").as("n_tokens_1"), col("n2").as("n_tokens_2"),
+        expr("CAST(jsd_d AS DOUBLE)").as("jsd_nats"),
+        expr("""CAST(CAST(CAST(jsd_d AS DOUBLE) / ln(2.0D)
+          |AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin).as("jsd_norm"))
+      .orderBy("s1", "s2")
+  }
+
+  val q231Sql: String = {
+    val v = JsdVocab + 1
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |top AS (SELECT tok, 1 AS hit FROM
+       |  (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY 1
+       |   ORDER BY cf DESC, tok LIMIT $JsdVocab)),
+       |bk AS (SELECT source,
+       |  CASE WHEN top.hit IS NOT NULL THEN toks.tok
+       |       ELSE '<other>' END AS bucket
+       |  FROM toks LEFT JOIN top ON toks.tok = top.tok),
+       |buckets AS (SELECT tok AS bucket FROM top
+       |  UNION ALL SELECT '<other>'),
+       |st AS (SELECT source, COUNT(*) AS n FROM bk GROUP BY 1),
+       |cells AS (SELECT st.source, st.n, b.bucket, COALESCE(k.c, 0) AS c
+       |  FROM st CROSS JOIN buckets b
+       |  LEFT JOIN (SELECT source, bucket, COUNT(*) AS c FROM bk
+       |    GROUP BY 1, 2) k
+       |    ON k.source = st.source AND k.bucket = b.bucket),
+       |pr AS (SELECT a.s1, b2.s2, a.p, b2.q, (a.p + b2.q) / 2.0 AS m,
+       |  a.n1, b2.n2, a.bucket FROM
+       |  (SELECT source AS s1, bucket, n AS n1,
+       |     CAST(c + 1 AS DOUBLE) / CAST(n + $v AS DOUBLE) AS p
+       |     FROM cells) a
+       |  JOIN (SELECT source AS s2, bucket, n AS n2,
+       |     CAST(c + 1 AS DOUBLE) / CAST(n + $v AS DOUBLE) AS q
+       |     FROM cells) b2
+       |    ON a.bucket = b2.bucket AND a.s1 < b2.s2),
+       |terms AS (SELECT s1, s2, n1, n2,
+       |  CAST(CAST(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)
+       |    AS DECIMAL(25,6)) AS DOUBLE) AS term FROM pr),
+       |agg AS (SELECT s1, s2, n1, n2,
+       |  SUM(CAST(term AS DECIMAL(25,6))) AS jsd_d
+       |  FROM terms GROUP BY 1, 2, 3, 4)
+       |SELECT s1, s2, n1 AS n_tokens_1, n2 AS n_tokens_2,
+       |  CAST(jsd_d AS DOUBLE) AS jsd_nats,
+       |  CAST(CAST(CAST(jsd_d AS DOUBLE) / ln(2.0) AS DECIMAL(25,6))
+       |    AS DOUBLE) AS jsd_norm
+       |FROM agg ORDER BY s1, s2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_source_jsd" -> (q231SourceJsd _),
     "q204_zipf_slope" -> (q204ZipfSlope _),
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
@@ -1034,6 +1138,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q231_source_jsd" -> q231Sql,
     "q204_zipf_slope" -> q204Sql,
     "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
