@@ -2166,8 +2166,138 @@ object Curation {
        |       ELSE 'stable' END AS verdict
        |FROM agg ORDER BY source""".stripMargin
 
+  // ------------------------------------------ q232 Poisson bootstrap CI
+  /** Poisson-bootstrap confidence interval for the mean quality score —
+    * the uncertainty a data-quality dashboard must attach to its
+    * headline number before anyone compares two crawls by it. The
+    * classic multinomial bootstrap cannot run distributed (drawing n
+    * items WITH replacement needs global coordination); the Poisson
+    * bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams") replaces each replicate's multiplicities
+    * with independent Poisson(1) draws — one scan-local pass, map-side
+    * combinable, mergeable across shards, and exactly what a 100 TB
+    * corpus can afford. [[BootReps]] replicates are derated
+    * deterministically: replicate r hashes each doc_id through its own
+    * affine map onto [0,1) and inverts the Poisson(1) CDF by fixed
+    * literal thresholds, so the "randomness" is reproducible and
+    * engine-identical.
+    *
+    * Exactness: the 6-dp logit lifts to exact micro-units; each
+    * replicate's weighted sum and count are exact integers, so the
+    * replicate means (one double division each, then DECIMAL(25,6)
+    * quantization) are deterministic; the CI bounds are order
+    * statistics of those 32 quantized means; the bootstrap SE derives
+    * from exact decimal Σm/Σm² sums.
+    *
+    * Scale: one corpus scan exploded ×[[BootReps]] (the declared
+    * bootstrap cost — still linear, no shuffle wider than 32×|sources|
+    * partial aggregates); everything after the per-replicate aggregate
+    * is 32 rows. */
+  val BootReps = 32
+
+  def q232BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val P2 = 2147483647L
+    val base = scoredDocs(s, dir).select(col("doc_id"),
+      expr("CAST(CAST(logit AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        .as("lm"))
+    val reps = s.range(BootReps).select(col("id").as("r"))
+    // doc_id pre-mixes through a multiplier LARGER than P so small
+    // sequential ids wrap the ring before the per-replicate map: a
+    // bare affine map keeps doc_id·A < P for small corpora, squeezing
+    // u into a narrow low band and zeroing whole replicates
+    val mult = base.crossJoin(broadcast(reps))
+      .withColumn("u", expr(
+        s"""CAST(((((doc_id % $P2) * 2654435761 + 104729) % $P2) *
+           |(1000003 * (r + 1) + 17) +
+           |(7919 * (r + 1) + 3)) % $P2 AS DOUBLE) / $P2.0D""".stripMargin))
+      .withColumn("mult", expr(
+        """CASE WHEN u < 0.36787944117144233D THEN 0
+          |WHEN u < 0.7357588823428847D THEN 1
+          |WHEN u < 0.9196986029286058D THEN 2
+          |WHEN u < 0.9810118431238462D THEN 3
+          |WHEN u < 0.9963401531726563D THEN 4
+          |WHEN u < 0.9994058151824183D THEN 5
+          |WHEN u < 0.9999167588507119D THEN 6
+          |ELSE 7 END""".stripMargin))
+    val repMeans = mult.groupBy("r")
+      .agg(sum(expr("mult * lm")).as("ws"), sum("mult").as("wc"))
+      .withColumn("m", expr(
+        """CAST(CAST(CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE) / 1000000.0D
+          |AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin))
+    val wOrd = Window.orderBy("m", "r")
+    val ranked = repMeans.withColumn("rk", row_number().over(wOrd))
+    val lo = ranked.filter(col("rk") === 2).select(col("m").as("ci_lo"))
+    val hi = ranked.filter(col("rk") === BootReps - 1)
+      .select(col("m").as("ci_hi"))
+    // (18,6) not (25,6): the squared term must stay inside DECIMAL38
+    // in BOTH engines — (25,6)² wants 51 digits and DuckDB would fall
+    // back to approximate arithmetic, drifting the 6-dp rounding
+    val se = repMeans.agg(
+        sum(expr("CAST(m AS DECIMAL(18,6))")).as("sm"),
+        sum(expr("CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6))"))
+          .as("sm2"))
+      .select(expr(
+        s"""CAST(CAST(sqrt((CAST(sm2 AS DOUBLE) -
+           |CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / $BootReps.0D) /
+           |${BootReps - 1}.0D) AS DECIMAL(25,6)) AS DOUBLE)"""
+          .stripMargin).as("se_boot"))
+    val point = base.agg(count(lit(1)).as("n_docs"), sum("lm").as("slm"))
+      .select(col("n_docs"), expr(
+        """CAST(CAST(CAST(slm AS DOUBLE) / CAST(n_docs AS DOUBLE) /
+          |1000000.0D AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin)
+        .as("mean_score"))
+    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .crossJoin(broadcast(se))
+      .withColumn("n_reps", lit(BootReps.toLong))
+      .select("n_docs", "mean_score", "n_reps", "ci_lo", "ci_hi", "se_boot")
+  }
+
+  val q232Sql: String = {
+    val P2 = 2147483647L
+    s"""$q97LogitCte,
+       |base AS (SELECT doc_id,
+       |  CAST(CAST(logit AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS lm
+       |  FROM l),
+       |mult AS (SELECT lm, t.range AS r,
+       |  CASE WHEN u < 0.36787944117144233 THEN 0
+       |       WHEN u < 0.7357588823428847 THEN 1
+       |       WHEN u < 0.9196986029286058 THEN 2
+       |       WHEN u < 0.9810118431238462 THEN 3
+       |       WHEN u < 0.9963401531726563 THEN 4
+       |       WHEN u < 0.9994058151824183 THEN 5
+       |       WHEN u < 0.9999167588507119 THEN 6
+       |       ELSE 7 END AS mult
+       |  FROM (SELECT doc_id, lm, t.range,
+       |    CAST(((((doc_id % $P2) * 2654435761 + 104729) % $P2) *
+       |      (1000003 * (t.range + 1) + 17) +
+       |      (7919 * (t.range + 1) + 3)) % $P2 AS DOUBLE) / $P2.0 AS u
+       |    FROM base CROSS JOIN range($BootReps) t) t),
+       |rm AS (SELECT r,
+       |  CAST(CAST(CAST(SUM(mult * lm) AS DOUBLE) /
+       |    CAST(SUM(mult) AS DOUBLE) / 1000000.0 AS DECIMAL(25,6))
+       |    AS DOUBLE) AS m
+       |  FROM mult GROUP BY 1),
+       |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM rm),
+       |lo AS (SELECT m AS ci_lo FROM rk WHERE rk = 2),
+       |hi AS (SELECT m AS ci_hi FROM rk WHERE rk = ${BootReps - 1}),
+       |se AS (SELECT CAST(CAST(sqrt((CAST(sm2 AS DOUBLE) -
+       |    CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / $BootReps.0) /
+       |    ${BootReps - 1}.0) AS DECIMAL(25,6)) AS DOUBLE) AS se_boot
+       |  FROM (SELECT SUM(CAST(m AS DECIMAL(18,6))) AS sm,
+       |    SUM(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6))) AS sm2
+       |    FROM rm)),
+       |pt AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(CAST(CAST(SUM(lm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) /
+       |    1000000.0 AS DECIMAL(25,6)) AS DOUBLE) AS mean_score
+       |  FROM base)
+       |SELECT n_docs, mean_score, CAST($BootReps AS BIGINT) AS n_reps,
+       |  ci_lo, ci_hi, se_boot
+       |FROM pt CROSS JOIN lo CROSS JOIN hi CROSS JOIN se""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_bootstrap_ci" -> (q232BootstrapCi _),
     "q230_psi_drift" -> (q230PsiDrift _),
     "q228_gate_kappa" -> (q228GateKappa _),
     "q220_bloom_fpr" -> (q220BloomFpr _),
@@ -2202,6 +2332,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q232_bootstrap_ci" -> q232Sql,
     "q230_psi_drift" -> q230Sql,
     "q228_gate_kappa" -> q228Sql,
     "q220_bloom_fpr" -> q220Sql,

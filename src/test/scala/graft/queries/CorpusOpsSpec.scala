@@ -1416,4 +1416,62 @@ class CorpusOpsSpec extends SparkSuite {
       assert(norm >= 0.0 && norm <= 1.0, s"($s1,$s2) normalized bounds")
     }
   }
+
+  // ------------------------------------------------------------ q232
+  test("q232 Poisson bootstrap matches an in-memory replicate recompute") {
+    val r = Curation.q232BootstrapCi(spark, dir).head()
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def logitMicro(text: String): Long = {
+      val toks = text.split(" ", -1)
+      val stop = toks.count(t =>
+        Set("the", "a", "of", "to", "and")(t)).toDouble / toks.length
+      val nc = text.length.toDouble
+      val digit = (nc - text.replaceAll("[0-9]", "").length) / nc
+      val upper = (nc - text.replaceAll("[A-Z]", "").length) / nc
+      (BigDecimal(q6(-1.5 + 6.0 * stop - 8.0 * digit - 4.0 * upper +
+        0.01 * toks.length.toDouble)) * 1000000).toLongExact
+    }
+    val lms = docs.map { case (id, text) => (id, logitMicro(text)) }
+    val P = 2147483647L
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119)
+    def multOf(id: Long, rep: Long): Long = {
+      val x = ((id % P) * 2654435761L + 104729L) % P
+      val u = (((x * (1000003L * (rep + 1) + 17L)) +
+        (7919L * (rep + 1) + 3L)) % P).toDouble / P.toDouble
+      val i = cdf.indexWhere(u < _)
+      if (i < 0) 7L else i.toLong
+    }
+    val means = (0L until Curation.BootReps.toLong).map { rep =>
+      val (ws, wc) = lms.foldLeft((0L, 0L)) { case ((s, c), (id, lm)) =>
+        val mlt = multOf(id, rep)
+        (s + mlt * lm, c + mlt)
+      }
+      (rep, q6(ws.toDouble / wc.toDouble / 1000000.0))
+    }
+    val ranked = means.sortBy(t => (t._2, t._1)).map(_._2)
+    val sm = means.map(t => BigDecimal(t._2)).sum
+    val sm2 = means.map(t => BigDecimal(t._2) * BigDecimal(t._2)).sum
+    val reps = Curation.BootReps
+    val se = q6(math.sqrt((sm2.toDouble - sm.toDouble * sm.toDouble /
+      reps.toDouble) / (reps - 1).toDouble))
+    val mean = q6(lms.map(_._2).sum.toDouble / lms.length.toDouble /
+      1000000.0)
+    assert(r.getAs[Long]("n_docs") === lms.length.toLong)
+    assert(r.getAs[Double]("mean_score") === mean)
+    assert(r.getAs[Long]("n_reps") === reps.toLong)
+    assert(r.getAs[Double]("ci_lo") === ranked(1))
+    assert(r.getAs[Double]("ci_hi") === ranked(reps - 2))
+    assert(r.getAs[Double]("se_boot") === se)
+    // a real interval: ordered bounds, positive spread, and the point
+    // estimate consistent with the replicate cloud
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    assert(se >= 0.0)
+    assert(mean >= ranked.head - 3 * se && mean <= ranked.last + 3 * se)
+  }
 }
