@@ -176,7 +176,19 @@ class PlanAuditSpec extends SparkSuite {
       // q209 collects writer accounting inside the query (local
       // report); q210 is q207's shape over the HFile v2 store
       "q209_sortedrun_writer" -> 0,
-      "q210_hfile_store" -> 1)
+      "q210_hfile_store" -> 1,
+      // round-9 additions that cleared 0.5 s at sf0.1: q225's count
+      // is dominated by |sources|-sized post-aggregate relations (the
+      // only corpus-wide shuffles are the (source,idx) register agg
+      // and the exact-intersection self-join); q226 is the cached-
+      // signature join + two contingency aggregates per strategy;
+      // q231 is the token top-K + (source,bucket) counts; q224 is the
+      // two rank windows sharing one qid partitioning
+      "q224_rrf_fusion" -> 2,
+      "q225_hll_jaccard" -> 25,
+      "q226_b3_quality" -> 10,
+      "q231_source_jsd" -> 12,
+      "q232_bootstrap_ci" -> 5)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
       val p = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
