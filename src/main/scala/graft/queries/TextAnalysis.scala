@@ -1114,7 +1114,107 @@ object TextAnalysis {
        |FROM agg ORDER BY s1, s2""".stripMargin
   }
 
+  // --------------------------------------- q234 AMS F2 sketch audit
+  /** AMS (Alon–Matias–Szegedy 1996) second-moment sketch vs the exact
+    * F₂ of the corpus token-frequency vector — THE join-size
+    * estimation primitive: `F₂ = Σ_t c_t²` IS the self-join size of
+    * the token posting relation, the quantity an optimizer needs
+    * before choosing a join strategy over postings, and the one a
+    * 100 TB engine must estimate in ONE pass because materializing
+    * per-token counts costs the very shuffle the estimate is meant to
+    * avoid. [[AmsEstimators]] independent ±1-sign linear sketches
+    * accumulate in a single scan (8 conditional SUMs, map-side
+    * combinable, mergeable across shards by addition); each squared
+    * sum is an unbiased F₂ estimate, reported as the mean and the
+    * (robust) lower-median alongside the exact value and its relative
+    * error — the audit that says whether the sketch can be trusted
+    * before it replaces the exact pass.
+    *
+    * Determinism: the sign is bit 0 of an affine map over the token's
+    * 60-bit md5 reduction — pure integer arithmetic in both engines;
+    * the per-sketch sums are exact integers (order-free); squares
+    * lift into DECIMAL(38,0), and the only doubles are final
+    * conversions and the error ratio.
+    *
+    * Scale: sketch side = one scan with 8 integer accumulators (no
+    * shuffle beyond the 1-row aggregate); exact side = one (token)
+    * shuffle — present here precisely to grade the sketch, and the
+    * thing the sketch eliminates in production. */
+  val AmsEstimators = 8
+  /** Dedup's Mersenne modulus, shared so the sign hashes stay in the
+    * engine-wide affine-mod-P family. */
+  private val P = Dedup.P
+
+  def q234AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", expr(
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+    val signAggs = (0 until AmsEstimators).map { j =>
+      val a = 1000003L * (j + 1) + 17L
+      val b = 7919L * (j + 1) + 3L
+      sum(expr(
+        s"CASE WHEN (($a * (th % $P) + $b) % $P) % 2 = 0 THEN 1 ELSE -1 END"))
+        .as(s"z$j")
+    }
+    val sums = toks.agg(count(lit(1)).as("n_tokens"), signAggs: _*)
+    val ests = (0 until AmsEstimators).map(j =>
+      expr(s"CAST(CAST(z$j AS DECIMAL(38,0)) * z$j AS DOUBLE)")
+        .as(s"x$j"))
+    val wide = sums.select(col("n_tokens") +: ests: _*)
+      .withColumn("est_mean", expr(
+        (0 until AmsEstimators).map(j => s"x$j").mkString("(", " + ", s") / $AmsEstimators.0D")))
+      .withColumn("est_median", expr(
+        s"element_at(array_sort(array(${(0 until AmsEstimators).map(j => s"x$j").mkString(",")})), ${AmsEstimators / 2})"))
+    val exact = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("f2d"),
+        count(lit(1)).as("n_distinct"))
+      .select(expr("CAST(f2d AS DOUBLE)").as("exact_f2"),
+        col("n_distinct"))
+    wide.crossJoin(broadcast(exact))
+      .withColumn("rel_err_median", expr(
+        "CAST(CAST(abs(est_median - exact_f2) / exact_f2 AS DECIMAL(25,6)) AS DOUBLE)"))
+      .select("n_tokens", "n_distinct", "exact_f2", "est_mean",
+        "est_median", "rel_err_median")
+  }
+
+  val q234Sql: String = {
+    val signSums = (0 until AmsEstimators).map { j =>
+      val a = 1000003L * (j + 1) + 17L
+      val b = 7919L * (j + 1) + 3L
+      s"""CAST(SUM(CASE WHEN (($a * (th % $P) + $b) % $P) % 2 = 0
+         |  THEN 1 ELSE -1 END) AS BIGINT) AS z$j""".stripMargin
+    }.mkString(",\n")
+    val xs = (0 until AmsEstimators)
+      .map(j => s"CAST(CAST(z$j AS HUGEINT) * z$j AS DOUBLE) AS x$j")
+      .mkString(", ")
+    val xList = (0 until AmsEstimators).map(j => s"x$j").mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS (SELECT tok,
+       |  ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+       |sums AS (SELECT COUNT(*) AS n_tokens,
+       |$signSums
+       |FROM th),
+       |wide AS (SELECT n_tokens, $xs FROM sums),
+       |est AS (SELECT n_tokens,
+       |  (${(0 until AmsEstimators).map(j => s"x$j").mkString(" + ")})
+       |    / $AmsEstimators.0 AS est_mean,
+       |  list_sort([$xList])[${AmsEstimators / 2}] AS est_median
+       |  FROM wide),
+       |exact AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+       |    AS exact_f2, COUNT(*) AS n_distinct
+       |  FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1))
+       |SELECT n_tokens, n_distinct, exact_f2, est_mean, est_median,
+       |  CAST(CAST(abs(est_median - exact_f2) / exact_f2
+       |    AS DECIMAL(25,6)) AS DOUBLE) AS rel_err_median
+       |FROM est CROSS JOIN exact""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_ams_f2" -> (q234AmsF2 _),
     "q231_source_jsd" -> (q231SourceJsd _),
     "q204_zipf_slope" -> (q204ZipfSlope _),
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
@@ -1138,6 +1238,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q234_ams_f2" -> q234Sql,
     "q231_source_jsd" -> q231Sql,
     "q204_zipf_slope" -> q204Sql,
     "q202_tokenizer_fertility" -> q202Sql,

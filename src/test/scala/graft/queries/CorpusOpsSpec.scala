@@ -1529,4 +1529,39 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.map(_._5).sum === b, "Neyman quotas sum to budget")
     assert(got.map(_._6).sum === b, "proportional quotas sum to budget")
   }
+
+  // ------------------------------------------------------------ q234
+  test("q234 AMS sketch matches an exact in-memory recompute") {
+    val r = TextAnalysis.q234AmsF2(spark, dir).head()
+    val toks = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val P = 2147483647L
+    def th(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).take(15), 16)
+    val zs = (0 until TextAnalysis.AmsEstimators).map { j =>
+      val a = 1000003L * (j + 1) + 17L
+      val b = 7919L * (j + 1) + 3L
+      toks.map { t =>
+        if (((a * (th(t) % P) + b) % P) % 2 == 0) 1L else -1L
+      }.sum
+    }
+    val xs = zs.map(z => (BigInt(z) * z).toDouble)
+    val mean = xs.sum / TextAnalysis.AmsEstimators.toDouble
+    val median = xs.sorted.apply(TextAnalysis.AmsEstimators / 2 - 1)
+    val counts = toks.groupBy(identity).map(_._2.length.toLong)
+    val f2 = counts.map(c => BigInt(c) * c).sum.toDouble
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+    assert(r.getAs[Long]("n_distinct") === counts.size.toLong)
+    assert(r.getAs[Double]("exact_f2") === f2)
+    assert(r.getAs[Double]("est_mean") === mean)
+    assert(r.getAs[Double]("est_median") === median)
+    assert(r.getAs[Double]("rel_err_median") ===
+      q6(math.abs(median - f2) / f2))
+    // an unbiased estimator in the right decade: the lower-median of
+    // 8 draws with sd <= sqrt(2)*F2 stays within one order of F2
+    assert(median > 0.0 && median < 10.0 * f2)
+  }
 }
