@@ -2104,7 +2104,116 @@ object Similarity {
        |  CAST(n_leaky_test AS DOUBLE) / CAST(n_test AS DOUBLE) AS leak_rate
        |FROM tot CROSS JOIN hits""".stripMargin
 
+  // ------------------------------------ q235 JL projection distortion
+  /** Johnson–Lindenstrauss distortion audit for a ±1 random projection
+    * from 64 to [[JlDims]] dimensions — the measurement that decides
+    * whether the cheap projection can stand in for full vectors in
+    * distance work (dedup thresholds, ANN shortlists, clustering):
+    * JL guarantees pairwise squared distances concentrate around 1
+    * (mean 1, variance 2/k per pair), and this query MEASURES that
+    * concentration on real label-blocked pairs (the q31 blocking —
+    * never all-pairs) instead of assuming it: mean/min/max distortion
+    * ratio and the fraction within ±25%.
+    *
+    * Determinism: the sign matrix is fixed at build time (quadratic
+    * integer mix over d·k+j — q222's lattice-breaking form) and
+    * embedded identically in both dialects; projections fold
+    * left-to-right per vector BEFORE the pair join (16 doubles ride
+    * the join, the 64-float originals only feed the shared dot
+    * kernel); the ratio mean quantizes each term to DECIMAL(25,6)
+    * before the exact-decimal sum. Identical-point pairs (zero
+    * original distance) are excluded — the ratio is undefined, and
+    * both engines exclude them by the same `> 0` predicate.
+    *
+    * Scale: projection is one scan-local pass (k·dim multiply-adds
+    * per row); the quadratic piece is label-cell-local exactly like
+    * q31/q39; everything after the pair aggregate is one row. */
+  val JlDims = 16
+
+  /** 16×64 ±1 sign rows, deterministic at build time. */
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlDims).map { j =>
+      (0 until 64).map { d =>
+        val x = (d * JlDims + j).toLong
+        if (((x * x * 999983L + x * 2654435761L + 17L) % 2147483647L) % 2 == 0)
+          1 else -1
+      }
+    }
+
+  def q235JlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val signsLit = typedLit(jlSigns.map(_.toSeq))
+    val proj = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"), expr(normSpark).as("nrm"))
+      .withColumn("p", transform(signsLit, row =>
+        aggregate(
+          zip_with(col("embedding"), row,
+            (x, sg) => x.cast("double") * sg.cast("double")),
+          lit(0.0), (acc, v) => acc + v) / lit(4.0)))
+    val a = proj.select(col("label"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"), col("p").as("p1"))
+    val b = proj.select(col("label"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"), col("p").as("p2"))
+    val pairs = a.join(b, "label").filter(col("d1") < col("d2"))
+      .withColumn("d2sq",
+        col("n1") * col("n1") + col("n2") * col("n2") -
+          lit(2.0) * expr(dotSpark("e1", "e2")))
+      .filter(col("d2sq") > 0.0)
+      .withColumn("p2sq", expr(
+        """aggregate(zip_with(p1, p2, (x, y) -> (x - y) * (x - y)),
+          |0.0D, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("ratio", col("p2sq") / col("d2sq"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(CAST(ratio AS DECIMAL(25,6)) AS DECIMAL(25,6))"))
+          .as("sr"),
+        min("ratio").as("min_ratio"), max("ratio").as("max_ratio"),
+        sum(when(expr("abs(ratio - 1.0D) <= 0.25D"), 1L).otherwise(0L))
+          .as("n_within"))
+      .select(col("n_pairs"),
+        expr("""CAST(CAST(CAST(sr AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+          |AS DECIMAL(25,6)) AS DOUBLE)""".stripMargin).as("mean_ratio"),
+        col("min_ratio"), col("max_ratio"), col("n_within"),
+        (col("n_within").cast("double") / col("n_pairs").cast("double"))
+          .as("frac_within_25"))
+  }
+
+  val q235Sql: String = {
+    val signRows = jlSigns.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT vec_id, label, embedding, $normDuck AS nrm
+       |  FROM embeddings),
+       |proj AS (SELECT vec_id, label, embedding, nrm,
+       |  list_transform($signRows,
+       |    srow -> list_sum(list_transform(range(1, 65),
+       |      d -> CAST(embedding[d] AS DOUBLE) * CAST(srow[d] AS DOUBLE)))
+       |      / 4.0) AS p
+       |  FROM base),
+       |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |  a.nrm * a.nrm + b.nrm * b.nrm -
+       |    CAST(2 AS DOUBLE) * ${dotDuck("a.embedding", "b.embedding")}
+       |    AS d2sq,
+       |  list_sum(list_transform(range(1, ${JlDims + 1}),
+       |    j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j]))) AS p2sq
+       |  FROM proj a JOIN proj b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id),
+       |rr AS (SELECT d2sq, p2sq, p2sq / d2sq AS ratio FROM pairs
+       |  WHERE d2sq > 0.0),
+       |agg AS (SELECT COUNT(*) AS n_pairs,
+       |  SUM(CAST(ratio AS DECIMAL(25,6))) AS sr,
+       |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       |  CAST(SUM(CASE WHEN abs(ratio - CAST(1 AS DOUBLE)) <=
+       |    CAST(0.25 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+       |  FROM rr)
+       |SELECT n_pairs,
+       |  CAST(CAST(CAST(sr AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+       |    AS DECIMAL(25,6)) AS DOUBLE) AS mean_ratio,
+       |  min_ratio, max_ratio, n_within,
+       |  CAST(n_within AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+       |    AS frac_within_25
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_jl_distortion" -> (q235JlDistortion _),
     "q229_semantic_leak" -> (q229SemanticLeak _),
     "q224_rrf_fusion" -> (q224RrfFusion _),
     "q213_prototype_prune" -> (q213PrototypePrune _),
@@ -2136,6 +2245,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q235_jl_distortion" -> q235Sql,
     "q229_semantic_leak" -> q229Sql,
     "q224_rrf_fusion" -> q224Sql,
     "q213_prototype_prune" -> q213Sql,

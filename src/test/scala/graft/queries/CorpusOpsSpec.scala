@@ -1564,4 +1564,56 @@ class CorpusOpsSpec extends SparkSuite {
     // 8 draws with sd <= sqrt(2)*F2 stays within one order of F2
     assert(median > 0.0 && median < 10.0 * f2)
   }
+
+  // ------------------------------------------------------------ q235
+  test("q235 JL distortion matches an in-memory projection recompute") {
+    val r = Similarity.q235JlDistortion(spark, dir).head()
+    val vecs = vecsInMemory
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (s, i) = (0.0, 0); while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val k = Similarity.JlDims
+    val signs = (0 until k).map { j =>
+      (0 until 64).map { d =>
+        val x = (d * k + j).toLong
+        if (((x * x * 999983L + x * 2654435761L + 17L) % 2147483647L) % 2
+          == 0) 1.0 else -1.0
+      }
+    }
+    val proj = vecs.map { v =>
+      v._1 -> signs.map(row =>
+        row.indices.foldLeft(0.0)((acc, d) => acc + v._3(d) * row(d)) / 4.0)
+    }.toMap
+    val norms = vecs.map(v => v._1 -> math.sqrt(dot(v._3, v._3))).toMap
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratios = vecs.groupBy(_._2).values.toSeq.flatMap { xs =>
+      val ids = xs.map(_._1).toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.flatMap { case (d1, d2) =>
+      val d2sq = norms(d1) * norms(d1) + norms(d2) * norms(d2) -
+        2.0 * dot(byId(d1), byId(d2))
+      if (d2sq > 0.0) {
+        val p2sq = (0 until k).foldLeft(0.0) { (acc, j) =>
+          val d = proj(d1)(j) - proj(d2)(j); acc + d * d
+        }
+        Some(p2sq / d2sq)
+      } else None
+    }
+    assert(r.getAs[Long]("n_pairs") === ratios.size.toLong)
+    assert(r.getAs[Double]("mean_ratio") ===
+      q6(ratios.map(x => BigDecimal(q6(x))).sum.toDouble /
+        ratios.size.toDouble))
+    assert(r.getAs[Double]("min_ratio") === ratios.min)
+    assert(r.getAs[Double]("max_ratio") === ratios.max)
+    assert(r.getAs[Long]("n_within") ===
+      ratios.count(x => math.abs(x - 1.0) <= 0.25).toLong)
+    // the JL contract this audit exists to measure: distortion
+    // concentrates around 1 for k=16 (per-pair sd ~ sqrt(2/k) = 0.35)
+    assert(r.getAs[Double]("mean_ratio") > 0.7 &&
+      r.getAs[Double]("mean_ratio") < 1.3)
+    assert(r.getAs[Double]("frac_within_25") > 0.25)
+  }
 }
