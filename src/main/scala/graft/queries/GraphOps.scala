@@ -260,12 +260,76 @@ object GraphOps {
        |FROM reach WHERE src <> dst GROUP BY src ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ wiring
+  // ------------------------------------------------- q236 k-core peel
+  /** k-core decomposition of the near-dup graph by iterative peeling —
+    * the web-graph quality staple (a dense k-core of mutually-similar
+    * documents is a template farm / spam cluster; PageRank (q111)
+    * finds HUBS, the k-core finds DENSITY, and the two disagree on
+    * chains and stars): repeatedly delete nodes with fewer than
+    * [[KcoreK]] surviving neighbors until no deletion fires. Emits the
+    * alive count after each of [[KcoreRounds]] unrolled rounds — the
+    * peeling TRAJECTORY, not just the core — so convergence is itself
+    * an oracle-checked observable (last two rounds equal ⇒ the true
+    * k-core was reached; the spec asserts it against an in-memory
+    * peel-to-fixpoint).
+    *
+    * Shape: each round is one (alive ⋈ edges ⋈ alive) restriction +
+    * one map-side-combined degree count — the Pregel superstep frame
+    * q111 uses, integer-only throughout. Rounds are UNROLLED, not
+    * convergence-polled: no per-round driver action, and the oracle
+    * mirrors the same fixed unrolling as plain CTEs. The per-round
+    * count branches re-evaluate the (cached-edge-rooted) prefix —
+    * linear rounds over the dup-graph-sized relation; a production
+    * run at 100 TB checkpoints each round's alive set (the q111 `pin`
+    * pattern) and keeps the same plan per superstep. */
+  val KcoreK = 3
+  val KcoreRounds = 6
+
+  def q236Kcore(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ccEdges(s, dir)
+    var alive = edges.select(col("d1").as("id")).distinct()
+    val counts = scala.collection.mutable.Buffer(
+      alive.agg(count(lit(1)).as("n_alive"))
+        .select(lit(0L).as("round"), col("n_alive")))
+    for (r <- 1 to KcoreRounds) {
+      val restricted = edges
+        .join(alive.withColumnRenamed("id", "d1"), "d1")
+        .join(alive.withColumnRenamed("id", "d2"), "d2")
+      alive = restricted.groupBy("d1")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK)
+        .select(col("d1").as("id"))
+      counts += alive.agg(count(lit(1)).as("n_alive"))
+        .select(lit(r.toLong).as("round"), col("n_alive"))
+    }
+    counts.reduce(_ unionAll _).orderBy("round")
+  }
+
+  val q236Sql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""e$r AS (SELECT e.d1, e.d2 FROM edges e
+         |  JOIN a${r - 1} x ON e.d1 = x.id
+         |  JOIN a${r - 1} y ON e.d2 = y.id),
+         |a$r AS (SELECT d1 AS id FROM e$r GROUP BY d1
+         |  HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to KcoreRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, COUNT(*) AS n_alive FROM a$r"
+    }.mkString("\nUNION ALL ")
+    s"""${Dedup.edgesSqlCte},
+       |a0 AS (SELECT DISTINCT d1 AS id FROM edges),
+       |$rounds
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_kcore" -> (q236Kcore _),
     "q111_pagerank" -> (q111Pagerank _),
     "q114_triangles" -> (q114Triangles _),
     "q147_two_hop" -> (q147TwoHop _))
 
   val oracles: Map[String, String] = Map(
+    "q236_kcore" -> q236Sql,
     "q111_pagerank" -> q111Sql,
     "q114_triangles" -> q114Sql,
     "q147_two_hop" -> q147Sql)

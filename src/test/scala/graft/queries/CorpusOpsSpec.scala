@@ -1616,4 +1616,42 @@ class CorpusOpsSpec extends SparkSuite {
       r.getAs[Double]("mean_ratio") < 1.3)
     assert(r.getAs[Double]("frac_within_25") > 0.25)
   }
+
+  // ------------------------------------------------------------ q236
+  test("q236 k-core trajectory matches an in-memory peel to fixpoint") {
+    val got = GraphOps.q236Kcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // peel the SAME edge relation in memory (the edge construction is
+    // q63's oracle-checked artifact; this spec tests the peeling)
+    val edges = graft.queries.Dedup.ccEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var alive = edges.map(_._1).toSet
+    val traj = scala.collection.mutable.Buffer(alive.size.toLong)
+    for (_ <- 1 to GraphOps.KcoreRounds) {
+      val deg = edges
+        .filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.length }
+      alive = deg.filter(_._2 >= GraphOps.KcoreK).keySet
+      traj += alive.size.toLong
+    }
+    assert(got.toSeq === traj.toSeq.zipWithIndex
+      .map { case (n, r) => (r.toLong, n) })
+    // the trajectory must be a genuine peel: monotone non-increasing,
+    // and CONVERGED within the unrolled rounds (true k-core reached —
+    // continue peeling in memory and nothing more falls out)
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted.reverse)
+    assert(got(GraphOps.KcoreRounds)._2 ===
+      got(GraphOps.KcoreRounds - 1)._2, "unrolled rounds must converge")
+    var extra = alive
+    var changed = true
+    while (changed) {
+      val deg = edges.filter(e => extra(e._1) && extra(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.length }
+      val next = deg.filter(_._2 >= GraphOps.KcoreK).keySet
+      changed = next != extra
+      extra = next
+    }
+    assert(extra.size.toLong === got(GraphOps.KcoreRounds)._2,
+      "fixed-round peel equals the true k-core on this fixture")
+  }
 }
