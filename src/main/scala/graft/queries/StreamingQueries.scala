@@ -585,7 +585,88 @@ object StreamingQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM kills) ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------- q237 watermark late-data audit
+  /** Watermark LATE-DATA DROP semantics, oracle-checked — the one
+    * streaming behavior the other parity queries deliberately avoid
+    * (q57 runs complete mode, q64's watermark bounds state, not
+    * results): a windowed count with a 17-minute watermark replayed
+    * as two deterministic micro-batches, where batch 1 (even
+    * event_ids) advances the watermark over the full time range and
+    * batch 2 (odd event_ids) therefore arrives almost entirely LATE —
+    * every odd row whose hour-window end trails the watermark is
+    * dropped, exactly as a production job would silently drop
+    * stragglers. The oracle reproduces Spark's actual arithmetic:
+    * watermark_ms = floor(max_event_micros(batch1)/1000) − delay_ms
+    * (EventTimeStats collects milliseconds), and a batch-2 row
+    * survives iff its window END in micros exceeds watermark_ms·1000
+    * (`WatermarkSupport`'s ≤-drop predicate). The per-window counts
+    * that remain — evens everywhere, odds only in the watermark's
+    * grace tail — are the oracle rows, so the drop rule itself is
+    * value-hash-pinned, not just unit-asserted.
+    *
+    * Update output mode: each batch emits the windows it touched;
+    * counts only grow, so max-per-window over the sink equals the
+    * final state. MemoryStream is the feed because the test IS the
+    * batch boundary (the q57/q61/q64/q91 precedent); a production
+    * job replaces the replay with a real source. */
+  val WmDelayMs = 1020000L // 17 minutes
+
+  def q237WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+
+    val rows = eventRows(s, dir)
+    val (evens, odds) = rows.partition(_.event_id % 2 == 0)
+    val qname = "graft_q237_wm"
+    s.catalog.dropTempView(qname)
+    val stream = MemoryStream[StreamEvent]
+    val counts = stream.toDF()
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "17 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .count()
+      .select(expr("unix_micros(window.start)").as("w_start_us"),
+        col("event_type"), col("count").as("cnt"))
+    // NOT withShufflePartitions: that helper disables
+    // noDataMicroBatches, and the no-data batch is precisely what
+    // COMMITS a watermark advance for the next data batch — with it
+    // disabled, batch 2 runs at watermark 0 and drops nothing
+    // (measured; the other streaming parities don't depend on the
+    // watermark's value, this query IS the watermark's value)
+    graft.core.Sessions.withConfs(s,
+      "spark.sql.shuffle.partitions" -> "4") {
+      val query = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try {
+        stream.addData(evens)
+        query.processAllAvailable()
+        stream.addData(odds)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    s.table(qname).groupBy("w_start_us", "event_type")
+      .agg(max("cnt").as("n_events"))
+      .orderBy("w_start_us", "event_type")
+  }
+
+  val q237Sql: String =
+    s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS tus, event_type
+       |  FROM events),
+       |b1 AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+       |b2 AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+       |wm AS (SELECT MAX(tus) // 1000 - $WmDelayMs AS wm_ms FROM b1),
+       |kept2 AS (SELECT b2.tus, b2.event_type FROM b2 CROSS JOIN wm
+       |  WHERE (tus // 3600000000) * 3600000000 + 3600000000
+       |    > wm_ms * 1000),
+       |u AS (SELECT tus, event_type FROM b1
+       |  UNION ALL SELECT tus, event_type FROM kept2)
+       |SELECT (tus // 3600000000) * 3600000000 AS w_start_us, event_type,
+       |  COUNT(*) AS n_events
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_watermark_audit" -> (q237WatermarkAudit _),
     "q193_stream_neardup" -> (q193StreamNearDup _),
     "q126_stream_static" -> (q126StreamStaticJoin _),
     "q91_stream_state" -> (q91StreamStateCount _),
@@ -595,6 +676,7 @@ object StreamingQueries {
     "q83_stream_sessions" -> (q83StreamSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q237_watermark_audit" -> q237Sql,
     "q193_stream_neardup" -> q193Sql,
     "q126_stream_static" -> q126Sql,
     "q91_stream_state" -> q91Sql,

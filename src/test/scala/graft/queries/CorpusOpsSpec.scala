@@ -1654,4 +1654,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(extra.size.toLong === got(GraphOps.KcoreRounds)._2,
       "fixed-round peel equals the true k-core on this fixture")
   }
+
+  // ------------------------------------------------------------ q237
+  test("q237 watermark drop matches the model and actually fires") {
+    val got = StreamingQueries.q237WatermarkAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "ts div 1000 as tus", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val (evens, odds) = evs.partition(_._1 % 2 == 0)
+    val wmMs = evens.map(_._2).max / 1000 - StreamingQueries.WmDelayMs
+    val kept2 = odds.filter(e =>
+      (e._2 / 3600000000L) * 3600000000L + 3600000000L > wmMs * 1000)
+    val expected = (evens ++ kept2)
+      .groupBy(e => ((e._2 / 3600000000L) * 3600000000L, e._3))
+      .map { case ((w, t), xs) => (w, t, xs.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    // the audit must have teeth: a real fraction of the odd half is
+    // late (the fixture spans a month; the grace window is 17 min)
+    val dropped = odds.length - kept2.length
+    assert(dropped > odds.length / 2,
+      s"most odd rows must be late (dropped=$dropped of ${odds.length})")
+    assert(got.map(_._3).sum === (evs.length - dropped).toLong,
+      "surviving event mass = corpus minus dropped")
+  }
 }
