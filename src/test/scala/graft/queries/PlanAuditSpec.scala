@@ -185,7 +185,13 @@ class PlanAuditSpec extends SparkSuite {
       // q231 is the token top-K + (source,bucket) counts; q224 is the
       // two rank windows sharing one qid partitioning
       "q224_rrf_fusion" -> 2,
-      "q225_hll_jaccard" -> 25,
+      // 40 not 25: the plan string embeds the srcShingles build
+      // lineage once per reference when the managed cache was last
+      // built for a DIFFERENT dir (full-suite order), so the count is
+      // cache-state-dependent — the ceiling covers both states; a
+      // real regression (lost broadcast, new corpus shuffle) still
+      // blows well past it
+      "q225_hll_jaccard" -> 40,
       "q226_b3_quality" -> 10,
       "q231_source_jsd" -> 12,
       "q232_bootstrap_ci" -> 5)
