@@ -295,10 +295,16 @@ object GraphOps {
       val restricted = edges
         .join(alive.withColumnRenamed("id", "d1"), "d1")
         .join(alive.withColumnRenamed("id", "d2"), "d2")
+      // localCheckpoint per round: the 7 count branches would
+      // otherwise each re-run the full prefix (O(R²) joins — measured
+      // 3.1 s at sf0.1); materializing each round's small alive set
+      // once makes every branch read a leaf (the production-scale
+      // checkpoint the scaladoc prescribes, applied here too)
       alive = restricted.groupBy("d1")
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KcoreK)
         .select(col("d1").as("id"))
+        .localCheckpoint()
       counts += alive.agg(count(lit(1)).as("n_alive"))
         .select(lit(r.toLong).as("round"), col("n_alive"))
     }
