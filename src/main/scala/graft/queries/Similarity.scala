@@ -2212,7 +2212,68 @@ object Similarity {
        |FROM agg""".stripMargin
   }
 
+  // ------------------------------------------ q239 mutual-NN pairing
+  /** Reciprocal (mutual) nearest-neighbor pairs — the clustering-free
+    * dup signal: a pair where each vector is the OTHER's top-1 cosine
+    * neighbor is the strongest pairwise duplicate evidence short of
+    * exact equality (one-directional top-1 is cheap to satisfy near a
+    * hub; reciprocity is not), and mutual-NN is the standard
+    * high-precision pairing step (bitext mining, SemDeDup seeding,
+    * biology's reciprocal-best-hit). Emits each mutual pair once with
+    * its cosine.
+    *
+    * Shape: top-1 per vector WITHIN its IVF cell (q39's blocking —
+    * cell-local quadratic, never all-pairs), one rank window sharing
+    * the cell partitioning, then the reciprocity self-join on the
+    * narrow (vec, nn) relation. Cross-cell mutual pairs are invisible
+    * by construction — same declared recall trade as q39/q186/q229.
+    *
+    * Determinism: cosine from the shared kernel; top-1 ties break on
+    * candidate id; the reciprocity predicate is exact id equality. */
+  def q239MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val assigned = new IvfQuantizer(s, dir).assigned
+    val a = assigned.select(col("cell"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val w = Window.partitionBy("d1").orderBy(col("cosine").desc, col("d2"))
+    val nn = a.join(b, "cell").filter(col("d1") =!= col("d2"))
+      .withColumn("cosine",
+        dotC(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("d1"), col("d2"), col("cosine"))
+    nn.as("x").join(nn.as("y"),
+        expr("x.d2 = y.d1 AND y.d2 = x.d1 AND x.d1 < x.d2"))
+      .select(col("x.d1").as("d1"), col("x.d2").as("d2"),
+        col("x.cosine").as("cosine"))
+      .orderBy("d1")
+  }
+
+  val q239Sql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |  ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |nn AS (SELECT d1, d2, cosine FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY d1
+       |     ORDER BY cosine DESC, d2) AS rn FROM p) WHERE rn = 1)
+       |SELECT x.d1, x.d2, x.cosine FROM nn x JOIN nn y
+       |  ON x.d2 = y.d1 AND y.d2 = x.d1 AND x.d1 < x.d2
+       |ORDER BY x.d1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_mutual_nn" -> (q239MutualNn _),
     "q235_jl_distortion" -> (q235JlDistortion _),
     "q229_semantic_leak" -> (q229SemanticLeak _),
     "q224_rrf_fusion" -> (q224RrfFusion _),
@@ -2245,6 +2306,7 @@ object Similarity {
   // training needs a live SparkSession (Verify/compare access oracles
   // only after building one)
   lazy val oracles: Map[String, String] = Map(
+    "q239_mutual_nn" -> q239Sql,
     "q235_jl_distortion" -> q235Sql,
     "q229_semantic_leak" -> q229Sql,
     "q224_rrf_fusion" -> q224Sql,

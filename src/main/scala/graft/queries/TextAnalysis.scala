@@ -1213,7 +1213,98 @@ object TextAnalysis {
        |FROM est CROSS JOIN exact""".stripMargin
   }
 
+  // ------------------------------- q238 mutual-information features
+  /** Mutual information between token PRESENCE and the language label
+    * — the classic feature-selection statistic (the one behind
+    * fastText/CCNet-style classifier feature pruning): for each of
+    * the [[MiCandidates]] highest-df tokens, `I(T;L) = Σ p(t,l)·
+    * ln(p(t,l)/(p(t)p(l)))` over the 2×|langs| presence/label
+    * contingency, reporting the [[MiTopK]] most label-informative
+    * tokens. q218's keyness lift ranks tokens per SOURCE by frequency
+    * ratio; MI ranks them by how much label information they carry —
+    * the number that decides which features a cheap language/quality
+    * gate should spend its budget on.
+    *
+    * Determinism: all contingency mass is integer (document-level
+    * presence via one DISTINCT); empty cells contribute exactly zero
+    * (the 0·ln0 convention, an explicit CASE in both engines);
+    * nonzero cell terms quantize through DECIMAL(25,6) before the
+    * exact-decimal sum; the final ranking ties on token text.
+    *
+    * Scale: one distinct (doc, token, lang) shuffle (the q60/q201
+    * posting shape), a broadcast top-df candidate join, and
+    * everything after the (token, lang) count is candidate-bounded
+    * (≤ 64·|langs| rows). */
+  val MiCandidates = 64
+  val MiTopK = 16
+
+  def q238MiFeatures(s: SparkSession, dir: String): DataFrame = {
+    val pres = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val cand = pres.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(MiCandidates)
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n"))
+    val nLang = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("nl"))
+    val ntl = pres.join(broadcast(cand), "tok")
+      .groupBy("tok", "df", "lang").agg(count(lit(1)).as("ntl"))
+    // full (candidate × lang) grid so absent cells carry ntl = 0
+    val grid = cand.crossJoin(broadcast(nLang))
+      .join(ntl, Seq("tok", "df", "lang"), "left")
+      .withColumn("ntl", coalesce(col("ntl"), lit(0L)))
+      .crossJoin(broadcast(nDocs))
+    val term = (num: String) =>
+      s"""CASE WHEN $num = 0 THEN CAST(0 AS DECIMAL(25,6))
+         |ELSE CAST(CAST(CAST($num AS DOUBLE) / CAST(n AS DOUBLE) *
+         |  ln(CAST($num AS DOUBLE) * n / (CAST(%s AS DOUBLE) * %s))
+         |  AS DECIMAL(25,6)) AS DECIMAL(25,6)) END""".stripMargin
+    val mi = grid
+      .withColumn("t1", expr(term("ntl").format("df", "nl")))
+      .withColumn("t0", expr(term("(nl - ntl)").format("(n - df)", "nl")))
+      .groupBy("tok", "df")
+      .agg(sum(expr("t1 + t0")).as("mi_d"))
+      .withColumn("mi_nats", expr("CAST(mi_d AS DOUBLE)"))
+    val w = Window.orderBy(col("mi_nats").desc, col("tok"))
+    mi.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MiTopK)
+      .select(col("rk").cast("long").as("rk"), col("tok"), col("df"),
+        col("mi_nats"))
+      .orderBy("rk")
+  }
+
+  val q238Sql: String = {
+    def term(num: String, pt: String, pl: String) =
+      s"""CASE WHEN $num = 0 THEN CAST(0 AS DECIMAL(25,6))
+         |ELSE CAST(CAST(CAST($num AS DOUBLE) / CAST(n AS DOUBLE) *
+         |  ln(CAST($num AS DOUBLE) * n / (CAST($pt AS DOUBLE) * $pl))
+         |  AS DECIMAL(25,6)) AS DECIMAL(25,6)) END""".stripMargin
+    s"""WITH pres AS (SELECT DISTINCT doc_id, lang,
+       |  unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cand AS (SELECT tok, COUNT(*) AS df FROM pres GROUP BY 1
+       |  ORDER BY df DESC, tok LIMIT $MiCandidates),
+       |nd AS (SELECT COUNT(*) AS n FROM documents),
+       |nl AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+       |ntl AS (SELECT p.tok, c.df, p.lang, COUNT(*) AS ntl
+       |  FROM pres p JOIN cand c ON p.tok = c.tok GROUP BY 1, 2, 3),
+       |grid AS (SELECT c.tok, c.df, l.lang, l.nl,
+       |  COALESCE(ntl.ntl, 0) AS ntl, nd.n
+       |  FROM cand c CROSS JOIN nl l
+       |  LEFT JOIN ntl ON ntl.tok = c.tok AND ntl.lang = l.lang
+       |  CROSS JOIN nd),
+       |terms AS (SELECT tok, df,
+       |  ${term("ntl", "df", "nl")} AS t1,
+       |  ${term("(nl - ntl)", "(n - df)", "nl")} AS t0
+       |  FROM grid),
+       |mi AS (SELECT tok, df, CAST(SUM(t1 + t0) AS DOUBLE) AS mi_nats
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY mi_nats DESC, tok)
+       |    AS BIGINT) AS rk, tok, df, mi_nats
+       |FROM mi QUALIFY rk <= $MiTopK ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_mi_features" -> (q238MiFeatures _),
     "q234_ams_f2" -> (q234AmsF2 _),
     "q231_source_jsd" -> (q231SourceJsd _),
     "q204_zipf_slope" -> (q204ZipfSlope _),
@@ -1238,6 +1329,7 @@ object TextAnalysis {
     "q59_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q238_mi_features" -> q238Sql,
     "q234_ams_f2" -> q234Sql,
     "q231_source_jsd" -> q231Sql,
     "q204_zipf_slope" -> q204Sql,

@@ -1679,4 +1679,85 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.map(_._3).sum === (evs.length - dropped).toLong,
       "surviving event mass = corpus minus dropped")
   }
+
+  // ------------------------------------------------------------ q238
+  test("q238 MI features match an in-memory contingency recompute") {
+    val got = TextAnalysis.q238MiFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSet))
+    val n = docs.length.toLong
+    val nl = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val df = docs.flatMap(d => d._3.map(_ -> d._1)).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val cand = df.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.MiCandidates)
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(num: Long, pt: Long, pl: Long): BigDecimal =
+      if (num == 0L) BigDecimal(0)
+      else BigDecimal(q6(num.toDouble / n.toDouble *
+        math.log(num.toDouble * n / (pt.toDouble * pl))))
+    val mi = cand.map { case (t, d) =>
+      val v = nl.keys.toSeq.map { l =>
+        val ntl = docs.count(x => x._2 == l && x._3(t)).toLong
+        term(ntl, d, nl(l)) + term(nl(l) - ntl, n - d, nl(l))
+      }.sum.toDouble
+      (t, d, v)
+    }
+    val expected = mi.sortBy { case (t, _, v) => (-v, t) }
+      .take(TextAnalysis.MiTopK).zipWithIndex
+      .map { case ((t, d, v), i) => (i + 1L, t, d, v) }
+    assert(got.toSeq === expected)
+    // MI is non-negative and the ranking is genuinely informative:
+    // the top feature must beat the bottom by a strict margin
+    assert(got.forall(_._4 >= 0.0))
+    assert(got.head._4 > got.last._4)
+  }
+
+  // ------------------------------------------------------------ q239
+  test("q239 mutual-NN pairs match an in-memory cell recompute") {
+    val got = Similarity.q239MutualNn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = vecsInMemory
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (s, i) = (0.0, 0); while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map(v => v._1 -> math.sqrt(dot(v._3, v._3))).toMap
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    def ivfHash(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 4294967296L
+    val seeds = vecs.sortBy(v => (ivfHash(v._1), v._1))
+      .take(Similarity.IvfSeedCount).sortBy(_._1)
+    def cell(id: Long): Long = {
+      var (bc, bid) = (-2.0, -1L)
+      seeds.foreach { sd =>
+        val c = dot(byId(id), sd._3) / (norms(id) * norms(sd._1))
+        if (c > bc) { bc = c; bid = sd._1 }
+      }
+      bid
+    }
+    val byCell = vecs.map(_._1).groupBy(cell)
+    val nn = byCell.values.flatMap { ids =>
+      ids.map { a =>
+        val best = ids.filter(_ != a)
+          .map(b => (b, dot(byId(a), byId(b)) / (norms(a) * norms(b))))
+          .minBy { case (b, c) => (-c, b) }
+        a -> best
+      }
+    }.toMap
+    val expected = nn.toSeq.flatMap { case (a, (b, c)) =>
+      if (a < b && nn(b)._1 == a) Some((a, b, c)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // reciprocity is strictly rarer than one-directional top-1
+    assert(got.length * 2 <= nn.size)
+    // every mutual pair's cosine is its endpoints' best-in-cell score
+    got.foreach { case (d1, d2, c) =>
+      assert(nn(d1) === ((d2, c)) && nn(d2)._1 === d1)
+    }
+  }
 }
