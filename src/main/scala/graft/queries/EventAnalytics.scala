@@ -1134,8 +1134,67 @@ object EventAnalytics {
       |    CAST(CAST(n AS HUGEINT) * t AS DOUBLE) AS gini
       |FROM bb CROSS JOIN tot ORDER BY events_per_user""".stripMargin
 
+  // --------------------------------------- q240 join-skew pre-flight
+  /** Shuffle-skew pre-flight report over the join keys this engine
+    * actually shuffles on — the measurement q19's salted join and
+    * AQE's skew thresholds consume, produced BEFORE the join runs: per
+    * (relation, key): row count, key cardinality, the hottest key's
+    * row count, the skew factor `max/avg`, and the integer salt
+    * factor `ceil(max/avg)` that would flatten the hottest partition
+    * to average. A 1000-executor shuffle lives or dies on this number;
+    * computing it is one map-side-combined count per key column.
+    *
+    * Exactness: everything through the salt recommendation is integer
+    * (`ceil(max·n_keys/n_rows)` as `(max·n_keys + n_rows − 1) div
+    * n_rows`, DECIMAL-lifted product); avg and skew are single double
+    * divisions of exact integers. */
+  def q240SkewPreflight(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, rel: String, key: String): DataFrame =
+      df.groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_per_key"))
+        .select(lit(rel).as("relation"), lit(key).as("key"),
+          col("n_rows"), col("n_keys"), col("max_per_key"))
+    val ev = events(s, dir)
+    val docs = Tables.load(s, dir, "documents")
+    audit(ev, "events", "user_id")
+      .unionAll(audit(ev, "events", "event_type"))
+      .unionAll(audit(docs, "documents", "source"))
+      .withColumn("avg_per_key",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew_factor",
+        col("max_per_key").cast("double") / (col("n_rows").cast("double") /
+          col("n_keys").cast("double")))
+      .withColumn("salt_factor", expr(
+        """CAST((CAST(max_per_key AS DECIMAL(38,0)) * n_keys + n_rows - 1)
+          |div n_rows AS BIGINT)""".stripMargin))
+      .orderBy("relation", "key")
+  }
+
+  val q240Sql: String = {
+    def audit(tbl: String, key: String) =
+      s"""SELECT '$tbl' AS relation, '$key' AS key,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS max_per_key
+         |FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+         |      FROM $tbl GROUP BY 1)""".stripMargin
+    s"""WITH u AS (${audit("events", "user_id")}
+       |UNION ALL ${audit("events", "event_type")}
+       |UNION ALL ${audit("documents", "source")})
+       |SELECT relation, key, n_rows, n_keys, max_per_key,
+       |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_per_key,
+       |  CAST(max_per_key AS DOUBLE) /
+       |    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+       |    AS skew_factor,
+       |  CAST((CAST(max_per_key AS HUGEINT) * n_keys + n_rows - 1)
+       |    // n_rows AS BIGINT) AS salt_factor
+       |FROM u ORDER BY relation, key""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_skew_preflight" -> (q240SkewPreflight _),
     "q227_gini_activity" -> (q227GiniActivity _),
     "q223_exact_median" -> (q223ExactMedian _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
@@ -1164,6 +1223,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q240_skew_preflight" -> q240Sql,
     "q227_gini_activity" -> q227Sql,
     "q221_cusum_changepoint" -> q221Sql,
     "q223_exact_median" -> q223Sql,

@@ -1760,4 +1760,34 @@ class CorpusOpsSpec extends SparkSuite {
       assert(nn(d1) === ((d2, c)) && nn(d2)._1 === d1)
     }
   }
+
+  // ------------------------------------------------------------ q240
+  test("q240 skew pre-flight matches exact per-key accounting") {
+    val got = EventAnalytics.q240SkewPreflight(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    def expect(rel: String, key: String,
+        keys: Seq[String]): (String, String, Long, Long, Long, Double,
+        Double, Long) = {
+      val byK = keys.groupBy(identity).map { case (k, xs) =>
+        k -> xs.length.toLong }
+      val (n, nk, mx) = (keys.length.toLong, byK.size.toLong,
+        byK.values.max)
+      val avg = n.toDouble / nk.toDouble
+      (rel, key, n, nk, mx, avg, mx.toDouble / avg,
+        (BigInt(mx) * nk + n - 1).toLong / n)
+    }
+    val ev = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("CAST(user_id AS STRING)", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val src = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source")).collect().map(_.getString(0))
+    val expected = Seq(
+      expect("documents", "source", src.toSeq),
+      expect("events", "event_type", ev.map(_._2).toSeq),
+      expect("events", "user_id", ev.map(_._1).toSeq))
+    assert(got.toSeq === expected)
+    // a salt of 1 means "no salting needed"; it can never be 0
+    assert(got.forall(_._8 >= 1L))
+  }
 }
