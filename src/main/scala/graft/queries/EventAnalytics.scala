@@ -1192,8 +1192,99 @@ object EventAnalytics {
        |FROM u ORDER BY relation, key""".stripMargin
   }
 
+  // ------------------------------------------- q241 Benford audit
+  /** Benford first-significant-digit audit of the event value column —
+    * the forensic screen for fabricated or unit-mangled numeric feeds
+    * (naturally-arising multiplicative data follows
+    * `P(d) = log10(1+1/d)`; synthetic, truncated, or unit-shifted
+    * feeds don't, and the chi-square against Benford flags them
+    * before they pollute a metric): per digit 1–9 the observed count
+    * and share beside the Benford expectation, plus the chi-square
+    * statistic. The fixture's wide-ranged values land chi² ≈ 8 —
+    * consistent with Benford at the 0.05 level — which is itself the
+    * informative answer; a truncated or unit-shifted feed lands in
+    * the hundreds.
+    *
+    * Determinism: the first significant digit comes from the FIXED
+    * 6-dp DECIMAL string (both engines render scale-6 decimals
+    * identically) via the same `[1-9]` regexp — no libm log10 digit
+    * math to diverge at powers of ten; Benford expectations are
+    * build-time literals embedded in both dialects; chi-square terms
+    * quantize through DECIMAL(25,6) before the exact sum.
+    *
+    * Scale: scan-local digit extraction + one 9-bucket map-side-
+    * combined count; everything after is 9 rows. */
+  private lazy val benfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  def q241Benford(s: SparkSession, dir: String): DataFrame = {
+    val digits = events(s, dir)
+      .select(expr(
+        """regexp_extract(CAST(abs(CAST(value AS DECIMAL(25,6)))
+          |AS STRING), '[1-9]', 0)""".stripMargin).as("ds"))
+      .filter(col("ds") =!= "")
+      .select(col("ds").cast("long").as("digit"))
+    val grid = s.range(1, 10).select(col("id").as("digit"))
+    val obs = grid.join(
+        digits.groupBy("digit").agg(count(lit(1)).as("n_obs")),
+        Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(digits.agg(count(lit(1)).as("n"))))
+    val expCase = benfordP.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p))
+        .otherwise(acc)
+    }
+    val scored = obs.withColumn("exp_frac", expCase)
+      .withColumn("obs_frac",
+        col("n_obs").cast("double") / col("n").cast("double"))
+      .withColumn("chi_term", expr(
+        """CAST((CAST(n_obs AS DOUBLE) - n * exp_frac) *
+          |(CAST(n_obs AS DOUBLE) - n * exp_frac) / (n * exp_frac)
+          |AS DECIMAL(25,6))""".stripMargin))
+    val chi = scored.agg(sum("chi_term").as("chi_d"))
+      .select(expr("CAST(chi_d AS DOUBLE)").as("chi2"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"), col("obs_frac"),
+        col("exp_frac"), col("chi2"))
+      .orderBy("digit")
+  }
+
+  val q241Sql: String = {
+    // CAST('…' AS DOUBLE), not a bare literal: DuckDB types bare
+    // decimal literals as DECIMAL and the re-cast can land one ulp off
+    // the Scala double Spark gets via lit(p)
+    val expCase = benfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN digit = ${i + 1} THEN CAST('$p' AS DOUBLE)" }
+      .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    s"""WITH d AS (SELECT CAST(regexp_extract(
+       |    CAST(abs(CAST(value AS DECIMAL(25,6))) AS VARCHAR),
+       |    '[1-9]', 0) AS BIGINT) AS digit
+       |  FROM events
+       |  WHERE regexp_extract(CAST(abs(CAST(value AS DECIMAL(25,6)))
+       |    AS VARCHAR), '[1-9]', 0) <> ''),
+       |tot AS (SELECT COUNT(*) AS n FROM d),
+       |obs AS (SELECT g.range AS digit, COALESCE(o.n_obs, 0) AS n_obs,
+       |  tot.n
+       |  FROM range(1, 10) g
+       |  LEFT JOIN (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1) o
+       |    ON g.range = o.digit CROSS JOIN tot),
+       |sc AS (SELECT digit, n_obs, n,
+       |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_frac,
+       |  CAST($expCase AS DOUBLE) AS exp_frac
+       |  FROM obs),
+       |terms AS (SELECT *,
+       |  CAST((CAST(n_obs AS DOUBLE) - n * exp_frac) *
+       |    (CAST(n_obs AS DOUBLE) - n * exp_frac) / (n * exp_frac)
+       |    AS DECIMAL(25,6)) AS chi_term
+       |  FROM sc),
+       |chi AS (SELECT CAST(SUM(chi_term) AS DOUBLE) AS chi2 FROM terms)
+       |SELECT digit, n_obs, obs_frac, exp_frac, chi2
+       |FROM terms CROSS JOIN chi ORDER BY digit""".stripMargin
+  }
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_benford" -> (q241Benford _),
     "q240_skew_preflight" -> (q240SkewPreflight _),
     "q227_gini_activity" -> (q227GiniActivity _),
     "q223_exact_median" -> (q223ExactMedian _),
@@ -1223,6 +1314,7 @@ object EventAnalytics {
     "q146_cooccurrence" -> (q146Cooccurrence _))
 
   val oracles: Map[String, String] = Map(
+    "q241_benford" -> q241Sql,
     "q240_skew_preflight" -> q240Sql,
     "q227_gini_activity" -> q227Sql,
     "q221_cusum_changepoint" -> q221Sql,
