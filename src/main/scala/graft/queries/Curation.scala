@@ -2413,8 +2413,75 @@ object Curation {
        |  CAST(alloc_neyman AS DOUBLE) / CAST(n AS DOUBLE) AS frac_neyman
        |FROM a2 ORDER BY source""".stripMargin
 
+  // ------------------------------------------ q242 group k-fold audit
+  /** Leakage-free k-fold assignment + balance audit — q107's
+    * group-aware split generalized to [[KFolds]] cross-validation
+    * folds: every document inherits its dup-GROUP's fold (near-dups
+    * can never straddle folds, so no fold's eval set contains a
+    * paraphrase of another fold's training data), and the report per
+    * fold carries doc/group/token mass, the share, and the measured
+    * cross-fold group-split count — structurally zero, REPORTED
+    * rather than assumed, so a refactor that breaks the group-keyed
+    * hash shows up as a nonzero oracle-checked column, not a silent
+    * leak.
+    *
+    * Scale: the group table is dup-graph-sized and broadcast (q107's
+    * argument); fold assignment is scan-local; the audit aggregates
+    * are one (fold) and one (grp) map-side-combined pass. */
+  val KFolds = 5
+
+  def q242GroupKfold(s: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.qDedupGroups(s, dir)
+      .select(col("doc_id"), col("group_id"))
+    val assigned = docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"))
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("fold", expr(s"(grp * 1000003) % $KFolds"))
+    val splitGroups = assigned.groupBy("grp")
+      .agg(countDistinct("fold").as("nf"))
+      .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("n_split_groups"))
+    val tot = assigned.agg(count(lit(1)).as("n"))
+    assigned.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("grp").as("n_groups"),
+        sum("n_tokens").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(splitGroups))
+      .select(col("fold"), col("n_docs"), col("n_groups"),
+        col("n_tokens"),
+        (col("n_docs").cast("double") / col("n").cast("double"))
+          .as("doc_share"),
+        col("n_split_groups"))
+      .orderBy("fold")
+  }
+
+  val q242Sql: String =
+    s"""WITH groups AS (
+       |  SELECT doc_id, group_id FROM (${Dedup.qDedupGroupsSql}) g),
+       |assigned AS (
+       |  SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       |    COALESCE(g.group_id, d.doc_id) AS grp,
+       |    (COALESCE(g.group_id, d.doc_id) * 1000003) % $KFolds AS fold
+       |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
+       |sg AS (SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_split_groups
+       |  FROM (SELECT grp, COUNT(DISTINCT fold) AS nf FROM assigned
+       |        GROUP BY 1)),
+       |tot AS (SELECT COUNT(*) AS n FROM assigned)
+       |SELECT fold, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT grp) AS n_groups,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n) AS DOUBLE)
+       |    AS doc_share,
+       |  MAX(sg.n_split_groups) AS n_split_groups
+       |FROM assigned CROSS JOIN tot CROSS JOIN sg
+       |GROUP BY fold ORDER BY fold""".stripMargin
+
   // ------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_group_kfold" -> (q242GroupKfold _),
     "q233_neyman_alloc" -> (q233NeymanAlloc _),
     "q232_bootstrap_ci" -> (q232BootstrapCi _),
     "q230_psi_drift" -> (q230PsiDrift _),
@@ -2451,6 +2518,7 @@ object Curation {
     "q137_budget_select" -> (q137BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
+    "q242_group_kfold" -> q242Sql,
     "q233_neyman_alloc" -> q233Sql,
     "q232_bootstrap_ci" -> q232Sql,
     "q230_psi_drift" -> q230Sql,

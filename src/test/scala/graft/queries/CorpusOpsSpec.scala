@@ -1830,4 +1830,33 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9,
       "Benford expectations sum to one")
   }
+
+  // ------------------------------------------------------------ q242
+  test("q242 group k-fold matches an in-memory assignment recompute") {
+    val got = Curation.q242GroupKfold(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val groups = graft.queries.Dedup.qDedupGroups(spark, dir)
+      .select(col("doc_id"), col("group_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val n = docs.length.toLong
+    val assigned = docs.map { case (id, nt) =>
+      val grp = groups.getOrElse(id, id)
+      (grp * 1000003L % Curation.KFolds, grp, nt)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (f, xs) =>
+        (f, xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+          xs.map(_._3).sum, xs.length.toDouble / n.toDouble, 0L)
+    }
+    assert(got.toSeq === expected)
+    // the leakage contract: no dup group straddles folds, every doc
+    // is in exactly one fold, shares sum to one
+    assert(got.forall(_._6 === 0L), "no group may straddle folds")
+    assert(got.map(_._2).sum === n)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-9)
+  }
 }
