@@ -2330,10 +2330,11 @@ object Curation {
         sum(expr("CAST(lm AS DECIMAL(38,0))")).as("slm"),
         sum(expr("CAST(lm AS DECIMAL(38,0)) * lm")).as("slm2"))
       .withColumn("sd_us", expr(
-        """CAST(CAST(sqrt((CAST(slm2 AS DOUBLE) -
+        """CASE WHEN n > 1 THEN
+          |CAST(CAST(sqrt((CAST(slm2 AS DOUBLE) -
           |CAST(slm AS DOUBLE) * CAST(slm AS DOUBLE) / CAST(n AS DOUBLE))
-          |/ CAST(n - 1 AS DOUBLE)) AS DECIMAL(25,6)) AS DOUBLE)"""
-          .stripMargin))
+          |/ CAST(n - 1 AS DOUBLE)) AS DECIMAL(25,6)) AS DOUBLE)
+          |ELSE 0.0 END""".stripMargin))
       .withColumn("wq", expr(
         "CAST(CAST(CAST(n AS DOUBLE) * sd_us AS DECIMAL(25,6)) * 1000000 AS BIGINT)"))
     // q194's integer Hamilton, parameterized by the weight column
@@ -2373,9 +2374,11 @@ object Curation {
        |  SUM(CAST(lm AS HUGEINT)) AS slm,
        |  SUM(CAST(lm AS HUGEINT) * lm) AS slm2
        |  FROM base GROUP BY 1),
-       |sd AS (SELECT *, CAST(CAST(sqrt((CAST(slm2 AS DOUBLE) -
+       |sd AS (SELECT *, CASE WHEN n > 1 THEN
+       |    CAST(CAST(sqrt((CAST(slm2 AS DOUBLE) -
        |    CAST(slm AS DOUBLE) * CAST(slm AS DOUBLE) / CAST(n AS DOUBLE))
-       |    / CAST(n - 1 AS DOUBLE)) AS DECIMAL(25,6)) AS DOUBLE) AS sd_us
+       |    / CAST(n - 1 AS DOUBLE)) AS DECIMAL(25,6)) AS DOUBLE)
+       |    ELSE 0.0 END AS sd_us
        |  FROM st),
        |w AS (SELECT *, CAST(CAST(CAST(n AS DOUBLE) * sd_us
        |    AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS wq FROM sd),
@@ -2438,7 +2441,7 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"))
       .join(broadcast(groups), Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("group_id"), col("doc_id")))
-      .withColumn("fold", expr(s"(grp * 1000003) % $KFolds"))
+      .withColumn("fold", expr(s"((grp % 2147483647) * 1000003) % $KFolds"))
     val splitGroups = assigned.groupBy("grp")
       .agg(countDistinct("fold").as("nf"))
       .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("n_split_groups"))
@@ -2463,7 +2466,8 @@ object Curation {
        |assigned AS (
        |  SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
        |    COALESCE(g.group_id, d.doc_id) AS grp,
-       |    (COALESCE(g.group_id, d.doc_id) * 1000003) % $KFolds AS fold
+       |    ((COALESCE(g.group_id, d.doc_id) % 2147483647) * 1000003)
+       |      % $KFolds AS fold
        |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
        |sg AS (SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_split_groups

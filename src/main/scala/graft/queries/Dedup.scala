@@ -1403,7 +1403,7 @@ object Dedup {
     // engines)
     val rel = base.select(col("doc_id"), col("gold"), explode(array(
         struct(lit("shard_exact").as("strategy"),
-          concat_ws(":", col("source"), col("gold")).as("sys")),
+          concat(col("source"), lit(":"), col("gold")).as("sys")),
         struct(lit("simhash_b16").as("strategy"),
           when(col("simhash") < 0, lit(-1L))
             .otherwise(expr(s"simhash div ${1L << (SimhashBits - 16)}"))
