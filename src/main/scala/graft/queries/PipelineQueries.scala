@@ -335,6 +335,37 @@ object PipelineQueries {
 
   val q210Sql: String = q47Sql
 
+  // ------------------------- q243 modern-cluster HFile shape (v3)
+  /** q47's multi-version export contract over the HFile shape a MODERN
+    * cluster writes by default ([[graft.sources.HFileShape]]): v3
+    * protobuf trailer (4096-byte FileTrailerProto) + PBUF FileInfo,
+    * FAST_DIFF-encoded data blocks (FastDiffDeltaEncoder flag-byte
+    * layout), per-cell memstore-mvcc vlong trailers, and a fan-out
+    * small enough that the data block index goes MULTI-LEVEL
+    * (root → leaf), so the scan must descend the index level by level
+    * ([[graft.sources.HFileV2Format.IndexCursor]]). Same corpus as
+    * q47/q210, so every golden constant must hold verbatim — delta
+    * decoding, index descent, and trailer parsing all sit on the read
+    * path of every cell. Reference equivalent: the HBase client scan
+    * at batch/HBaseReader.kt:145-187 gets all of this from the HBase
+    * runtime. */
+  def q243HfileV3Store(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sources.HFileFixture.snapshotDir(
+      N, versions = 5, regions = 4, gens = 2,
+      shape = graft.sources.HFileShape(
+        codec = graft.sources.HFileV2Format.CodecGz, blockEntries = 64,
+        encoding = graft.sources.HFileV2Format.EncodingFastDiff,
+        majorVersion = 3, includesMvcc = true, maxIndexEntriesPerBlock = 8))
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "hfile").option("path", snap)
+      .option("scanWidth", 64)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    multiversionContract(raw, s)
+  }
+
+  val q243Sql: String = q47Sql
+
   // --------------------------------- q208 incremental tiling invariant
   /** The reference's operational contract (README.md:83-84): consecutive
     * incremental exports tile — two incrementals over [t0,t1) ∪ [t1,t2)
@@ -775,7 +806,8 @@ object PipelineQueries {
     "q207_sortedrun_export" -> (q207SortedRunExport _),
     "q208_incremental_tiling" -> (q208IncrementalTiling _),
     "q209_sortedrun_writer" -> (q209SortedRunWriter _),
-    "q210_hfile_store" -> (q210HfileStore _))
+    "q210_hfile_store" -> (q210HfileStore _),
+    "q243_hfile_v3_store" -> (q243HfileV3Store _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -791,5 +823,6 @@ object PipelineQueries {
     "q207_sortedrun_export" -> q207Sql,
     "q208_incremental_tiling" -> q208Sql,
     "q209_sortedrun_writer" -> q209Sql,
-    "q210_hfile_store" -> q210Sql)
+    "q210_hfile_store" -> q210Sql,
+    "q243_hfile_v3_store" -> q243Sql)
 }

@@ -10,27 +10,29 @@ import scala.collection.mutable
 
 import graft.pipeline.Fixture
 
-/** HBase HFile version 2 on-disk format — reader and fixture writer.
+/** HBase HFile version 2/3 on-disk format — reader and fixture writer.
   *
   * This closes the one environmental seam the engine had left: the
   * reference scans a LIVE HBase cluster (batch/HBaseReader.kt:145-187),
   * and at 100 TB the right scan layer is the cluster's SNAPSHOT — the
   * HFiles themselves, read directly with no region-server load, no RPC
-  * throttling, and stable input under task retry. The HFile v2 format
-  * is public (HBase reference guide, Appendix E "HFile format"; HBase
+  * throttling, and stable input under task retry. The HFile format is
+  * public (HBase reference guide, Appendix E "HFile format"; HBase
   * source `io.hfile.FixedFileTrailer` / `HFileBlock` /
-  * `HFileBlockIndex` document the exact byte layout), and READING a
-  * block needs no HBase runtime — only this decoder.
+  * `HFileBlockIndex` / `io.encoding.FastDiffDeltaEncoder` document the
+  * exact byte layout), and READING a block needs no HBase runtime —
+  * only this decoder.
   *
   * Byte layout implemented here (all integers big-endian):
   *
   * {{{
   *   file    = scanned-section load-on-open trailer
-  *   scanned-section = datablock*
+  *   scanned-section = (datablock | leaf-index | intermediate-index)*
   *   load-on-open    = root-index-block fileinfo-block
   *
   *   block   = header[33] compressed-payload checksums
-  *   header  = magic[8]                      // "DATABLK*" | "IDXROOT2" | "FILEINF2"
+  *   header  = magic[8]       // "DATABLK*" | "DATABLKE" | "IDXROOT2"
+  *                            // | "IDXLEAF2" | "IDXINTE2" | "FILEINF2"
   *             onDiskSizeWithoutHeader:int   // payload + checksum bytes
   *             uncompressedSizeWithoutHeader:int
   *             prevBlockOffset:long          // previous block of same type
@@ -40,56 +42,95 @@ import graft.pipeline.Fixture
   *   checksums = one CRC int per bytesPerChecksum chunk of
   *               (header + compressed-payload)
   *
-  *   datablock payload = keyvalue*
+  *   datablock (DATABLK*) payload = keyvalue*
   *   keyvalue = keyLen:int valLen:int key value
+  *              [tagsLen:short tags]?        // iff FileInfo MAX_TAGS_LEN
+  *              [mvcc:vlong]?                // iff FileInfo MAX_MEMSTORE_TS_KEY
   *   key      = rowLen:short row famLen:byte family qualifier
   *              ts:long type:byte            // type 4 = Put
   *
+  *   encoded datablock (DATABLKE) payload =
+  *       encodingId:short                    // FAST_DIFF = 4
+  *       fastdiff-cell*                      // FastDiffDeltaEncoder layout:
+  *   fastdiff-cell =
+  *       flag:byte              // bits 0-2 ts-common-prefix-len,
+  *                              // 8 SAME_KEY_LENGTH, 16 SAME_VALUE_LENGTH,
+  *                              // 32 SAME_TYPE, 64 SAME_VALUE
+  *       [keyLen:cint]?         // iff !SAME_KEY_LENGTH   (7-bit LEB128)
+  *       [valLen:cint]?         // iff !SAME_VALUE_LENGTH
+  *       commonPrefix:cint      // byte-common prefix with prev key (no ts/type)
+  *       key-delta              // first cell: full flat key; else row suffix
+  *                              // (family never repeated) + qualifier suffix
+  *       ts-suffix              // 8 - ts-common-prefix bytes
+  *       [type:byte]?           // iff !SAME_TYPE
+  *       [value]?               // iff !SAME_VALUE
+  *       [tagsLen:cint tags]?   // iff FileInfo MAX_TAGS_LEN
+  *       [mvcc:vlong]?          // iff FileInfo MAX_MEMSTORE_TS_KEY
+  *
   *   root-index payload = (blockOffset:long onDiskSize:int
   *                         vint-keyLen firstKey)*     // Hadoop vint
-  *   fileinfo payload   = count:int (vint-len key vint-len value)*
+  *                        midkey-metadata?            // iff numLevels > 1:
+  *                                                    // long,int,int — ignored on read
+  *   non-root-index payload = numEntries:int
+  *                            entryOffset:int[numEntries+1] // relative, last=total
+  *                            (blockOffset:long onDiskSize:int key)*
+  *   fileinfo payload   = "PBUF" delimited-FileInfoProto       // modern
+  *                      | count:int (vint-len key vint-len value)*  // legacy
   *
-  *   trailer[212] = magic[8]="TRABLK\"$"
-  *                  fileInfoOffset:long loadOnOpenDataOffset:long
-  *                  dataIndexCount:int uncompressedDataIndexSize:long
-  *                  metaIndexCount:int totalUncompressedBytes:long
-  *                  entryCount:long compressionCodec:int  // 1=GZ 2=NONE
-  *                  numDataIndexLevels:int
-  *                  firstDataBlockOffset:long lastDataBlockOffset:long
-  *                  comparatorClassName[128]              // fixed-size UTF
-  *                  version:int   // major | minor<<24
+  *   v2 trailer[212]  = magic[8]="TRABLK\"$" fixed fields (see writeTrailer)
+  *                      version:int           // major | minor<<24
+  *   v3 trailer[4096] = magic[8] delimited-FileTrailerProto zero-pad
+  *                      version:int           // major=3
   * }}}
   *
-  * Scope, stated honestly: the subset a snapshot-export scan needs —
-  * v2 trailers, single-level root indexes (`numDataIndexLevels == 1`),
-  * DATABLK* decode with NONE/GZ compression and CRC32 checksum
-  * verification, FileInfo first/last-key pruning. Round-trip-validated
-  * against [[HFileV2Writer]] (which follows the same published
-  * layout); multi-level indexes, encoded data blocks
-  * (PREFIX/DIFF/FAST_DIFF), cell tags and the v3 protobuf trailer are
-  * the remaining delta for files a live modern cluster writes, and
-  * fail loudly here rather than misread. FileInfo that fails to parse
-  * only disables pruning — the scan stays correct (seek + stop-at-
-  * slice-end never depended on it).
+  * Scope: everything a modern cluster writes by default — v2 fixed and
+  * v3 protobuf trailers, single- AND multi-level data block indexes,
+  * unencoded and FAST_DIFF-encoded data blocks, per-cell tags and
+  * memstore-mvcc trailers, NONE/GZ compression with per-chunk CRC32
+  * verification, PBUF and legacy FileInfo, LASTKEY pruning. Remaining
+  * deltas fail loudly rather than misread: PREFIX/DIFF/ROW_INDEX_V1
+  * block encodings, non-GZ codecs (LZ4/SNAPPY/ZSTD need native libs),
+  * and AES-encrypted files (trailer `encryption_key`). FileInfo that
+  * fails to parse only disables pruning and the tags/mvcc cell
+  * trailers — the scan itself stays correct for files without them.
   */
 object HFileV2Format {
 
   val HeaderSize = 33
   val TrailerSize = 212
+  val TrailerSizeV3 = 4096
   val MaxComparatorLen = 128
   val DataMagic: Array[Byte] = "DATABLK*".getBytes(StandardCharsets.US_ASCII)
+  val EncodedDataMagic: Array[Byte] = "DATABLKE".getBytes(StandardCharsets.US_ASCII)
   val RootIndexMagic: Array[Byte] = "IDXROOT2".getBytes(StandardCharsets.US_ASCII)
+  val LeafIndexMagic: Array[Byte] = "IDXLEAF2".getBytes(StandardCharsets.US_ASCII)
+  val IntermediateIndexMagic: Array[Byte] = "IDXINTE2".getBytes(StandardCharsets.US_ASCII)
   val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(StandardCharsets.US_ASCII)
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(StandardCharsets.US_ASCII)
+  val PbufMagic: Array[Byte] = "PBUF".getBytes(StandardCharsets.US_ASCII)
   /** HBase `Compression.Algorithm` ordinals: LZO=0, GZ=1, NONE=2. */
   val CodecGz = 1
   val CodecNone = 2
+  /** HBase `DataBlockEncoding` ids: NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4. */
+  val EncodingNone = 0
+  val EncodingFastDiff = 4
   /** HBase `ChecksumType` codes. */
   val ChecksumCrc32: Byte = 1
   val DefaultBytesPerChecksum = 16384
   val KeyTypePut: Byte = 4
   val Family: Array[Byte] = "cf".getBytes(StandardCharsets.US_ASCII)
   val Qualifier: Array[Byte] = "record".getBytes(StandardCharsets.US_ASCII)
+
+  val RowLengthSize = 2
+  val TimestampSize = 8
+  val TsTypeSize = 9
+
+  /** FastDiffDeltaEncoder flag bits. */
+  val FlagMaskTimestampLength = 0x07
+  val FlagSameKeyLength = 1 << 3
+  val FlagSameValueLength = 1 << 4
+  val FlagSameType = 1 << 5
+  val FlagSameValue = 1 << 6
 
   final case class Trailer(fileInfoOffset: Long, loadOnOpenDataOffset: Long,
       dataIndexCount: Int, metaIndexCount: Int, entryCount: Long,
@@ -98,16 +139,22 @@ object HFileV2Format {
       majorVersion: Int, minorVersion: Int)
 
   final case class RootIndexEntry(offset: Long, onDiskSize: Int,
-      firstKey: Array[Byte]) // the block's first cell KEY (not full KV)
+      firstKey: Array[Byte]) // the subtree's first cell KEY (not full KV)
 
   /** Load-on-open state of one HFile: trailer + root index + the
-    * first/last keys used for slice pruning. */
+    * first/last keys used for slice pruning + the FileInfo flags that
+    * change per-cell decoding (tags / mvcc trailers). */
   final case class HFileMeta(trailer: Trailer, index: Array[RootIndexEntry],
-      firstRow: Array[Byte], lastRow: Option[Array[Byte]])
+      firstRow: Array[Byte], lastRow: Option[Array[Byte]],
+      includesTags: Boolean, includesMvcc: Boolean)
 
-  /** FileInfo keys (mirroring HBase's reserved `hfile.` namespace). */
+  /** FileInfo keys (HBase's reserved `hfile.` namespace, HFileInfo). */
   val InfoLastKey = "hfile.LASTKEY"
   val InfoAvgKeyLen = "hfile.AVG_KEY_LEN"
+  val InfoMaxMemstoreTs = "hfile.MAX_MEMSTORE_TS_KEY"
+  val InfoMaxTagsLen = "hfile.MAX_TAGS_LEN"
+  /** Written by HFileDataBlockEncoderImpl (no reserved prefix). */
+  val InfoDataBlockEncoding = "DATA_BLOCK_ENCODING"
 
   // ---------------------------------------------------------- vint
   /** Hadoop WritableUtils vlong: [-112,127] inline; else a length
@@ -139,6 +186,111 @@ object HFileV2Format {
     var k = 0
     while (k < len) { i = (i << 8) | (in.readByte() & 0xffL); k += 1 }
     if (negative) i ^ -1L else i
+  }
+
+  // ------------------------------------------------- compressed int
+  /** HBase ByteBufferUtils compressed int: 7-bit LEB128, low group
+    * first, 0x80 continuation — the integer form every block ENCODER
+    * uses (distinct from Hadoop's vint above, which index blocks and
+    * legacy FileInfo use). */
+  def putCompressedInt(out: DataOutputStream, value: Int): Unit = {
+    var v = value
+    var continue = true
+    while (continue) {
+      var b = v & 0x7f
+      v = v >>> 7
+      if (v != 0) b |= 0x80
+      out.writeByte(b)
+      continue = v != 0
+    }
+  }
+
+  def readCompressedInt(in: DataInputStream): Int = {
+    var result = 0
+    var i = 0
+    var b = 0
+    do {
+      b = in.readByte() & 0xff
+      result += (b & 0x7f) << (7 * i)
+      i += 1
+    } while ((b & 0x80) != 0)
+    result
+  }
+
+  // ------------------------------------------------- mini protobuf
+  /** Just enough protobuf (wire types 0 and 2) to read and write the
+    * two PB payloads a v3 HFile carries — `FileTrailerProto` and
+    * `FileInfoProto` (HBase HFile.proto / HBaseProtos.BytesBytesPair).
+    * Hand-rolled so the decoder stays dependency-free. */
+  private[sources] object Pb {
+    def writeVarint(out: DataOutputStream, value: Long): Unit = {
+      var v = value
+      var continue = true
+      while (continue) {
+        var b = (v & 0x7f).toInt
+        v = v >>> 7
+        if (v != 0) b |= 0x80
+        out.writeByte(b)
+        continue = v != 0
+      }
+    }
+
+    def readVarint(in: DataInputStream): Long = {
+      var result = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = in.readByte() & 0xff
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+
+    def writeVarintField(out: DataOutputStream, field: Int, value: Long): Unit = {
+      writeVarint(out, (field << 3) | 0L) // wire type 0
+      writeVarint(out, value)
+    }
+
+    def writeBytesField(out: DataOutputStream, field: Int, value: Array[Byte]): Unit = {
+      writeVarint(out, (field << 3) | 2L) // wire type 2
+      writeVarint(out, value.length.toLong)
+      out.write(value)
+    }
+
+    /** Parses one message, calling back per field; length-delimited
+      * fields pass their bytes, varint fields their value. Unknown
+      * wire types raise — a misparse must never be silent. */
+    def parseMessage(bytes: Array[Byte])(
+        onVarint: (Int, Long) => Unit, onBytes: (Int, Array[Byte]) => Unit): Unit = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      while (in.available() > 0) {
+        val tag = readVarint(in)
+        val field = (tag >>> 3).toInt
+        (tag & 0x7).toInt match {
+          case 0 => onVarint(field, readVarint(in))
+          case 2 =>
+            val len = readVarint(in).toInt
+            val b = new Array[Byte](len); in.readFully(b)
+            onBytes(field, b)
+          case 1 => in.skipBytes(8); () // fixed64 — skip unknown
+          case 5 => in.skipBytes(4); () // fixed32 — skip unknown
+          case w => throw new IOException(s"unsupported protobuf wire type $w")
+        }
+      }
+    }
+
+    /** writeDelimitedTo: varint message length + message bytes. */
+    def writeDelimited(out: DataOutputStream, message: Array[Byte]): Unit = {
+      writeVarint(out, message.length.toLong)
+      out.write(message)
+    }
+
+    def readDelimited(in: DataInputStream): Array[Byte] = {
+      val len = readVarint(in).toInt
+      val b = new Array[Byte](len); in.readFully(b)
+      b
+    }
   }
 
   // ---------------------------------------------------------- key part
@@ -207,17 +359,19 @@ object HFileV2Format {
     HeaderSize + onDisk.length + nChunks * 4
   }
 
-  /** Reads + verifies + decompresses the block at `offset`; returns
-    * (payload bytes, full on-disk size). Checksum mismatch raises
-    * IOException — a torn or corrupted block is never decoded. */
-  private[sources] def readBlock(raf: RandomAccessFile, offset: Long,
-      expectMagic: Array[Byte], codec: Int): (Array[Byte], Int) = {
+  /** Reads + verifies + decompresses the block at `offset`, accepting
+    * any of `allowedMagics`; returns (matched magic, payload bytes,
+    * full on-disk size). Checksum mismatch raises IOException — a torn
+    * or corrupted block is never decoded. */
+  private[sources] def readBlockOneOf(raf: RandomAccessFile, offset: Long,
+      allowedMagics: Seq[Array[Byte]], codec: Int): (Array[Byte], Array[Byte], Int) = {
     raf.seek(offset)
     val header = new Array[Byte](HeaderSize)
     raf.readFully(header)
     val in = new DataInputStream(new ByteArrayInputStream(header))
     val magic = new Array[Byte](8); in.readFully(magic)
-    if (!java.util.Arrays.equals(magic, expectMagic))
+    val matched = allowedMagics.find(java.util.Arrays.equals(magic, _))
+    if (matched.isEmpty)
       throw new IOException(s"bad block magic at $offset: " +
         new String(magic, StandardCharsets.US_ASCII))
     val onDiskSizeWithoutHeader = in.readInt()
@@ -257,7 +411,52 @@ object HFileV2Format {
           s"decompressed ${b.length} != declared $uncompressedSize")
         b
       } else payload
-    (data, HeaderSize + onDiskSizeWithoutHeader)
+    (matched.get, data, HeaderSize + onDiskSizeWithoutHeader)
+  }
+
+  /** Single-magic convenience over [[readBlockOneOf]]. */
+  private[sources] def readBlock(raf: RandomAccessFile, offset: Long,
+      expectMagic: Array[Byte], codec: Int): (Array[Byte], Int) = {
+    val (_, payload, size) = readBlockOneOf(raf, offset, Seq(expectMagic), codec)
+    (payload, size)
+  }
+
+  // ------------------------------------------------- non-root index
+  /** Non-root (leaf / intermediate) index block payload: entry count,
+    * a secondary offset array of numEntries+1 ints (entry starts
+    * relative to the entries section; last = total size), then the
+    * entries (offset long, onDiskSize int, raw key — length derived
+    * from consecutive secondary offsets; HFileBlockIndex layout). */
+  private[sources] def nonRootIndexPayload(entries: Seq[RootIndexEntry]): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    out.writeInt(entries.size)
+    var cum = 0
+    entries.foreach { e => out.writeInt(cum); cum += 12 + e.firstKey.length }
+    out.writeInt(cum) // total entries-section size
+    entries.foreach { e =>
+      out.writeLong(e.offset)
+      out.writeInt(e.onDiskSize)
+      out.write(e.firstKey)
+    }
+    buf.toByteArray
+  }
+
+  private[sources] def parseNonRootIndex(payload: Array[Byte]): Array[RootIndexEntry] = {
+    def intAt(p: Int): Int =
+      ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+        ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+    def longAt(p: Int): Long =
+      (intAt(p).toLong << 32) | (intAt(p + 4) & 0xffffffffL)
+    val n = intAt(0)
+    val entriesStart = 4 * (n + 2)
+    Array.tabulate(n) { i =>
+      val rel = intAt(4 + 4 * i)
+      val next = intAt(4 + 4 * (i + 1))
+      val base = entriesStart + rel
+      val key = java.util.Arrays.copyOfRange(payload, base + 12, entriesStart + next)
+      RootIndexEntry(longAt(base), intAt(base + 8), key)
+    }
   }
 
   // ---------------------------------------------------------- trailer
@@ -265,26 +464,71 @@ object HFileV2Format {
       uncompressedDataIndexSize: Long, totalUncompressedBytes: Long,
       comparator: String): Unit = {
     out.write(TrailerMagic)
-    out.writeLong(t.fileInfoOffset)
-    out.writeLong(t.loadOnOpenDataOffset)
-    out.writeInt(t.dataIndexCount)
-    out.writeLong(uncompressedDataIndexSize)
-    out.writeInt(t.metaIndexCount)
-    out.writeLong(totalUncompressedBytes)
-    out.writeLong(t.entryCount)
-    out.writeInt(t.compressionCodec)
-    out.writeInt(t.numDataIndexLevels)
-    out.writeLong(t.firstDataBlockOffset)
-    out.writeLong(t.lastDataBlockOffset)
-    val cmp = comparator.getBytes(StandardCharsets.UTF_8)
-    require(cmp.length <= MaxComparatorLen, "comparator name too long")
-    out.write(cmp)
-    out.write(new Array[Byte](MaxComparatorLen - cmp.length))
+    if (t.majorVersion >= 3) {
+      // v3: delimited FileTrailerProto + zero padding to 4096 total
+      // (FixedFileTrailer.serializeAsPB; field numbers from HFile.proto)
+      val msgBuf = new ByteArrayOutputStream()
+      val m = new DataOutputStream(msgBuf)
+      Pb.writeVarintField(m, 1, t.fileInfoOffset)
+      Pb.writeVarintField(m, 2, t.loadOnOpenDataOffset)
+      Pb.writeVarintField(m, 3, uncompressedDataIndexSize)
+      Pb.writeVarintField(m, 4, totalUncompressedBytes)
+      Pb.writeVarintField(m, 5, t.dataIndexCount.toLong)
+      Pb.writeVarintField(m, 6, t.metaIndexCount.toLong)
+      Pb.writeVarintField(m, 7, t.entryCount)
+      Pb.writeVarintField(m, 8, t.numDataIndexLevels.toLong)
+      Pb.writeVarintField(m, 9, t.firstDataBlockOffset)
+      Pb.writeVarintField(m, 10, t.lastDataBlockOffset)
+      Pb.writeBytesField(m, 11, comparator.getBytes(StandardCharsets.UTF_8))
+      Pb.writeVarintField(m, 12, t.compressionCodec.toLong)
+      val delim = new ByteArrayOutputStream()
+      Pb.writeDelimited(new DataOutputStream(delim), msgBuf.toByteArray)
+      val pb = delim.toByteArray
+      val padding = TrailerSizeV3 - 12 - pb.length // 12 = magic + version int
+      require(padding >= 0, "v3 trailer protobuf exceeds the fixed trailer size")
+      out.write(pb)
+      out.write(new Array[Byte](padding))
+    } else {
+      out.writeLong(t.fileInfoOffset)
+      out.writeLong(t.loadOnOpenDataOffset)
+      out.writeInt(t.dataIndexCount)
+      out.writeLong(uncompressedDataIndexSize)
+      out.writeInt(t.metaIndexCount)
+      out.writeLong(totalUncompressedBytes)
+      out.writeLong(t.entryCount)
+      out.writeInt(t.compressionCodec)
+      out.writeInt(t.numDataIndexLevels)
+      out.writeLong(t.firstDataBlockOffset)
+      out.writeLong(t.lastDataBlockOffset)
+      val cmp = comparator.getBytes(StandardCharsets.UTF_8)
+      require(cmp.length <= MaxComparatorLen, "comparator name too long")
+      out.write(cmp)
+      out.write(new Array[Byte](MaxComparatorLen - cmp.length))
+    }
     out.writeInt((t.majorVersion & 0x00ffffff) | (t.minorVersion << 24))
   }
 
+  /** Reads a v2 (212-byte fixed) or v3 (4096-byte protobuf) trailer.
+    * The version int lives in the file's LAST 4 bytes for both, so the
+    * major version is read first and picks the layout
+    * (FixedFileTrailer.readFromStream does the same). */
   def readTrailer(raf: RandomAccessFile): Trailer = {
     require(raf.length() >= TrailerSize, "file shorter than an HFile trailer")
+    raf.seek(raf.length() - 4)
+    val version = raf.readInt()
+    val major = version & 0x00ffffff
+    val minor = version >>> 24
+    major match {
+      case 2 => readTrailerV2(raf, minor)
+      case 3 => readTrailerV3(raf, minor)
+      case _ =>
+        // not a plausible version int — most likely not an HFile at all
+        throw new IOException("not an HFile v2/v3: bad trailer version " +
+          s"(major $major)")
+    }
+  }
+
+  private def readTrailerV2(raf: RandomAccessFile, minor: Int): Trailer = {
     raf.seek(raf.length() - TrailerSize)
     val bytes = new Array[Byte](TrailerSize)
     raf.readFully(bytes)
@@ -303,15 +547,120 @@ object HFileV2Format {
     val levels = in.readInt()
     val firstData = in.readLong()
     val lastData = in.readLong()
-    in.skipBytes(MaxComparatorLen)
-    val version = in.readInt()
-    val major = version & 0x00ffffff
-    val minor = version >>> 24
-    if (major != 2)
-      throw new IOException(s"unsupported HFile major version $major " +
-        "(v3 adds a protobuf trailer; this reader targets v2)")
     Trailer(fileInfoOffset, loadOnOpen, dataIndexCount, metaIndexCount,
-      entryCount, codec, levels, firstData, lastData, major, minor)
+      entryCount, codec, levels, firstData, lastData, 2, minor)
+  }
+
+  private def readTrailerV3(raf: RandomAccessFile, minor: Int): Trailer = {
+    if (raf.length() < TrailerSizeV3)
+      throw new IOException("file shorter than an HFile v3 trailer")
+    raf.seek(raf.length() - TrailerSizeV3)
+    val bytes = new Array[Byte](TrailerSizeV3)
+    raf.readFully(bytes)
+    if (!java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 8), TrailerMagic))
+      throw new IOException("not an HFile v3: bad trailer magic")
+    val in = new DataInputStream(new ByteArrayInputStream(bytes, 8,
+      TrailerSizeV3 - 12))
+    val msg = Pb.readDelimited(in)
+    var fileInfoOffset = 0L; var loadOnOpen = 0L; var dataIndexCount = 0
+    var metaIndexCount = 0; var entryCount = 0L; var codec = CodecNone
+    var levels = 1; var firstData = 0L; var lastData = 0L
+    var encrypted = false
+    Pb.parseMessage(msg)(
+      onVarint = (field, v) => field match {
+        case 1 => fileInfoOffset = v
+        case 2 => loadOnOpen = v
+        case 5 => dataIndexCount = v.toInt
+        case 6 => metaIndexCount = v.toInt
+        case 7 => entryCount = v
+        case 8 => levels = v.toInt
+        case 9 => firstData = v
+        case 10 => lastData = v
+        case 12 => codec = v.toInt
+        case _ => () // 3/4 sizes — unused on read
+      },
+      onBytes = (field, b) => field match {
+        case 13 => encrypted = b.nonEmpty
+        case _ => () // 11 comparator name — unused on read
+      })
+    if (encrypted)
+      throw new IOException(
+        "encrypted HFile (trailer encryption_key) not supported")
+    Trailer(fileInfoOffset, loadOnOpen, dataIndexCount, metaIndexCount,
+      entryCount, codec, levels, firstData, lastData, 3, minor)
+  }
+
+  // ---------------------------------------------------------- fileinfo
+  /** Serializes FileInfo the modern way: "PBUF" + delimited
+    * FileInfoProto{repeated BytesBytesPair map_entry = 1} with
+    * BytesBytesPair{bytes first = 1, second = 2} (HFileInfo.write). */
+  private[sources] def pbufFileInfoPayload(
+      entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val msgBuf = new ByteArrayOutputStream()
+    val m = new DataOutputStream(msgBuf)
+    entries.foreach { case (k, v) =>
+      val pairBuf = new ByteArrayOutputStream()
+      val p = new DataOutputStream(pairBuf)
+      Pb.writeBytesField(p, 1, k.getBytes(StandardCharsets.UTF_8))
+      Pb.writeBytesField(p, 2, v)
+      Pb.writeBytesField(m, 1, pairBuf.toByteArray)
+    }
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    out.write(PbufMagic)
+    Pb.writeDelimited(out, msgBuf.toByteArray)
+    buf.toByteArray
+  }
+
+  /** Legacy (pre-protobuf) FileInfo: count + vint-framed pairs. */
+  private[sources] def legacyFileInfoPayload(
+      entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    out.writeInt(entries.size)
+    entries.foreach { case (k, v) =>
+      val kb = k.getBytes(StandardCharsets.UTF_8)
+      writeVLong(out, kb.length); out.write(kb)
+      writeVLong(out, v.length); out.write(v)
+    }
+    buf.toByteArray
+  }
+
+  /** Parses either FileInfo form, discriminated by the PBUF magic. */
+  private[sources] def parseFileInfo(payload: Array[Byte]): Map[String, Array[Byte]] = {
+    if (payload.length >= 4 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, 4), PbufMagic)) {
+      val in = new DataInputStream(new ByteArrayInputStream(payload, 4,
+        payload.length - 4))
+      val msg = Pb.readDelimited(in)
+      val m = mutable.Map.empty[String, Array[Byte]]
+      Pb.parseMessage(msg)(
+        onVarint = (_, _) => (),
+        onBytes = (field, pair) => if (field == 1) {
+          var k: Array[Byte] = null; var v: Array[Byte] = null
+          Pb.parseMessage(pair)(
+            onVarint = (_, _) => (),
+            onBytes = (f, b) => f match {
+              case 1 => k = b
+              case 2 => v = b
+              case _ => ()
+            })
+          if (k != null && v != null)
+            m(new String(k, StandardCharsets.UTF_8)) = v
+        })
+      m.toMap
+    } else {
+      val fin = new DataInputStream(new ByteArrayInputStream(payload))
+      val n = fin.readInt()
+      (0 until n).map { _ =>
+        val kl = readVLong(fin).toInt
+        val k = new Array[Byte](kl); fin.readFully(k)
+        val vl = readVLong(fin).toInt
+        val v = new Array[Byte](vl); fin.readFully(v)
+        new String(k, StandardCharsets.UTF_8) -> v
+      }.toMap
+    }
   }
 
   // ------------------------------------------------------- load-on-open
@@ -319,18 +668,15 @@ object HFileV2Format {
   /** Files opened for scanning — observability for the pruning spec. */
   private[sources] val opens = new java.util.concurrent.atomic.AtomicInteger
 
-  /** Trailer + root index + pruning keys, read once per JVM per file
-    * (the block-cache / broadcast analogue — same policy as
-    * [[SortedRunFormat.readBlockIndex]]). */
+  /** Trailer + root index + pruning keys + cell-trailer flags, read
+    * once per JVM per file (the block-cache / broadcast analogue —
+    * same policy as [[SortedRunFormat.readBlockIndex]]). */
   def readMeta(path: String): HFileMeta =
     metaMemo.computeIfAbsent(path, { p =>
       val raf = new RandomAccessFile(p, "r")
       try {
         val t = readTrailer(raf)
-        if (t.numDataIndexLevels != 1)
-          throw new IOException(
-            s"multi-level data index (${t.numDataIndexLevels}) not supported")
-        val (indexPayload, idxSize) =
+        val (indexPayload, _) =
           readBlock(raf, t.loadOnOpenDataOffset, RootIndexMagic, t.compressionCodec)
         val in = new DataInputStream(new ByteArrayInputStream(indexPayload))
         val entries = Array.fill(t.dataIndexCount) {
@@ -340,28 +686,23 @@ object HFileV2Format {
           val k = new Array[Byte](kl); in.readFully(k)
           RootIndexEntry(off, size, k)
         }
+        // multi-level roots append midkey metadata (long,int,int) after
+        // the entries — reading exactly dataIndexCount entries skips it
         require(entries.nonEmpty, s"empty HFile: $p")
-        val lastRow =
+        val (lastRow, tags, mvcc) =
           try {
             val (infoPayload, _) =
               readBlock(raf, t.fileInfoOffset, FileInfoMagic, t.compressionCodec)
-            val fin = new DataInputStream(new ByteArrayInputStream(infoPayload))
-            val n = fin.readInt()
-            val m = (0 until n).map { _ =>
-              val kl = readVLong(fin).toInt
-              val k = new Array[Byte](kl); fin.readFully(k)
-              val vl = readVLong(fin).toInt
-              val v = new Array[Byte](vl); fin.readFully(v)
-              new String(k, StandardCharsets.UTF_8) -> v
-            }.toMap
-            m.get(InfoLastKey).map(rowOf)
+            val m = parseFileInfo(infoPayload)
+            (m.get(InfoLastKey).map(rowOf),
+              m.contains(InfoMaxTagsLen), m.contains(InfoMaxMemstoreTs))
           } catch {
             // unparseable FileInfo (foreign writer) only disables
-            // pruning; the scan itself never depends on it
-            case _: Exception => None
+            // pruning and the tags/mvcc cell trailers; the scan of a
+            // file without them never depended on it
+            case _: Exception => (None, false, false)
           }
-        val _ = idxSize
-        HFileMeta(t, entries, rowOf(entries.head.firstKey), lastRow)
+        HFileMeta(t, entries, rowOf(entries.head.firstKey), lastRow, tags, mvcc)
       } finally raf.close()
     })
 
@@ -376,101 +717,481 @@ object HFileV2Format {
     }
     best
   }
+
+  // ------------------------------------------------- index traversal
+  /** Cursor over the data-block entries of a 1..N-level block index.
+    * Only the descent path is held in memory (root array + one parsed
+    * block per level) — the design that scales to indexes too large to
+    * flatten: a sequential slice scan reads each index block at most
+    * once, and nothing is cached beyond the current path. */
+  private[sources] final class IndexCursor(meta: HFileMeta) {
+    private val levels = meta.trailer.numDataIndexLevels
+    private val entries = new Array[Array[RootIndexEntry]](levels)
+    private val pos = new Array[Int](levels)
+    private var pending = false
+
+    private def loadChild(raf: RandomAccessFile, parent: RootIndexEntry): Array[RootIndexEntry] = {
+      val (_, payload, _) = readBlockOneOf(raf, parent.offset,
+        Seq(LeafIndexMagic, IntermediateIndexMagic), meta.trailer.compressionCodec)
+      parseNonRootIndex(payload)
+    }
+
+    /** Positions the cursor so the next [[next]] returns the data
+      * block whose range contains `targetRow` (floor semantics). */
+    def seek(raf: RandomAccessFile, targetRow: Array[Byte]): Unit = {
+      entries(0) = meta.index
+      pos(0) = seekBlock(entries(0), targetRow)
+      var lvl = 1
+      while (lvl < levels) {
+        entries(lvl) = loadChild(raf, entries(lvl - 1)(pos(lvl - 1)))
+        pos(lvl) = seekBlock(entries(lvl), targetRow)
+        lvl += 1
+      }
+      pending = true
+    }
+
+    /** The next data-block entry in file-key order, or null when the
+      * index is exhausted. */
+    def next(raf: RandomAccessFile): RootIndexEntry = {
+      if (pending) pending = false
+      else {
+        var lvl = levels - 1
+        var advanced = false
+        while (!advanced) {
+          pos(lvl) += 1
+          if (pos(lvl) < entries(lvl).length) {
+            var k = lvl + 1
+            while (k < levels) {
+              entries(k) = loadChild(raf, entries(k - 1)(pos(k - 1)))
+              pos(k) = 0
+              k += 1
+            }
+            advanced = true
+          } else if (lvl == 0) return null
+          else lvl -= 1
+        }
+      }
+      entries(levels - 1)(pos(levels - 1))
+    }
+  }
+
+  // ------------------------------------------------- cell decoders
+  /** Per-block cell decoder: `nextKey` advances and returns the full
+    * flat cell key (null at block end); exactly one of `readValue` /
+    * `skipValue` must follow each `nextKey`. */
+  private[sources] sealed trait CellDecoder {
+    def nextKey(): Array[Byte]
+    def readValue(): Array[Byte]
+    def skipValue(): Unit
+  }
+
+  /** Unencoded DATABLK* payload: keyLen/valLen/key/value
+    * [+ tagsLen:short tags] [+ mvcc vlong]. Skipped values are never
+    * materialized. */
+  private[sources] final class RawCellDecoder(payload: Array[Byte],
+      includesTags: Boolean, includesMvcc: Boolean) extends CellDecoder {
+    private val in = new DataInputStream(new ByteArrayInputStream(payload))
+    private var valLen = 0
+
+    override def nextKey(): Array[Byte] = {
+      if (in.available() == 0) return null
+      val keyLen = in.readInt()
+      valLen = in.readInt()
+      val key = new Array[Byte](keyLen)
+      in.readFully(key)
+      key
+    }
+
+    private def consumeCellTrailers(): Unit = {
+      if (includesTags) { val tl = in.readShort() & 0xffff; in.skipBytes(tl); () }
+      if (includesMvcc) { readVLong(in); () }
+    }
+
+    override def readValue(): Array[Byte] = {
+      val v = new Array[Byte](valLen)
+      in.readFully(v)
+      consumeCellTrailers()
+      v
+    }
+
+    override def skipValue(): Unit = {
+      in.skipBytes(valLen)
+      consumeCellTrailers()
+    }
+  }
+
+  /** FAST_DIFF-encoded DATABLKE payload (after the 2-byte encoding
+    * id): FastDiffDeltaEncoder's flag-byte layout — see the format
+    * comment at the top of the file. Values must be materialized even
+    * when skipped (the NEXT cell may reference them via SAME_VALUE). */
+  private[sources] final class FastDiffCellDecoder(payload: Array[Byte],
+      includesTags: Boolean, includesMvcc: Boolean) extends CellDecoder {
+    private val in = new DataInputStream(new ByteArrayInputStream(payload))
+    private var prevKey: Array[Byte] = _
+    private var prevValue: Array[Byte] = _
+    private var keyLength = 0
+    private var valueLength = 0
+    private var rowLengthWithSize = 0
+    private var familyLengthWithSize = 0
+    private var sameValue = false
+
+    override def nextKey(): Array[Byte] = {
+      if (in.available() == 0) return null
+      val flag = in.readByte() & 0xff
+      if ((flag & FlagSameKeyLength) == 0) keyLength = readCompressedInt(in)
+      if ((flag & FlagSameValueLength) == 0) valueLength = readCompressedInt(in)
+      val commonPrefix = readCompressedInt(in)
+      val key = new Array[Byte](keyLength)
+      if (prevKey == null) {
+        // first cell: the full flat key follows (ts + type via the
+        // common suffix path below, commonPrefix == 0, flag == 0)
+        in.readFully(key, 0, keyLength - TsTypeSize)
+        rowLengthWithSize = (((key(0) & 0xff) << 8) | (key(1) & 0xff)) + RowLengthSize
+        familyLengthWithSize = (key(rowLengthWithSize) & 0xff) + 1
+      } else {
+        System.arraycopy(prevKey, 0, key, 0, commonPrefix)
+        if (commonPrefix < RowLengthSize) {
+          // row length may differ: rest of the length short, the whole
+          // row, the family copied forward, then the full qualifier
+          in.readFully(key, commonPrefix, RowLengthSize - commonPrefix)
+          val newRowLengthWithSize =
+            (((key(0) & 0xff) << 8) | (key(1) & 0xff)) + RowLengthSize
+          in.readFully(key, RowLengthSize, newRowLengthWithSize - RowLengthSize)
+          System.arraycopy(prevKey, rowLengthWithSize, key,
+            newRowLengthWithSize, familyLengthWithSize)
+          rowLengthWithSize = newRowLengthWithSize
+          in.readFully(key, rowLengthWithSize + familyLengthWithSize,
+            keyLength - rowLengthWithSize - familyLengthWithSize - TsTypeSize)
+        } else if (commonPrefix < rowLengthWithSize) {
+          // same row length: rest of the row, family copied forward,
+          // full qualifier
+          in.readFully(key, commonPrefix, rowLengthWithSize - commonPrefix)
+          System.arraycopy(prevKey, rowLengthWithSize, key,
+            rowLengthWithSize, familyLengthWithSize)
+          in.readFully(key, rowLengthWithSize + familyLengthWithSize,
+            keyLength - rowLengthWithSize - familyLengthWithSize - TsTypeSize)
+        } else {
+          // common covers row + family (single family per file): only
+          // the qualifier suffix is in the stream
+          in.readFully(key, commonPrefix, keyLength - TsTypeSize - commonPrefix)
+        }
+      }
+      // timestamp: common prefix with the previous cell's, then suffix
+      val tsCommon = flag & FlagMaskTimestampLength
+      val tsPos = keyLength - TsTypeSize
+      if (prevKey != null)
+        System.arraycopy(prevKey, prevKey.length - TsTypeSize, key, tsPos, tsCommon)
+      in.readFully(key, tsPos + tsCommon, TimestampSize - tsCommon)
+      // type byte
+      if ((flag & FlagSameType) != 0) key(keyLength - 1) = prevKey(prevKey.length - 1)
+      else key(keyLength - 1) = in.readByte()
+      sameValue = (flag & FlagSameValue) != 0
+      prevKey = key
+      key
+    }
+
+    private def consumeCellTrailers(): Unit = {
+      if (includesTags) { val tl = readCompressedInt(in); in.skipBytes(tl); () }
+      if (includesMvcc) { readVLong(in); () }
+    }
+
+    private def advanceValue(): Array[Byte] = {
+      if (!sameValue) {
+        val v = new Array[Byte](valueLength)
+        in.readFully(v)
+        prevValue = v
+      }
+      consumeCellTrailers()
+      prevValue
+    }
+
+    override def readValue(): Array[Byte] = advanceValue()
+    override def skipValue(): Unit = { advanceValue(); () }
+  }
+
+  /** Decoder for a data block read via [[readBlockOneOf]]: DATABLK*
+    * is raw; DATABLKE carries a 2-byte encoding id — FAST_DIFF is
+    * decoded, anything else fails loudly. */
+  private[sources] def cellDecoder(magic: Array[Byte], payload: Array[Byte],
+      meta: HFileMeta): CellDecoder =
+    if (java.util.Arrays.equals(magic, DataMagic))
+      new RawCellDecoder(payload, meta.includesTags, meta.includesMvcc)
+    else {
+      val id = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      if (id != EncodingFastDiff)
+        throw new IOException(s"unsupported data block encoding id $id " +
+          "(NONE and FAST_DIFF are supported)")
+      new FastDiffCellDecoder(
+        java.util.Arrays.copyOfRange(payload, 2, payload.length),
+        meta.includesTags, meta.includesMvcc)
+    }
+
+  // ------------------------------------------------- fast-diff encode
+  /** FAST_DIFF encoder (fixture/test side) mirroring
+    * FastDiffDeltaEncoder.compressSingleKeyValue byte for byte, plus
+    * the per-cell tags/mvcc trailers BufferedDataBlockEncoder appends. */
+  private[sources] final class FastDiffEncoder(out: DataOutputStream,
+      includesTags: Boolean, includesMvcc: Boolean) {
+    private var prevKey: Array[Byte] = _
+    private var prevValue: Array[Byte] = _
+
+    def append(key: Array[Byte], value: Array[Byte],
+        tags: Array[Byte] = Array.emptyByteArray, mvcc: Long = 0L): Unit = {
+      if (prevKey == null) {
+        out.writeByte(0)
+        putCompressedInt(out, key.length)
+        putCompressedInt(out, value.length)
+        putCompressedInt(out, 0)
+        out.write(key) // full flat key including ts + type
+        out.write(value)
+      } else {
+        var flag = 0
+        val limit = math.min(key.length, prevKey.length) - TsTypeSize
+        var commonPrefix = 0
+        while (commonPrefix < limit && key(commonPrefix) == prevKey(commonPrefix))
+          commonPrefix += 1
+        if (key.length == prevKey.length) flag |= FlagSameKeyLength
+        if (value.length == prevValue.length) flag |= FlagSameValueLength
+        if (key(key.length - 1) == prevKey(prevKey.length - 1)) flag |= FlagSameType
+        var tsCommon = 0
+        while (tsCommon < TimestampSize - 1 &&
+            key(key.length - TsTypeSize + tsCommon) ==
+              prevKey(prevKey.length - TsTypeSize + tsCommon))
+          tsCommon += 1
+        flag |= tsCommon
+        if (value.length == prevValue.length &&
+            java.util.Arrays.equals(value, prevValue)) flag |= FlagSameValue
+        out.writeByte(flag)
+        if ((flag & FlagSameKeyLength) == 0) putCompressedInt(out, key.length)
+        if ((flag & FlagSameValueLength) == 0) putCompressedInt(out, value.length)
+        putCompressedInt(out, commonPrefix)
+        val rowLengthWithSize = (((key(0) & 0xff) << 8) | (key(1) & 0xff)) + RowLengthSize
+        if (commonPrefix < rowLengthWithSize) {
+          // rows differ: row excluding common, skip family, full qualifier
+          if (commonPrefix < RowLengthSize) {
+            out.write(key, commonPrefix, RowLengthSize - commonPrefix)
+            out.write(key, RowLengthSize, rowLengthWithSize - RowLengthSize)
+          } else {
+            out.write(key, commonPrefix, rowLengthWithSize - commonPrefix)
+          }
+          val famLenWithSize = (key(rowLengthWithSize) & 0xff) + 1
+          val qualStart = rowLengthWithSize + famLenWithSize
+          out.write(key, qualStart, key.length - TsTypeSize - qualStart)
+        } else {
+          // common covers the row (and family — constant per file):
+          // only the qualifier suffix
+          out.write(key, commonPrefix, key.length - TsTypeSize - commonPrefix)
+        }
+        out.write(key, key.length - TsTypeSize + tsCommon, TimestampSize - tsCommon)
+        if ((flag & FlagSameType) == 0) out.writeByte(key(key.length - 1))
+        if ((flag & FlagSameValue) == 0) out.write(value)
+      }
+      if (includesTags) { putCompressedInt(out, tags.length); out.write(tags) }
+      if (includesMvcc) writeVLong(out, mvcc)
+      prevKey = key
+      prevValue = value
+    }
+  }
 }
 
-/** Writes HFile v2 files. FIXTURE/TEST seam with the same role as
+/** Shape options for [[HFileV2Writer.writeHFile]] — the knobs a real
+  * cluster's files vary on: major version (2 fixed trailer / 3
+  * protobuf), data block encoding (NONE / FAST_DIFF), per-cell mvcc
+  * and tags trailers, and the index fan-out that forces multi-level
+  * block indexes. */
+final case class HFileShape(codec: Int = HFileV2Format.CodecNone,
+    blockEntries: Int = HFileV2Writer.DefaultBlockEntries,
+    bytesPerChecksum: Int = HFileV2Format.DefaultBytesPerChecksum,
+    encoding: Int = HFileV2Format.EncodingNone,
+    majorVersion: Int = 2,
+    includesMvcc: Boolean = false,
+    includesTags: Boolean = false,
+    maxIndexEntriesPerBlock: Int = Int.MaxValue)
+
+/** Writes HFile v2/v3 files. FIXTURE/TEST seam with the same role as
   * [[SortedRunWriter]]: production never writes HFiles (HBase does);
   * this writer exists so the READER — the production-relevant half —
   * is exercised against files laid out exactly per the published
-  * format, including compression, checksums, index and trailer. */
+  * format, including compression, checksums, block encoding,
+  * single- and multi-level indexes, both trailer versions and both
+  * FileInfo serializations. */
 object HFileV2Writer {
 
   import HFileV2Format._
 
   val DefaultBlockEntries = 64
 
+  /** Back-compatible single-level unencoded v2 form. */
+  def writeHFile(path: Path, cells: Iterator[(Array[Byte], Long, Array[Byte])],
+      codec: Int = CodecNone, blockEntries: Int = DefaultBlockEntries,
+      bytesPerChecksum: Int = DefaultBytesPerChecksum): Long =
+    writeHFile(path, cells, HFileShape(codec = codec,
+      blockEntries = blockEntries, bytesPerChecksum = bytesPerChecksum))
+
   /** Writes one HFile from cells ALREADY sorted (row unsigned ASC,
     * ts DESC); returns the file's entry count. */
   def writeHFile(path: Path, cells: Iterator[(Array[Byte], Long, Array[Byte])],
-      codec: Int = CodecNone, blockEntries: Int = DefaultBlockEntries,
-      bytesPerChecksum: Int = DefaultBytesPerChecksum): Long = {
+      shape: HFileShape): Long = {
+    require(shape.encoding == EncodingNone || shape.encoding == EncodingFastDiff,
+      s"unsupported encoding ${shape.encoding}")
+    require(!shape.includesTags || shape.majorVersion >= 3,
+      "cell tags require HFile v3")
+    require(shape.maxIndexEntriesPerBlock >= 2,
+      "index blocks need a fan-out of at least 2")
     val fileBuf = new ByteArrayOutputStream()
     val out = new DataOutputStream(fileBuf)
     var offset = 0L
     var prevData = -1L
     var firstDataOffset = -1L
     var lastDataOffset = -1L
-    val index = mutable.ArrayBuffer.empty[RootIndexEntry]
+    val dataEntries = mutable.ArrayBuffer.empty[RootIndexEntry]
     var entryCount = 0L
     var totalUncompressed = 0L
     var lastKey: Array[Byte] = null
+    var maxTagsLen = 0
 
-    val block = new ByteArrayOutputStream()
-    val blockOut = new DataOutputStream(block)
-    var blockFirstKey: Array[Byte] = null
-    var inBlock = 0
+    // a deterministic per-cell tag (type 8 ~ a TTL-ish tag): only the
+    // reader's ability to SKIP tags matters, not their content
+    def tagsFor(row: Array[Byte]): Array[Byte] =
+      if (!shape.includesTags) Array.emptyByteArray
+      else {
+        val payload = java.util.Arrays.copyOfRange(row, 0, math.min(2, row.length))
+        val b = new ByteArrayOutputStream()
+        val o = new DataOutputStream(b)
+        o.writeShort(1 + payload.length) // tag length includes the type byte
+        o.writeByte(8)
+        o.write(payload)
+        b.toByteArray
+      }
 
-    def flushBlock(): Unit = if (inBlock > 0) {
+    val block = mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte], Array[Byte])]
+
+    def encodeBlock(): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      val o = new DataOutputStream(buf)
+      if (shape.encoding == EncodingFastDiff) {
+        o.writeShort(EncodingFastDiff) // DataBlockEncoding id prefix
+        val enc = new FastDiffEncoder(o, shape.includesTags, shape.includesMvcc)
+        block.foreach { case (key, value, tags) =>
+          enc.append(key, value, tags, mvcc = entryCount)
+        }
+      } else {
+        block.foreach { case (key, value, tags) =>
+          o.writeInt(key.length)
+          o.writeInt(value.length)
+          o.write(key)
+          o.write(value)
+          if (shape.includesTags) { o.writeShort(tags.length); o.write(tags) }
+          if (shape.includesMvcc) writeVLong(o, entryCount)
+        }
+      }
+      buf.toByteArray
+    }
+
+    def flushBlock(): Unit = if (block.nonEmpty) {
       if (firstDataOffset < 0) firstDataOffset = offset
       lastDataOffset = offset
-      val payload = block.toByteArray
+      val payload = encodeBlock()
       totalUncompressed += payload.length
-      val size = writeBlock(out, DataMagic, payload, prevData, codec,
-        bytesPerChecksum)
-      index += RootIndexEntry(offset, size, blockFirstKey)
+      val magic = if (shape.encoding == EncodingFastDiff) EncodedDataMagic else DataMagic
+      val size = writeBlock(out, magic, payload, prevData, shape.codec,
+        shape.bytesPerChecksum)
+      dataEntries += RootIndexEntry(offset, size, block.head._1)
       prevData = offset
       offset += size
-      block.reset(); inBlock = 0; blockFirstKey = null
+      block.clear()
     }
 
     cells.foreach { case (row, ts, value) =>
       val key = cellKey(row, ts)
-      blockOut.writeInt(key.length)
-      blockOut.writeInt(value.length)
-      blockOut.write(key)
-      blockOut.write(value)
-      if (blockFirstKey == null) blockFirstKey = key
+      val tags = tagsFor(row)
+      maxTagsLen = math.max(maxTagsLen, tags.length)
+      block += ((key, value, tags))
       lastKey = key
-      inBlock += 1; entryCount += 1
-      if (inBlock >= blockEntries) flushBlock()
+      entryCount += 1
+      if (block.size >= shape.blockEntries) flushBlock()
     }
     flushBlock()
     require(entryCount > 0, "refusing to write an empty HFile")
+
+    // ------------------------------------------ block index (1..N levels)
+    // chunk the data-entry level into leaf blocks, then intermediate
+    // levels, until one level fits a root block (HFileBlockIndex)
+    var level: Seq[RootIndexEntry] = dataEntries.toSeq
+    var numLevels = 1
+    var uncompressedIndexSize = 0L
+    var deepest = true
+    val leafBlocks = mutable.ArrayBuffer.empty[(Long, Int)] // for midkey metadata
+    while (level.size > shape.maxIndexEntriesPerBlock) {
+      val next = mutable.ArrayBuffer.empty[RootIndexEntry]
+      level.grouped(shape.maxIndexEntriesPerBlock).foreach { chunk =>
+        val payload = nonRootIndexPayload(chunk)
+        uncompressedIndexSize += payload.length
+        val magic = if (deepest) LeafIndexMagic else IntermediateIndexMagic
+        val size = writeBlock(out, magic, payload, -1L, shape.codec,
+          shape.bytesPerChecksum)
+        if (deepest) leafBlocks += ((offset, size))
+        next += RootIndexEntry(offset, size, chunk.head.firstKey)
+        offset += size
+      }
+      level = next.toSeq
+      numLevels += 1
+      deepest = false
+    }
 
     // load-on-open: root index then file info
     val loadOnOpenOffset = offset
     val idxBuf = new ByteArrayOutputStream()
     val idxOut = new DataOutputStream(idxBuf)
-    index.foreach { e =>
+    level.foreach { e =>
       idxOut.writeLong(e.offset)
       idxOut.writeInt(e.onDiskSize)
       writeVLong(idxOut, e.firstKey.length)
       idxOut.write(e.firstKey)
     }
+    if (numLevels > 1) {
+      // midkey metadata: the deepest-level block holding the middle
+      // data entry + its position in it (BlockIndexChunk.getMidKeyMetadata;
+      // used for region splits, ignored by this reader)
+      val midIdx = ((dataEntries.size - 1) / 2)
+      val leafNo = midIdx / shape.maxIndexEntriesPerBlock
+      val (leafOff, leafSize) = leafBlocks(leafNo)
+      idxOut.writeLong(leafOff)
+      idxOut.writeInt(leafSize)
+      idxOut.writeInt(midIdx % shape.maxIndexEntriesPerBlock)
+    }
     val idxPayload = idxBuf.toByteArray
-    offset += writeBlock(out, RootIndexMagic, idxPayload, -1L, codec,
-      bytesPerChecksum)
+    uncompressedIndexSize += idxPayload.length
+    offset += writeBlock(out, RootIndexMagic, idxPayload, -1L, shape.codec,
+      shape.bytesPerChecksum)
 
     val fileInfoOffset = offset
-    val infoBuf = new ByteArrayOutputStream()
-    val infoOut = new DataOutputStream(infoBuf)
-    val infoEntries = Seq(
+    val infoEntries = mutable.ArrayBuffer[(String, Array[Byte])](
       InfoLastKey -> lastKey,
       InfoAvgKeyLen -> { val b = new ByteArrayOutputStream()
         new DataOutputStream(b).writeInt(lastKey.length); b.toByteArray })
-    infoOut.writeInt(infoEntries.size)
-    infoEntries.foreach { case (k, v) =>
-      val kb = k.getBytes(StandardCharsets.UTF_8)
-      writeVLong(infoOut, kb.length); infoOut.write(kb)
-      writeVLong(infoOut, v.length); infoOut.write(v)
-    }
-    offset += writeBlock(out, FileInfoMagic, infoBuf.toByteArray, -1L, codec,
-      bytesPerChecksum)
+    if (shape.includesMvcc)
+      infoEntries += InfoMaxMemstoreTs -> { val b = new ByteArrayOutputStream()
+        new DataOutputStream(b).writeLong(entryCount); b.toByteArray }
+    if (shape.includesTags)
+      infoEntries += InfoMaxTagsLen -> { val b = new ByteArrayOutputStream()
+        new DataOutputStream(b).writeInt(maxTagsLen); b.toByteArray }
+    if (shape.encoding == EncodingFastDiff)
+      infoEntries += InfoDataBlockEncoding ->
+        "FAST_DIFF".getBytes(StandardCharsets.UTF_8)
+    val infoPayload =
+      if (shape.majorVersion >= 3) pbufFileInfoPayload(infoEntries.toSeq)
+      else legacyFileInfoPayload(infoEntries.toSeq)
+    offset += writeBlock(out, FileInfoMagic, infoPayload, -1L, shape.codec,
+      shape.bytesPerChecksum)
 
+    val comparator =
+      if (shape.majorVersion >= 3) "org.apache.hadoop.hbase.CellComparatorImpl"
+      else "org.apache.hadoop.hbase.KeyValue$KVComparator"
     writeTrailer(out, Trailer(fileInfoOffset, loadOnOpenOffset,
-      index.size, 0, entryCount, codec, 1, firstDataOffset, lastDataOffset,
-      2, 3), idxPayload.length.toLong, totalUncompressed,
-      "org.apache.hadoop.hbase.KeyValue$KVComparator")
+      level.size, 0, entryCount, shape.codec, numLevels, firstDataOffset,
+      lastDataOffset, shape.majorVersion, 3), uncompressedIndexSize,
+      totalUncompressed, comparator)
 
     // atomic publication, same rationale as SnapshotWriter.atomicWrite
     val tmp = Files.createTempFile(path.getParent, "." + path.getFileName, ".tmp")
@@ -483,7 +1204,7 @@ object HFileV2Writer {
   }
 }
 
-/** [[EnvelopeStore]] over a directory of HFile v2 files — the real
+/** [[EnvelopeStore]] over a directory of HFile v2/v3 files — the real
   * form of the 5-step snapshot-scan contract (the production plan the
   * former sketch documented, now exercised code):
   *
@@ -491,16 +1212,17 @@ object HFileV2Writer {
   *     whose [firstRow, lastRow] byte range overlaps the slice
   *     (first/last keys from load-on-open state, memoised per JVM —
   *     the manifest-broadcast analogue);
-  *  2. seek: each file's root block index is binary-searched to the
-  *     last block whose first row <= the slice start
-  *     ([[HFileV2Format.seekBlock]]), decode-forward from there;
+  *  2. seek: each file's block index — single- or multi-level — is
+  *     binary-searched level by level to the last data block whose
+  *     first row <= the slice start ([[HFileV2Format.IndexCursor]]),
+  *     decode-forward from there;
   *  3. heap-merge of the per-file scanners in (row ASC, ts DESC,
   *     generation DESC) order — overlapping files are an HBase
   *     region's un-compacted generations; ties on (row, ts) resolve
   *     to the newer file like HBase's sequence-id rule — keeping only
   *     the latest in-range version per row; the ts range is applied
   *     AT THE DECODER, so out-of-range cells never materialize their
-  *     value;
+  *     value (raw blocks) or never leave the block decoder (encoded);
   *  4. stop-at-slice-end: scanning ends at the first row whose first
   *     unsigned byte reaches the slice stop;
   *  5. block checksums verify on every read — a torn or bit-flipped
@@ -579,13 +1301,14 @@ private[sources] final case class HFileEntry(key: Array[Byte], ts: Long,
     value: Array[Byte])
 
 /** Sequential KeyValue scanner over one HFile, seeked to a slice
-  * start: decodes blocks in file order (verifying each checksum),
-  * skips pre-slice rows, drops out-of-ts-range cells without
-  * materializing values, and ends at the slice stop byte. Survives one
-  * (injected or real) IOException per `reopensLeft` by reopening the
-  * file and reseeking to strictly past the last entry it returned —
-  * the same within-attempt reopen-at-key contract [[RunScanner]]
-  * implements (the reference's resume-at-key, HBaseReader.kt:62-90). */
+  * start: descends the (possibly multi-level) block index, decodes
+  * data blocks in file order (verifying each checksum, raw or
+  * FAST_DIFF), skips pre-slice rows, drops out-of-ts-range cells, and
+  * ends at the slice stop byte. Survives one (injected or real)
+  * IOException per `reopensLeft` by reopening the file and reseeking
+  * to strictly past the last entry it returned — the same
+  * within-attempt reopen-at-key contract [[RunScanner]] implements
+  * (the reference's resume-at-key, HBaseReader.kt:62-90). */
 private[sources] final class HFileScanner(path: String, loByte: Int,
     hiByte: Int, range: TsRange, val ordinal: Int,
     failAfter: Option[Int] = None)
@@ -596,8 +1319,8 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
   private val meta = readMeta(path)
   private val seekRow = Array[Byte]((loByte & 0xff).toByte)
   private var raf: RandomAccessFile = _
-  private var blockIdx = 0
-  private var in: DataInputStream = _
+  private val cursor = new IndexCursor(meta)
+  private var decoder: CellDecoder = _
   private var exhausted = false
   private var nextE: HFileEntry = _
   private var lastRow: Array[Byte] = _
@@ -613,8 +1336,8 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
   private def open(): Unit = {
     HFileV2Format.opens.incrementAndGet()
     raf = new RandomAccessFile(path, "r")
-    blockIdx = seekBlock(meta.index, if (lastRow == null) seekRow else lastRow)
-    in = null
+    cursor.seek(raf, if (lastRow == null) seekRow else lastRow)
+    decoder = null
   }
 
   /** An entry at (row, ts) is not-yet-returned iff it sorts strictly
@@ -637,33 +1360,31 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
     * or file. Throws IOException on faults (incl. injected). */
   private def decodeNext(): HFileEntry = {
     while (true) {
-      if (in == null || in.available() == 0) {
-        if (blockIdx >= meta.index.length) return null
-        val (payload, _) = readBlock(raf, meta.index(blockIdx).offset,
-          DataMagic, meta.trailer.compressionCodec)
-        in = new DataInputStream(new ByteArrayInputStream(payload))
-        blockIdx += 1
+      if (decoder == null) {
+        val entry = cursor.next(raf)
+        if (entry == null) return null
+        val (magic, payload, _) = readBlockOneOf(raf, entry.offset,
+          Seq(DataMagic, EncodedDataMagic), meta.trailer.compressionCodec)
+        decoder = cellDecoder(magic, payload, meta)
       }
-      decoded += 1
-      if (!faultFired && failAfter.exists(decoded >= _)) {
-        faultFired = true
-        throw new IOException(s"injected fault after $decoded entries")
-      }
-      val keyLen = in.readInt()
-      val valLen = in.readInt()
-      val key = new Array[Byte](keyLen)
-      in.readFully(key)
-      val row = rowOf(key)
-      if ((row(0) & 0xff) >= hiByte) return null // stop-at-slice-end
-      val ts = java.nio.ByteBuffer.wrap(key, keyLen - 9, 8).getLong
-      if (behindResumePoint(row, ts) || !range.contains(ts)) {
-        // pre-seek row, already-returned entry on a reopen, or
-        // out-of-range version: never materialize the value
-        in.skipBytes(valLen)
-      } else {
-        val value = new Array[Byte](valLen)
-        in.readFully(value)
-        return HFileEntry(row, ts, value)
+      val key = decoder.nextKey()
+      if (key == null) { decoder = null }
+      else {
+        decoded += 1
+        if (!faultFired && failAfter.exists(decoded >= _)) {
+          faultFired = true
+          throw new IOException(s"injected fault after $decoded entries")
+        }
+        val row = rowOf(key)
+        if ((row(0) & 0xff) >= hiByte) return null // stop-at-slice-end
+        val ts = java.nio.ByteBuffer.wrap(key, key.length - 9, 8).getLong
+        if (behindResumePoint(row, ts) || !range.contains(ts)) {
+          // pre-seek row, already-returned entry on a reopen, or
+          // out-of-range version
+          decoder.skipValue()
+        } else {
+          return HFileEntry(row, ts, decoder.readValue())
+        }
       }
     }
     null // unreachable
@@ -714,21 +1435,27 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
 object HFileFixture {
 
   private val snapshotMemo =
-    new ConcurrentHashMap[(Long, Int, Int, Int, Long, Int), String]()
+    new ConcurrentHashMap[(Long, Int, Int, Int, Long, HFileShape), String]()
 
   /** Memoised per-JVM snapshot dir for (n, versions, regions, gens,
-    * tsSpread, codec) — written once under java.io.tmpdir. */
+    * tsSpread, shape) — written once under java.io.tmpdir. */
   def snapshotDir(n: Long, versions: Int, regions: Int, gens: Int,
-      tsSpread: Long = 0L, codec: Int = HFileV2Format.CodecGz): String =
-    snapshotMemo.computeIfAbsent((n, versions, regions, gens, tsSpread, codec), { _ =>
+      tsSpread: Long = 0L, codec: Int = HFileV2Format.CodecGz,
+      shape: HFileShape = null): String = {
+    val s = if (shape != null) shape else HFileShape(codec = codec)
+    snapshotMemo.computeIfAbsent((n, versions, regions, gens, tsSpread, s), { _ =>
       val dir = Files.createTempDirectory("graft-hfile")
-      writeSnapshot(dir, n, versions, regions, gens, tsSpread, codec)
+      writeSnapshot(dir, n, versions, regions, gens, tsSpread, shape = s)
       dir.toString
     })
+  }
 
   def writeSnapshot(dir: Path, n: Long, versions: Int, regions: Int,
       gens: Int, tsSpread: Long = 0L, codec: Int = HFileV2Format.CodecGz,
-      blockEntries: Int = HFileV2Writer.DefaultBlockEntries): Unit = {
+      blockEntries: Int = HFileV2Writer.DefaultBlockEntries,
+      shape: HFileShape = null): Unit = {
+    val s = if (shape != null) shape
+      else HFileShape(codec = codec, blockEntries = blockEntries)
     require(256 % regions == 0, s"regions must divide 256: $regions")
     val ks = Fixture.keyService
     val dek = ks.batchDataKey().plaintextDataKey
@@ -763,7 +1490,7 @@ object HFileFixture {
         if (c != 0) c < 0 else a._2 > b._2 // row ASC, ts DESC
       }
       HFileV2Writer.writeHFile(dir.resolve(f"region-r$r%03d-g$g.hfile"),
-        sorted.iterator, codec, blockEntries)
+        sorted.iterator, s)
     }
   }
 }

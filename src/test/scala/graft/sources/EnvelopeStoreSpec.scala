@@ -80,12 +80,29 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     HFileSnapshotStore(dir.toString)
   }
 
+  /** The "modern cluster" HFile shape: v3 protobuf trailer + PBUF
+    * FileInfo, FAST_DIFF-encoded blocks, per-cell mvcc trailers, and a
+    * fan-out small enough to force a multi-level block index. */
+  private val modernShape = HFileShape(codec = HFileV2Format.CodecGz,
+    blockEntries = 16, encoding = HFileV2Format.EncodingFastDiff,
+    majorVersion = 3, includesMvcc = true, maxIndexEntriesPerBlock = 4)
+
+  private def modernHfileStore(n: Long, tsSpread: Long, versions: Int,
+      regions: Int = 4, gens: Int = 2): HFileSnapshotStore = {
+    val dir = Files.createTempDirectory("graft-hfile3-spec")
+    HFileFixture.writeSnapshot(dir, n, versions, regions, gens, tsSpread,
+      shape = modernShape)
+    HFileSnapshotStore(dir.toString)
+  }
+
   storeContract("fixture store",
     (n, spread, vs) => FixtureEnvelopeStore(n, corrupt = false, spread, vs))
   storeContract("sorted-run store",
     (n, spread, vs) => sortedRunStore(n, spread, vs))
   storeContract("hfile store",
     (n, spread, vs) => hfileStore(n, spread, vs))
+  storeContract("hfile v3 fastdiff multilevel store",
+    (n, spread, vs) => modernHfileStore(n, spread, vs))
 
   test("KeySlice covers the signed byte space exactly, no overlap") {
     val slices = (0 until 256 / 8).map(KeySlice(_, 8))
@@ -291,6 +308,155 @@ class EnvelopeStoreSpec extends AnyFunSuite {
       assert(dump(flaky, range) === dump(clean, range),
         s"fault after $failAt entries must not change the scan (range $range)")
     }
+  }
+
+  // ------------------------------------ HFile v3 / FAST_DIFF / multilevel
+
+  test("hbase compressed int round-trips across the 7-bit group ranges") {
+    import HFileV2Format.{putCompressedInt, readCompressedInt}
+    for (v <- Seq(0, 1, 126, 127, 128, 129, 16383, 16384, 300000, Int.MaxValue)) {
+      val buf = new java.io.ByteArrayOutputStream()
+      putCompressedInt(new java.io.DataOutputStream(buf), v)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+      assert(readCompressedInt(in) === v, s"compressed-int round-trip of $v")
+    }
+  }
+
+  test("fast-diff cells round-trip, including the encoder's delta edge cases") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import HFileV2Format._
+    // rows of DIFFERENT lengths (exercises the commonPrefix < 2 decode
+    // branch with a family move), shared values (SAME_VALUE), shared
+    // ts high bytes (ts-common-prefix), same row at descending ts
+    val cells = Seq(
+      (Array[Byte](1, 1), 0x1122334455667788L, "alpha"),
+      (Array[Byte](1, 1), 0x1122334455667700L, "alpha"), // same row+value, ts prefix 7
+      (Array[Byte](1, 1, 9), 0x1122334455667788L, "beta"), // longer row
+      (Array[Byte](1, 2), 1000L, "gamma"),               // shorter row again
+      (Array[Byte](1, 2, 3, 4, 5, 6), 1000L, "gamma"),   // same value, long row
+      (Array[Byte](2), 999L, ""))                        // empty value
+    for {
+      tags <- Seq(false, true)
+      mvcc <- Seq(false, true)
+    } {
+      val buf = new java.io.ByteArrayOutputStream()
+      val enc = new FastDiffEncoder(new java.io.DataOutputStream(buf), tags, mvcc)
+      cells.zipWithIndex.foreach { case ((row, ts, v), i) =>
+        val tagBytes = if (tags) Array[Byte](0, 3, 8, 7, 7) else Array.emptyByteArray
+        enc.append(cellKey(row, ts), v.getBytes(UTF_8), tagBytes, i.toLong)
+      }
+      val dec = new FastDiffCellDecoder(buf.toByteArray, tags, mvcc)
+      val out = Iterator.continually {
+        val k = dec.nextKey()
+        if (k == null) null else (rowOf(k).toSeq,
+          java.nio.ByteBuffer.wrap(k, k.length - 9, 8).getLong,
+          new String(dec.readValue(), UTF_8))
+      }.takeWhile(_ != null).toSeq
+      assert(out === cells.map(c => (c._1.toSeq, c._2, c._3)),
+        s"fast-diff round-trip (tags=$tags mvcc=$mvcc)")
+    }
+  }
+
+  test("hfile v3 trailer is 4096 bytes of magic + protobuf + version int") {
+    val dir = Files.createTempDirectory("graft-hfile3-trailer")
+    HFileFixture.writeSnapshot(dir, 64L, 1, regions = 1, gens = 1,
+      shape = HFileShape(codec = HFileV2Format.CodecGz, blockEntries = 16,
+        majorVersion = 3, includesMvcc = true))
+    val file = Files.list(dir).iterator().next()
+    val raf = new java.io.RandomAccessFile(file.toFile, "r")
+    try {
+      val t = HFileV2Format.readTrailer(raf)
+      assert(t.majorVersion === 3)
+      assert(t.entryCount === 64L)
+      assert(t.compressionCodec === HFileV2Format.CodecGz)
+      assert(t.dataIndexCount === 4)
+      assert(t.numDataIndexLevels === 1)
+      // the trailer region starts exactly 4096 bytes from EOF with the
+      // block magic, and ends with major=3 packed into the version int
+      raf.seek(raf.length() - HFileV2Format.TrailerSizeV3)
+      val magic = new Array[Byte](8); raf.readFully(magic)
+      assert(magic.toSeq === HFileV2Format.TrailerMagic.toSeq)
+      raf.seek(raf.length() - 4)
+      assert((raf.readInt() & 0x00ffffff) === 3)
+    } finally raf.close()
+  }
+
+  test("multi-level index: trailer levels >= 2 and the cursor walks every block") {
+    val dir = Files.createTempDirectory("graft-hfile-mlidx")
+    // 256 cells / 8 per block = 32 data blocks; fan-out 4 -> 8 leaves
+    // -> 2 intermediates -> root of 2 (three levels)
+    val rows = (0 until 256).map(i => Array[Byte](1, (i >> 4).toByte, (i & 15).toByte))
+    HFileV2Writer.writeHFile(dir.resolve("region-r000-g0.hfile"),
+      rows.iterator.map(r => (r, 5L, s"v${r.toSeq}".getBytes)),
+      HFileShape(blockEntries = 8, maxIndexEntriesPerBlock = 4))
+    val file = dir.resolve("region-r000-g0.hfile")
+    val meta = HFileV2Format.readMeta(file.toString)
+    assert(meta.trailer.numDataIndexLevels === 3)
+    assert(meta.index.length <= 4) // root respects the fan-out
+    // a full scan through the store sees every row exactly once, sorted
+    val store = HFileSnapshotStore(dir.toString)
+    val cells = store.scan(KeySlice(0, 256), TsRange.All).toSeq
+    assert(cells.size === 256)
+    assert(cells.map(_.hbaseId.toSeq) === rows.map(_.toSeq))
+    // and a mid-file seek prunes: scanning a single later slice works
+    val slice = store.scan(KeySlice(1, 2), TsRange.All).toSeq
+    assert(slice.isEmpty) // all rows start with byte 1 -> slice [2,4) empty
+  }
+
+  test("modern-shape cells are byte-identical to the fixture store's") {
+    val fix = FixtureEnvelopeStore(200L, corrupt = false, 0L, 5)
+    def dump(s: EnvelopeStore, range: TsRange) =
+      (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value)).sortBy(_._1.toString)
+    val shapes = Seq(
+      "fastdiff v2" -> HFileShape(blockEntries = 16,
+        encoding = HFileV2Format.EncodingFastDiff),
+      "v3 pbuf mvcc" -> HFileShape(codec = HFileV2Format.CodecGz,
+        blockEntries = 16, majorVersion = 3, includesMvcc = true),
+      "v3 tags" -> HFileShape(blockEntries = 16, majorVersion = 3,
+        includesTags = true),
+      "v3 fastdiff tags mvcc multilevel" -> HFileShape(
+        codec = HFileV2Format.CodecGz, blockEntries = 16,
+        encoding = HFileV2Format.EncodingFastDiff, majorVersion = 3,
+        includesMvcc = true, includesTags = true, maxIndexEntriesPerBlock = 3))
+    for ((name, shape) <- shapes) {
+      val dir = Files.createTempDirectory("graft-hfile-shape")
+      HFileFixture.writeSnapshot(dir, 200L, 5, regions = 4, gens = 2,
+        shape = shape)
+      val hf = HFileSnapshotStore(dir.toString)
+      assert(dump(hf, TsRange.All) === dump(fix, TsRange.All), name)
+      val capped = TsRange(0L, t0 + 2L)
+      assert(dump(hf, capped) === dump(fix, capped), s"$name capped")
+      assert(dump(hf, capped).nonEmpty, name)
+    }
+  }
+
+  test("modern-shape reopen-at-key retry: injected faults change nothing") {
+    val dir = Files.createTempDirectory("graft-hfile3-fault")
+    HFileFixture.writeSnapshot(dir, 300L, 4, regions = 2, gens = 2,
+      shape = modernShape)
+    def dump(store: HFileSnapshotStore, range: TsRange) =
+      (0 until 256 / 32).flatMap(i => store.scan(KeySlice(i, 32), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+    val clean = HFileSnapshotStore(dir.toString)
+    for (failAt <- Seq(1, 7, 50); range <- Seq(TsRange.All, TsRange(0L, t0 + 1L))) {
+      val flaky = HFileSnapshotStore(dir.toString, failAfterEntries = Some(failAt))
+      assert(dump(flaky, range) === dump(clean, range),
+        s"fault after $failAt entries must not change the scan (range $range)")
+    }
+  }
+
+  test("an unsupported block encoding id fails loudly, never misreads") {
+    import HFileV2Format._
+    val payload = Array[Byte](0, 3, 0, 0) // encoding id 3 = DIFF
+    val ex = intercept[java.io.IOException] {
+      cellDecoder(EncodedDataMagic, payload,
+        HFileMeta(Trailer(0, 0, 1, 0, 1, CodecNone, 1, 0, 0, 3, 3),
+          Array(RootIndexEntry(0L, 1, cellKey(Array[Byte](1), 1L))),
+          Array[Byte](1), None, includesTags = false, includesMvcc = false))
+    }
+    assert(ex.getMessage.contains("unsupported data block encoding"))
   }
 
   test("hfile generation tie-break: equal (row, ts) resolves to the newer file") {
