@@ -142,13 +142,21 @@ object SnapshotWriter {
 
   /** Write the pipeline's record output; returns per-file accounting.
     * `records` must carry hbase_id + doc + the m_* manifest columns
-    * (the [[ExportPipeline.records]] shape). */
+    * (the [[ExportPipeline.records]] shape).
+    *
+    * The physical write runs through the DSv2
+    * [[graft.sources.SnapshotSink]] `BatchWrite`: the sink DECLARES
+    * its distribution (clustered by slice, one partition per slice,
+    * ordered by (slice, m_id)) via `RequiresDistributionAndOrdering`
+    * — Spark plans the shuffle+sort — and each task stages its files,
+    * returning accounting as a `WriterCommitMessage`; the driver's
+    * `commit()` publishes every staged file (abort discards), so a
+    * partially-failed job never leaves a partial snapshot visible. */
   def write(records: DataFrame, cfg: Config, keys: KeyService): Dataset[FileAccounting] = {
     val spark = records.sparkSession
     import spark.implicits._
 
     val dek = keys.batchDataKey()
-    val nSlices = 256 / cfg.scanWidth
 
     // signed first key byte → slice index, columnar:
     // u (0..255) → ((u + 128) % 256) / width == (signedByte + 128) / width
@@ -158,121 +166,111 @@ object SnapshotWriter {
           .cast("int") + 128, lit(256)) / cfg.scanWidth).cast("int"))
       .select($"slice", $"doc", $"m_id", $"m_ts", $"m_db", $"m_collection",
         $"m_source", $"m_outer", $"m_inner", $"m_original_id")
-      .as[WriteRecord]
 
-    ds.repartition(nSlices, $"slice")
-      .sortWithinPartitions($"slice", $"m_id")
-      .mapPartitions { rows =>
-        val results = Seq.newBuilder[FileAccounting]
+    val writeId = java.util.UUID.randomUUID().toString
+    graft.sources.SnapshotSink.register(writeId, cfg, dek)
+    try {
+      ds.write.format("graft.sources.SnapshotSink")
+        .option("writeId", writeId)
+        .mode("append").save()
+      spark.createDataset(graft.sources.SnapshotSink.takeAccounting(writeId))
+    } finally graft.sources.SnapshotSink.unregister(writeId)
+  }
 
-        var currentSlice = -1
-        var label = ""
-        // per-slice rolling state (S3StreamingWriter.kt:189-197)
-        var currentBatch = 0
-        var batchSizeBytes = 0L
-        var recordsInBatch = 0L
-        var target: java.io.ByteArrayOutputStream = null
-        var stream: OutputStream = null
-        var manifestBuf: StringBuilder = null
-        var manifestNum = -1
+  /** The per-task rolling writer behind the DSv2 sink: consumes one
+    * partition's records (already clustered by slice and sorted by
+    * (slice, m_id)), rolling batches through `Buffered → Compressor →
+    * Cipher(AES-CTR)` into `outDir` with paired manifests in `manDir`
+    * — for the DSv2 path these are the task's private STAGING dirs,
+    * published only by the driver's commit. */
+  private[graft] final class SliceRollingWriter(cfg: Config, dek: DataKeyResult,
+      outDir: File, manDir: File) {
 
-        def filePrefix = s"${cfg.topic}-$label"
+    private val results = Seq.newBuilder[FileAccounting]
+    private var currentSlice = -1
+    private var label = ""
+    // per-slice rolling state (S3StreamingWriter.kt:189-197)
+    private var currentBatch = 0
+    private var batchSizeBytes = 0L
+    private var recordsInBatch = 0L
+    private var target: java.io.ByteArrayOutputStream = null
+    private var stream: OutputStream = null
+    private var manifestBuf: StringBuilder = null
+    private var manifestNum = -1
 
-        def open(): Unit = {
-          target = new java.io.ByteArrayOutputStream()
-          val cipher = Crypto.encryptingCipher(dek.plaintextDataKey,
-            ivFor(cfg.topic, label, currentBatch))
-          stream = new BufferedOutputStream(
-            compressor(cfg.compression, new CipherOutputStream(target, cipher)))
-          manifestBuf = new StringBuilder
-          manifestNum = currentBatch
-          currentBatch += 1
-          batchSizeBytes = 0
-          recordsInBatch = 0
-        }
+    private def filePrefix = s"${cfg.topic}-$label"
 
-        def flush(openNext: Boolean): Unit = {
-          if (batchSizeBytes > 0) {
-            stream.close()
-            val name = f"$filePrefix-$currentBatch%06d.txt.${cfg.compression}.enc"
-            val outFile = new File(cfg.outputDir, name)
-            // object put + metadata sidecar retry with the reference's
-            // envelope (S3ObjectServiceImpl.kt:19-23: 5 attempts, x2
-            // backoff) — each publication is atomic (temp + ATOMIC_MOVE)
-            // and the rewrite is deterministic per (slice, batch), so a
-            // retried put after a partial failure is safe and invisible
-            Retry.withRetry(Retry.Policy()) {
-              atomicWrite(outFile, target.toByteArray)
-              // metadata sidecar (S3 user-metadata analogue) — the
-              // full reference object-metadata surface
-              // (S3ObjectServiceImpl.kt:38-47): crypto fields PLUS the
-              // product fields downstream consumers key on
-              // (snapshot-sender, egress auditing)
-              val iv = Base64.getEncoder.encodeToString(
-                ivFor(cfg.topic, label, manifestNum))
-              val meta =
-                s"""{"contentType":"binary/octetstream","x-amz-meta-title":"$name","iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}","data_product":"${cfg.topic}","data_product_type":"${cfg.snapshotType}","contentLength":${target.size()}}"""
-              atomicWrite(new File(cfg.outputDir, s"$name.metadata.json"),
-                meta.getBytes("UTF-8"))
-            }
-            val manifestName = f"$filePrefix-$manifestNum%06d.csv"
-            val mFile = new File(cfg.manifestDir, manifestName)
-            // manifest upload retry (StreamingManifestWriter.kt:18-22)
-            // + the manifest's own metadata
-            // (StreamingManifestWriter.kt:60-65: text/plain, title,
-            // length)
-            Retry.withRetry(Retry.Policy()) {
-              val body = manifestBuf.toString
-              atomicWrite(mFile, body.getBytes("UTF-8"))
-              val mMeta =
-                s"""{"contentType":"text/plain","x-amz-meta-title":"$manifestName","contentLength":${body.getBytes("UTF-8").length}}"""
-              atomicWrite(new File(cfg.manifestDir, s"$manifestName.metadata.json"),
-                mMeta.getBytes("UTF-8"))
-            }
-            results += FileAccounting(label, name, manifestName,
-              recordsInBatch, batchSizeBytes, target.size().toLong)
-          }
-          if (openNext) open()
-        }
+    private def open(): Unit = {
+      target = new java.io.ByteArrayOutputStream()
+      val cipher = Crypto.encryptingCipher(dek.plaintextDataKey,
+        ivFor(cfg.topic, label, currentBatch))
+      stream = new BufferedOutputStream(
+        compressor(cfg.compression, new CipherOutputStream(target, cipher)))
+      manifestBuf = new StringBuilder
+      manifestNum = currentBatch
+      currentBatch += 1
+      batchSizeBytes = 0
+      recordsInBatch = 0
+    }
 
-        def closeSlice(): Unit = if (currentSlice >= 0) flush(openNext = false)
-
-        // sink-side fault injection (see Config.faultFirstAttemptAfter):
-        // only first attempts of real tasks fault — retries run clean
-        val tc = org.apache.spark.TaskContext.get()
-        val faultAt =
-          if (cfg.faultFirstAttemptAfter > 0 && tc != null && tc.attemptNumber() == 0)
-            cfg.faultFirstAttemptAfter
-          else Int.MaxValue
-        var written = 0L
-
-        rows.foreach { r =>
-          if (written >= faultAt) {
-            faultsInjected.incrementAndGet()
-            throw new java.io.IOException(
-              s"injected mid-partition writer fault after $written records")
-          }
-          if (r.slice != currentSlice) {
-            closeSlice()
-            currentSlice = r.slice
-            label = sliceLabel(r.slice, cfg.scanWidth)
-            currentBatch = 0
-            batchSizeBytes = 0
-            open()
-          }
-          val item = r.doc + "\n"
-          // roll-before-write, string-length accounting (:78-80)
-          if (batchSizeBytes + item.length > cfg.maxBatchBytes && batchSizeBytes > 0)
-            flush(openNext = true)
-          stream.write(item.getBytes("UTF-8"))
-          batchSizeBytes += item.length
-          recordsInBatch += 1
-          written += 1
-          manifestBuf.append(manifestLine(r))
-        }
-        closeSlice()
-        results.result().iterator
+    private def flush(openNext: Boolean): Unit = {
+      if (batchSizeBytes > 0) {
+        stream.close()
+        val name = f"$filePrefix-$currentBatch%06d.txt.${cfg.compression}.enc"
+        // stage the object + its metadata sidecar (S3 user-metadata
+        // analogue — the full reference object-metadata surface,
+        // S3ObjectServiceImpl.kt:38-47: crypto fields PLUS the product
+        // fields downstream consumers key on). The write is to the
+        // task's private staging dir; atomic publication happens at
+        // the driver's commit.
+        atomicWrite(new File(outDir, name), target.toByteArray)
+        val iv = Base64.getEncoder.encodeToString(
+          ivFor(cfg.topic, label, manifestNum))
+        val meta =
+          s"""{"contentType":"binary/octetstream","x-amz-meta-title":"$name","iv":"$iv","ciphertext":"${dek.ciphertextDataKey}","dataKeyEncryptionKeyId":"${dek.dataKeyEncryptionKeyId}","data_product":"${cfg.topic}","data_product_type":"${cfg.snapshotType}","contentLength":${target.size()}}"""
+        atomicWrite(new File(outDir, s"$name.metadata.json"),
+          meta.getBytes("UTF-8"))
+        val manifestName = f"$filePrefix-$manifestNum%06d.csv"
+        // paired manifest (StreamingManifestWriter.kt:18-22) + the
+        // manifest's own metadata (StreamingManifestWriter.kt:60-65)
+        val body = manifestBuf.toString
+        atomicWrite(new File(manDir, manifestName), body.getBytes("UTF-8"))
+        val mMeta =
+          s"""{"contentType":"text/plain","x-amz-meta-title":"$manifestName","contentLength":${body.getBytes("UTF-8").length}}"""
+        atomicWrite(new File(manDir, s"$manifestName.metadata.json"),
+          mMeta.getBytes("UTF-8"))
+        results += FileAccounting(label, name, manifestName,
+          recordsInBatch, batchSizeBytes, target.size().toLong)
       }
+      if (openNext) open()
+    }
+
+    private def closeSlice(): Unit = if (currentSlice >= 0) flush(openNext = false)
+
+    def write(r: WriteRecord): Unit = {
+      if (r.slice != currentSlice) {
+        closeSlice()
+        currentSlice = r.slice
+        label = sliceLabel(r.slice, cfg.scanWidth)
+        currentBatch = 0
+        batchSizeBytes = 0
+        open()
+      }
+      val item = r.doc + "\n"
+      // roll-before-write, string-length accounting (:78-80)
+      if (batchSizeBytes + item.length > cfg.maxBatchBytes && batchSizeBytes > 0)
+        flush(openNext = true)
+      stream.write(item.getBytes("UTF-8"))
+      batchSizeBytes += item.length
+      recordsInBatch += 1
+      manifestBuf.append(manifestLine(r))
+    }
+
+    /** Flushes the open batch; returns this task's accounting. */
+    def finish(): Seq[FileAccounting] = {
+      closeSlice()
+      results.result()
+    }
   }
 
   /** Decrypt + decompress one written snapshot file back to its JSONL
