@@ -583,6 +583,10 @@ object PipelineQueries {
     * to the oracle surface: the streaming sink is end-to-end
     * equivalent to the reference's batch semantics, not just
     * unit-plausible. */
+  @transient private val q56CellsMemo =
+    new java.util.concurrent.atomic.AtomicReference[
+      IndexedSeq[IndexedSeq[Fixture.RawCell]]](null)
+
   def q56StreamingParity(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SnapshotWriter
     import graft.streaming.StreamingExport
@@ -596,10 +600,22 @@ object PipelineQueries {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
 
-    // one cell corpus feeds BOTH exports: identical input bytes
-    val cells = (0 until nBatches).map(b =>
-      ((b * nPer) until ((b + 1) * nPer)).map(i =>
-        Fixture.cell(i, dek, encKey, corrupt = false)))
+    // one cell corpus feeds BOTH exports: identical input bytes.
+    // Memoised per JVM: the corpus is deterministic in (dek, nPer,
+    // nBatches) and building it re-runs 3000 driver-side AES-CTR
+    // encryptions per invocation — feed cost, not pipeline cost (the
+    // same single-slot policy as StreamingQueries' replay memos).
+    val cells = {
+      val cached = q56CellsMemo.get()
+      if (cached != null) cached
+      else {
+        val c = (0 until nBatches).map(b =>
+          ((b * nPer) until ((b + 1) * nPer)).map(i =>
+            Fixture.cell(i, dek, encKey, corrupt = false)))
+        q56CellsMemo.set(c)
+        c
+      }
+    }
 
     val outS = java.nio.file.Files.createTempDirectory("graft-q56-sout")
     val manS = java.nio.file.Files.createTempDirectory("graft-q56-sman")
@@ -615,14 +631,19 @@ object PipelineQueries {
       val stream = MemoryStream[Fixture.RawCell]
       val streamRecs = ExportPipeline.records(
         ExportPipeline.run(stream.toDF(), Fixture.Topic, ks))
-      val query = StreamingExport.start(streamRecs, cfgS, ks,
-        "graft_q56_sink", r => results.synchronized { results += r })
-      try {
-        cells.foreach { batch =>
-          stream.addData(batch)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      // same scoped streaming-run conf as the q57–q126 replays: tmpfs
+      // checkpoint (offset/commit logs are pure replay scaffolding
+      // here) + small shuffle partitioning for the micro-batch jobs
+      StreamingQueries.withShufflePartitions(s, 2) {
+        val query = StreamingExport.start(streamRecs, cfgS, ks,
+          "graft_q56_sink", r => results.synchronized { results += r })
+        try {
+          cells.foreach { batch =>
+            stream.addData(batch)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      }
       val snap = results.synchronized(results.toList)
 
       val batchAcct = SnapshotWriter.write(
