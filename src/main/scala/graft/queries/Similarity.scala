@@ -852,6 +852,87 @@ object Similarity {
       |CAST(0.5 AS DOUBLE) AS recall_at_5,
       |CAST(0.5 AS DOUBLE) AS top1_rate""".stripMargin
 
+  // --------------------------------------- q245 nDCG@5 + MRR metrics
+  /** Graded-relevance ranking metrics for the IVF index against
+    * brute-force ground truth — the retrieval-eval battery's missing
+    * pair beside recall@k / top-1 (q93) and RRF fusion (q224):
+    * per query, the system list (qKnnIvf, its own ranking) earns gain
+    * `6 − true_rank` for each hit in the brute top-5 (rank 1 → 5 …
+    * rank 5 → 1, miss → 0), discounted by `log2(position + 1)`;
+    * nDCG@5 normalizes by the ideal DCG derived from the truth list
+    * itself, and MRR is the reciprocal of the first relevant system
+    * position. One output row: query count + the two means.
+    *
+    * Determinism (the q172 round-on-decimal treatment applied to the
+    * log2 discount): every discounted-gain term, reciprocal rank, and
+    * per-query nDCG ratio quantizes to DECIMAL(25,6) micro-units
+    * (exact BIGINT) BEFORE any sum, so neither join order nor
+    * aggregation order can move a bit; the final means are single
+    * double divisions of exact integer sums.
+    *
+    * Scale: both inputs are top-5-per-query relations — |Q|·5 rows —
+    * so everything here is bounded by the query set, not the corpus;
+    * the corpus-scale work lives in the index queries it evaluates. */
+  def q245RankMetrics(s: SparkSession, dir: String): DataFrame = {
+    def us(e: String): String =
+      s"CAST(CAST($e AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+    val truth = qKnnBrute(s, dir).select(col("qid"), col("cid"),
+      col("rn").as("trn"), (lit(6L) - col("rn")).as("rel"))
+    val sys = qKnnIvf(s, dir).select(col("qid"), col("cid"), col("rn"))
+    val perSys = sys
+      .join(truth.select(col("qid"), col("cid"), col("rel")),
+        Seq("qid", "cid"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("dg_us", expr(us(
+        "CAST(rel AS DOUBLE) / log2(CAST(rn AS DOUBLE) + 1.0)")))
+      .groupBy("qid")
+      .agg(sum("dg_us").as("dcg_us"),
+        min(when(col("rel") > 0, col("rn"))).as("first_rel"))
+      .withColumn("rr_us", coalesce(
+        expr(us("1.0 / CAST(first_rel AS DOUBLE)")), lit(0L)))
+    val ideal = truth
+      .withColumn("ig_us", expr(us(
+        "CAST(rel AS DOUBLE) / log2(CAST(trn AS DOUBLE) + 1.0)")))
+      .groupBy("qid").agg(sum("ig_us").as("idcg_us"))
+    perSys.join(ideal, "qid")
+      .withColumn("ndcg_us", expr(us(
+        "CAST(dcg_us AS DOUBLE) / CAST(idcg_us AS DOUBLE)")))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("CAST(SUM(rr_us) AS DOUBLE) / 1000000.0 / " +
+          "CAST(COUNT(1) AS DOUBLE)").as("mrr"),
+        expr("CAST(SUM(ndcg_us) AS DOUBLE) / 1000000.0 / " +
+          "CAST(COUNT(1) AS DOUBLE)").as("ndcg_at_5"))
+  }
+
+  val q245Sql: String = {
+    def us(e: String): String =
+      s"CAST(CAST($e AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT qid, cid, rn AS trn, 6 - rn AS rel FROM ($qKnnBruteSql) b),
+       |sys AS MATERIALIZED (SELECT qid, cid, rn FROM ($qKnnIvfSql) v),
+       |j AS (SELECT s.qid, s.rn, COALESCE(t.rel, 0) AS rel
+       |  FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.cid = t.cid),
+       |d AS (SELECT qid,
+       |  SUM(${us("CAST(rel AS DOUBLE) / log2(CAST(rn AS DOUBLE) + 1.0)")})
+       |    AS dcg_us,
+       |  MIN(CASE WHEN rel > 0 THEN rn END) AS first_rel
+       |  FROM j GROUP BY 1),
+       |i AS (SELECT qid,
+       |  SUM(${us("CAST(rel AS DOUBLE) / log2(CAST(trn AS DOUBLE) + 1.0)")})
+       |    AS idcg_us
+       |  FROM truth GROUP BY 1),
+       |p2 AS (SELECT d.qid,
+       |  COALESCE(${us("1.0 / CAST(first_rel AS DOUBLE)")}, 0) AS rr_us,
+       |  ${us("CAST(dcg_us AS DOUBLE) / CAST(idcg_us AS DOUBLE)")} AS ndcg_us
+       |  FROM d JOIN i ON d.qid = i.qid)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(rr_us) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+       |    AS mrr,
+       |  CAST(SUM(ndcg_us) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+       |    AS ndcg_at_5
+       |FROM p2""".stripMargin
+  }
+
   // --------------------------------------------------- q168 k-means
   /** Quantized-Lloyd k-means over the embedding corpus: [[KmeansK]]
     * seed centroids (the K smallest vec_ids), [[KmeansIters]]
@@ -2291,6 +2372,7 @@ object Similarity {
     "q206_pc1_power" -> (q206Pc1Power _),
     "q168_kmeans" -> (qKmeans _),
     "q93_ann_eval" -> (qAnnEval _),
+    "q245_rank_metrics" -> (q245RankMetrics _),
     "q82_label_centroids" -> (qLabelCentroids _),
     "q29_embed_norm" -> (qEmbedNorm _),
     "q30_knn_brute" -> (qKnnBrute _),
@@ -2324,6 +2406,7 @@ object Similarity {
     "q206_pc1_power" -> q206Sql,
     "q168_kmeans" -> qKmeansSql,
     "q93_ann_eval" -> qAnnEvalSql,
+    "q245_rank_metrics" -> q245Sql,
     "q82_label_centroids" -> qLabelCentroidsSql,
     "q29_embed_norm" -> qEmbedNormSql,
     "q30_knn_brute" -> qKnnBruteSql,

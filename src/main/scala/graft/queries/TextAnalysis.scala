@@ -898,6 +898,138 @@ object TextAnalysis {
        |   ORDER BY cnt DESC, pair) AS rn FROM c)
        |WHERE rn <= $BpeTopK ORDER BY lang, rn""".stripMargin
 
+  // ------------------------------------------- q244 BPE trainer loop
+  /** The FULL byte-pair-encoding trainer q189 computes one round of:
+    * iterate (count pairs → argmax merge → apply → recount) for
+    * [[BpeTrainRounds]] rounds, emitting each round's winning merge,
+    * its count at selection time, and the corpus token total +
+    * compression ratio after applying it — the canonical
+    * tokenizer-training loop (Sennrich et al. 2016's learn_bpe) as a
+    * Spark plan.
+    *
+    * Plan shape (the q168 bounded-driver-state pattern): the
+    * word-frequency table is derived ONCE from the corpus (one
+    * map-side-combined shuffle to |distinct words| rows) and cached;
+    * each round is then (a) one pair-count aggregate over that
+    * vocab-bounded relation — alphabet²-bounded keys, map-side
+    * combined, never document text — (b) a ONE-ROW argmax collected
+    * driver-side, (c) the merge applied as a literal scan-local
+    * string rewrite. The plan never deepens with data size and the
+    * driver state per round is one (pair, count) row — at 100 TB the
+    * identical loop runs with the vocab relation persisted.
+    *
+    * Merge application convention (pinned in BOTH engines): the
+    * symbolized word pads to ' sym ', and ' x y ' → ' xy ' via
+    * leftmost-non-overlapping `replace` run TWICE — adjacent
+    * occurrences share their boundary space, so one pass merges
+    * alternate occurrences and the second sweeps the remainder (for
+    * interior odd chains ≥ 5 of a self-pair the grouping differs from
+    * strictly-sequential BPE deterministically — both engines compute
+    * the identical convention). Exact integer counts throughout; ties
+    * break on (count DESC, pair ASC) in binary collation; the
+    * compression ratio is a single double division of exact longs. */
+  val BpeTrainRounds = 6
+
+  // Managed cache for the word-frequency vocab (the kmeansExploded
+  // pattern): every trainer round re-reads it; one slot per JVM.
+  @transient private var cachedBpeVocab: Option[(String, DataFrame)] = None
+
+  private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      cachedBpeVocab match {
+        case Some((d, df)) if d == dir => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val df = docs(s, dir)
+            .select(explode(split(col("text"), " ")).as("word"))
+            .filter(length(col("word")) >= 1)
+            .groupBy("word").agg(count(lit(1)).as("cnt"))
+            .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+              col("cnt"))
+            .cache()
+          df.count()
+          cachedBpeVocab = Some((dir, df))
+          df
+      }
+    }
+
+  def q244BpeTrainer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tokensOf(v: DataFrame): Long =
+      v.agg(sum(col("cnt") * size(split(col("sym"), " "))).cast("long"))
+        .head().getLong(0)
+    var vocab = bpeVocab(s, dir)
+    val tokens0 = tokensOf(vocab)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Double)]
+    for (r <- 1 to BpeTrainRounds) {
+      val top = vocab
+        .withColumn("a", split(col("sym"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(a) - 1), i ->
+            |  concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
+            .stripMargin)).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair"))
+        .limit(1).head()
+      val pair = top.getString(0)
+      val pc = top.getLong(1)
+      val merged = pair.replace(" ", "")
+      // literal-safe via lit(): the pair travels as a Column value,
+      // never through SQL-string interpolation
+      def pass(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        replace(c, lit(s" $pair "), lit(s" $merged "))
+      vocab = vocab.withColumn("sym",
+        trim(pass(pass(concat(lit(" "), col("sym"), lit(" "))))))
+      val toks = tokensOf(vocab)
+      out += ((r.toLong, pair, pc, toks, toks.toDouble / tokens0.toDouble))
+    }
+    out.toSeq
+      .toDF("rank", "pair", "pair_count", "tokens_after", "compression")
+      .orderBy("rank")
+  }
+
+  val q244Sql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 1 GROUP BY 1),
+        |t0 AS MATERIALIZED (SELECT CAST(SUM(cnt * (1 + length(sym) -
+        |    length(replace(sym, ' ', '')))) AS BIGINT) AS toks FROM w0)"""
+        .stripMargin)
+    for (r <- 1 to BpeTrainRounds) {
+      sb.append(s""",
+        |c$r AS MATERIALIZED (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |  SELECT unnest(list_transform(range(1, len(a)), i ->
+        |    a[i] || ' ' || a[i + 1])) AS pair, cnt
+        |  FROM (SELECT string_split(sym, ' ') AS a, cnt FROM w${r - 1}))
+        |  GROUP BY 1),
+        |m$r AS MATERIALIZED (SELECT pair, pc FROM c$r ORDER BY pc DESC, pair LIMIT 1),
+        |w$r AS MATERIALIZED (SELECT trim(replace(replace(' ' || sym || ' ',
+        |    ' ' || (SELECT pair FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' '),
+        |    ' ' || (SELECT pair FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' ')) AS sym,
+        |  cnt FROM w${r - 1}),
+        |t$r AS MATERIALIZED (SELECT CAST(SUM(cnt * (1 + length(sym) -
+        |    length(replace(sym, ' ', '')))) AS BIGINT) AS toks FROM w$r)"""
+        .stripMargin)
+    }
+    val rows = (1 to BpeTrainRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, (SELECT pair FROM m$r) AS pair,
+         |  (SELECT pc FROM m$r) AS pair_count,
+         |  (SELECT toks FROM t$r) AS tokens_after,
+         |  CAST((SELECT toks FROM t$r) AS DOUBLE) /
+         |    CAST((SELECT toks FROM t0) AS DOUBLE) AS compression"""
+        .stripMargin)
+    sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
+    sb.toString
+  }
+
   // ------------------------------------------ q202 tokenizer fertility
   /** Per-language tokenizer fertility: BPE-ish tokens per whitespace
     * word and characters per BPE token, aggregated by language — the
@@ -1310,6 +1442,7 @@ object TextAnalysis {
     "q204_zipf_slope" -> (q204ZipfSlope _),
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
+    "q244_bpe_trainer" -> (q244BpeTrainer _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
     "q173_boilerplate" -> (qBoilerplate _),
@@ -1335,6 +1468,7 @@ object TextAnalysis {
     "q204_zipf_slope" -> q204Sql,
     "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
+    "q244_bpe_trainer" -> q244Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,
     "q173_boilerplate" -> qBoilerplateSql,

@@ -113,6 +113,84 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.toSeq.sortBy(t => (t._1, t._2)) === expected)
   }
 
+  // ------------------------------------------------------------ q244
+  test("q244 BPE trainer merge sequence matches a brute in-memory recompute") {
+    val got = TextAnalysis.q244BpeTrainer(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // brute recompute with the SAME pinned convention: word-frequency
+    // vocab, (count DESC, pair ASC) argmax, two-pass padded replace
+    var vocab: Map[String, Long] = graft.core.Tables
+      .load(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toCharArray.mkString(" ") -> ws.length.toLong
+      }
+    def tokens(v: Map[String, Long]): Long =
+      v.map { case (sym, c) => c * sym.split(" ", -1).length }.sum
+    val tokens0 = tokens(vocab)
+    val expected = (1 to TextAnalysis.BpeTrainRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (sym, c) =>
+        val a = sym.split(" ", -1)
+        (0 until a.length - 1).foreach(i =>
+          counts(a(i) + " " + a(i + 1)) += c)
+      }
+      val (pair, pc) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      vocab = vocab.toSeq.map { case (sym, c) =>
+        (" " + sym + " ")
+          .replace(" " + pair + " ", " " + merged + " ")
+          .replace(" " + pair + " ", " " + merged + " ")
+          .trim -> c
+      }.groupBy(_._1).map { case (sym, xs) => sym -> xs.map(_._2).sum }
+      val toks = tokens(vocab)
+      (r.toLong, pair, pc, toks, toks.toDouble / tokens0.toDouble)
+    }
+    assert(got.toSeq === expected)
+    // each merge strictly shrinks the corpus; ratios are decreasing
+    assert(got.map(_._4).toSeq === got.map(_._4).sorted.reverse.toSeq)
+    assert(got.last._5 < 1.0)
+  }
+
+  // ------------------------------------------------------------ q245
+  test("q245 nDCG@5 / MRR match a brute in-memory recompute") {
+    val got = Similarity.q245RankMetrics(spark, dir).head()
+    val truth = Similarity.qKnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sys = Similarity.qKnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def q6(x: Double): Long =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    val rel = truth.map { case (q, c, rn) => (q, c) -> (6L - rn) }.toMap
+    val qids = sys.map(_._1).distinct.sorted
+    val perQ = qids.map { q =>
+      val list = sys.filter(_._1 == q).sortBy(_._3)
+      val dcgUs = list.map { case (_, c, rn) =>
+        q6(rel.getOrElse((q, c), 0L).toDouble /
+          (math.log(rn + 1.0) / math.log(2.0)))
+      }.sum
+      val idcgUs = truth.filter(_._1 == q).map { case (_, _, rn) =>
+        q6((6L - rn).toDouble / (math.log(rn + 1.0) / math.log(2.0)))
+      }.sum
+      val firstRel = list.collectFirst {
+        case (_, c, rn) if rel.contains((q, c)) => rn }
+      val rrUs = firstRel.map(r => q6(1.0 / r)).getOrElse(0L)
+      (q6(dcgUs.toDouble / idcgUs.toDouble), rrUs)
+    }
+    val n = qids.length
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getDouble(1) === perQ.map(_._2).sum.toDouble / 1e6 / n, "mrr")
+    assert(got.getDouble(2) === perQ.map(_._1).sum.toDouble / 1e6 / n, "ndcg")
+    // sanity: metrics live in (0, 1]; the IVF index recalls some but
+    // not all of the true top-5 on this fixture (q93's pinned floor)
+    assert(got.getDouble(2) > 0.0 && got.getDouble(2) < 1.0)
+    assert(got.getDouble(1) > 0.0 && got.getDouble(1) <= 1.0)
+  }
+
   // ------------------------------------------------------------ q190
   test("q190 hard negatives exclude the query label and rank correctly") {
     val neg = Similarity.q190HardNegatives(spark, dir).collect()
