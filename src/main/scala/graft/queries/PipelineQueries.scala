@@ -366,6 +366,81 @@ object PipelineQueries {
 
   val q243Sql: String = q47Sql
 
+  // --------------------------- q247 major compaction of the snapshot
+  /** q47's multi-version export contract over a MAJOR-COMPACTED
+    * snapshot: the q210 fixture's 8 generation files (4 regions × 2
+    * gens, v2 + GZ) compact region-parallel — one Spark task per
+    * region, all versions kept, exact-(row, ts) ties to the newest
+    * generation — into ONE file per region, TRANSCODED to the
+    * modern-cluster shape (v3 protobuf trailer, FAST_DIFF blocks,
+    * mvcc trailers, multi-level index), via
+    * [[graft.sources.HFileCompaction]]. The scan over the compacted
+    * snapshot must reproduce every golden constant of q47 verbatim —
+    * compaction is invisible to readers by construction (the
+    * decoder-level heap-merge it removes is exactly the merge it
+    * performed at write time). */
+  def q247HfileCompaction(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sources.HFileFixture.snapshotDir(
+      N, versions = 5, regions = 4, gens = 2)
+    val compacted = graft.sources.HFileCompaction.compact(s, snap,
+      graft.sources.HFileShape(
+        codec = graft.sources.HFileV2Format.CodecGz,
+        encoding = graft.sources.HFileV2Format.EncodingFastDiff,
+        majorVersion = 3, includesMvcc = true,
+        maxIndexEntriesPerBlock = 16))
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "hfile").option("path", compacted)
+      .option("scanWidth", 64)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    multiversionContract(raw, s)
+  }
+
+  val q247Sql: String = q47Sql
+
+  // -------------------- q248 DSv2 micro-batch streaming source
+  /** The envelope scan as a REAL DSv2 streaming source — incremental
+    * exports tiled as micro-batches: `readStream` over
+    * [[graft.sources.EnvelopeSource]] with ts-watermark offsets
+    * (`tsSteps=1000,1001,1002`), so batch 1 is the full ts≤1000
+    * export and batches 2–3 are the (1000,1001] / (1001,1002]
+    * incrementals — exactly q208's tiling contract, executed by
+    * Spark's streaming engine against the same store seam and slice
+    * partitions as the batch scan (no MemoryStream, no driver feed).
+    * Golden constants over the 5-version fixture: every key has v0
+    * (ts 1000) → 10000 rows in batch 1; keys with ≥2 versions emit v1
+    * in batch 2 (8000 = keys with i%5 ≥ 1); ≥3 versions emit v2 in
+    * batch 3 (6000) — the per-window LATEST-version rule applied
+    * inside the store per micro-batch, and the union tiles with no
+    * gap or overlap (n_keys stays 10000). */
+  def q248StreamingSource(s: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_q248_envstream"
+    s.catalog.dropTempView(qname)
+    val streamed = s.readStream.format("graft.sources.EnvelopeSource")
+      .option("n", N).option("scanWidth", 64).option("versions", 5)
+      .option("tsSteps", "1000,1001,1002")
+      .load()
+      .select(col("hbase_id"), col("ts"))
+    StreamingQueries.withShufflePartitions(s, 2) {
+      val query = streamed.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("ts") === 1000L, 1)).as("n_ts1000"),
+      count(when(col("ts") === 1001L, 1)).as("n_ts1001"),
+      count(when(col("ts") === 1002L, 1)).as("n_ts1002"),
+      countDistinct(col("hbase_id")).as("n_keys"))
+  }
+
+  val q248Sql: String =
+    """SELECT CAST(24000 AS BIGINT) AS n_rows,
+      |CAST(10000 AS BIGINT) AS n_ts1000,
+      |CAST(8000 AS BIGINT) AS n_ts1001,
+      |CAST(6000 AS BIGINT) AS n_ts1002,
+      |CAST(10000 AS BIGINT) AS n_keys""".stripMargin
+
   // --------------------------------- q208 incremental tiling invariant
   /** The reference's operational contract (README.md:83-84): consecutive
     * incremental exports tile — two incrementals over [t0,t1) ∪ [t1,t2)
@@ -828,7 +903,9 @@ object PipelineQueries {
     "q208_incremental_tiling" -> (q208IncrementalTiling _),
     "q209_sortedrun_writer" -> (q209SortedRunWriter _),
     "q210_hfile_store" -> (q210HfileStore _),
-    "q243_hfile_v3_store" -> (q243HfileV3Store _))
+    "q243_hfile_v3_store" -> (q243HfileV3Store _),
+    "q247_hfile_compaction" -> (q247HfileCompaction _),
+    "q248_streaming_source" -> (q248StreamingSource _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -845,5 +922,7 @@ object PipelineQueries {
     "q208_incremental_tiling" -> q208Sql,
     "q209_sortedrun_writer" -> q209Sql,
     "q210_hfile_store" -> q210Sql,
-    "q243_hfile_v3_store" -> q243Sql)
+    "q243_hfile_v3_store" -> q243Sql,
+    "q247_hfile_compaction" -> q247Sql,
+    "q248_streaming_source" -> q248Sql)
 }

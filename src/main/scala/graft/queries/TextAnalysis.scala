@@ -1079,6 +1079,88 @@ object TextAnalysis {
        |FROM g ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------- q246 sequence-packing audit
+  /** Concat-and-chunk SEQUENCE PACKING audit — the operator that sizes
+    * an LLM pretraining run: per source (= one training shard),
+    * documents concatenate in stable doc_id order and split into
+    * fixed [[PackWindow]]-token context windows; the audit reports how
+    * many windows the shard fills, how many documents straddle a
+    * window boundary (the attention-contamination surface
+    * cross-document masking must cover), the boundary-crossing rate,
+    * mean documents touched per window, and the fill ratio of the
+    * final partial window (padding waste).
+    *
+    * Plan shape: token counts are scan-local; the ONLY shuffle is the
+    * per-source running-sum window (one partition key per shard, the
+    * same key the shard write itself needs), and the report is a
+    * map-side-combined per-source aggregate. All counts are exact
+    * integers — offsets via an UNBOUNDED-PRECEDING running sum,
+    * window ids by integer division — and each ratio is one double
+    * division at output.
+    *
+    * At 100 TB per-source running sums want range-partitioned prefix
+    * sums (two-pass: per-partition subtotals broadcast back); the
+    * one-key-per-shard window here is the semantics pin. */
+  val PackWindow = 512L
+
+  def q246PackingAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("first_w", expr(s"off div $PackWindow"))
+      .withColumn("last_w", expr(s"(off + n - 1) div $PackWindow"))
+      .withColumn("spans", col("last_w") - col("first_w") + 1L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum(when(col("spans") > 1L, 1L).otherwise(0L)).as("n_split_docs"),
+        sum("spans").as("window_touches"))
+      .withColumn("n_windows",
+        expr(s"(total_tokens + ${PackWindow - 1}) div $PackWindow"))
+      .withColumn("split_frac",
+        col("n_split_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("docs_per_window",
+        col("window_touches").cast("double") / col("n_windows").cast("double"))
+      .withColumn("tail_fill", expr(
+        s"""CAST(CASE WHEN total_tokens % $PackWindow = 0 THEN $PackWindow
+           |ELSE total_tokens % $PackWindow END AS DOUBLE) / $PackWindow.0"""
+          .stripMargin))
+      .select("source", "n_docs", "total_tokens", "n_windows",
+        "n_split_docs", "split_frac", "docs_per_window", "tail_fill")
+      .orderBy("source")
+  }
+
+  val q246Sql: String =
+    s"""WITH d AS (SELECT source, doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |o AS (SELECT source, n,
+       |  COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM d),
+       |sp AS (SELECT source, n,
+       |  ((off + n - 1) // $PackWindow) - (off // $PackWindow) + 1 AS spans
+       |  FROM o),
+       |agg AS (SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_split_docs,
+       |  CAST(SUM(spans) AS BIGINT) AS window_touches
+       |  FROM sp GROUP BY 1)
+       |SELECT source, n_docs, total_tokens,
+       |  (total_tokens + ${PackWindow - 1}) // $PackWindow AS n_windows,
+       |  n_split_docs,
+       |  CAST(n_split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS split_frac,
+       |  CAST(window_touches AS DOUBLE) /
+       |    CAST((total_tokens + ${PackWindow - 1}) // $PackWindow AS DOUBLE)
+       |    AS docs_per_window,
+       |  CAST(CASE WHEN total_tokens % $PackWindow = 0 THEN $PackWindow
+       |    ELSE total_tokens % $PackWindow END AS DOUBLE) / $PackWindow.0
+       |    AS tail_fill
+       |FROM agg ORDER BY source""".stripMargin
+
   // ----------------------------------------------- q204 Zipf slope
   /** Zipf's-law fit over the top-[[ZipfK]] token frequencies: ordinary
     * least squares on (ln rank, ln freq) — the corpus-health scalar
@@ -1443,6 +1525,7 @@ object TextAnalysis {
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
     "q244_bpe_trainer" -> (q244BpeTrainer _),
+    "q246_packing_audit" -> (q246PackingAudit _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
     "q173_boilerplate" -> (qBoilerplate _),
@@ -1469,6 +1552,7 @@ object TextAnalysis {
     "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
     "q244_bpe_trainer" -> q244Sql,
+    "q246_packing_audit" -> q246Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,
     "q173_boilerplate" -> qBoilerplateSql,

@@ -107,15 +107,17 @@ private[sources] class EnvelopeTable(n: Long, scanWidth: Int,
   override def name(): String = s"graft_envelope(n=$n,store=$storeKind)"
   override def schema(): StructType = EnvelopeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(n, scanWidth, corrupt, tsSpread, versions,
-      storeKind, path, failAfter)
+      storeKind, path, failAfter,
+      Option(options.get("tsSteps")).getOrElse(""))
 }
 
 private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
     corrupt: Boolean, tsSpread: Long, versions: Int,
-    storeKind: String, path: String, failAfter: Int)
+    storeKind: String, path: String, failAfter: Int,
+    tsSteps: String = "")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -151,13 +153,14 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
 
   override def build(): Scan =
     new EnvelopeScan(n, scanWidth, corrupt, tsSpread, versions, storeKind,
-      path, failAfter, tsLo, tsHi, requiredSchema, pushed)
+      path, failAfter, tsLo, tsHi, requiredSchema, pushed, tsSteps)
 }
 
 private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
     corrupt: Boolean, tsSpread: Long, versions: Int, storeKind: String,
     path: String, failAfter: Int, tsLo: Long, tsHi: Long,
-    requiredSchema: StructType, pushed: Array[Filter])
+    requiredSchema: StructType, pushed: Array[Filter],
+    tsSteps: String = "")
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -174,19 +177,21 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
     * for the [[HFileSnapshotStore]] reading the HBase HFile v2 format
     * itself; a production snapshot deployment is that same one-line
     * swap. */
+  private[sources] def mkStore(): EnvelopeStore = storeKind match {
+    case "sortedrun" =>
+      require(path.nonEmpty, "store=sortedrun requires a path option")
+      SortedRunStore(path)
+    case "hfile" =>
+      require(path.nonEmpty, "store=hfile requires a path option")
+      HFileSnapshotStore(path)
+    case "flaky" => // fault-injection seam for the task-retry spec
+      FlakyEnvelopeStore(
+        FixtureEnvelopeStore(n, corrupt, tsSpread, versions), failAfter)
+    case _ => FixtureEnvelopeStore(n, corrupt, tsSpread, versions)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val store: EnvelopeStore = storeKind match {
-      case "sortedrun" =>
-        require(path.nonEmpty, "store=sortedrun requires a path option")
-        SortedRunStore(path)
-      case "hfile" =>
-        require(path.nonEmpty, "store=hfile requires a path option")
-        HFileSnapshotStore(path)
-      case "flaky" => // fault-injection seam for the task-retry spec
-        FlakyEnvelopeStore(
-          FixtureEnvelopeStore(n, corrupt, tsSpread, versions), failAfter)
-      case _ => FixtureEnvelopeStore(n, corrupt, tsSpread, versions)
-    }
+    val store = mkStore()
     (0 until 256 / scanWidth).map(i =>
       EnvelopePartition(KeySlice(i, scanWidth), store, TsRange(tsLo, tsHi),
         requiredSchema.fieldNames): InputPartition).toArray
@@ -194,6 +199,79 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EnvelopeReaderFactory
+
+  /** The STREAMING form of the same scan — SURVEY's
+    * incremental-export-as-stream, expressed as a real DSv2
+    * `MicroBatchStream` instead of a driver-fed MemoryStream: offsets
+    * are timestamp watermarks, and each micro-batch plans the SAME
+    * key-range slice partitions with the ts range narrowed to
+    * (prevOffset, thisOffset] — i.e. every micro-batch IS one of the
+    * reference's incremental exports (README.md:83-84), tiled exactly
+    * (q208's batch-side contract). The store seam, slice planning,
+    * and "server-side" ts pruning are shared verbatim with the batch
+    * path; a production deployment points the same stream at a live
+    * change feed by swapping the store.
+    *
+    * Offset advancement is declared by the `tsSteps` option (a comma
+    * list of ascending ts bounds): `latestOffset` steps through it
+    * once per trigger — the determinism seam of a FINITE replay; a
+    * live source returns its current high-watermark instead. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(tsSteps.nonEmpty,
+      "streaming envelope scan requires a tsSteps option " +
+        "(comma-separated ascending ts bounds, one per micro-batch)")
+    val steps = tsSteps.split(",").map(_.trim.toLong).toSeq
+    require(steps == steps.sorted, s"tsSteps must ascend: $tsSteps")
+    new EnvelopeMicroBatchStream(this, steps, tsLo, tsHi,
+      requiredSchema.fieldNames, scanWidth)
+  }
+}
+
+/** Timestamp high-watermark offset: everything with ts <= `ts` has
+  * been emitted. */
+private[sources] case class TsOffset(ts: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"ts":$ts}"""
+}
+
+private[sources] class EnvelopeMicroBatchStream(scan: EnvelopeScan,
+    steps: Seq[Long], tsLo: Long, tsHi: Long, columns: Array[String],
+    scanWidth: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // one step per trigger; stays at the final bound once exhausted
+  private val stepIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def initialOffset(): Offset =
+    TsOffset(math.max(Long.MinValue + 1, tsLo) - 1)
+
+  override def latestOffset(): Offset = {
+    val i = stepIdx.getAndIncrement()
+    TsOffset(steps(math.min(i, steps.size - 1)))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    TsOffset(node.get("ts").asLong())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = math.max(tsLo, start.asInstanceOf[TsOffset].ts + 1)
+    val hi = math.min(tsHi, end.asInstanceOf[TsOffset].ts)
+    val store = scan.mkStore()
+    (0 until 256 / scanWidth).map(i =>
+      EnvelopePartition(KeySlice(i, scanWidth), store, TsRange(lo, hi),
+        columns): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EnvelopeReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class EnvelopePartition(slice: KeySlice,

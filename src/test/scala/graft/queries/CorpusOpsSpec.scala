@@ -155,6 +155,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.last._5 < 1.0)
   }
 
+  // ------------------------------------------------------------ q246
+  test("q246 packing audit matches a brute in-memory concat-and-chunk") {
+    val W = TextAnalysis.PackWindow
+    val got = TextAnalysis.q246PackingAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val docsRows = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val expected = docsRows.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val ordered = ds.sortBy(_._2).map(_._3)
+      val offsets = ordered.scanLeft(0L)(_ + _)
+      val spans = ordered.zip(offsets).map { case (n, off) =>
+        (off + n - 1) / W - off / W + 1 }
+      val total = ordered.sum
+      val nWin = (total + W - 1) / W
+      val tail = if (total % W == 0) W else total % W
+      (src, ordered.length.toLong, total, nWin,
+        spans.count(_ > 1).toLong,
+        spans.count(_ > 1).toDouble / ordered.length,
+        spans.sum.toDouble / nWin, tail.toDouble / W)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // every window is touched by at least one doc; splits only exist
+    // where docs are longer than the residual window space
+    got.foreach { g => assert(g._7 >= 1.0, s"${g._1} docs_per_window") }
+  }
+
   // ------------------------------------------------------------ q245
   test("q245 nDCG@5 / MRR match a brute in-memory recompute") {
     val got = Similarity.q245RankMetrics(spark, dir).head()

@@ -149,4 +149,52 @@ class EnvelopeSourceSpec extends SparkSuite {
     assert(read("n" -> n.toString, "scanWidth" -> width.toString).count() == n)
     assert(SliceIndex.passes.get() == before + 1)
   }
+
+  // ---------------------------------------- micro-batch stream source
+
+  test("micro-batch stream: ts-watermark offsets tile the incremental exports") {
+    val qname = "graft_spec_envstream"
+    spark.catalog.dropTempView(qname)
+    val streamed = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("n", 600).option("scanWidth", 64).option("versions", 4)
+      .option("tsSteps", "1000,1001,1003")
+      .load()
+    val query = streamed.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val rows = spark.table(qname)
+      .select(col("hbase_id"), col("ts")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)))
+    // batch 1 (ts<=1000): every key's v0; batch 2 ((1000,1001]): keys
+    // with >=2 versions; batch 3 ((1001,1003]): the LATEST in-window
+    // version only — v3 where it exists (i%4==3), else v2 (i%4==2)
+    val byTs = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byTs(1000L) == 600)
+    assert(byTs(1001L) == 450) // i%4 >= 1
+    assert(byTs(1002L) == 150) // i%4 == 2 (v2 is their latest in-window)
+    assert(byTs(1003L) == 150) // i%4 == 3 (v3 supersedes their v2)
+    // no key/ts pair is ever emitted twice (tiling, not overlap)
+    assert(rows.distinct.length == rows.length)
+    assert(rows.map(_._1).distinct.size == 600)
+  }
+
+  test("micro-batch stream: offsets serialize/deserialize as json") {
+    val scan = new EnvelopeScanBuilder(10L, 64, false, 1L, 1, "fixture",
+      "", 100, tsSteps = "5,9").build()
+      .asInstanceOf[EnvelopeScan]
+    val stream = scan.toMicroBatchStream("/tmp/unused")
+    val o1 = stream.latestOffset()
+    assert(o1.json() == """{"ts":5}""")
+    assert(stream.deserializeOffset(o1.json()) == o1)
+    val o2 = stream.latestOffset()
+    assert(o2.json() == """{"ts":9}""")
+    // exhausted steps hold at the final bound (no phantom batches)
+    assert(stream.latestOffset().json() == """{"ts":9}""")
+    // a batch plans one partition per key slice with the narrowed range
+    val parts = stream.planInputPartitions(
+      stream.deserializeOffset("""{"ts":5}"""), o2)
+    assert(parts.length == 4)
+    val p = parts.head.asInstanceOf[EnvelopePartition]
+    assert(p.ts == TsRange(6L, 9L))
+  }
 }

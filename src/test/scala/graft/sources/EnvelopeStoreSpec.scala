@@ -459,6 +459,59 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unsupported data block encoding"))
   }
 
+  // --------------------------------------------- major compaction
+
+  test("compaction: one file per region, scans byte-identical, transcodes shape") {
+    val dir = Files.createTempDirectory("graft-hfile-precompact")
+    HFileFixture.writeSnapshot(dir, 300L, 4, regions = 4, gens = 2,
+      blockEntries = 16)
+    val before = HFileSnapshotStore(dir.toString)
+    val out = Files.createTempDirectory("graft-hfile-postcompact")
+    HFileCompaction.regionFiles(dir.toString).foreach { case (r, fs) =>
+      assert(fs.size >= 1)
+      HFileCompaction.compactRegion(fs, s"$out/$r-g0.hfile", modernShape)
+    }
+    val files = Files.list(out).iterator()
+    var n = 0
+    while (files.hasNext) { files.next(); n += 1 }
+    assert(n === 4, "one compacted file per region")
+    val after = HFileSnapshotStore(out.toString)
+    def dump(s: EnvelopeStore, range: TsRange) =
+      (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+    for (range <- Seq(TsRange.All, TsRange(0L, t0 + 1L), TsRange(t0 + 1L, t0 + 3L)))
+      assert(dump(after, range) === dump(before, range), s"range $range")
+    // the compacted files really are the modern shape
+    val meta = HFileV2Format.readMeta(s"$out/region-r000-g0.hfile")
+    assert(meta.trailer.majorVersion === 3)
+    assert(meta.includesMvcc)
+  }
+
+  test("compaction drops the older generation's cell on an exact (row, ts) tie") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("graft-hfile-compact-tie")
+    val row = Array[Byte](10, 1, 2, 3)
+    HFileV2Writer.writeHFile(dir.resolve("region-r000-g0.hfile"),
+      Iterator((row, 5L, "old".getBytes(UTF_8))), HFileV2Format.CodecNone)
+    HFileV2Writer.writeHFile(dir.resolve("region-r000-g1.hfile"),
+      Iterator((row, 5L, "new".getBytes(UTF_8)),
+        (row, 3L, "older-version".getBytes(UTF_8))),
+      HFileV2Format.CodecNone)
+    val out = Files.createTempDirectory("graft-hfile-compact-tie-out")
+    HFileCompaction.compactRegion(
+      Seq(dir.resolve("region-r000-g0.hfile").toString,
+        dir.resolve("region-r000-g1.hfile").toString),
+      s"$out/region-r000-g0.hfile", HFileShape())
+    val meta = HFileV2Format.readMeta(s"$out/region-r000-g0.hfile")
+    assert(meta.trailer.entryCount === 2, "tie deduped, versions kept")
+    val cells = HFileSnapshotStore(out.toString)
+      .scan(KeySlice(0, 128), TsRange.All).toSeq
+    assert(cells.map(_.value) === Seq("new"), "newest generation won the tie")
+    val all = HFileSnapshotStore(out.toString)
+      .scan(KeySlice(0, 128), TsRange(0L, 4L)).toSeq
+    assert(all.map(_.value) === Seq("older-version"), "older version retained")
+  }
+
   test("hfile generation tie-break: equal (row, ts) resolves to the newer file") {
     import java.nio.charset.StandardCharsets.UTF_8
     val dir = Files.createTempDirectory("graft-hfile-tie")
