@@ -1051,6 +1051,102 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // ------------------------------------ q249 MAD robust outlier gate
+  /** Median-absolute-deviation outlier gate — the ROBUST counterpart
+    * of q71's z-score (a mean/σ gate moves when the outliers it hunts
+    * contaminate the stats; median/MAD has a 50% breakdown point):
+    * per event type, the modified z-score |0.6745·(x − median)/MAD|
+    * flags values beyond 3.5 (Iglewicz–Hoaglin). Both medians are the
+    * EXACT lower medians via q223's two-phase histogram-refinement
+    * selection — the plan that never globally sorts — applied twice
+    * (values, then absolute deviations).
+    *
+    * Exactness: the outlier predicate is evaluated ENTIRELY in
+    * integers — |z| > 3.5 over micro-unit values is
+    * `6745·|x_us − med_us| > 35000·mad_us` (both sides < 2^63 for any
+    * |value| < ~10^8) — so the decision boundary cannot diverge
+    * between engines even by one ulp; degenerate MAD = 0 (over half
+    * the values identical) deterministically flags nothing. */
+  val MadZCut = 3.5
+
+  /** Exact lower median (micro-units) per event_type via the q223
+    * two-phase plan: histogram locate + single-bin sort. */
+  private def exactMedianUs(e: DataFrame, out: String): DataFrame = {
+    val span = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      min("qv").as("mn"), max("qv").as("mx"))
+      .withColumn("k", expr("(n + 1) div 2"))
+    val binned = e.join(broadcast(span), "event_type")
+      .withColumn("bin", expr(
+        s"((qv - mn) * $MedianBins) div (mx - mn + 1)"))
+    val hist = binned.groupBy("event_type", "k", "bin")
+      .agg(count(lit(1)).as("bc"))
+    val wcum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("cum_before", coalesce(sum("bc").over(wcum), lit(0L)))
+      .filter(col("cum_before") < col("k") &&
+        col("k") <= col("cum_before") + col("bc"))
+      .select(col("event_type"), col("bin"),
+        (col("k") - col("cum_before")).as("kk"))
+    val win = Window.partitionBy("event_type").orderBy("qv")
+    binned.select("event_type", "bin", "qv")
+      .join(broadcast(target), Seq("event_type", "bin"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === col("kk"))
+      .select(col("event_type"), col("qv").as(out))
+  }
+
+  def q249MadGate(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+        .as("qv"))
+    val med = exactMedianUs(e, "med_us")
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("qv") - col("med_us")).as("qv"))
+    val mad = exactMedianUs(dev, "mad_us")
+    e.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med_us"), col("mad_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("mad_us") > 0L &&
+          abs(col("qv") - col("med_us")) * 6745L > lit(35000L) * col("mad_us"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("med_us").cast("double") / 1e6).as("median"),
+        (col("mad_us").cast("double") / 1e6).as("mad"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double"))
+          .as("outlier_frac"))
+      .orderBy("event_type")
+  }
+
+  val q249Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS qv
+      |  FROM events),
+      |med AS (SELECT event_type, qv AS med_us FROM
+      |  (SELECT event_type, qv, ROW_NUMBER() OVER (PARTITION BY event_type
+      |     ORDER BY qv) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n
+      |   FROM e) WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT e.event_type, abs(e.qv - m.med_us) AS dv
+      |  FROM e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, dv AS mad_us FROM
+      |  (SELECT event_type, dv, ROW_NUMBER() OVER (PARTITION BY event_type
+      |     ORDER BY dv) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n
+      |   FROM dev) WHERE rn = (n + 1) // 2)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(m.med_us AS DOUBLE) / 1000000.0 AS median,
+      |  CAST(d.mad_us AS DOUBLE) / 1000000.0 AS mad,
+      |  CAST(SUM(CASE WHEN d.mad_us > 0 AND
+      |    abs(e.qv - m.med_us) * 6745 > 35000 * d.mad_us
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN d.mad_us > 0 AND
+      |    abs(e.qv - m.med_us) * 6745 > 35000 * d.mad_us
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS outlier_frac
+      |FROM e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
+
   // --------------------------------------- q227 Gini / Lorenz activity
   /** Gini coefficient + Lorenz curve of per-user event activity — the
     * concentration audit behind "is this corpus a long tail or a few
@@ -1288,6 +1384,7 @@ object EventAnalytics {
     "q240_skew_preflight" -> (q240SkewPreflight _),
     "q227_gini_activity" -> (q227GiniActivity _),
     "q223_exact_median" -> (q223ExactMedian _),
+    "q249_mad_gate" -> (q249MadGate _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -1319,6 +1416,7 @@ object EventAnalytics {
     "q227_gini_activity" -> q227Sql,
     "q221_cusum_changepoint" -> q221Sql,
     "q223_exact_median" -> q223Sql,
+    "q249_mad_gate" -> q249Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

@@ -1136,6 +1136,37 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------------ q249
+  test("q249 MAD gate matches an integer-exact in-memory recompute") {
+    val got = EventAnalytics.q249MadGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) as qv")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(((s.length + 1) / 2 - 1))
+    }
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (tpe, xs) =>
+        val vs = xs.map(_._2)
+        val med = lowerMedian(vs)
+        val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+        // the integer decision boundary: |z|>3.5 <=> 6745|x-med| > 35000*mad
+        val out = if (mad == 0L) 0L
+          else vs.count(v => math.abs(v - med) * 6745L > 35000L * mad).toLong
+        (tpe, vs.length.toLong, med / 1e6, mad / 1e6, out,
+          out.toDouble / vs.length.toDouble)
+    }
+    assert(got.toSeq === expected)
+    // the robustness contract: every type has a nonzero MAD here, and
+    // the gate flags a strict minority
+    got.foreach { case (tpe, n, _, mad, out, _) =>
+      assert(mad > 0.0, s"$tpe MAD degenerate")
+      assert(out * 2 < n, s"$tpe gate flags a majority") }
+  }
+
   // ------------------------------------------------- shared text hashing
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
