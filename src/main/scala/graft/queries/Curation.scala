@@ -226,6 +226,163 @@ object Curation {
        |    (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE)) AS auc
        |FROM c""".stripMargin
 
+  // ------------------------------- q250 calibration (ECE + Brier)
+  /** Calibration audit of the q97 quality score against the langid
+    * label: 10-bin expected calibration error + Brier score — the
+    * companion to q198's AUC (AUC says the score RANKS; calibration
+    * says its VALUE means what it claims, which is what a "keep docs
+    * with p > 0.9" policy actually consumes at 100 TB). The logit maps
+    * to a confidence via the clamped linear link
+    * `p = clip((logit + 4) / 8, 0, 1)` — monotone, engine-exact
+    * (no libm exp; the audit contract is binning + gap weighting, not
+    * the link family).
+    *
+    * Exactness: confidence lives in integer micro-units
+    * `p_us = round(125000·(logit + 4))` clamped to [0, 1e6]; per-bin
+    * ECE mass is `|1e6·Σy − Σp_us|` (pure int64) and the Brier sum of
+    * `(p_us − 1e6·y)²` routes through DECIMAL(38,0) (it would overflow
+    * int64 near ~10^7 rows); the ONLY floating-point ops are the final
+    * divisions, identical in both engines.
+    *
+    * Scale: scan-local scoring, one map-side-combined aggregation to
+    * ≤ 10 bin rows, one-row-aggregate crossJoin for the corpus-wide
+    * scalars. */
+  def q250Calibration(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val scored = scoredDocs(s, dir)
+      .withColumn("p_us", least(greatest(
+        expr("CAST(round((logit + 4.0D) * 125000.0D, 0) AS BIGINT)"),
+        lit(0L)), lit(1000000L)))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+      .withColumn("bin", expr("least(p_us * 10 div 1000000, 9)"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p_us").as("sum_p_us"),
+        sum("y").as("sum_y"),
+        sum(((col("p_us") - col("y") * 1000000L) *
+          (col("p_us") - col("y") * 1000000L)).cast(dec38)).as("sq"))
+    val tot = bins.agg(
+      sum("n").as("n_total"),
+      (sum(abs(col("sum_y") * 1000000L - col("sum_p_us"))).cast("double") /
+        (sum("n").cast("double") * 1e6)).as("ece"),
+      (sum("sq").cast("double") /
+        (sum("n").cast("double") * 1e12)).as("brier"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        (col("sum_p_us").cast("double") /
+          (col("n").cast("double") * 1e6)).as("conf"),
+        (col("sum_y").cast("double") / col("n").cast("double")).as("acc"),
+        col("ece"), col("brier"))
+      .orderBy("bin")
+  }
+
+  val q250Sql: String =
+    s"""$q97LogitCte,
+       |sc AS (SELECT
+       |  least(greatest(CAST(round((logit + 4.0) * 125000.0, 0) AS BIGINT),
+       |    0), 1000000) AS p_us,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM l),
+       |b AS (SELECT least(p_us * 10 // 1000000, 9) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(p_us) AS BIGINT) AS sum_p_us,
+       |  CAST(SUM(y) AS BIGINT) AS sum_y,
+       |  SUM(CAST((p_us - y * 1000000) * (p_us - y * 1000000)
+       |    AS DECIMAL(38,0))) AS sq
+       |  FROM sc GROUP BY 1),
+       |tt AS (SELECT
+       |  CAST(SUM(ABS(sum_y * 1000000 - sum_p_us)) AS DOUBLE) /
+       |    (CAST(SUM(n) AS DOUBLE) * 1e6) AS ece,
+       |  CAST(SUM(sq) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * 1e12) AS brier
+       |  FROM b)
+       |SELECT bin, n,
+       |  CAST(sum_p_us AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS conf,
+       |  CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+       |  tt.ece, tt.brier
+       |FROM b CROSS JOIN tt ORDER BY bin""".stripMargin
+
+  // ------------------------------- q251 Mann-Whitney U source test
+  /** Tie-corrected Mann-Whitney U between two sources' quality
+    * scores (`src0` vs `src1`) — the nonparametric "did source B's
+    * quality distribution shift against source A's" test a mix
+    * designer runs before trusting a mean comparison (q122/q179 are
+    * correlation probes; this is the rank-sum LOCATION test, robust
+    * to the heavy tails quality scores actually have).
+    *
+    * Exactness: ranks never materialize per-row — the statistic comes
+    * from the pooled SCORE HISTOGRAM: for a tie group of t values with
+    * `cb` pooled values before it, each member's doubled midrank is
+    * `2·cb + t + 1`, so `2·R1 = Σ c1·(2·cb + t + 1)` stays int64;
+    * `U1 = (2R1 − n1(n1+1))/2`, the tie correction `T = Σ(t³ − t)`
+    * routes through DECIMAL(38,0), and z = (U1 − n1n2/2)/σ with
+    * σ² = (n1·n2/12)·((N+1) − T/(N(N−1))) uses only IEEE divisions
+    * and one correctly-rounded sqrt. No continuity correction (both
+    * engines compute the same closed form). Rank-biserial
+    * r = 1 − 2U1/(n1n2) rides along as the effect size.
+    *
+    * Scale: one map-side-combined shuffle to the score histogram
+    * (bounded by score resolution, not corpus), a single-partition
+    * prefix sum over that bounded relation, one-row output. */
+  val MwuSourceA = "src0"
+  val MwuSourceB = "src1"
+
+  def q251MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val h = scoredDocs(s, dir)
+      .filter(col("source").isin(MwuSourceA, MwuSourceB))
+      .groupBy("logit")
+      .agg(sum(when(col("source") === MwuSourceA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === MwuSourceB, 1L).otherwise(0L)).as("c2"))
+      .withColumn("t", col("c1") + col("c2"))
+    val wBefore = Window.orderBy("logit")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cb", coalesce(sum(col("t")).over(wBefore), lit(0L)))
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * (col("cb") * 2L + col("t") + 1L)).as("r1x2"),
+        sum(((col("t") * col("t") * col("t")) - col("t")).cast(dec38))
+          .as("tcorr"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("u1",
+        (col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double") / 2.0)
+      .withColumn("sigma", sqrt(
+        (col("n1") * col("n2")).cast("double") / 12.0 *
+          ((col("n") + 1L).cast("double") -
+            col("tcorr").cast("double") /
+              (col("n").cast("double") * (col("n") - 1L).cast("double")))))
+      .select(
+        lit(MwuSourceA).as("source_a"), lit(MwuSourceB).as("source_b"),
+        col("n1"), col("n2"), col("u1"),
+        ((col("u1") - (col("n1") * col("n2")).cast("double") / 2.0) /
+          col("sigma")).as("z"),
+        (lit(1.0) - col("u1") * 2.0 /
+          (col("n1") * col("n2")).cast("double")).as("rank_biserial"))
+  }
+
+  val q251Sql: String =
+    s"""$q97LogitCte,
+       |h AS (SELECT logit,
+       |  CAST(SUM(CASE WHEN source = '$MwuSourceA' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS c1,
+       |  CAST(SUM(CASE WHEN source = '$MwuSourceB' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS c2
+       |  FROM l WHERE source IN ('$MwuSourceA', '$MwuSourceB') GROUP BY 1),
+       |hh AS (SELECT *, c1 + c2 AS t,
+       |  COALESCE(CAST(SUM(c1 + c2) OVER (ORDER BY logit
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    AS cb FROM h),
+       |m AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |  CAST(SUM(c2) AS BIGINT) AS n2,
+       |  CAST(SUM(c1 * (cb * 2 + t + 1)) AS BIGINT) AS r1x2,
+       |  SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS tcorr FROM hh),
+       |st AS (SELECT *, n1 + n2 AS n,
+       |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1 FROM m),
+       |sg AS (SELECT *, sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+       |  (CAST(n + 1 AS DOUBLE) - CAST(tcorr AS DOUBLE) /
+       |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS sigma FROM st)
+       |SELECT '$MwuSourceA' AS source_a, '$MwuSourceB' AS source_b,
+       |  n1, n2, u1,
+       |  (u1 - CAST(n1 * n2 AS DOUBLE) / 2.0) / sigma AS z,
+       |  1.0 - u1 * 2.0 / CAST(n1 * n2 AS DOUBLE) AS rank_biserial
+       |FROM sg""".stripMargin
+
   // ------------------------------------------- q199 length buckets
   /** Padding-waste audit for length-bucketed batching: assign each
     * document's token count to the smallest power-of-two bucket that
@@ -2498,6 +2655,8 @@ object Curation {
     "q194_budget_apportion" -> (q194BudgetApportion _),
     "q196_temperature_mix" -> (q196TemperatureMix _),
     "q198_score_auc" -> (q198ScoreAuc _),
+    "q250_calibration" -> (q250Calibration _),
+    "q251_mann_whitney" -> (q251MannWhitney _),
     "q205_split_drift" -> (q205SplitDrift _),
     "q199_length_buckets" -> (q199LengthBuckets _),
     "q200_bigram_xent" -> (q200BigramXent _),
@@ -2535,6 +2694,8 @@ object Curation {
     "q194_budget_apportion" -> q194Sql,
     "q196_temperature_mix" -> q196Sql,
     "q198_score_auc" -> q198Sql,
+    "q250_calibration" -> q250Sql,
+    "q251_mann_whitney" -> q251Sql,
     "q205_split_drift" -> q205Sql,
     "q199_length_buckets" -> q199Sql,
     "q200_bigram_xent" -> q200Sql,

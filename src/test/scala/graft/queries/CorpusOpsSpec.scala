@@ -468,6 +468,79 @@ class CorpusOpsSpec extends SparkSuite {
     assert(auc > 0.0 && auc < 1.0, "AUC strictly inside (0,1)")
   }
 
+  // ------------------------------------------------------------ q250
+  test("q250 ECE/Brier match an integer-exact in-memory recompute") {
+    val got = Curation.q250Calibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val scores = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val rows = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map { r =>
+        val pUs = math.min(math.max(
+          math.round((scores(r.getLong(0)) + 4.0) * 125000.0), 0L), 1000000L)
+        val y = if (r.getString(1) == "en") 1L else 0L
+        (math.min(pUs * 10L / 1000000L, 9L), pUs, y)
+      }
+    val n = rows.length.toLong
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+      (b, g.length.toLong,
+        g.map(_._2).sum.toDouble / (g.length * 1e6),
+        g.map(_._3).sum.toDouble / g.length)
+    }
+    val ece = rows.groupBy(_._1).values
+      .map(g => math.abs(g.map(_._3).sum * 1000000L - g.map(_._2).sum))
+      .sum.toDouble / (n * 1e6)
+    val brier = rows.map { case (_, p, y) =>
+      val d = p - y * 1000000L; BigInt(d) * BigInt(d)
+    }.sum.toDouble / (n * 1e12)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === bins)
+    got.foreach { t =>
+      assert(t._5 === ece, s"ece ${t._5} vs $ece")
+      assert(t._6 === brier, s"brier ${t._6} vs $brier")
+    }
+    // calibration sanity: ECE and Brier both live in [0, 1]
+    assert(ece >= 0.0 && ece <= 1.0 && brier >= 0.0 && brier <= 1.0)
+  }
+
+  // ------------------------------------------------------------ q251
+  test("q251 Mann-Whitney matches a midrank-based recompute") {
+    val Array(row) = Curation.q251MannWhitney(spark, dir).collect()
+    val (n1, n2, u1, z, rb) = (row.getLong(2), row.getLong(3),
+      row.getDouble(4), row.getDouble(5), row.getDouble(6))
+    val scores = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val pooled = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getString(1), scores(r.getLong(0))))
+      .filter(t => t._1 == Curation.MwuSourceA || t._1 == Curation.MwuSourceB)
+    // classic midrank recompute: sort pooled, average ranks over ties
+    val sorted = pooled.sortBy(_._2).zipWithIndex
+    val midrank = sorted.groupBy(_._1._2).values.flatMap { g =>
+      val m = g.map(_._2 + 1).sum.toDouble / g.length
+      g.map(x => (x._1._1, m))
+    }.toSeq
+    val en1 = pooled.count(_._1 == Curation.MwuSourceA).toLong
+    val en2 = pooled.length - en1
+    val r1 = midrank.filter(_._1 == Curation.MwuSourceA).map(_._2).sum
+    val eu1 = r1 - en1.toDouble * (en1 + 1) / 2.0
+    val nn = en1 + en2
+    val tcorr = pooled.groupBy(_._2).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val sigma = math.sqrt(en1.toDouble * en2 / 12.0 *
+      ((nn + 1).toDouble - tcorr.toDouble / (nn.toDouble * (nn - 1))))
+    assert(n1 === en1 && n2 === en2)
+    assert(math.abs(u1 - eu1) < 1e-9, s"u1 $u1 vs $eu1")
+    assert(math.abs(z - (eu1 - en1.toDouble * en2 / 2.0) / sigma) < 1e-9)
+    assert(math.abs(rb - (1.0 - 2.0 * eu1 / (en1.toDouble * en2))) < 1e-12)
+    // U is bounded by n1*n2; the effect size by [-1, 1]
+    assert(u1 >= 0.0 && u1 <= (en1 * en2).toDouble)
+    assert(rb >= -1.0 && rb <= 1.0)
+  }
+
   // ------------------------------------------------------------ q199
   test("q199 length buckets match an in-memory padding recompute") {
     val got = Curation.q199LengthBuckets(spark, dir).collect()
