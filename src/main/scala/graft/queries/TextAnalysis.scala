@@ -1225,6 +1225,159 @@ object TextAnalysis {
        |  sx, sy FROM m)
        |SELECT k, slope, (sy - slope * sx) / k AS intercept FROM s""".stripMargin
 
+  // ------------------------- q252 vocabulary richness (Chao1 + coverage)
+  /** Per-source vocabulary-richness audit: bias-corrected Chao1
+    * estimate of the UNSEEN vocabulary plus Good–Turing sample
+    * coverage — the "is this source's lexical diversity saturated or
+    * would more data keep adding new tokens" scalar a mix designer
+    * reads next to q231's JSD (JSD compares how sources use shared
+    * vocabulary; this estimates how much vocabulary each source has
+    * left to show). Chao1 = V + f1·(f1−1)/(2·(f2+1)) (the
+    * singleton/doubleton estimator, always finite); coverage
+    * = 1 − f1/N (Good–Turing: the probability mass of unseen tokens
+    * is estimated by the singleton share).
+    *
+    * Exactness: V, f1, f2, N are integers from exact counts; the two
+    * estimators are single IEEE expressions over those integers —
+    * no iteration, no libm beyond division.
+    *
+    * Scale: one (source, token)-keyed map-side-combined shuffle to
+    * the per-source frequency relation (vocab-bounded, not
+    * corpus-bounded), then one aggregation to |sources| rows. */
+  def q252VocabRichness(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      .groupBy("source")
+      .agg(sum("freq").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("freq") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        (col("vocab").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2.0) * (col("f2") + 1L).cast("double"))).as("chao1"),
+        (lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy("source")
+
+  val q252Sql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+      |  WHERE length(tok) > 0 GROUP BY 1, 2),
+      |a AS (SELECT source, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM f GROUP BY 1)
+      |SELECT source, n_tokens, vocab, f1, f2,
+      |  CAST(vocab AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) /
+      |    (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1,
+      |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+      |FROM a ORDER BY source""".stripMargin
+
+  // ------------------------------------- q253 Heaps' law growth fit
+  /** Heaps'-law fit of vocabulary growth V(n) ≈ K·n^β over the
+    * corpus read in doc_id order: the exponent β is the
+    * diminishing-returns curve of new vocabulary per token — the
+    * scaling-plan scalar behind "how much more data until the
+    * tokenizer's vocab saturates" (q204 fits the rank–frequency law
+    * at one corpus size; this fits growth ACROSS prefix sizes).
+    *
+    * The curve is sampled at 10 decile checkpoints cp_j = ⌊N·j/10⌋ of
+    * the global token stream: V(cp) = tokens whose FIRST occurrence
+    * position ≤ cp — so one pass computes every checkpoint (no
+    * 10-fold rescan). First positions come from per-doc offsets (a
+    * prefix sum over the |docs|-sized count relation, never the token
+    * stream) plus within-doc positions.
+    *
+    * Determinism: positions, checkpoints, and V_j are exact integers;
+    * the OLS over (ln cp_j, ln V_j) quantizes each ln and product to
+    * DECIMAL(25,6) before the 10-row sums — the q204 regression
+    * contract.
+    *
+    * Scale: one posexplode + token-keyed map-side-combined min to the
+    * vocab-bounded first-position relation; the checkpoint join
+    * broadcasts 10 rows; the window prefix sum runs over doc COUNTS,
+    * not tokens. */
+  val HeapsCheckpoints = 10
+
+  def q253HeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val toks = docs(s, dir)
+      .withColumn("tk", filter(split(col("text"), " "),
+        t => length(t) > 0))
+      .select(col("doc_id"), col("tk"))
+    val counts = toks.select(col("doc_id"), size(col("tk")).cast("long").as("nt"))
+    val wDoc = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("nt").over(wDoc), lit(0L)))
+    val firstPos = toks.join(offsets.select("doc_id", "off"), "doc_id")
+      .select(col("off"), posexplode(col("tk")))
+      .select(col("col").as("tok"), (col("off") + col("pos") + 1L).as("gp"))
+      .groupBy("tok").agg(min("gp").as("first_pos"))
+    val tot = counts.agg(sum("nt").as("n_total"))
+    val cps = s.range(1, HeapsCheckpoints + 1).toDF("j")
+      .crossJoin(tot)
+      .select(col("j"), expr("n_total * j div 10").as("cp"), col("n_total"))
+    val curve = firstPos.crossJoin(broadcast(cps))
+      .filter(col("first_pos") <= col("cp"))
+      .groupBy(col("j"), col("cp"), col("n_total"))
+      .agg(count(lit(1)).as("v"))
+    curve
+      .select(col("n_total"), log(col("cp").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y"))
+      .groupBy("n_total")
+      .agg(count(lit(1)).as("k"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .withColumn("beta",
+        (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("ln_k",
+        (col("sy") - col("beta") * col("sx")) / col("k"))
+      .select("n_total", "k", "beta", "ln_k")
+  }
+
+  val q253Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM d),
+       |o AS (SELECT doc_id, COALESCE(CAST(SUM(nt) OVER (ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |  AS off FROM c),
+       |ex AS (SELECT d.doc_id, o.off,
+       |  unnest(list_transform(range(1, len(d.tk) + 1),
+       |    i -> {'p': i, 'v': d.tk[i]})) AS s
+       |  FROM d JOIN o USING (doc_id)),
+       |fp AS (SELECT s.v AS tok, CAST(MIN(off + s.p) AS BIGINT) AS first_pos
+       |  FROM ex GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS n_total FROM c),
+       |cps AS (SELECT CAST(r.range AS BIGINT) AS j,
+       |  tot.n_total * r.range // 10 AS cp, tot.n_total
+       |  FROM range(1, ${HeapsCheckpoints + 1}) r CROSS JOIN tot),
+       |curve AS (SELECT cps.j, cps.cp, cps.n_total,
+       |  CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM fp CROSS JOIN cps WHERE fp.first_pos <= cps.cp
+       |  GROUP BY 1, 2, 3),
+       |xy AS (SELECT n_total, ln(CAST(cp AS DOUBLE)) AS x,
+       |  ln(CAST(v AS DOUBLE)) AS y FROM curve),
+       |m AS (SELECT n_total, COUNT(*) AS k,
+       |  CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |  CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+       |  FROM xy GROUP BY 1),
+       |sl AS (SELECT n_total, k,
+       |  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta, sx, sy FROM m)
+       |SELECT n_total, k, beta, (sy - beta * sx) / k AS ln_k FROM sl""".stripMargin
+
   // ----------------------------------- q231 source unigram JS divergence
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions over the top-[[JsdVocab]] corpus tokens (+ one
@@ -1525,6 +1678,8 @@ object TextAnalysis {
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
     "q244_bpe_trainer" -> (q244BpeTrainer _),
+    "q252_vocab_richness" -> (q252VocabRichness _),
+    "q253_heaps_fit" -> (q253HeapsFit _),
     "q246_packing_audit" -> (q246PackingAudit _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
@@ -1552,6 +1707,8 @@ object TextAnalysis {
     "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
     "q244_bpe_trainer" -> q244Sql,
+    "q252_vocab_richness" -> q252Sql,
+    "q253_heaps_fit" -> q253Sql,
     "q246_packing_audit" -> q246Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,

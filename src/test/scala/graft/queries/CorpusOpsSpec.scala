@@ -664,6 +664,70 @@ class CorpusOpsSpec extends SparkSuite {
     assert(math.abs(intercept - expIcpt) < 1e-4, "intercept")
   }
 
+  // ------------------------------------------------------------ q252
+  test("q252 Chao1/coverage match an exact frequency-spectrum recompute") {
+    val got = TextAnalysis.q252VocabRichness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val bySource = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    val expected = bySource.toSeq.sortBy(_._1).map { case (src, g) =>
+      val freqs = g.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong).toSeq
+      val n = freqs.sum
+      val v = freqs.length.toLong
+      val f1 = freqs.count(_ == 1L).toLong
+      val f2 = freqs.count(_ == 2L).toLong
+      (src, n, v, f1, f2,
+        v.toDouble + (f1 * (f1 - 1)).toDouble / (2.0 * (f2 + 1).toDouble),
+        1.0 - f1.toDouble / n.toDouble)
+    }
+    assert(got.toSeq === expected)
+    // richness sanity: the estimator never shrinks the observed vocab
+    // and coverage is a probability
+    got.foreach { case (src, _, v, _, _, chao1, cov) =>
+      assert(chao1 >= v.toDouble, s"$src chao1 below observed vocab")
+      assert(cov >= 0.0 && cov <= 1.0, s"$src coverage out of range")
+    }
+  }
+
+  // ------------------------------------------------------------ q253
+  test("q253 Heaps fit matches an in-memory first-occurrence recompute") {
+    val Array(row) = TextAnalysis.q253HeapsFit(spark, dir).collect()
+    val (nTotal, k, beta, lnK) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    // replay the global token stream in doc_id order
+    val stream = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+      .flatMap(_._2.split(" ", -1).filter(_.nonEmpty))
+    val n = stream.length.toLong
+    assert(nTotal === n, "total token count")
+    val firstPos = scala.collection.mutable.Map.empty[String, Long]
+    stream.zipWithIndex.foreach { case (t, i) =>
+      if (!firstPos.contains(t)) firstPos(t) = i + 1L
+    }
+    val pts = (1 to TextAnalysis.HeapsCheckpoints).map { j =>
+      val cp = n * j / 10
+      val vj = firstPos.valuesIterator.count(_ <= cp).toLong
+      (math.log(cp.toDouble), math.log(vj.toDouble))
+    }
+    assert(k === pts.length.toLong)
+    val kk = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expBeta = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    val expLnK = (sy - expBeta * sx) / kk
+    assert(math.abs(beta - expBeta) < 1e-4, s"beta $beta vs $expBeta")
+    assert(math.abs(lnK - expLnK) < 1e-4, "ln_k")
+    // Heaps' law: sublinear growth, 0 < beta < 1 for natural text
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta outside (0,1)")
+  }
+
   // ------------------------------------------------------------ q205
   test("q205 split-drift χ² reconciles with the q107 contingency table") {
     val got = Curation.q205SplitDrift(spark, dir).collect()
