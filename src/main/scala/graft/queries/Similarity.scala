@@ -1015,47 +1015,76 @@ object Similarity {
     s"graft_l2sq_q6(embedding, $arr)"
   }
 
-  def qKmeans(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    // bounded driver state: the K current centroids, sorted by k (so
-    // array_position's first-match IS the lowest-k tie-break)
-    var cent: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Float](1).map(_.toDouble).toSeq))
-      .sortBy(_._1).toSeq
+  /** Scan-local assignment columns for a FIXED centroid set: K
+    * distance folds per row + array_min + first-position argmin —
+    * ZERO shuffles (the long-form [[kmeansAssign]] is the semantics
+    * twin the spec cross-checks). `cent` must be sorted by k so
+    * array_position's first-match IS the lowest-k tie-break. Exposes
+    * `dists` (all K distances) and `pos` (1-based argmin index) for
+    * downstream per-point probes (q254's silhouette needs the
+    * second-best distance). */
+  private def kmeansAssignCols(e: DataFrame,
+      cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    val dists = cent.map(c => kmeansDistExpr(c._2))
+      .mkString("array(", ",\n", ")")
+    val ks = cent.map(_._1).mkString("array(", ",", ")")
+    e.withColumn("dists", expr(dists))
+      .withColumn("dist", expr("array_min(dists)"))
+      .withColumn("pos", expr("CAST(array_position(dists, dist) AS INT)"))
+      .withColumn("k", expr(s"element_at($ks, pos)"))
+  }
 
-    // Scan-local assignment: K distance folds per row + array_min +
-    // first-position argmin — ZERO shuffles (the long-form
-    // [[kmeansAssign]] is the semantics twin the spec cross-checks).
-    def assigned: DataFrame = {
-      val dists = cent.map(c => kmeansDistExpr(c._2))
-        .mkString("array(", ",\n", ")")
-      val ks = cent.map(_._1).mkString("array(", ",", ")")
-      e.withColumn("dists", expr(dists))
-        .withColumn("dist", expr("array_min(dists)"))
-        .withColumn("k", expr(
-          s"element_at($ks, CAST(array_position(dists, dist) AS INT))"))
+  // Final-centroid memo (one slot, dir-keyed — the cachedKmeansEx
+  // pattern): q168 and q254 both consume the trained centroids; the
+  // Lloyd rounds are deterministic in the fixture, so the K×dim
+  // driver-side result is an index-like artifact.
+  @transient private var cachedKmeansCent:
+    Option[(String, Seq[(Int, Seq[Double])])] = None
+
+  /** Seed + [[KmeansIters]] quantized-Lloyd rounds; returns the final
+    * centroids sorted by k (bounded driver state: K×dim doubles). */
+  private[queries] def kmeansFinalCentroids(
+      s: SparkSession, dir: String): Seq[(Int, Seq[Double])] = synchronized {
+    cachedKmeansCent match {
+      case Some((d, c)) if d == dir => c
+      case _ =>
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        var cent: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
+          .collect()
+          .map(r => (r.getLong(0).toInt,
+            r.getSeq[Float](1).map(_.toDouble).toSeq))
+          .sortBy(_._1).toSeq
+        // Per-round fixed costs (task launch, AQE re-plan) dominate
+        // the fixture-scale volumes — the q63 iterative-stage
+        // treatment.
+        graft.core.Sessions.withConfs(s,
+          "spark.sql.shuffle.partitions" -> "8",
+          "spark.sql.adaptive.enabled" -> "false") {
+          for (_ <- 1 to KmeansIters) {
+            val upd = kmeansAssignCols(e, cent)
+              .select(col("k"), posexplode(col("embedding")))
+              .select(col("k"), col("pos").as("p"),
+                col("col").cast("double").as("v"))
+              .groupBy(col("k"), col("p"))
+              .agg(round(Relational.dsum(col("v")) / count(lit(1)), 6).as("c"))
+              .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+            cent = upd.groupBy(_._1).map { case (k, rows) =>
+              (k, rows.sortBy(_._2).map(_._3).toSeq)
+            }.toSeq.sortBy(_._1)
+          }
+        }
+        cachedKmeansCent = Some((dir, cent))
+        cent
     }
+  }
 
-    // Per-round fixed costs (task launch, AQE re-plan) dominate the
-    // fixture-scale volumes — the q63 iterative-stage treatment.
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val cent = kmeansFinalCentroids(s, dir)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     graft.core.Sessions.withConfs(s,
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.adaptive.enabled" -> "false") {
-      for (_ <- 1 to KmeansIters) {
-        val upd = assigned
-          .select(col("k"), posexplode(col("embedding")))
-          .select(col("k"), col("pos").as("p"),
-            col("col").cast("double").as("v"))
-          .groupBy(col("k"), col("p"))
-          .agg(round(Relational.dsum(col("v")) / count(lit(1)), 6).as("c"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        cent = upd.groupBy(_._1).map { case (k, rows) =>
-          (k, rows.sortBy(_._2).map(_._3).toSeq)
-        }.toSeq.sortBy(_._1)
-      }
-      val out = assigned.groupBy(col("k").as("cluster"))
+      val out = kmeansAssignCols(e, cent).groupBy(col("k").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
           round(Relational.dsum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
         .orderBy("cluster")
@@ -1067,7 +1096,10 @@ object Similarity {
     }
   }
 
-  val qKmeansSql: String = {
+  /** The q168 Lloyd-round CTE chain (seed c0, KmeansIters d/a/c
+    * rounds, final-round d/a relations) — shared by [[qKmeansSql]]
+    * and q254's silhouette oracle so both replay the SAME training. */
+  private val kmeansCtePrefixSql: String = {
     def dStep(i: Int): String =
       s"""d$i AS (SELECT e.vec_id, c.k,
          |  CAST(SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(25,6))) AS DOUBLE) AS dist
@@ -1090,11 +1122,92 @@ object Similarity {
        |c0 AS (SELECT CAST(vec_id AS INT) AS k, p, v AS c FROM e
        |  WHERE vec_id < $KmeansK),
        |$rounds,
-       |${dStep(fin)}
+       |${dStep(fin)}""".stripMargin
+  }
+
+  val qKmeansSql: String = {
+    val fin = KmeansIters + 1
+    s"""$kmeansCtePrefixSql
        |SELECT k AS cluster, COUNT(*) AS n_members,
        |round(CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
        |  AS mean_dist
        |FROM a$fin GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
+  // ------------------------------- q254 simplified silhouette score
+  /** Cluster-quality audit of the q168 k-means result: the simplified
+    * (centroid-based) silhouette — per point, a = distance to its own
+    * trained centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) — reported per cluster and corpus-wide.
+    * The "is K even right / which clusters are mush" scalar read
+    * before clustering-based curation (q186 SemDeDup, q213 prototype
+    * pruning) trusts the partition; the classic O(n²) silhouette is
+    * infeasible at corpus scale, the centroid form is the standard
+    * production surrogate and needs only the K distances q168 already
+    * computes per point.
+    *
+    * Determinism: squared distances are the q168 decimal-quantized
+    * folds (bit-identical to the oracle's grouped decimal SUM);
+    * sqrt is correctly-rounded IEEE; each per-point s quantizes to
+    * 6 dp before the decimal mean; a == b == 0 (point ON two
+    * centroids) deterministically scores 0. The engine excludes the
+    * argmin POSITION (lowest-k among ties), the oracle excludes
+    * rn = 1 under ORDER BY (dist, k) — the same element.
+    *
+    * Scale: scan-local K-fold distances + argmin (zero shuffles to
+    * score), one map-side-combined aggregation to K rows, one-row
+    * aggregate crossJoin for the corpus mean. */
+  def q254Silhouette(s: SparkSession, dir: String): DataFrame = {
+    val cent = kmeansFinalCentroids(s, dir)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    graft.core.Sessions.withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val sil = kmeansAssignCols(e, cent)
+        .withColumn("b",
+          expr("array_min(filter(dists, (d, i) -> i != pos - 1))"))
+        .withColumn("sa", sqrt(col("dist")))
+        .withColumn("sb", sqrt(col("b")))
+        .withColumn("sil",
+          when(greatest(col("sa"), col("sb")) === 0.0, lit(0.0))
+            .otherwise(round((col("sb") - col("sa")) /
+              greatest(col("sa"), col("sb")), 6)))
+      val tot = sil.agg(
+        round(Relational.dsum(col("sil")) / count(lit(1)), 6)
+          .as("overall_sil"))
+      val out = sil.groupBy(col("k").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          round(Relational.dsum(col("sil")) / count(lit(1)), 6).as("mean_sil"))
+        .crossJoin(broadcast(tot))
+        .orderBy("cluster")
+      val rows = out.collect()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    }
+  }
+
+  val q254Sql: String = {
+    val fin = KmeansIters + 1
+    s"""$kmeansCtePrefixSql,
+       |rr AS (SELECT vec_id, k, dist,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |  FROM d$fin),
+       |ab AS (SELECT vec_id,
+       |  MIN(CASE WHEN rn = 1 THEN k END) AS cluster,
+       |  MIN(CASE WHEN rn = 1 THEN dist END) AS a,
+       |  MIN(CASE WHEN rn > 1 THEN dist END) AS b
+       |  FROM rr GROUP BY 1),
+       |sil AS (SELECT cluster,
+       |  CASE WHEN greatest(sqrt(a), sqrt(b)) = 0 THEN 0.0
+       |       ELSE round((sqrt(b) - sqrt(a)) / greatest(sqrt(a), sqrt(b)), 6)
+       |  END AS sil FROM ab),
+       |tt AS (SELECT round(CAST(SUM(CAST(sil AS DECIMAL(25,6))) AS DOUBLE)
+       |  / COUNT(*), 6) AS overall_sil FROM sil)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  round(CAST(SUM(CAST(sil AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_sil,
+       |  tt.overall_sil
+       |FROM sil CROSS JOIN tt GROUP BY 1, 4 ORDER BY 1""".stripMargin
   }
 
   // ------------------------------------ q183 per-dim standardization
@@ -2371,6 +2484,7 @@ object Similarity {
     "q203_fisher_sep" -> (q203FisherSep _),
     "q206_pc1_power" -> (q206Pc1Power _),
     "q168_kmeans" -> (qKmeans _),
+    "q254_silhouette" -> (q254Silhouette _),
     "q93_ann_eval" -> (qAnnEval _),
     "q245_rank_metrics" -> (q245RankMetrics _),
     "q82_label_centroids" -> (qLabelCentroids _),
@@ -2405,6 +2519,7 @@ object Similarity {
     "q203_fisher_sep" -> q203Sql,
     "q206_pc1_power" -> q206Sql,
     "q168_kmeans" -> qKmeansSql,
+    "q254_silhouette" -> q254Sql,
     "q93_ann_eval" -> qAnnEvalSql,
     "q245_rank_metrics" -> q245Sql,
     "q82_label_centroids" -> qLabelCentroidsSql,

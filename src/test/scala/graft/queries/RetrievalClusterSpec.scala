@@ -83,6 +83,42 @@ class RetrievalClusterSpec extends SparkSuite {
     } finally ex.unpersist()
   }
 
+  test("q254 silhouette matches an in-memory centroid recompute") {
+    val out = Similarity.q254Silhouette(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val cent = Similarity.kmeansFinalCentroids(spark, dir)
+    val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // the engine's quantized fold: each (v−c)² to 6 dp, exact sum
+    def dist(v: Seq[Double], c: Seq[Double]): Double =
+      v.zip(c).map { case (a, b) => q6((a - b) * (a - b)) }.sum.toDouble
+    val sils = vecs.map { case (_, v) =>
+      val ds = cent.map { case (k, c) => (dist(v, c), k) }
+      val (a, own) = ds.min // (dist, k) lexicographic argmin
+      val b = ds.filter(t => t != ((a, own))).map(_._1).min
+      val (sa, sb) = (math.sqrt(a), math.sqrt(b))
+      val s = if (math.max(sa, sb) == 0.0) 0.0
+        else q6((sb - sa) / math.max(sa, sb)).toDouble
+      (own, s)
+    }
+    val overall = q6(
+      sils.map(s => q6(s._2)).sum.toDouble / sils.length).toDouble
+    val expected = sils.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, g) =>
+      (k, g.length.toLong,
+        q6(g.map(s => q6(s._2)).sum.toDouble / g.length).toDouble, overall)
+    }
+    assert(out.toSeq === expected)
+    // silhouette lives in [-1, 1]; membership matches q168's partition
+    out.foreach { case (_, _, m, o) =>
+      assert(m >= -1.0 && m <= 1.0 && o >= -1.0 && o <= 1.0) }
+    val km = Similarity.qKmeans(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    out.foreach { case (k, n, _, _) => assert(km(k) === n, s"cluster $k") }
+  }
+
   test("k-means long-form and native-kernel assignments agree bit-exactly on the seed round") {
     import org.apache.spark.sql.functions.expr
     val e = graft.core.Tables.load(spark, dir, "embeddings")
