@@ -226,6 +226,133 @@ object Curation {
        |    (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE)) AS auc
        |FROM c""".stripMargin
 
+  // ------------------------------- q255 average precision (PR-AUC)
+  /** Tie-aware average precision of the q97 quality score against the
+    * langid label — the PR-side companion to q198's ROC-AUC (under
+    * class imbalance, the metric a retrieval/filter gate actually
+    * optimizes: ROC-AUC stays flattering when positives are rare; AP
+    * does not). Uses the step-interpolation definition
+    * AP = Σ_g ΔR_g · P_g over DESCENDING-score tie groups: for group
+    * g with tp_g positives and cumulative (TP_g, FP_g) inclusive,
+    * ΔR_g = tp_g / P and P_g = TP_g / (TP_g + FP_g).
+    *
+    * Exactness: like q198, the statistic comes from the score
+    * HISTOGRAM — all counts integer; each group's term
+    * tp_g·TP_g / (P·(TP_g+FP_g)) quantizes to DECIMAL(25,6) before
+    * the bounded sum, so the accumulation order cannot matter. The
+    * random-classifier baseline (prevalence P/(P+N)) rides along —
+    * AP only means something relative to it.
+    *
+    * Scale: one map-side-combined shuffle to the score histogram
+    * (score-resolution-bounded), a single-partition prefix sum over
+    * that bounded relation, one-row output. */
+  def q255AvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val isPos = col("lang") === "en"
+    val h = scoredDocs(s, dir)
+      .groupBy("logit")
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("tp"),
+        sum(when(isPos, 0L).otherwise(1L)).as("fp"))
+    val wInc = Window.orderBy(col("logit").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("ctp", sum(col("tp")).over(wInc))
+      .withColumn("cfp", sum(col("fp")).over(wInc))
+      .withColumn("p", sum(col("tp")).over(Window.partitionBy()))
+      .agg(sum("tp").as("n_pos"), sum("fp").as("n_neg"),
+        Relational.dsum(
+          (col("tp") * col("ctp")).cast("double") /
+            (col("p").cast("double") *
+              (col("ctp") + col("cfp")).cast("double"))).as("ap"))
+      .select(col("n_pos"), col("n_neg"), col("ap"),
+        (col("n_pos").cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double")).as("prevalence"))
+  }
+
+  val q255Sql: String =
+    s"""$q97LogitCte,
+       |h AS (SELECT logit,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS fp
+       |  FROM l GROUP BY 1),
+       |c AS (SELECT *,
+       |  CAST(SUM(tp) OVER (ORDER BY logit DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS ctp,
+       |  CAST(SUM(fp) OVER (ORDER BY logit DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cfp,
+       |  CAST(SUM(tp) OVER () AS BIGINT) AS p FROM h)
+       |SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
+       |  CAST(SUM(fp) AS BIGINT) AS n_neg,
+       |  CAST(SUM(CAST(CAST(tp * ctp AS DOUBLE) /
+       |    (CAST(p AS DOUBLE) * CAST(ctp + cfp AS DOUBLE))
+       |    AS DECIMAL(25,6))) AS DOUBLE) AS ap,
+       |  CAST(SUM(tp) AS DOUBLE) / (CAST(SUM(tp) AS DOUBLE)
+       |    + CAST(SUM(fp) AS DOUBLE)) AS prevalence
+       |FROM c""".stripMargin
+
+  // ------------------------------- q259 optimal-F1 threshold sweep
+  /** Threshold selection for the q97 quality gate: sweep every
+    * distinct score as a candidate cut (predict positive when
+    * logit ≥ t), compute precision/recall/F1 at each, and report the
+    * F1-argmax — the operator that turns a scored corpus into an
+    * actionable keep/drop boundary (q198/q255 say the score ranks;
+    * this says WHERE to cut it). Tie-break: the highest threshold
+    * (most selective cut) among equal F1.
+    *
+    * Exactness: every candidate's F1 is the exact rational
+    * 2·TP/(2·TP + FP + FN) evaluated as one IEEE division of
+    * integers — equal rationals give bit-equal doubles, so the
+    * argmax and its tie-break are engine-identical.
+    *
+    * Scale: the same score-resolution-bounded histogram prefix scan
+    * as q198/q255; the argmax is a TopK-1 over that bounded relation,
+    * one-row output. */
+  def q259OptimalF1(s: SparkSession, dir: String): DataFrame = {
+    val isPos = col("lang") === "en"
+    val h = scoredDocs(s, dir)
+      .groupBy("logit")
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("tp"),
+        sum(when(isPos, 0L).otherwise(1L)).as("fp"))
+    val wInc = Window.orderBy(col("logit").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("ctp", sum(col("tp")).over(wInc))
+      .withColumn("cfp", sum(col("fp")).over(wInc))
+      .withColumn("p", sum(col("tp")).over(Window.partitionBy()))
+      .withColumn("f1", col("ctp").cast("double") * 2.0 /
+        (col("ctp") * 2L + col("cfp") + (col("p") - col("ctp")))
+          .cast("double"))
+      .agg(max(struct(col("f1"), col("logit"), col("ctp"), col("cfp"),
+        col("p"))).as("b"))
+      .select(col("b.logit").as("threshold"),
+        col("b.ctp").as("tp"), col("b.cfp").as("fp"),
+        (col("b.p") - col("b.ctp")).as("fn"),
+        (col("b.ctp").cast("double") /
+          (col("b.ctp") + col("b.cfp")).cast("double")).as("precision"),
+        (col("b.ctp").cast("double") / col("b.p").cast("double")).as("recall"),
+        col("b.f1").as("f1"))
+  }
+
+  val q259Sql: String =
+    s"""$q97LogitCte,
+       |h AS (SELECT logit,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS fp
+       |  FROM l GROUP BY 1),
+       |c AS (SELECT *,
+       |  CAST(SUM(tp) OVER (ORDER BY logit DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS ctp,
+       |  CAST(SUM(fp) OVER (ORDER BY logit DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cfp,
+       |  CAST(SUM(tp) OVER () AS BIGINT) AS p FROM h),
+       |ff AS (SELECT *, CAST(ctp AS DOUBLE) * 2.0 /
+       |  CAST(ctp * 2 + cfp + (p - ctp) AS DOUBLE) AS f1 FROM c)
+       |SELECT logit AS threshold, ctp AS tp, cfp AS fp, p - ctp AS fn,
+       |  CAST(ctp AS DOUBLE) / CAST(ctp + cfp AS DOUBLE) AS precision,
+       |  CAST(ctp AS DOUBLE) / CAST(p AS DOUBLE) AS recall, f1
+       |FROM ff ORDER BY f1 DESC, logit DESC LIMIT 1""".stripMargin
+
   // ------------------------------- q250 calibration (ECE + Brier)
   /** Calibration audit of the q97 quality score against the langid
     * label: 10-bin expected calibration error + Brier score — the
@@ -2657,6 +2784,8 @@ object Curation {
     "q198_score_auc" -> (q198ScoreAuc _),
     "q250_calibration" -> (q250Calibration _),
     "q251_mann_whitney" -> (q251MannWhitney _),
+    "q255_avg_precision" -> (q255AvgPrecision _),
+    "q259_optimal_f1" -> (q259OptimalF1 _),
     "q205_split_drift" -> (q205SplitDrift _),
     "q199_length_buckets" -> (q199LengthBuckets _),
     "q200_bigram_xent" -> (q200BigramXent _),
@@ -2696,6 +2825,8 @@ object Curation {
     "q198_score_auc" -> q198Sql,
     "q250_calibration" -> q250Sql,
     "q251_mann_whitney" -> q251Sql,
+    "q255_avg_precision" -> q255Sql,
+    "q259_optimal_f1" -> q259Sql,
     "q205_split_drift" -> q205Sql,
     "q199_length_buckets" -> q199Sql,
     "q200_bigram_xent" -> q200Sql,

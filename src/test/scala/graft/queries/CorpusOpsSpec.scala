@@ -468,6 +468,67 @@ class CorpusOpsSpec extends SparkSuite {
     assert(auc > 0.0 && auc < 1.0, "AUC strictly inside (0,1)")
   }
 
+  // ------------------------------------------------------------ q255
+  test("q255 average precision matches a per-row sweep recompute") {
+    val Array(row) = Curation.q255AvgPrecision(spark, dir).collect()
+    val (nPos, nNeg, ap, prev) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3))
+    val scores = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val labeled = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (scores(r.getLong(0)), r.getString(1) == "en"))
+    val p = labeled.count(_._2).toLong
+    val n = labeled.length - p
+    assert(nPos === p && nNeg === n)
+    assert(math.abs(prev - p.toDouble / (p + n)) < 1e-15)
+    // descending tie groups; each term quantized to 6 dp like dsum
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val groups = labeled.groupBy(_._1).toSeq.sortBy(-_._1)
+    var (ctp, cfp) = (0L, 0L)
+    var expAp = BigDecimal(0)
+    groups.foreach { case (_, g) =>
+      val tp = g.count(_._2).toLong
+      ctp += tp; cfp += g.length - tp
+      expAp += q6(tp.toDouble * ctp / (p.toDouble * (ctp + cfp)))
+    }
+    assert(ap === expAp.toDouble, s"ap $ap vs $expAp")
+    // AP of a useful score beats nothing structural, but must be a
+    // probability and the sweep must end at recall 1
+    assert(ap >= 0.0 && ap <= 1.0)
+    assert(ctp === p && cfp === n)
+  }
+
+  // ------------------------------------------------------------ q259
+  test("q259 optimal-F1 threshold matches an exhaustive sweep") {
+    val Array(row) = Curation.q259OptimalF1(spark, dir).collect()
+    val (thr, tp, fp, fn, prec, rec, f1) = (row.getDouble(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4), row.getDouble(5),
+      row.getDouble(6))
+    val scores = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val labeled = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (scores(r.getLong(0)), r.getString(1) == "en"))
+    val p = labeled.count(_._2).toLong
+    val cands = labeled.map(_._1).distinct.map { t =>
+      val etp = labeled.count(x => x._1 >= t && x._2).toLong
+      val efp = labeled.count(x => x._1 >= t && !x._2).toLong
+      (etp * 2.0 / (etp * 2 + efp + (p - etp)).toDouble, t, etp, efp)
+    }
+    val best = cands.maxBy(c => (c._1, c._2))
+    assert(thr === best._2 && tp === best._3 && fp === best._4)
+    assert(fn === p - best._3)
+    assert(f1 === best._1)
+    assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-15)
+    assert(math.abs(rec - tp.toDouble / p) < 1e-15)
+    // the cut must be meaningful: it keeps something and drops something
+    assert(tp + fp > 0L && fn + (labeled.length - p - fp) >= 0L)
+  }
+
   // ------------------------------------------------------------ q250
   test("q250 ECE/Brier match an integer-exact in-memory recompute") {
     val got = Curation.q250Calibration(spark, dir).collect()
