@@ -218,11 +218,16 @@ object Dedup {
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(cachedSignatures(s, dir), 0.3)
 
-  val qMinhashPairsSql: String = {
-    val bandJoins = (0 until NumBands).map { bd =>
+  /** The LSH band-join candidate union over `banded` — shared by
+    * qMinhashPairsSql and q256's blocking audit oracle. */
+  private[queries] val bandJoinsSql: String =
+    (0 until NumBands).map { bd =>
       s"""  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM banded a JOIN banded b
          |    ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id""".stripMargin
     }.mkString("\n  UNION\n")
+
+  val qMinhashPairsSql: String = {
+    val bandJoins = bandJoinsSql
     s"""$sigSqlCte,
        |cand AS (
        |$bandJoins),
@@ -235,6 +240,95 @@ object Dedup {
        |SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.3
        |ORDER BY d1, d2""".stripMargin
   }
+
+  // -------------------------------------- q256 blocking-quality audit
+  /** Cross-family blocking audit: how good is q187's sorted-
+    * neighborhood BLOCKING (cheap, sort-based) at catching the
+    * near-dup pairs the LSH pipeline (q23, minhash-verified
+    * Jaccard ≥ 0.3) finds? The two standard record-linkage metrics:
+    * reduction ratio (how far below all-pairs the candidate volume
+    * sits) and pairs completeness (recall of the truth set), plus
+    * pair quality (precision). The decision scalar for "can the
+    * 100 TB dedup run the O(N·w) sort-blocking instead of the
+    * band-join" — completeness tells you what the cheaper plan
+    * forfeits.
+    *
+    * Determinism: candidate and truth sets are both
+    * deterministically ordered constructions (q187's (pfx, doc_id)
+    * rank; q23's verified band pairs); all counts integer; the three
+    * ratios are single IEEE divisions.
+    *
+    * Scale: the SNM candidate relation is O(N·w) off one window
+    * shuffle; the truth relation is the q23 banded join (cached
+    * signatures); the intersection is one narrow (d1, d2) join;
+    * all-pairs N(N−1)/2 comes from a one-row count, never
+    * materialized. */
+  def q256BlockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val sw = Integrity.SnmWindow
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, Integrity.SnmPrefixLen).as("pfx"))
+    val w = Window.partitionBy("lang").orderBy(col("pfx"), col("doc_id"))
+    val r = d.withColumn("rn", row_number().over(w).cast("long"))
+    val probe = r.select(col("lang"), col("doc_id").as("dd"),
+      explode(expr(s"sequence(rn - $sw, rn - 1)")).as("rn"))
+      .filter(col("rn") >= 1L)
+    val cand = r.join(probe, Seq("lang", "rn"))
+      .select(least(col("doc_id"), col("dd")).as("d1"),
+        greatest(col("doc_id"), col("dd")).as("d2"))
+    val truth = qMinhashPairs(s, dir).select(col("d1"), col("d2"))
+    val caught = truth.join(cand, Seq("d1", "d2"), "left_semi")
+    val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val na = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = caught.agg(count(lit(1)).as("n_caught"))
+    nd.crossJoin(na).crossJoin(nt).crossJoin(nc)
+      .withColumn("n_pairs_total",
+        expr("n_docs * (n_docs - 1) div 2"))
+      .select(col("n_docs"), col("n_pairs_total"), col("n_cand"),
+        col("n_truth"), col("n_caught"),
+        (lit(1.0) - col("n_cand").cast("double") /
+          col("n_pairs_total").cast("double")).as("reduction_ratio"),
+        (col("n_caught").cast("double") / col("n_truth").cast("double"))
+          .as("completeness"),
+        (col("n_caught").cast("double") / col("n_cand").cast("double"))
+          .as("quality"))
+  }
+
+  val q256Sql: String =
+    s"""$sigSqlCte,
+       |cand AS (
+       |$bandJoinsSql),
+       |scored AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id),
+       |truth AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.3),
+       |r AS (SELECT doc_id, lang,
+       |  ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY substr(text, 1, ${Integrity.SnmPrefixLen}), doc_id) AS rn
+       |  FROM documents),
+       |bc AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+       |  greatest(a.doc_id, b.doc_id) AS d2
+       |  FROM r a JOIN r b ON a.lang = b.lang
+       |    AND b.rn - a.rn BETWEEN 1 AND ${Integrity.SnmWindow}),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1) // 2
+       |    AS n_pairs_total FROM documents),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM bc),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_caught FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM bc
+       |    WHERE bc.d1 = t.d1 AND bc.d2 = t.d2))
+       |SELECT nn.n_docs, nn.n_pairs_total, na.n_cand, nt.n_truth,
+       |  nc.n_caught,
+       |  1.0 - CAST(na.n_cand AS DOUBLE) / CAST(nn.n_pairs_total AS DOUBLE)
+       |    AS reduction_ratio,
+       |  CAST(nc.n_caught AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+       |    AS completeness,
+       |  CAST(nc.n_caught AS DOUBLE) / CAST(na.n_cand AS DOUBLE) AS quality
+       |FROM nn CROSS JOIN na CROSS JOIN nt CROSS JOIN nc""".stripMargin
 
   // ----------------------------------------------------------- simhash
   // SimHash fingerprints: a 60-bit majority-vote signature over the
@@ -1489,6 +1583,7 @@ object Dedup {
     "q21_dedup_ngram" -> (qDedupNgram _),
     "q22_minhash_sig" -> (qMinhashSig _),
     "q23_minhash_pairs" -> (qMinhashPairs _),
+    "q256_blocking_audit" -> (q256BlockingAudit _),
     "q36_dedup_exact_keep" -> (qDedupExactKeep _),
     "q37_dedup_near_keep" -> (qDedupNearKeep _),
     "q43_simhash" -> (qSimhash _),
@@ -1511,6 +1606,7 @@ object Dedup {
     "q21_dedup_ngram" -> qDedupNgramSql,
     "q22_minhash_sig" -> qMinhashSigSql,
     "q23_minhash_pairs" -> qMinhashPairsSql,
+    "q256_blocking_audit" -> q256Sql,
     "q36_dedup_exact_keep" -> qDedupExactKeepSql,
     "q37_dedup_near_keep" -> qDedupNearKeepSql,
     "q43_simhash" -> qSimhashSql,

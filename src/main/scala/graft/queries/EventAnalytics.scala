@@ -1051,6 +1051,71 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // --------------------------- q257 incremental aggregate maintenance
+  /** Materialized-view refresh by DELTA MERGE: split the event log at
+    * a time cutoff (first 80% of the time range = the "already
+    * materialized" base, the rest = the newly arrived delta), compute
+    * each side's partial aggregate independently, and MERGE them with
+    * a full-outer coalesce-add — the incremental-view-maintenance
+    * shape that refreshes a 100 TB aggregate by touching ONLY the new
+    * partition (q44/q104/q208 maintain pipelines incrementally; this
+    * is the engine-level additive-aggregate merge itself). The oracle
+    * recomputes the same aggregate in one pass — the equality IS the
+    * IVM correctness statement (counts and decimal sums are the
+    * canonical self-maintainable aggregates).
+    *
+    * Determinism: the cutoff is integer µs arithmetic
+    * (mn + (mx − mn)·4 div 5); per-side sums are exact
+    * DECIMAL(25,6) — decimal addition is associative, so
+    * base ⊕ delta is bit-equal to the one-pass sum.
+    *
+    * Scale: two map-side-combined partial aggregates (each reading
+    * only its time slice — at scale, partition pruning makes the base
+    * read free because it is already materialized) and one
+    * |event_types|-row full-outer merge. */
+  def q257IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts div 1000").as("us"),
+      col("value").cast(dec).as("v"))
+    val cut = e.agg(min("us").as("mn"), max("us").as("mx"))
+      .select(expr("mn + (mx - mn) * 4 div 5").as("cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(35, 6))
+    val base = tagged.filter(col("us") < col("cut")).groupBy("event_type")
+      .agg(count(lit(1)).as("n_base"), sum("v").as("s_base"))
+    val delta = tagged.filter(col("us") >= col("cut")).groupBy("event_type")
+      .agg(count(lit(1)).as("n_delta"), sum("v").as("s_delta"))
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("s_base"), zero) + coalesce(col("s_delta"), zero))
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q257Sql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+      |  CAST(value AS DECIMAL(25,6)) AS v FROM events),
+      |mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+      |tagged AS (SELECT e.*, mm.mn + (mm.mx - mm.mn) * 4 // 5 AS cut
+      |  FROM e CROSS JOIN mm),
+      |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_base,
+      |  SUM(v) AS s_base FROM tagged WHERE us < cut GROUP BY 1),
+      |d AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_delta,
+      |  SUM(v) AS s_delta FROM tagged WHERE us >= cut GROUP BY 1)
+      |SELECT event_type,
+      |  COALESCE(b.n_base, 0) AS n_base,
+      |  COALESCE(d.n_delta, 0) AS n_delta,
+      |  COALESCE(b.n_base, 0) + COALESCE(d.n_delta, 0) AS n_events,
+      |  CAST(COALESCE(b.s_base, 0) + COALESCE(d.s_delta, 0) AS DOUBLE)
+      |    AS total_value
+      |FROM b FULL OUTER JOIN d USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------ q249 MAD robust outlier gate
   /** Median-absolute-deviation outlier gate — the ROBUST counterpart
     * of q71's z-score (a mean/σ gate moves when the outliers it hunts
@@ -1385,6 +1450,7 @@ object EventAnalytics {
     "q227_gini_activity" -> (q227GiniActivity _),
     "q223_exact_median" -> (q223ExactMedian _),
     "q249_mad_gate" -> (q249MadGate _),
+    "q257_incremental_agg" -> (q257IncrementalAgg _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -1417,6 +1483,7 @@ object EventAnalytics {
     "q221_cusum_changepoint" -> q221Sql,
     "q223_exact_median" -> q223Sql,
     "q249_mad_gate" -> q249Sql,
+    "q257_incremental_agg" -> q257Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

@@ -2229,6 +2229,69 @@ object Similarity {
        |  (PARTITION BY qid ORDER BY rrf_score DESC, cid) AS rn FROM f)
        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------- q258 Kendall tau rank agreement
+  /** Kendall rank-correlation between the two retrievers q224 fuses
+    * (cosine vs L2 rankings) over each query's fused top-10 — the
+    * "do my retrievers actually disagree enough for fusion to help"
+    * audit (RRF only beats its best input when the inputs rank
+    * DIFFERENTLY; tau ≈ 1 means the fusion is paying two retrievals
+    * for one ranking). Both rankings are strict total orders
+    * (row_number with id tie-break), so tau-a = tau-b:
+    * tau = (C − D)/(C + D) over the K(K−1)/2 within-query pairs.
+    *
+    * Determinism: concordance is a sign test on integer rank
+    * differences; per-query tau is one IEEE division of integers;
+    * the corpus-wide mean quantizes via the decimal-sum contract.
+    *
+    * Scale: the pair relation is query-local over the FIXED fused
+    * top-K (≤ 45 pairs per query) — a broadcast-sized self-join that
+    * never touches the corpus; the expensive part (the rankings) is
+    * the q224 computation itself, already cell-bounded. */
+  def q258KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val f = q224RrfFusion(s, dir)
+      .select(col("qid"), col("cid"), col("rank_cos"), col("rank_l2"))
+    val a = f.select(col("qid"), col("cid").as("c1"),
+      col("rank_cos").as("rc1"), col("rank_l2").as("rl1"))
+    val b = f.select(col("qid"), col("cid").as("c2"),
+      col("rank_cos").as("rc2"), col("rank_l2").as("rl2"))
+    val pairs = a.join(b, Seq("qid")).filter(col("c1") < col("c2"))
+      .withColumn("conc", when(
+        (col("rc1") - col("rc2")) * (col("rl1") - col("rl2")) > 0, 1L)
+        .otherwise(0L))
+    val perQ = pairs.groupBy("qid")
+      .agg(sum("conc").as("concordant"),
+        (count(lit(1)) - sum("conc")).as("discordant"))
+      .withColumn("n_pairs", col("concordant") + col("discordant"))
+      .withColumn("tau",
+        (col("concordant") - col("discordant")).cast("double") /
+          (col("concordant") + col("discordant")).cast("double"))
+    val ov = perQ.agg(
+      round(Relational.dsum(col("tau")) / count(lit(1)), 6).as("mean_tau"))
+    perQ.crossJoin(broadcast(ov))
+      .select("qid", "n_pairs", "concordant", "discordant", "tau", "mean_tau")
+      .orderBy("qid")
+  }
+
+  val q258Sql: String =
+    s"""WITH f AS (SELECT qid, cid, rank_cos, rank_l2 FROM (
+       |$q224Sql
+       |)),
+       |pr AS (SELECT a.qid,
+       |  CASE WHEN (a.rank_cos - b.rank_cos) * (a.rank_l2 - b.rank_l2) > 0
+       |    THEN 1 ELSE 0 END AS conc
+       |  FROM f a JOIN f b ON a.qid = b.qid AND a.cid < b.cid),
+       |pq AS (SELECT qid, CAST(SUM(conc) AS BIGINT) AS concordant,
+       |  CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant
+       |  FROM pr GROUP BY 1),
+       |tq AS (SELECT qid, concordant, discordant,
+       |  concordant + discordant AS n_pairs,
+       |  CAST(concordant - discordant AS DOUBLE) /
+       |    CAST(concordant + discordant AS DOUBLE) AS tau FROM pq),
+       |ov AS (SELECT round(CAST(SUM(CAST(tau AS DECIMAL(25,6))) AS DOUBLE)
+       |  / COUNT(*), 6) AS mean_tau FROM tq)
+       |SELECT qid, n_pairs, concordant, discordant, tau, ov.mean_tau
+       |FROM tq CROSS JOIN ov ORDER BY qid""".stripMargin
+
   // --------------------------------------- q229 semantic split leakage
   /** Embedding-space split-contamination audit — q201's n-gram leakage
     * check lifted to SEMANTIC space: after a naive hash split of the
@@ -2471,6 +2534,7 @@ object Similarity {
     "q235_jl_distortion" -> (q235JlDistortion _),
     "q229_semantic_leak" -> (q229SemanticLeak _),
     "q224_rrf_fusion" -> (q224RrfFusion _),
+    "q258_kendall_tau" -> (q258KendallTau _),
     "q213_prototype_prune" -> (q213PrototypePrune _),
     "q215_label_noise" -> (q215LabelNoise _),
     "q216_trunc_recall" -> (q216TruncRecall _),
@@ -2506,6 +2570,7 @@ object Similarity {
     "q235_jl_distortion" -> q235Sql,
     "q229_semantic_leak" -> q229Sql,
     "q224_rrf_fusion" -> q224Sql,
+    "q258_kendall_tau" -> q258Sql,
     "q213_prototype_prune" -> q213Sql,
     "q215_label_noise" -> q215Sql,
     "q216_trunc_recall" -> q216Sql,

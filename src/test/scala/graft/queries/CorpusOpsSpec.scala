@@ -468,6 +468,40 @@ class CorpusOpsSpec extends SparkSuite {
     assert(auc > 0.0 && auc < 1.0, "AUC strictly inside (0,1)")
   }
 
+  // ------------------------------------------------------------ q256
+  test("q256 blocking audit reconciles SNM candidates with LSH truth") {
+    val Array(row) = Dedup.q256BlockingAudit(spark, dir).collect()
+    val (nDocs, nTotal, nCand, nTruth, nCaught, rr, pc, pq) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getDouble(5), row.getDouble(6), row.getDouble(7))
+    // in-memory SNM candidate set (the q187 blocking without verify)
+    val d = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).take(Integrity.SnmPrefixLen)))
+    val cand = d.groupBy(_._2).values.flatMap { g =>
+      val sorted = g.sortBy(x => (x._3, x._1)).map(_._1)
+      sorted.indices.flatMap { i =>
+        (math.max(0, i - Integrity.SnmWindow) until i).map { j =>
+          val (a, b) = (sorted(j), sorted(i))
+          (math.min(a, b), math.max(a, b))
+        }
+      }
+    }.toSet
+    val truth = Dedup.qMinhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nDocs === d.length.toLong)
+    assert(nTotal === nDocs * (nDocs - 1) / 2)
+    assert(nCand === cand.size.toLong, "SNM candidate volume")
+    assert(nTruth === truth.size.toLong)
+    assert(nCaught === truth.count(cand.contains).toLong)
+    assert(rr === 1.0 - nCand.toDouble / nTotal)
+    assert(pc === nCaught.toDouble / nTruth)
+    assert(pq === nCaught.toDouble / nCand)
+    // the whole point of blocking: far below all-pairs
+    assert(rr > 0.9, s"reduction ratio $rr not sub-quadratic")
+  }
+
   // ------------------------------------------------------------ q255
   test("q255 average precision matches a per-row sweep recompute") {
     val Array(row) = Curation.q255AvgPrecision(spark, dir).collect()
@@ -1332,6 +1366,27 @@ class CorpusOpsSpec extends SparkSuite {
     // the scale claim: phase 2 sorts a bin, not the stream
     got.foreach { case (tpe, n, _, _, bc, _) =>
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
+  }
+
+  // ------------------------------------------------------------ q257
+  test("q257 merged base+delta aggregate equals a one-pass recompute") {
+    val got = EventAnalytics.q257IncrementalAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // the IVM correctness statement: merge(base, delta) == recompute
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS us")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.length.toLong, g.map(x => BigInt(x._2)).sum.toDouble / 1e6)
+    }
+    assert(got.map(t => (t._1, t._4, t._5)).toSeq === expected)
+    // the split must be a real split: both sides contribute somewhere
+    assert(got.map(_._2).sum > 0L, "base side empty")
+    assert(got.map(_._3).sum > 0L, "delta side empty")
+    got.foreach { case (t, nb, nd, n, _) =>
+      assert(nb + nd === n, s"$t partial counts don't add up") }
   }
 
   // ------------------------------------------------------------ q249

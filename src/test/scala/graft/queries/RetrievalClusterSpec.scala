@@ -83,6 +83,34 @@ class RetrievalClusterSpec extends SparkSuite {
     } finally ex.unpersist()
   }
 
+  test("q258 Kendall tau matches a pairwise recompute over q224's ranks") {
+    val got = Similarity.q258KendallTau(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val fused = Similarity.q224RrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+      .groupBy(_._1)
+    val taus = fused.toSeq.sortBy(_._1).map { case (qid, items) =>
+      val pairs = for {
+        i <- items.indices; j <- items.indices
+        if items(i)._2 < items(j)._2
+      } yield ((items(i)._3 - items(j)._3).toLong *
+        (items(i)._4 - items(j)._4).toLong > 0L)
+      val c = pairs.count(identity).toLong
+      val d = pairs.length - c
+      (qid, pairs.length.toLong, c, d, (c - d).toDouble / (c + d).toDouble)
+    }
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val meanTau = q6(taus.map(t => q6(t._5)).sum.toDouble / taus.length)
+      .toDouble
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq === taus)
+    got.foreach { t =>
+      assert(t._6 === meanTau)
+      assert(t._5 >= -1.0 && t._5 <= 1.0)
+    }
+  }
+
   test("q254 silhouette matches an in-memory centroid recompute") {
     val out = Similarity.q254Silhouette(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
