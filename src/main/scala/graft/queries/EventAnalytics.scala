@@ -1051,6 +1051,59 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // ----------------------------- q260 exponential-decay engagement
+  /** Time-decayed per-user engagement score: each event contributes
+    * 2^−k where k = how many half-lives before the corpus horizon it
+    * happened — the freshness-weighted activity counter behind decay
+    * rankings and churn features (q142's retention is cohort-bucketed;
+    * this is the continuous-decay form, QUANTIZED to half-life steps
+    * so it stays exact). The half-life is (range div 8) of the
+    * observed time span, so the fixture exercises ~8 decay levels.
+    *
+    * Exactness: the decay ladder never touches libm pow — each weight
+    * is the exact integer 2^(50−k) (one shiftleft; k clamped to 50,
+    * older mass deterministically 0), summed in DECIMAL(38,0) and
+    * divided by 2^50 once at the end: one IEEE rounding, identical in
+    * both engines. The memory-bank rule "1/2^k terms are exact" made
+    * load-bearing.
+    *
+    * Scale: scan-local weight assignment (broadcast one-row horizon),
+    * one map-side-combined per-user aggregation — the shape survives
+    * any corpus size; the horizon/span one-row aggregate is the only
+    * non-linear piece. */
+  val DecayMaxK = 50
+  val DecayScale = 1L << DecayMaxK
+
+  def q260DecayScore(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = events(s, dir).select(col("user_id"), expr("ts div 1000").as("us"))
+    val hor = e.agg(min("us").as("mn"), max("us").as("mx"))
+      .select(col("mx"), greatest(expr("(mx - mn) div 8"), lit(1L)).as("hl"))
+    e.crossJoin(broadcast(hor))
+      .withColumn("k",
+        least(expr("(mx - us) div hl"), lit(DecayMaxK.toLong)))
+      .withColumn("w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), $DecayMaxK - CAST(k AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("w").cast(dec38)).cast("double") /
+          lit(DecayScale.toDouble)).as("decayed_score"))
+      .orderBy("user_id")
+  }
+
+  val q260Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |h AS (SELECT MAX(us) AS mx,
+       |  greatest((MAX(us) - MIN(us)) // 8, 1) AS hl FROM e),
+       |w AS (SELECT e.user_id,
+       |  (CAST(1 AS BIGINT) << ($DecayMaxK -
+       |    CAST(least((h.mx - e.us) // h.hl, $DecayMaxK) AS INT))) AS w
+       |  FROM e CROSS JOIN h)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) /
+       |    CAST($DecayScale AS DOUBLE) AS decayed_score
+       |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin
+
   // --------------------------- q257 incremental aggregate maintenance
   /** Materialized-view refresh by DELTA MERGE: split the event log at
     * a time cutoff (first 80% of the time range = the "already
@@ -1451,6 +1504,7 @@ object EventAnalytics {
     "q223_exact_median" -> (q223ExactMedian _),
     "q249_mad_gate" -> (q249MadGate _),
     "q257_incremental_agg" -> (q257IncrementalAgg _),
+    "q260_decay_score" -> (q260DecayScore _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -1484,6 +1538,7 @@ object EventAnalytics {
     "q223_exact_median" -> q223Sql,
     "q249_mad_gate" -> q249Sql,
     "q257_incremental_agg" -> q257Sql,
+    "q260_decay_score" -> q260Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

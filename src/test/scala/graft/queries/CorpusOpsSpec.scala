@@ -1368,6 +1368,33 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------------ q260
+  test("q260 decay score matches an exact power-of-two recompute") {
+    val got = EventAnalytics.q260DecayScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "ts div 1000 AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mx = evs.map(_._2).max
+    val hl = math.max((mx - evs.map(_._2).min) / 8, 1L)
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, g) =>
+      val scaled = g.map { case (_, us) =>
+        val k = math.min((mx - us) / hl, EventAnalytics.DecayMaxK.toLong)
+        BigInt(1L << (EventAnalytics.DecayMaxK - k.toInt))
+      }.sum
+      (u, g.length.toLong,
+        scaled.toDouble / EventAnalytics.DecayScale.toDouble)
+    }
+    assert(got.toSeq === expected)
+    // decay structure: every score is positive and at most n_events
+    // (weight 1 per event is the maximum), and at least one user has
+    // visibly decayed mass (score strictly below its count)
+    got.foreach { case (u, n, s) =>
+      assert(s > 0.0 && s <= n.toDouble, s"user $u score out of range") }
+    assert(got.exists { case (_, n, s) => s < n.toDouble },
+      "no decay observed anywhere")
+  }
+
   // ------------------------------------------------------------ q257
   test("q257 merged base+delta aggregate equals a one-pass recompute") {
     val got = EventAnalytics.q257IncrementalAgg(spark, dir).collect()
