@@ -1051,6 +1051,168 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // ------------------------------- q261 Theil–Sen robust drift slope
+  /** Robust trend of the daily mean event value: the Theil–Sen
+    * estimator (lower median of all pairwise day-to-day slopes) next
+    * to the OLS slope — the drift detector that one bad day cannot
+    * drag (OLS has breakdown point 0; Theil–Sen survives ~29%
+    * contamination). The q221 CUSUM finds WHEN a shift happened; this
+    * reports the sustained RATE, robustly.
+    *
+    * Determinism: daily means are one IEEE division of a
+    * DECIMAL(38,0) micro-unit sum by an integer count; each pairwise
+    * slope is IEEE arithmetic on those identical doubles; the median
+    * slope is the (n+1)/2-th ORDER STATISTIC by value — engine order
+    * among equal doubles cannot change which VALUE sits at that rank.
+    * OLS runs on (day − min_day, round(mean·1e6)) with EXACT decimal
+    * integer sums; only the final closed form is double, over
+    * bit-identical operands in both engines.
+    *
+    * Scale: the corpus collapses to |days| rows in one
+    * map-side-combined shuffle; the O(days²) pair join runs on that
+    * bounded relation (a decade is ~7 k²/2 pairs), never on events. */
+  def q261TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byDay = events(s, dir)
+      .select(expr("ts div 1000 div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
+          .as("v_us"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("v_us").cast(dec38)).as("sv"))
+      .select(col("day"),
+        (col("sv").cast("double") / (col("n").cast("double") * 1e6)).as("m"))
+    val a = byDay.select(col("day").as("d1"), col("m").as("m1"))
+    val b = byDay.select(col("day").as("d2"), col("m").as("m2"))
+    val slopes = a.join(b, col("d1") < col("d2"))
+      .select(((col("m2") - col("m1")) /
+        (col("d2") - col("d1")).cast("double")).as("slope"))
+    val ranked = slopes.withColumn("rn",
+      row_number().over(Window.orderBy("slope")))
+    val medianSlope = ranked
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("slope").as("ts_slope"), col("np").as("n_pairs"))
+    // OLS over (day − mnd, round(m·1e6)) — EXACT integer sums in
+    // decimal, cast to double only for the final closed form, so both
+    // engines combine bit-identical operands (quantizing the raw
+    // x·y products instead diverged at the rounding boundary).
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val xy = byDay
+      .crossJoin(broadcast(byDay.agg(min("day").as("mnd"))))
+      .select((col("day") - col("mnd")).cast(d18).as("x"),
+        expr("CAST(round(m * 1000000, 0) AS BIGINT)").cast(d18).as("yus"))
+    val ols = xy
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("yus")).cast("double").as("sy"),
+        sum(col("x") * col("yus")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n_days") * col("sxx") - col("sx") * col("sx")) * 1e6))
+          .as("ols_slope"))
+    ols.crossJoin(broadcast(medianSlope))
+      .select("n_days", "n_pairs", "ts_slope", "ols_slope")
+  }
+
+  val q261Sql: String =
+    """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |  CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(25,6)) * 1000000
+      |    AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * 1e6) AS m
+      |  FROM events GROUP BY 1),
+      |sl AS (SELECT (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM byday a JOIN byday b ON a.day < b.day),
+      |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+      |  COUNT(*) OVER () AS np FROM sl),
+      |med AS (SELECT slope AS ts_slope, CAST(np AS BIGINT) AS n_pairs
+      |  FROM r WHERE rn = (np + 1) // 2),
+      |mn AS (SELECT MIN(day) AS mnd FROM byday),
+      |xy AS (SELECT CAST(day - mnd AS DECIMAL(18,0)) AS x,
+      |  CAST(CAST(round(m * 1000000, 0) AS BIGINT) AS DECIMAL(18,0))
+      |    AS yus
+      |  FROM byday CROSS JOIN mn),
+      |o AS (SELECT COUNT(*) AS n_days,
+      |  CAST(SUM(x) AS DOUBLE) AS sx,
+      |  CAST(SUM(yus) AS DOUBLE) AS sy,
+      |  CAST(SUM(x * yus) AS DOUBLE) AS sxy,
+      |  CAST(SUM(x * x) AS DOUBLE) AS sxx
+      |  FROM xy)
+      |SELECT o.n_days, med.n_pairs, med.ts_slope,
+      |  (o.n_days * o.sxy - o.sx * o.sy) /
+      |    ((o.n_days * o.sxx - o.sx * o.sx) * 1e6) AS ols_slope
+      |FROM o CROSS JOIN med""".stripMargin
+
+  // ------------------------------ q262 daily-count autocorrelation
+  /** Lag-1..7 autocorrelation of the gap-filled daily event count —
+    * the seasonality probe behind ingest-rate monitoring (a weekly
+    * rhythm shows as a lag-7 peak; q221 detects level SHIFTS, this
+    * detects PERIODICITY). Missing days enter as exact zeros via a
+    * generated day spine, because skipping them silently shifts every
+    * lag.
+    *
+    * Determinism: counts and the day spine are integers; the mean is
+    * one IEEE division; every (dev·dev) product quantizes to
+    * DECIMAL(25,6) before its sum (order-free); each ACF value is one
+    * division of two such decimal-derived doubles.
+    *
+    * Scale: the corpus collapses to |days| rows in one shuffle; the
+    * lag joins run on the bounded day spine with a broadcast 7-row
+    * lag relation. */
+  val AcfMaxLag = 7
+
+  def q262DailyAcf(s: SparkSession, dir: String): DataFrame = {
+    val byDay = events(s, dir)
+      .select(expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val spine = byDay.agg(min("day").as("mnd"), max("day").as("mxd"))
+      .select(explode(expr("sequence(mnd, mxd)")).as("day"))
+    val series = spine.join(byDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val stats = series.agg(count(lit(1)).as("nd"), sum("c").as("tot"))
+    val dev = series.crossJoin(broadcast(stats))
+      .withColumn("dev", col("c").cast("double") -
+        col("tot").cast("double") / col("nd").cast("double"))
+      .select("day", "dev")
+    val denom = dev.agg(
+      Relational.dsum(col("dev") * col("dev")).as("denom"))
+    val lags = s.range(1, AcfMaxLag + 1).toDF("lag")
+    val right = dev.select(col("day").as("day2"), col("dev").as("dev2"))
+    dev.crossJoin(broadcast(lags))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(right, Seq("day2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_terms"),
+        Relational.dsum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_terms"),
+        (col("num") / col("denom")).as("acf"))
+      .orderBy("lag")
+  }
+
+  val q262Sql: String =
+    s"""WITH bd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |sp AS (SELECT MIN(day) AS mnd, MAX(day) AS mxd FROM bd),
+       |alld AS (SELECT unnest(generate_series(mnd, mxd)) AS day FROM sp),
+       |series AS (SELECT a.day, COALESCE(b.c, 0) AS c
+       |  FROM alld a LEFT JOIN bd b USING (day)),
+       |st AS (SELECT COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS tot
+       |  FROM series),
+       |wd AS (SELECT day, CAST(c AS DOUBLE) -
+       |  CAST(st.tot AS DOUBLE) / CAST(st.nd AS DOUBLE) AS dev
+       |  FROM series CROSS JOIN st),
+       |dn AS (SELECT CAST(SUM(CAST(dev * dev AS DECIMAL(25,6))) AS DOUBLE)
+       |  AS denom FROM wd),
+       |lg AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag),
+       |pr AS (SELECT lg.lag, a.dev AS d1, b.dev AS d2
+       |  FROM wd a CROSS JOIN lg JOIN wd b ON b.day = a.day + lg.lag)
+       |SELECT pr.lag, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  CAST(SUM(CAST(d1 * d2 AS DECIMAL(25,6))) AS DOUBLE) / dn.denom
+       |    AS acf
+       |FROM pr CROSS JOIN dn GROUP BY pr.lag, dn.denom
+       |ORDER BY pr.lag""".stripMargin
+
   // ----------------------------- q260 exponential-decay engagement
   /** Time-decayed per-user engagement score: each event contributes
     * 2^−k where k = how many half-lives before the corpus horizon it
@@ -1505,6 +1667,8 @@ object EventAnalytics {
     "q249_mad_gate" -> (q249MadGate _),
     "q257_incremental_agg" -> (q257IncrementalAgg _),
     "q260_decay_score" -> (q260DecayScore _),
+    "q261_theil_sen" -> (q261TheilSen _),
+    "q262_daily_acf" -> (q262DailyAcf _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -1539,6 +1703,8 @@ object EventAnalytics {
     "q249_mad_gate" -> q249Sql,
     "q257_incremental_agg" -> q257Sql,
     "q260_decay_score" -> q260Sql,
+    "q261_theil_sen" -> q261Sql,
+    "q262_daily_acf" -> q262Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

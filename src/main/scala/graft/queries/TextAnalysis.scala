@@ -1378,6 +1378,69 @@ object TextAnalysis {
        |  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta, sx, sy FROM m)
        |SELECT n_total, k, beta, (sy - beta * sx) / k AS ln_k FROM sl""".stripMargin
 
+  // --------------------------------- q263 Hill tail-index estimator
+  /** Hill estimator of the token-frequency tail index over the
+    * top-[[ZipfK]] frequencies: α̂ = (k−1) / Σ_{i<k} ln(f_i / f_k) —
+    * the maximum-likelihood Pareto exponent of the heavy tail. q204
+    * fits the WHOLE rank-frequency line by least squares; Hill is the
+    * tail-only MLE the heavy-tail literature actually recommends
+    * (OLS-on-log-log is biased), so the pair lets a distribution
+    * audit see when the head and tail disagree.
+    *
+    * Determinism: the top-k cut and its k-th order statistic use the
+    * (freq DESC, token) total order; each ln(f_i/f_k) is one libm log
+    * of an exact integer ratio, quantized to DECIMAL(25,6) before the
+    * bounded sum; α̂ is one IEEE division, with the all-ties
+    * degenerate sum guarded to 0.
+    *
+    * Scale: one token-keyed map-side-combined shuffle +
+    * TakeOrderedAndProject for the k rows (the q204 shape); the
+    * estimator is K-row arithmetic. */
+  def q263HillTail(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val top = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(ZipfK)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    val tail = ranked
+      .withColumn("km", max("rank").over(Window.partitionBy()))
+      .withColumn("fk", min(when(col("rank") === col("km"), col("freq")))
+        .over(Window.partitionBy()))
+    tail.filter(col("rank") < col("km"))
+      .select(col("km"), col("fk"),
+        log(col("freq").cast("double") / col("fk").cast("double")).as("lr"))
+      .groupBy("km", "fk")
+      .agg(sum(col("lr").cast(dec)).cast("double").as("slr"))
+      .select(col("km").cast("long").as("k_used"), col("fk").as("f_tail"),
+        when(col("slr") > 0.0,
+          (col("km") - 1).cast("double") / col("slr"))
+          .otherwise(lit(0.0)).as("alpha"))
+  }
+
+  val q263Sql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+       |  WHERE length(tok) > 0 GROUP BY 1
+       |  ORDER BY freq DESC, tok LIMIT $ZipfK),
+       |r AS (SELECT freq,
+       |  ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM f),
+       |t1 AS (SELECT freq, rank, MAX(rank) OVER () AS km FROM r),
+       |t AS (SELECT freq, rank, km,
+       |  MIN(CASE WHEN rank = km THEN freq END) OVER () AS fk FROM t1),
+       |sm AS (SELECT CAST(km AS BIGINT) AS k_used,
+       |  CAST(fk AS BIGINT) AS f_tail,
+       |  CAST(SUM(CAST(ln(CAST(freq AS DOUBLE) / CAST(fk AS DOUBLE))
+       |    AS DECIMAL(25,6))) AS DOUBLE) AS slr
+       |  FROM t WHERE rank < km GROUP BY 1, 2)
+       |SELECT k_used, f_tail,
+       |  CASE WHEN slr > 0 THEN CAST(k_used - 1 AS DOUBLE) / slr
+       |       ELSE 0.0 END AS alpha
+       |FROM sm""".stripMargin
+
   // ----------------------------------- q231 source unigram JS divergence
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions over the top-[[JsdVocab]] corpus tokens (+ one
@@ -1680,6 +1743,7 @@ object TextAnalysis {
     "q244_bpe_trainer" -> (q244BpeTrainer _),
     "q252_vocab_richness" -> (q252VocabRichness _),
     "q253_heaps_fit" -> (q253HeapsFit _),
+    "q263_hill_tail" -> (q263HillTail _),
     "q246_packing_audit" -> (q246PackingAudit _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
@@ -1709,6 +1773,7 @@ object TextAnalysis {
     "q244_bpe_trainer" -> q244Sql,
     "q252_vocab_richness" -> q252Sql,
     "q253_heaps_fit" -> q253Sql,
+    "q263_hill_tail" -> q263Sql,
     "q246_packing_audit" -> q246Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,

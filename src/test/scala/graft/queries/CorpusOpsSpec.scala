@@ -1368,6 +1368,88 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------------ q261
+  test("q261 Theil-Sen slope matches a pairwise median recompute") {
+    val Array(row) = EventAnalytics.q261TheilSen(spark, dir).collect()
+    val (nDays, nPairs, tsSlope, olsSlope) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("ts div 1000 div 86400000000 AS day",
+        "CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.map(x => BigInt(x._2)).sum.toDouble / (g.length * 1e6))
+    }
+    assert(nDays === byDay.length.toLong)
+    val slopes = (for {
+      i <- byDay.indices; j <- byDay.indices if byDay(i)._1 < byDay(j)._1
+    } yield (byDay(j)._2 - byDay(i)._2) /
+      (byDay(j)._1 - byDay(i)._1).toDouble).sorted
+    assert(nPairs === slopes.length.toLong)
+    assert(tsSlope === slopes((slopes.length + 1) / 2 - 1), "median slope")
+    // exact-integer OLS: x centered at min day, y in rounded µ-units
+    val mnd = byDay.map(_._1).min
+    val pts = byDay.map { case (d, m) =>
+      (BigInt(d - mnd), BigInt(BigDecimal(m * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val expOls = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * 1e6)
+    assert(olsSlope === expOls, s"ols $olsSlope vs $expOls")
+  }
+
+  // ------------------------------------------------------------ q262
+  test("q262 daily ACF matches a gap-filled series recompute") {
+    val got = EventAnalytics.q262DailyAcf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val days = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("ts div 1000 div 86400000000 AS day").collect()
+      .map(_.getLong(0))
+    val counts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (mnd, mxd) = (days.min, days.max)
+    val series = (mnd to mxd).map(d => counts.getOrElse(d, 0L))
+    val mu = series.sum.toDouble / series.length
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val dev = series.map(_.toDouble - mu)
+    val denom = dev.map(d => q6(d * d)).sum.toDouble
+    got.foreach { case (lag, nTerms, acf) =>
+      val terms = (0 until dev.length - lag.toInt)
+        .map(i => q6(dev(i) * dev(i + lag.toInt)))
+      assert(nTerms === terms.length.toLong, s"lag $lag terms")
+      val exp = terms.sum.toDouble / denom
+      assert(math.abs(acf - exp) < 1e-12, s"lag $lag acf $acf vs $exp")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9)
+    }
+    assert(got.map(_._1).toSeq === (1L to EventAnalytics.AcfMaxLag).toSeq)
+  }
+
+  // ------------------------------------------------------------ q263
+  test("q263 Hill tail index matches the top-k order-statistic MLE") {
+    val Array(row) = TextAnalysis.q263HillTail(spark, dir).collect()
+    val (kUsed, fTail, alpha) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val freqs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, a) => (t, a.length.toLong) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(TextAnalysis.ZipfK)
+    assert(kUsed === freqs.length.toLong)
+    val fk = freqs.last._2
+    assert(fTail === fk)
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val slr = freqs.init
+      .map(f => q6(math.log(f._2.toDouble / fk.toDouble))).sum.toDouble
+    val exp = if (slr > 0) (kUsed - 1).toDouble / slr else 0.0
+    assert(math.abs(alpha - exp) < 1e-12, s"alpha $alpha vs $exp")
+    assert(alpha > 0.0, "heavy tail must have a positive index")
+  }
+
   // ------------------------------------------------------------ q260
   test("q260 decay score matches an exact power-of-two recompute") {
     val got = EventAnalytics.q260DecayScore(spark, dir).collect()
