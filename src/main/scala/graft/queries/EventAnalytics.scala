@@ -1051,6 +1051,124 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // ------------------------------- q264 leakage-safe churn labels
+  /** Churn-label generation with a hard temporal firewall: features
+    * come ONLY from the first 80% of the time range, the label ONLY
+    * from the rest (churned = zero events after the cutoff) — the
+    * label/feature split that makes a churn training set valid
+    * (computing recency against the label window is the classic
+    * leak; here recency is measured AT the cutoff). Users born after
+    * the cutoff are excluded — they have no feature view.
+    *
+    * Determinism: the cutoff is the q257 integer-µs arithmetic;
+    * counts, distinct-day counts, and recency are exact integers;
+    * no floating point anywhere.
+    *
+    * Scale: two per-user map-side-combined aggregations (the label
+    * side reads only the post-cutoff slice — partition-prunable) and
+    * one |users|-row left join. */
+  def q264ChurnLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), expr("ts div 1000").as("us"))
+    val cut = e.agg(min("us").as("mn"), max("us").as("mx"))
+      .select(expr("mn + (mx - mn) * 4 div 5").as("cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+    val feat = tagged.filter(col("us") < col("cut"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events_feat"),
+        countDistinct(expr("us div 86400000000")).as("active_days_feat"),
+        max(expr("cut - us")).as("tenure_us"),
+        min(expr("cut - us")).as("recency_us"))
+    val label = tagged.filter(col("us") >= col("cut"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_label"))
+    feat.join(label, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events_feat"),
+        col("active_days_feat"), col("tenure_us"), col("recency_us"),
+        when(col("n_label").isNull, 1L).otherwise(0L).as("churned"))
+      .orderBy("user_id")
+  }
+
+  val q264Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+      |t AS (SELECT e.*, mm.mn + (mm.mx - mm.mn) * 4 // 5 AS cut
+      |  FROM e CROSS JOIN mm),
+      |f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events_feat,
+      |  CAST(COUNT(DISTINCT us // 86400000000) AS BIGINT)
+      |    AS active_days_feat,
+      |  CAST(MAX(cut - us) AS BIGINT) AS tenure_us,
+      |  CAST(MIN(cut - us) AS BIGINT) AS recency_us
+      |  FROM t WHERE us < cut GROUP BY 1),
+      |lb AS (SELECT user_id, COUNT(*) AS n_label FROM t
+      |  WHERE us >= cut GROUP BY 1)
+      |SELECT f.user_id, f.n_events_feat, f.active_days_feat,
+      |  f.tenure_us, f.recency_us,
+      |  CASE WHEN lb.n_label IS NULL THEN 1 ELSE 0 END AS churned
+      |FROM f LEFT JOIN lb USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ----------------------------------- q265 inter-event burstiness
+  /** Per-user inter-arrival burstiness: coefficient of variation and
+    * the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of the gap
+    * distribution — B ≈ 0 for a Poisson user, → 1 for bursty
+    * sessions, < 0 for metronomic bots. The behavioral-shape feature
+    * a fraud/bot filter reads next to q67's session counts (volume
+    * says HOW MUCH, burstiness says IN WHAT RHYTHM).
+    *
+    * Determinism: gaps are exact integer µs off a (ts, event_id)
+    * total-order lag; Σg and Σg² accumulate in DECIMAL(38,0) (g² can
+    * pass 2^63); μ, σ, CV, B are IEEE arithmetic over the
+    * bit-identical decimal-cast operands — population variance via
+    * the closed form (n·Σg² − (Σg)²)/n².
+    *
+    * Scale: one user-keyed window (the q180 shuffle) + one map-side
+    * combined per-user aggregation; users with < 3 events carry no
+    * gap variance and are excluded deterministically. */
+  def q265Burstiness(s: SparkSession, dir: String): DataFrame = {
+    // (18,0) operands keep the g*g product inside DuckDB's 38-digit
+    // cap ((38,0)^2 would not typecheck there); gaps are < 1e12 us
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("g"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(dec18)).cast("double").as("sg"),
+        sum(col("g").cast(dec18) * col("g").cast(dec18)).cast("double")
+          .as("sgg"))
+      .filter(col("n_gaps") >= 2L)
+      .withColumn("mu", col("sg") / col("n_gaps").cast("double"))
+      .withColumn("sigma", sqrt(
+        (col("n_gaps").cast("double") * col("sgg") - col("sg") * col("sg")) /
+          (col("n_gaps").cast("double") * col("n_gaps").cast("double"))))
+      .select(col("user_id"), col("n_gaps"),
+        (col("mu") / 1e6).as("mean_gap_s"),
+        (col("sigma") / col("mu")).as("cv"),
+        ((col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+          .as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  val q265Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id,
+      |  us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    AS g FROM e),
+      |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(CAST(g AS HUGEINT)) AS DOUBLE) AS sg,
+      |  CAST(SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT))
+      |    AS DOUBLE) AS sgg
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+      |m AS (SELECT user_id, n_gaps, sg / CAST(n_gaps AS DOUBLE) AS mu,
+      |  sqrt((CAST(n_gaps AS DOUBLE) * sgg - sg * sg) /
+      |    (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))) AS sigma
+      |  FROM a)
+      |SELECT user_id, n_gaps, mu / 1e6 AS mean_gap_s, sigma / mu AS cv,
+      |  (sigma - mu) / (sigma + mu) AS burstiness
+      |FROM m ORDER BY user_id""".stripMargin
+
   // ------------------------------- q261 Theil–Sen robust drift slope
   /** Robust trend of the daily mean event value: the Theil–Sen
     * estimator (lower median of all pairwise day-to-day slopes) next
@@ -1669,6 +1787,8 @@ object EventAnalytics {
     "q260_decay_score" -> (q260DecayScore _),
     "q261_theil_sen" -> (q261TheilSen _),
     "q262_daily_acf" -> (q262DailyAcf _),
+    "q264_churn_labels" -> (q264ChurnLabels _),
+    "q265_burstiness" -> (q265Burstiness _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -1705,6 +1825,8 @@ object EventAnalytics {
     "q260_decay_score" -> q260Sql,
     "q261_theil_sen" -> q261Sql,
     "q262_daily_acf" -> q262Sql,
+    "q264_churn_labels" -> q264Sql,
+    "q265_burstiness" -> q265Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

@@ -1368,6 +1368,66 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------------ q264
+  test("q264 churn labels match a firewalled in-memory recompute") {
+    val got = EventAnalytics.q264ChurnLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "ts div 1000 AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (mn, mx) = (evs.map(_._2).min, evs.map(_._2).max)
+    val cut = mn + (mx - mn) * 4 / 5
+    val byUser = evs.groupBy(_._1)
+    val expected = byUser.toSeq.sortBy(_._1).flatMap { case (u, g) =>
+      val feat = g.map(_._2).filter(_ < cut)
+      if (feat.isEmpty) None
+      else Some((u, feat.length.toLong,
+        feat.map(_ / 86400000000L).distinct.length.toLong,
+        cut - feat.min, cut - feat.max,
+        if (g.exists(_._2 >= cut)) 0L else 1L))
+    }
+    assert(got.toSeq === expected)
+    // the firewall: recency/tenure are measured AT the cutoff, so
+    // they never go negative; both label classes should appear
+    got.foreach { case (u, _, _, ten, rec, _) =>
+      assert(ten >= rec && rec >= 0L, s"user $u windows inverted") }
+    // dense tiny fixtures can have zero churners (every user stays
+    // active past the cutoff) — that's data, not a bug; the firewall
+    // contract itself is the exact recompute above
+    assert(got.exists(_._6 == 0L), "nobody survives the cutoff?")
+  }
+
+  // ------------------------------------------------------------ q265
+  test("q265 burstiness matches an exact gap-moment recompute") {
+    val got = EventAnalytics.q265Burstiness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (u, g) =>
+        val ordered = g.sortBy(x => (x._3, x._2)).map(_._3)
+        val gaps = ordered.zip(ordered.tail).map(p => p._2 - p._1)
+        if (gaps.length < 2) None
+        else {
+          val n = gaps.length.toDouble
+          val sg = gaps.map(BigInt(_)).sum.toDouble
+          val sgg = gaps.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+          val mu = sg / n
+          val sigma = math.sqrt((n * sgg - sg * sg) / (n * n))
+          Some((u, gaps.length.toLong, mu / 1e6, sigma / mu,
+            (sigma - mu) / (sigma + mu)))
+        }
+    }
+    assert(got.toSeq === expected)
+    // burstiness lives in (-1, 1); CV is nonnegative
+    got.foreach { case (u, _, _, cv, b) =>
+      assert(cv >= 0.0, s"user $u negative CV")
+      assert(b > -1.0 && b < 1.0, s"user $u burstiness out of range") }
+  }
+
   // ------------------------------------------------------------ q261
   test("q261 Theil-Sen slope matches a pairwise median recompute") {
     val Array(row) = EventAnalytics.q261TheilSen(spark, dir).collect()
