@@ -1495,13 +1495,23 @@ object EventAnalytics {
   }
 
   def q249MadGate(s: SparkSession, dir: String): DataFrame = {
+    // |event_types|-row medians materialize to LOCAL relations (the
+    // qKmeans pattern): the final gate otherwise re-embeds the whole
+    // two-phase selection pipeline per reference, and the second
+    // median would nest the first's plan inside its own — pure
+    // fixed-cost replanning, zero data-scale benefit
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        df.schema)
+    }
     val e = events(s, dir).select(col("event_type"),
       expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
         .as("qv"))
-    val med = exactMedianUs(e, "med_us")
+    val med = localize(exactMedianUs(e, "med_us"))
     val dev = e.join(broadcast(med), "event_type")
       .select(col("event_type"), abs(col("qv") - col("med_us")).as("qv"))
-    val mad = exactMedianUs(dev, "mad_us")
+    val mad = localize(exactMedianUs(dev, "mad_us"))
     e.join(broadcast(med), "event_type")
       .join(broadcast(mad), "event_type")
       .groupBy(col("event_type"), col("med_us"), col("mad_us"))

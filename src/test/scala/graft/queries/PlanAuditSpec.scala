@@ -194,7 +194,21 @@ class PlanAuditSpec extends SparkSuite {
       "q225_hll_jaccard" -> 40,
       "q226_b3_quality" -> 10,
       "q231_source_jsd" -> 12,
-      "q232_bootstrap_ci" -> 5)
+      "q232_bootstrap_ci" -> 5,
+      // round-10 additions that cleared (or approached) 0.5 s at
+      // sf0.1: q249's gate is one scan + two broadcast-local median
+      // relations (losing the localization would re-embed the
+      // two-phase pipelines here); q254 must stay scan-local like
+      // q168 (0 exchanges); q256 rides the cached signature relation
+      // + the SNM window; q258's pair join is qid-local over the
+      // fused top-K; q262's spine/lag joins are day-bounded
+      "q249_mad_gate" -> 3,
+      "q253_heaps_fit" -> 6,
+      "q254_silhouette" -> 0,
+      "q256_blocking_audit" -> 13,
+      "q258_kendall_tau" -> 7,
+      "q261_theil_sen" -> 7,
+      "q262_daily_acf" -> 14)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
       val p = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
