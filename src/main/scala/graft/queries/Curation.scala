@@ -290,6 +290,157 @@ object Curation {
        |    + CAST(SUM(fp) AS DOUBLE)) AS prevalence
        |FROM c""".stripMargin
 
+  // ------------------------------------------- q266 dataset card
+  /** One-row dataset card: the datasheet summary a corpus release
+    * ships — doc/token counts, language and source breadth, exact
+    * duplicate rate, mean quality logit, and the exact median
+    * tokens-per-doc. Each number is an operator the suite already
+    * audits in depth; the card is the composite a consumer reads
+    * FIRST (and diffs across releases).
+    *
+    * Determinism: counts/distincts exact; mean logit via the decimal
+    * sum; the median tokens/doc comes from the LENGTH HISTOGRAM
+    * (lengths are small ints, so the (n+1)/2 order statistic is a
+    * prefix sum over a bounded relation — never a corpus sort).
+    *
+    * Scale: one scan feeding map-side-combined aggregates; the
+    * length histogram is |distinct lengths|-bounded; everything
+    * joins as one-row broadcasts. */
+  def q266DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = scoredDocs(s, dir)
+    val base = docs(s, dir)
+      .withColumn("nt", size(expr("filter(split(text, ' '), t -> length(t) > 0)")).cast("long"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val agg = base.agg(count(lit(1)).as("n_docs"),
+      sum("nt").as("n_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      ((count(lit(1)) - countDistinct("fp")).cast("double") /
+        count(lit(1)).cast("double")).as("exact_dup_rate"))
+    val meanLogit = d.agg(
+      round(Relational.dsum(col("logit")) / count(lit(1)), 6)
+        .as("mean_logit"))
+    val hist = base.groupBy("nt").agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy("nt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val median = hist
+      .withColumn("cb", coalesce(sum("c").over(wcum), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .filter(col("cb") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cb") + col("c"))
+      .select(col("nt").as("p50_tokens"))
+    agg.crossJoin(broadcast(meanLogit)).crossJoin(broadcast(median))
+  }
+
+  val q266Sql: String =
+    s"""$q97LogitCte,
+       |base AS (SELECT doc_id, lang, source, md5(text) AS fp,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |    t -> length(t) > 0)) AS BIGINT) AS nt
+       |  FROM documents),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate
+       |  FROM base),
+       |ml AS (SELECT round(CAST(SUM(CAST(logit AS DECIMAL(25,6)))
+       |  AS DOUBLE) / COUNT(*), 6) AS mean_logit FROM l),
+       |h AS (SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM base
+       |  GROUP BY 1),
+       |hc AS (SELECT *, COALESCE(CAST(SUM(c) OVER (ORDER BY nt
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |  AS cb, CAST(SUM(c) OVER () AS BIGINT) AS n FROM h),
+       |md AS (SELECT nt AS p50_tokens FROM hc
+       |  WHERE cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + c)
+       |SELECT a.*, ml.mean_logit, md.p50_tokens
+       |FROM a CROSS JOIN ml CROSS JOIN md""".stripMargin
+
+  // ----------------------------------- q268 partial correlation
+  /** First-order partial correlation of stopword ratio vs
+    * type-token ratio CONTROLLING for document length — the confound
+    * killer: TTR falls mechanically with length (Heaps' law, q253),
+    * so a raw TTR×anything correlation in a mixed-length corpus is
+    * routinely a length artifact, and a gate built on the spurious
+    * pair double-counts one signal.
+    * r_ab·c = (r_ab − r_ac·r_bc) / √((1−r_ac²)(1−r_bc²)).
+    *
+    * Determinism: each Pearson r comes from the five decimal-
+    * quantized moment sums (the q179 contract) — identical operands
+    * in both engines; the partial form is pure IEEE arithmetic on
+    * those three r's.
+    *
+    * Scale: one scan, one map-side-combined nine-sum aggregate,
+    * one-row output. */
+  def q268PartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(25, 6)
+    def ds(c: Column) = sum(c.cast(dec)).cast("double")
+    val f = docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("a",
+        expr("size(filter(toks, t -> t IN ('the','a','of','to','and')))")
+          .cast("double") / col("n_tokens").cast("double"))
+      .withColumn("b",
+        size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("c", col("n_tokens").cast("double"))
+    val m = f.agg(count(lit(1)).cast("double").as("n"),
+      ds(col("a")).as("sa"), ds(col("b")).as("sb"), ds(col("c")).as("sc"),
+      ds(col("a") * col("a")).as("saa"), ds(col("b") * col("b")).as("sbb"),
+      ds(col("c") * col("c")).as("scc"), ds(col("a") * col("b")).as("sab"),
+      ds(col("a") * col("c")).as("sac"), ds(col("b") * col("c")).as("sbc"))
+    def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+        n: Column): Column =
+      (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    m.select(col("n").cast("long").as("n_docs"),
+        r(col("sab"), col("sa"), col("sb"), col("saa"), col("sbb"),
+          col("n")).as("r_ab"),
+        r(col("sac"), col("sa"), col("sc"), col("saa"), col("scc"),
+          col("n")).as("r_ac"),
+        r(col("sbc"), col("sb"), col("sc"), col("sbb"), col("scc"),
+          col("n")).as("r_bc"))
+      .withColumn("r_ab_given_c",
+        (col("r_ab") - col("r_ac") * col("r_bc")) /
+          sqrt((lit(1.0) - col("r_ac") * col("r_ac")) *
+            (lit(1.0) - col("r_bc") * col("r_bc"))))
+  }
+
+  val q268Sql: String =
+    """WITH t AS (SELECT text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |f AS (SELECT
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and')))
+      |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS a,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS b,
+      |  CAST(len(toks) AS DOUBLE) AS c FROM t),
+      |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(CAST(a AS DECIMAL(25,6))) AS DOUBLE) AS sa,
+      |  CAST(SUM(CAST(b AS DECIMAL(25,6))) AS DOUBLE) AS sb,
+      |  CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE) AS sc,
+      |  CAST(SUM(CAST(a * a AS DECIMAL(25,6))) AS DOUBLE) AS saa,
+      |  CAST(SUM(CAST(b * b AS DECIMAL(25,6))) AS DOUBLE) AS sbb,
+      |  CAST(SUM(CAST(c * c AS DECIMAL(25,6))) AS DOUBLE) AS scc,
+      |  CAST(SUM(CAST(a * b AS DECIMAL(25,6))) AS DOUBLE) AS sab,
+      |  CAST(SUM(CAST(a * c AS DECIMAL(25,6))) AS DOUBLE) AS sac,
+      |  CAST(SUM(CAST(b * c AS DECIMAL(25,6))) AS DOUBLE) AS sbc
+      |  FROM f),
+      |rr AS (SELECT CAST(n AS BIGINT) AS n_docs,
+      |  (n * sab - sa * sb) /
+      |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS r_ab,
+      |  (n * sac - sa * sc) /
+      |    sqrt((n * saa - sa * sa) * (n * scc - sc * sc)) AS r_ac,
+      |  (n * sbc - sb * sc) /
+      |    sqrt((n * sbb - sb * sb) * (n * scc - sc * sc)) AS r_bc
+      |  FROM m)
+      |SELECT n_docs, r_ab, r_ac, r_bc,
+      |  (r_ab - r_ac * r_bc) /
+      |    sqrt((1.0 - r_ac * r_ac) * (1.0 - r_bc * r_bc)) AS r_ab_given_c
+      |FROM rr""".stripMargin
+
   // ------------------------------- q259 optimal-F1 threshold sweep
   /** Threshold selection for the q97 quality gate: sweep every
     * distinct score as a candidate cut (predict positive when
@@ -2786,6 +2937,8 @@ object Curation {
     "q251_mann_whitney" -> (q251MannWhitney _),
     "q255_avg_precision" -> (q255AvgPrecision _),
     "q259_optimal_f1" -> (q259OptimalF1 _),
+    "q266_dataset_card" -> (q266DatasetCard _),
+    "q268_partial_corr" -> (q268PartialCorr _),
     "q205_split_drift" -> (q205SplitDrift _),
     "q199_length_buckets" -> (q199LengthBuckets _),
     "q200_bigram_xent" -> (q200BigramXent _),
@@ -2827,6 +2980,8 @@ object Curation {
     "q251_mann_whitney" -> q251Sql,
     "q255_avg_precision" -> q255Sql,
     "q259_optimal_f1" -> q259Sql,
+    "q266_dataset_card" -> q266Sql,
+    "q268_partial_corr" -> q268Sql,
     "q205_split_drift" -> q205Sql,
     "q199_length_buckets" -> q199Sql,
     "q200_bigram_xent" -> q200Sql,

@@ -330,6 +330,88 @@ object Dedup {
        |  CAST(nc.n_caught AS DOUBLE) / CAST(na.n_cand AS DOUBLE) AS quality
        |FROM nn CROSS JOIN na CROSS JOIN nt CROSS JOIN nc""".stripMargin
 
+  // ------------------------------ q269 dup-graph source assortativity
+  /** Modularity of the SOURCE partition on the verified near-dup
+    * graph (q23 pairs at Jaccard ≥ 0.5): per source, the intra-source
+    * edge share e_ss/m against the degree-expected share (a_s/2m)²,
+    * and the Newman modularity Q = Σ(e_ss/m − (a_s/2m)²) — the
+    * "does duplication stay inside sources or leak across them"
+    * audit. Q ≈ 0 means near-dups cross source boundaries at chance
+    * rate (dedup BEFORE per-source curation, or cross-source
+    * contamination double-counts survivors); high Q means per-source
+    * dedup would already catch most mass.
+    *
+    * Determinism: edge and endpoint counts are exact integers over
+    * the deterministic verified pair set; each share and the Q sum
+    * are IEEE arithmetic on those integers (|sources| terms, summed
+    * in DECIMAL(25,6)).
+    *
+    * Scale: the pair relation is the cached-signature band join;
+    * endpoint labeling is two broadcast-able joins against the
+    * (doc_id, source) projection; output is |sources|+ rows. */
+  def q269SourceAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+    val m = lab.agg(count(lit(1)).as("m"))
+    val intra = lab.filter(col("s1") === col("s2"))
+      .groupBy(col("s1").as("source")).agg(count(lit(1)).as("e_ss"))
+    val ends = lab.select(col("s1").as("source"))
+      .union(lab.select(col("s2").as("source")))
+      .groupBy("source").agg(count(lit(1)).as("a_s"))
+    val per = ends.join(intra, Seq("source"), "left")
+      .select(col("source"), coalesce(col("e_ss"), lit(0L)).as("e_ss"),
+        col("a_s"))
+      .crossJoin(broadcast(m))
+      .withColumn("intra_share",
+        col("e_ss").cast("double") / col("m").cast("double"))
+      .withColumn("expected_share",
+        (col("a_s").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+          (col("a_s").cast("double") / (lit(2.0) * col("m").cast("double"))))
+    val q = per.agg(round(Relational.dsum(
+      col("intra_share") - col("expected_share")), 6).as("modularity"))
+    per.crossJoin(broadcast(q))
+      .select(col("source"), col("e_ss"), col("a_s"), col("intra_share"),
+        col("expected_share"), col("modularity"))
+      .orderBy("source")
+  }
+
+  val q269Sql: String =
+    s"""$sigSqlCte,
+       |cand AS (
+       |$bandJoinsSql),
+       |scored AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN banded x ON cand.d1 = x.doc_id
+       |            JOIN banded y ON cand.d2 = y.doc_id),
+       |pairs AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.5),
+       |lab AS (SELECT p.d1, p.d2, a.source AS s1, b.source AS s2
+       |  FROM pairs p JOIN documents a ON p.d1 = a.doc_id
+       |               JOIN documents b ON p.d2 = b.doc_id),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+       |intra AS (SELECT s1 AS source, CAST(COUNT(*) AS BIGINT) AS e_ss
+       |  FROM lab WHERE s1 = s2 GROUP BY 1),
+       |ends AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS a_s FROM
+       |  (SELECT s1 AS source FROM lab UNION ALL SELECT s2 FROM lab)
+       |  GROUP BY 1),
+       |per AS (SELECT e.source, COALESCE(i.e_ss, 0) AS e_ss, e.a_s,
+       |  CAST(COALESCE(i.e_ss, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+       |    AS intra_share,
+       |  (CAST(e.a_s AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) *
+       |  (CAST(e.a_s AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+       |    AS expected_share
+       |  FROM ends e LEFT JOIN intra i USING (source) CROSS JOIN m),
+       |q AS (SELECT round(CAST(SUM(CAST(intra_share - expected_share
+       |  AS DECIMAL(25,6))) AS DOUBLE), 6) AS modularity FROM per)
+       |SELECT per.source, per.e_ss, per.a_s, per.intra_share,
+       |  per.expected_share, q.modularity
+       |FROM per CROSS JOIN q ORDER BY per.source""".stripMargin
+
   // ----------------------------------------------------------- simhash
   // SimHash fingerprints: a 60-bit majority-vote signature over the
   // hashed shingle set (Charikar's simhash, the near-dup fingerprint
@@ -1584,6 +1666,7 @@ object Dedup {
     "q22_minhash_sig" -> (qMinhashSig _),
     "q23_minhash_pairs" -> (qMinhashPairs _),
     "q256_blocking_audit" -> (q256BlockingAudit _),
+    "q269_source_assortativity" -> (q269SourceAssortativity _),
     "q36_dedup_exact_keep" -> (qDedupExactKeep _),
     "q37_dedup_near_keep" -> (qDedupNearKeep _),
     "q43_simhash" -> (qSimhash _),
@@ -1607,6 +1690,7 @@ object Dedup {
     "q22_minhash_sig" -> qMinhashSigSql,
     "q23_minhash_pairs" -> qMinhashPairsSql,
     "q256_blocking_audit" -> q256Sql,
+    "q269_source_assortativity" -> q269Sql,
     "q36_dedup_exact_keep" -> qDedupExactKeepSql,
     "q37_dedup_near_keep" -> qDedupNearKeepSql,
     "q43_simhash" -> qSimhashSql,

@@ -1051,6 +1051,93 @@ object EventAnalytics {
        |  CAST(m.qv AS DOUBLE) / 1000000.0 AS median
        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin
 
+  // ----------------------------- q267 session association rules
+  /** Directed association rules A→B over session baskets (sessions =
+    * q67's 3-hour-gap semantics; basket = the session's distinct
+    * event types): support, confidence, and lift for every ordered
+    * type pair — the market-basket read on behavioral logs (q146
+    * counts user-lifetime co-occurrence; baskets are WITHIN-session,
+    * the actionable horizon for sequencing/recommendation features).
+    *
+    * Determinism: session boundaries come from the q67 integer-µs
+    * lag rule; all basket counts are exact integers; support /
+    * confidence / lift are IEEE divisions of those integers.
+    *
+    * Scale: one user-keyed window shuffle (shared with q67's shape),
+    * one distinct over (session, type) bounded by sessions × |types|,
+    * and a session-keyed self-join whose per-session fan-out is
+    * |types|² — a constant; outputs |types|² rows. */
+  def q267AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = events(s, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_idx"), col("event_type"))
+      .distinct()
+    val nSess = sess.select("user_id", "session_idx").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCount = sess.groupBy("event_type")
+      .agg(count(lit(1)).as("n_t"))
+    val a = sess.select(col("user_id"), col("session_idx"),
+      col("event_type").as("t1"))
+    val b = sess.select(col("user_id"), col("session_idx"),
+      col("event_type").as("t2"))
+    a.join(b, Seq("user_id", "session_idx"))
+      .filter(col("t1") =!= col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(typeCount.select(col("event_type").as("t1"),
+        col("n_t").as("n_a"))), "t1")
+      .join(broadcast(typeCount.select(col("event_type").as("t2"),
+        col("n_t").as("n_b"))), "t2")
+      .crossJoin(broadcast(nSess))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_sessions").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        (col("n_ab").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy("t1", "t2")
+  }
+
+  val q267Sql: String =
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       |  event_type FROM events),
+       |g AS (SELECT user_id, event_type,
+       |  CASE WHEN lag(ts_us) OVER w IS NULL
+       |       OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+       |    THEN 1 ELSE 0 END AS brk, ts_us, event_id
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sx AS (SELECT user_id, event_type,
+       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM g),
+       |sess AS (SELECT DISTINCT user_id, session_idx, event_type FROM sx),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM
+       |  (SELECT DISTINCT user_id, session_idx FROM sess)),
+       |tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+       |  FROM sess GROUP BY 1),
+       |ab AS (SELECT a.event_type AS t1, b.event_type AS t2,
+       |  CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM sess a JOIN sess b USING (user_id, session_idx)
+       |  WHERE a.event_type <> b.event_type GROUP BY 1, 2)
+       |SELECT t1, t2, n_ab,
+       |  CAST(n_ab AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE) AS support,
+       |  CAST(n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE) AS confidence,
+       |  CAST(n_ab AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE) /
+       |    (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+       |FROM ab JOIN tc ta ON ab.t1 = ta.event_type
+       |        JOIN tc tb ON ab.t2 = tb.event_type
+       |        CROSS JOIN ns
+       |ORDER BY t1, t2""".stripMargin
+
   // ------------------------------- q264 leakage-safe churn labels
   /** Churn-label generation with a hard temporal firewall: features
     * come ONLY from the first 80% of the time range, the label ONLY
@@ -1799,6 +1886,7 @@ object EventAnalytics {
     "q262_daily_acf" -> (q262DailyAcf _),
     "q264_churn_labels" -> (q264ChurnLabels _),
     "q265_burstiness" -> (q265Burstiness _),
+    "q267_assoc_rules" -> (q267AssocRules _),
     "q221_cusum_changepoint" -> (q221CusumChangepoint _),
     "q182_episode_dedup" -> (q182EpisodeDedup _),
     "q180_transitions" -> (q180Transitions _),
@@ -1837,6 +1925,7 @@ object EventAnalytics {
     "q262_daily_acf" -> q262Sql,
     "q264_churn_labels" -> q264Sql,
     "q265_burstiness" -> q265Sql,
+    "q267_assoc_rules" -> q267Sql,
     "q85_approx_distinct" -> q85Sql,
     "q182_episode_dedup" -> q182Sql,
     "q180_transitions" -> q180Sql,

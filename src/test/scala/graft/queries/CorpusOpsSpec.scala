@@ -1368,6 +1368,143 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------------ q266
+  test("q266 dataset card reconciles with an in-memory recompute") {
+    val Array(row) = Curation.q266DatasetCard(spark, dir).collect()
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val toks = docs.map(_._2.split(" ", -1).count(_.nonEmpty).toLong)
+    assert(row.getLong(0) === docs.length.toLong)
+    assert(row.getLong(1) === toks.sum)
+    assert(row.getLong(2) === docs.map(_._3).distinct.length.toLong)
+    assert(row.getLong(3) === docs.map(_._4).distinct.length.toLong)
+    val nDup = docs.length - docs.map(_._2).distinct.length
+    assert(row.getDouble(4) === nDup.toDouble / docs.length)
+    // median tokens/doc: lower median over the sorted lengths
+    val sorted = toks.sorted
+    assert(row.getLong(6) === sorted((sorted.length + 1) / 2 - 1))
+    // mean logit reconciles with the oracle-checked q97 output
+    val logits = Curation.q97ModelScore(spark, dir)
+      .select(col("logit")).collect().map(_.getDouble(0))
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val meanLogit = q6(
+      logits.map(q6).sum.toDouble / logits.length).toDouble
+    assert(row.getDouble(5) === meanLogit)
+  }
+
+  // ------------------------------------------------------------ q267
+  test("q267 association rules match an in-memory basket recompute") {
+    val out = EventAnalytics.q267AssocRules(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val evs = graft.core.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // replay the q67 3h-gap sessionization in memory
+    val baskets = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy(x => (x._3, x._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      ordered.foreach { e =>
+        if (prev != Long.MinValue &&
+          e._3 - prev > EventAnalytics.SessionGapUs)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = e._3
+      }
+      sessions.map(_.toSet)
+    }
+    val nSess = baskets.length.toLong
+    val types = baskets.flatten.distinct.sorted
+    val nT = types.map(t => t -> baskets.count(_.contains(t)).toLong).toMap
+    for (t1 <- types; t2 <- types if t1 != t2) {
+      val nAb = baskets.count(b => b.contains(t1) && b.contains(t2)).toLong
+      out.get((t1, t2)) match {
+        case None => assert(nAb === 0L, s"missing rule $t1->$t2")
+        case Some((n, sup, conf, lift)) =>
+          assert(n === nAb, s"$t1->$t2 count")
+          assert(sup === nAb.toDouble / nSess)
+          assert(conf === nAb.toDouble / nT(t1))
+          assert(lift === nAb.toDouble * nSess / (nT(t1).toDouble * nT(t2)))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ q268
+  test("q268 partial correlation matches a moment recompute") {
+    val Array(row) = Curation.q268PartialCorr(spark, dir).collect()
+    val (n, rab, rac, rbc, rabc) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val feats = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("text")).collect().map { r =>
+        val toks = r.getString(0).split(" ", -1)
+        val stop = Set("the", "a", "of", "to", "and")
+        (toks.count(stop).toDouble / toks.length,
+          toks.distinct.length.toDouble / toks.length,
+          toks.length.toDouble)
+      }
+    assert(n === feats.length.toLong)
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def s1(f: ((Double, Double, Double)) => Double) =
+      feats.map(t => q6(f(t))).sum.toDouble
+    val nn = feats.length.toDouble
+    val (sa, sb, sc) = (s1(_._1), s1(_._2), s1(_._3))
+    val (saa, sbb, scc) = (s1(t => t._1 * t._1), s1(t => t._2 * t._2),
+      s1(t => t._3 * t._3))
+    val (sab, sac, sbc) = (s1(t => t._1 * t._2), s1(t => t._1 * t._3),
+      s1(t => t._2 * t._3))
+    def r(sxy: Double, sx: Double, sy: Double, sxx: Double, syy: Double) =
+      (nn * sxy - sx * sy) /
+        math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    val (eab, eac, ebc) = (r(sab, sa, sb, saa, sbb), r(sac, sa, sc, saa, scc),
+      r(sbc, sb, sc, sbb, scc))
+    assert(rab === eab && rac === eac && rbc === ebc)
+    assert(rabc === (eab - eac * ebc) /
+      math.sqrt((1.0 - eac * eac) * (1.0 - ebc * ebc)))
+    // the designed demonstration: TTR correlates with length, and
+    // controlling for length moves the a-b correlation
+    assert(math.abs(rbc) > 0.05, "TTR~length confound absent?")
+  }
+
+  // ------------------------------------------------------------ q269
+  test("q269 source assortativity matches an edge recompute") {
+    val got = Dedup.q269SourceAssortativity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val srcOf = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val edges = Dedup.qMinhashPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select(col("d1"), col("d2")).collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+    val m = edges.length.toDouble
+    val bySrc = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expQ = q6(bySrc.toSeq.map { case (s, as) =>
+      val ess = edges.count(e => e._1 == s && e._2 == s).toLong
+      q6(ess / m - (as / (2.0 * m)) * (as / (2.0 * m)))
+    }.sum.toDouble).toDouble
+    assert(got.map(_._1).toSeq === bySrc.keys.toSeq.sorted)
+    got.foreach { case (s, ess, as, intra, expd, q) =>
+      assert(as === bySrc(s))
+      assert(ess === edges.count(e => e._1 == s && e._2 == s).toLong)
+      assert(intra === ess / m)
+      assert(expd === (as / (2.0 * m)) * (as / (2.0 * m)))
+      assert(q === expQ)
+    }
+    // modularity is bounded
+    got.foreach(t => assert(t._6 >= -1.0 && t._6 <= 1.0))
+  }
+
   // ------------------------------------------------------------ q264
   test("q264 churn labels match a firewalled in-memory recompute") {
     val got = EventAnalytics.q264ChurnLabels(spark, dir).collect()
