@@ -2292,6 +2292,80 @@ object Similarity {
        |SELECT qid, n_pairs, concordant, discordant, tau, ov.mean_tau
        |FROM tq CROSS JOIN ov ORDER BY qid""".stripMargin
 
+  // ------------------------------- q271 triplet-margin audit
+  /** Contrastive-geometry audit over a fixed anchor panel (vec_id <
+    * [[TripletAnchors]]): per anchor, the hardest positive margin —
+    * cos(nearest same-label) − cos(nearest other-label) — grouped by
+    * anchor label: mean/min margin and the violation rate (margin ≤ 0
+    * = some negative sits closer than every positive). The
+    * embedding-health scalar read BEFORE q190's negatives are fed to
+    * a trainer: a label whose margin is already negative needs
+    * cleaning (q215's label-noise audit says which points; this says
+    * which CLASSES and how badly).
+    *
+    * Determinism: cosines are the shared norm/dot kernels over
+    * decimal-quantized folds; per-anchor max-cosine argmaxes are
+    * plain max over identical doubles; margins quantize to 6 dp
+    * before the per-label decimal mean.
+    *
+    * Scale: the q30 shape — broadcast the fixed panel across one
+    * corpus scan, one (anchor)-keyed map-side-combined aggregate,
+    * then a |labels|-row rollup. Linear in N for a fixed panel. */
+  val TripletAnchors = 64
+
+  def q271TripletMargin(s: SparkSession, dir: String): DataFrame = {
+    val n = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding"), expr(normSpark).as("nrm"))
+    val q = n.filter(col("vec_id") < TripletAnchors).select(
+      col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val margins = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotSpark("qe", "ce")) / (col("qn") * col("cn")))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(max(when(col("clabel") === col("qlabel"), col("cosine")))
+          .as("pos_cos"),
+        max(when(col("clabel") =!= col("qlabel"), col("cosine")))
+          .as("neg_cos"))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+    margins.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        round(Relational.dsum(col("margin")) / count(lit(1)), 6)
+          .as("mean_margin"),
+        min(col("margin")).as("min_margin"),
+        sum(when(col("margin") <= 0.0, 1L).otherwise(0L))
+          .as("n_violations"))
+      .withColumn("violation_rate",
+        col("n_violations").cast("double") / col("n_anchors").cast("double"))
+      .orderBy("label")
+  }
+
+  val q271Sql: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding, $normDuck AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS clabel,
+       |  ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |    AS cosine
+       |  FROM n q, n c
+       |  WHERE q.vec_id < $TripletAnchors AND c.vec_id <> q.vec_id),
+       |mg AS (SELECT qid, qlabel,
+       |  round(MAX(CASE WHEN clabel = qlabel THEN cosine END) -
+       |        MAX(CASE WHEN clabel <> qlabel THEN cosine END), 6)
+       |    AS margin
+       |  FROM p GROUP BY 1, 2)
+       |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       |  round(CAST(SUM(CAST(margin AS DECIMAL(25,6))) AS DOUBLE) /
+       |    COUNT(*), 6) AS mean_margin,
+       |  MIN(margin) AS min_margin,
+       |  CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violations,
+       |  CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS violation_rate
+       |FROM mg GROUP BY 1 ORDER BY label""".stripMargin
+
   // --------------------------------------- q229 semantic split leakage
   /** Embedding-space split-contamination audit — q201's n-gram leakage
     * check lifted to SEMANTIC space: after a naive hash split of the
@@ -2535,6 +2609,7 @@ object Similarity {
     "q229_semantic_leak" -> (q229SemanticLeak _),
     "q224_rrf_fusion" -> (q224RrfFusion _),
     "q258_kendall_tau" -> (q258KendallTau _),
+    "q271_triplet_margin" -> (q271TripletMargin _),
     "q213_prototype_prune" -> (q213PrototypePrune _),
     "q215_label_noise" -> (q215LabelNoise _),
     "q216_trunc_recall" -> (q216TruncRecall _),
@@ -2571,6 +2646,7 @@ object Similarity {
     "q229_semantic_leak" -> q229Sql,
     "q224_rrf_fusion" -> q224Sql,
     "q258_kendall_tau" -> q258Sql,
+    "q271_triplet_margin" -> q271Sql,
     "q213_prototype_prune" -> q213Sql,
     "q215_label_noise" -> q215Sql,
     "q216_trunc_recall" -> q216Sql,

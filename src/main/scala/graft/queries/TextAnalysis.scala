@@ -1378,6 +1378,103 @@ object TextAnalysis {
        |  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta, sx, sy FROM m)
        |SELECT n_total, k, beta, (sy - beta * sx) / k AS ln_k FROM sl""".stripMargin
 
+  // ------------------------------ q270 Stupid-Backoff LM scoring
+  /** Per-source Stupid-Backoff bigram scoring: every adjacent token
+    * pair of the HELD-OUT half (odd doc_ids) scores
+    * S(w|w′) = c(w′w)/c(w′) against counts from the TRAIN half (even
+    * doc_ids) when the bigram was seen there, else 0.4·c(w)/N, with
+    * an OOV floor 0.4·½/N (Brants et al.'s web-scale backoff — no
+    * discounting state, exactly the part of KenLM a pure SQL engine
+    * can replay); the per-source mean log-score is the
+    * domain-typicality signal (q200 scores the corpus against its
+    * own bigram MLE — in-sample, so backoff never fires there; the
+    * split makes the backoff path REAL).
+    *
+    * Determinism: all counts are exact integers, each ln(S) is one
+    * libm log of an exact rational, quantized to DECIMAL(25,6)
+    * before the per-source sum (order-free); means are one IEEE
+    * division. Perplexity is deliberately NOT exponentiated (libm
+    * exp parity is not contractual; mean log-score carries the same
+    * ordering).
+    *
+    * Scale: bigram extraction is a per-doc window over the
+    * (doc-keyed) token stream; the count relations are
+    * vocabulary-bounded with map-side combine; scoring joins are
+    * token-keyed. */
+  def q270StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("filter(split(text, ' '), t -> length(t) > 0)")))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("w"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks.withColumn("prev", lag(col("w"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val trainToks = toks.filter(expr("doc_id % 2 = 0"))
+    val c2 = bi.filter(expr("doc_id % 2 = 0"))
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = trainToks.agg(count(lit(1)).as("nn"))
+    val scored = bi.filter(expr("doc_id % 2 = 1"))
+      .join(c2, Seq("prev", "w"), "left")
+      .join(c1.select(col("w").as("prev"), col("c1").as("cprev")), Seq("prev"),
+        "left")
+      .join(c1, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(
+        when(col("c2").isNotNull,
+          col("c2").cast("double") / col("cprev").cast("double"))
+          .otherwise(lit(0.4) *
+            coalesce(col("c1").cast("double"), lit(0.5)) /
+            col("nn").cast("double"))))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        (sum(col("lp").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_logprob"))
+      .withColumn("backoff_rate",
+        col("n_backoff").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy("source")
+  }
+
+  val q270Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |  list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, s.p AS pos, s.v AS w FROM
+      |  (SELECT doc_id, source,
+      |     unnest(list_transform(range(1, len(tk) + 1),
+      |       i -> {'p': i, 'v': tk[i]})) AS s FROM d)),
+      |bi AS (SELECT doc_id, source, w,
+      |  LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+      |bif AS (SELECT * FROM bi WHERE prev IS NOT NULL),
+      |c2 AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM bif WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM tok
+      |  WHERE doc_id % 2 = 0),
+      |sc AS (SELECT b.source, c2.c2,
+      |  ln(CASE WHEN c2.c2 IS NOT NULL
+      |       THEN CAST(c2.c2 AS DOUBLE) / CAST(cp.c1 AS DOUBLE)
+      |       ELSE 0.4 * COALESCE(CAST(cw.c1 AS DOUBLE), 0.5)
+      |         / CAST(tot.nn AS DOUBLE)
+      |     END) AS lp
+      |  FROM bif b
+      |  LEFT JOIN c2 ON b.prev = c2.prev AND b.w = c2.w
+      |  LEFT JOIN c1 cp ON b.prev = cp.w
+      |  LEFT JOIN c1 cw ON b.w = cw.w
+      |  CROSS JOIN tot
+      |  WHERE b.doc_id % 2 = 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_backoff,
+      |  CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS mean_logprob,
+      |  CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS backoff_rate
+      |FROM sc GROUP BY 1 ORDER BY source""".stripMargin
+
   // --------------------------------- q263 Hill tail-index estimator
   /** Hill estimator of the token-frequency tail index over the
     * top-[[ZipfK]] frequencies: α̂ = (k−1) / Σ_{i<k} ln(f_i / f_k) —
@@ -1744,6 +1841,7 @@ object TextAnalysis {
     "q252_vocab_richness" -> (q252VocabRichness _),
     "q253_heaps_fit" -> (q253HeapsFit _),
     "q263_hill_tail" -> (q263HillTail _),
+    "q270_stupid_backoff" -> (q270StupidBackoff _),
     "q246_packing_audit" -> (q246PackingAudit _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
@@ -1774,6 +1872,7 @@ object TextAnalysis {
     "q252_vocab_richness" -> q252Sql,
     "q253_heaps_fit" -> q253Sql,
     "q263_hill_tail" -> q263Sql,
+    "q270_stupid_backoff" -> q270Sql,
     "q246_packing_audit" -> q246Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,

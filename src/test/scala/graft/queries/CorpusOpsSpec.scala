@@ -1368,6 +1368,45 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------------ q270
+  test("q270 stupid-backoff scoring matches an in-memory LM replay") {
+    val got = TextAnalysis.q270StupidBackoff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).filter(_.nonEmpty).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val c1 = train.flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val c2 = train.flatMap(d => d._3.zip(d._3.tail)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val nn = train.map(_._3.length.toLong).sum.toDouble
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = docs.filter(_._1 % 2 == 1)
+      .flatMap(d => d._3.zip(d._3.tail).map(bg => (d._2, bg)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (src, bgs) =>
+        val lps = bgs.map { case (_, (p, w)) =>
+          c2.get((p, w)) match {
+            case Some(c) => (false, math.log(c.toDouble / c1(p)))
+            case None =>
+              (true, math.log(
+                0.4 * c1.get(w).map(_.toDouble).getOrElse(0.5) / nn))
+          }
+        }
+        val nb = lps.count(_._1).toLong
+        (src, lps.length.toLong, nb,
+          lps.map(l => q6(l._2)).sum.toDouble / lps.length,
+          nb.toDouble / lps.length)
+      }
+    assert(got.toSeq === expected)
+    // the split makes the backoff path REAL: somewhere in the corpus
+    // an unseen bigram must have fired it
+    assert(got.map(_._3).sum > 0L, "backoff never fired — split broken?")
+  }
+
   // ------------------------------------------------------------ q266
   test("q266 dataset card reconciles with an in-memory recompute") {
     val Array(row) = Curation.q266DatasetCard(spark, dir).collect()

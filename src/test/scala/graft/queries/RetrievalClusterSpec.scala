@@ -83,6 +83,44 @@ class RetrievalClusterSpec extends SparkSuite {
     } finally ex.unpersist()
   }
 
+  test("q271 triplet margins match a brute-force cosine recompute") {
+    val got = Similarity.q271TripletMargin(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble)))
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // the engine's vec_dot kernel: LEFT-TO-RIGHT double accumulation
+    def fold(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    def nrm(v: Seq[Double]) = math.sqrt(fold(v.map(x => x * x)))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      fold(a.zip(b).map(p => p._1 * p._2))
+    val anchors = vecs.filter(_._1 < Similarity.TripletAnchors)
+    val margins = anchors.map { case (qid, qlab, qe) =>
+      val cos = vecs.filter(_._1 != qid).map { case (_, lab, ce) =>
+        (lab, dot(qe, ce) / (nrm(qe) * nrm(ce)))
+      }
+      val pos = cos.filter(_._1 == qlab).map(_._2).max
+      val neg = cos.filter(_._1 != qlab).map(_._2).max
+      (qlab, q6(pos - neg).toDouble)
+    }
+    val expected = margins.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lab, g) =>
+        val viol = g.count(_._2 <= 0.0).toLong
+        (lab, g.length.toLong,
+          q6(g.map(m => q6(m._2)).sum.toDouble / g.length).toDouble,
+          g.map(_._2).min, viol, viol.toDouble / g.length)
+    }
+    assert(got.toSeq === expected)
+    got.foreach { case (lab, _, mean, mn, _, vr) =>
+      assert(mn <= mean, s"$lab min above mean")
+      assert(vr >= 0.0 && vr <= 1.0)
+    }
+  }
+
   test("q258 Kendall tau matches a pairwise recompute over q224's ranks") {
     val got = Similarity.q258KendallTau(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
