@@ -290,6 +290,130 @@ object Curation {
        |    + CAST(SUM(fp) AS DOUBLE)) AS prevalence
        |FROM c""".stripMargin
 
+  // ------------------- q272/q273 one-way ANOVA + intraclass corr
+  /** Shared one-way ANOVA over a per-group moment relation
+    * `(n, sy, syy)` (each already decimal-derived): F = MSB/MSW and
+    * ICC(1) = (MSB − MSW)/(MSB + (k0 − 1)·MSW) with the
+    * unequal-group-size k0 = (N − Σn²/N)/(G − 1). Cross-group sums
+    * quantize each per-group term to DECIMAL(25,6) (order-free), so
+    * both engines hand the closed forms bit-identical operands. */
+  private def anovaOneWay(g: DataFrame): DataFrame = {
+    val dec = DecimalType(25, 6)
+    val t1 = g.agg(count(lit(1)).as("gg"), sum("n").as("nn"),
+      sum(col("n") * col("n")).as("sn2"),
+      sum(col("sy").cast(dec)).cast("double").as("syt"))
+    val t2 = g.crossJoin(broadcast(t1))
+      .withColumn("ybar", col("syt") / col("nn").cast("double"))
+      .withColumn("tb", col("n").cast("double") *
+        (col("sy") / col("n").cast("double") - col("ybar")) *
+        (col("sy") / col("n").cast("double") - col("ybar")))
+      .withColumn("tw",
+        col("syy") - col("sy") * col("sy") / col("n").cast("double"))
+      .groupBy("gg", "nn", "sn2")
+      .agg(Relational.dsum(col("tb")).as("ssb"),
+        Relational.dsum(col("tw")).as("ssw"))
+    t2.withColumn("msb", col("ssb") / (col("gg") - 1L).cast("double"))
+      .withColumn("msw", col("ssw") / (col("nn") - col("gg")).cast("double"))
+      .withColumn("k0",
+        (col("nn").cast("double") -
+          col("sn2").cast("double") / col("nn").cast("double")) /
+          (col("gg") - 1L).cast("double"))
+      .select(col("nn").as("n_docs"), col("gg").as("n_groups"), col("k0"),
+        (col("msb") / col("msw")).as("f_stat"),
+        ((col("msb") - col("msw")) /
+          (col("msb") + (col("k0") - lit(1.0)) * col("msw"))).as("icc"))
+  }
+
+  /** DuckDB twin of [[anovaOneWay]]: expects a CTE `gm(n, sy, syy)`
+    * in scope and emits the closing CTE chain + final SELECT. */
+  private val anovaTailSql: String =
+    """t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+      |  CAST(SUM(n) AS BIGINT) AS nn,
+      |  CAST(SUM(n * n) AS BIGINT) AS sn2,
+      |  CAST(SUM(CAST(sy AS DECIMAL(25,6))) AS DOUBLE) AS syt FROM gm),
+      |t2 AS (SELECT t1.gg, t1.nn, t1.sn2,
+      |  CAST(SUM(CAST(CAST(n AS DOUBLE) *
+      |    (sy / CAST(n AS DOUBLE) - t1.syt / CAST(t1.nn AS DOUBLE)) *
+      |    (sy / CAST(n AS DOUBLE) - t1.syt / CAST(t1.nn AS DOUBLE))
+      |    AS DECIMAL(25,6))) AS DOUBLE) AS ssb,
+      |  CAST(SUM(CAST(syy - sy * sy / CAST(n AS DOUBLE)
+      |    AS DECIMAL(25,6))) AS DOUBLE) AS ssw
+      |  FROM gm CROSS JOIN t1 GROUP BY 1, 2, 3),
+      |t3 AS (SELECT nn, gg,
+      |  ssb / CAST(gg - 1 AS DOUBLE) AS msb,
+      |  ssw / CAST(nn - gg AS DOUBLE) AS msw,
+      |  (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |    CAST(gg - 1 AS DOUBLE) AS k0 FROM t2)
+      |SELECT nn AS n_docs, gg AS n_groups, k0, msb / msw AS f_stat,
+      |  (msb - msw) / (msb + (k0 - 1.0) * msw) AS icc
+      |FROM t3""".stripMargin
+
+  // --------------------------- q272 ICC of quality within dup groups
+  /** Intraclass correlation of the q97 quality logit WITHIN near-dup
+    * groups (q63's connected components, all size ≥ 2 by
+    * construction): ICC ≈ 1 means duplicates share quality — keeping
+    * any survivor is fine; ICC ≈ 0 means quality varies inside a dup
+    * family and survivor selection (q136's keep-best) materially
+    * changes the released corpus. The F statistic rides along as the
+    * significance scalar.
+    *
+    * Scale: the group relation is the CACHED converged CC labels
+    * (dup-graph-sized); moments are one map-side-combined aggregate
+    * over it; the ANOVA itself is |groups|-row arithmetic. */
+  def q272DupGroupIcc(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(25, 6)
+    val g = Dedup.qDedupGroups(s, dir)
+      .join(scoredDocs(s, dir).select(col("doc_id"), col("logit")), "doc_id")
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("logit").cast(dec)).cast("double").as("sy"),
+        sum((col("logit") * col("logit")).cast(dec)).cast("double")
+          .as("syy"))
+      .filter(col("n") >= 2L)
+    anovaOneWay(g)
+  }
+
+  val q272Sql: String =
+    s"""WITH groups AS (
+       |  SELECT doc_id, group_id FROM (${Dedup.qDedupGroupsSql}) g),
+       |${q97LogitCte.stripPrefix("WITH ")},
+       |gm AS (SELECT g.group_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(l.logit AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(l.logit * l.logit AS DECIMAL(25,6))) AS DOUBLE)
+       |    AS syy
+       |  FROM groups g JOIN l ON g.doc_id = l.doc_id
+       |  GROUP BY 1 HAVING COUNT(*) >= 2),
+       |$anovaTailSql""".stripMargin
+
+  // ----------------------------- q273 quality ANOVA across sources
+  /** One-way ANOVA of the q97 quality logit across SOURCES — the
+    * "are these sources even the same quality population" gate run
+    * before pooling them under one threshold (q251 compares two
+    * sources robustly; this tests all of them at once, and its ICC
+    * reads as "how much of quality variance is BETWEEN sources" —
+    * the variance-decomposition a mix designer weights by).
+    *
+    * Scale: one scan, one map-side-combined per-source moment
+    * aggregate, |sources|-row arithmetic. */
+  def q273SourceAnova(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(25, 6)
+    val g = scoredDocs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("logit").cast(dec)).cast("double").as("sy"),
+        sum((col("logit") * col("logit")).cast(dec)).cast("double")
+          .as("syy"))
+    anovaOneWay(g)
+  }
+
+  val q273Sql: String =
+    s"""$q97LogitCte,
+       |gm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(logit AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(logit * logit AS DECIMAL(25,6))) AS DOUBLE) AS syy
+       |  FROM l GROUP BY 1),
+       |$anovaTailSql""".stripMargin
+
   // ------------------------------------------- q266 dataset card
   /** One-row dataset card: the datasheet summary a corpus release
     * ships — doc/token counts, language and source breadth, exact
@@ -2939,6 +3063,8 @@ object Curation {
     "q259_optimal_f1" -> (q259OptimalF1 _),
     "q266_dataset_card" -> (q266DatasetCard _),
     "q268_partial_corr" -> (q268PartialCorr _),
+    "q272_dupgroup_icc" -> (q272DupGroupIcc _),
+    "q273_source_anova" -> (q273SourceAnova _),
     "q205_split_drift" -> (q205SplitDrift _),
     "q199_length_buckets" -> (q199LengthBuckets _),
     "q200_bigram_xent" -> (q200BigramXent _),
@@ -2982,6 +3108,8 @@ object Curation {
     "q259_optimal_f1" -> q259Sql,
     "q266_dataset_card" -> q266Sql,
     "q268_partial_corr" -> q268Sql,
+    "q272_dupgroup_icc" -> q272Sql,
+    "q273_source_anova" -> q273Sql,
     "q205_split_drift" -> q205Sql,
     "q199_length_buckets" -> q199Sql,
     "q200_bigram_xent" -> q200Sql,

@@ -1368,6 +1368,66 @@ class CorpusOpsSpec extends SparkSuite {
       assert(bc * 10 < n, s"$tpe bin must be far smaller than n") }
   }
 
+  // ------------------------------------------------------- q272/q273
+  /** Shared in-memory one-way ANOVA mirroring the engine's
+    * quantization: per-group decimal moment sums, per-term q6 on the
+    * cross-group sums, closed forms in double. */
+  private def anovaInMemory(
+      groups: Seq[(Seq[Double])]): (Long, Long, Double, Double, Double) = {
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val gm = groups.map { ys =>
+      (ys.length.toLong, ys.map(q6).sum.toDouble,
+        ys.map(y => q6(y * y)).sum.toDouble)
+    }
+    val gg = gm.length.toLong
+    val nn = gm.map(_._1).sum
+    val sn2 = gm.map(g => g._1 * g._1).sum
+    val syt = gm.map(g => q6(g._2)).sum.toDouble
+    val ybar = syt / nn
+    val ssb = gm.map { case (n, sy, _) =>
+      q6(n.toDouble * (sy / n - ybar) * (sy / n - ybar)) }.sum.toDouble
+    val ssw = gm.map { case (n, sy, syy) =>
+      q6(syy - sy * sy / n) }.sum.toDouble
+    val msb = ssb / (gg - 1).toDouble
+    val msw = ssw / (nn - gg).toDouble
+    val k0 = (nn.toDouble - sn2.toDouble / nn) / (gg - 1).toDouble
+    (nn, gg, k0, msb / msw, (msb - msw) / (msb + (k0 - 1.0) * msw))
+  }
+
+  test("q272 dup-group ICC matches an in-memory ANOVA recompute") {
+    val Array(row) = Curation.q272DupGroupIcc(spark, dir).collect()
+    val logits = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val groups = Dedup.qDedupGroups(spark, dir).collect()
+      .map(r => (r.getLong(1), logits(r.getLong(0))))
+      .groupBy(_._1).values.map(_.map(_._2).toSeq).filter(_.length >= 2)
+      .toSeq
+    val (nn, gg, k0, f, icc) = anovaInMemory(groups)
+    assert(row.getLong(0) === nn && row.getLong(1) === gg)
+    assert(row.getDouble(2) === k0)
+    assert(row.getDouble(3) === f && row.getDouble(4) === icc)
+    // ICC(1) is bounded by (-1/(k0-1), 1]
+    assert(icc <= 1.0 && icc > -1.0 / (k0 - 1.0))
+  }
+
+  test("q273 source ANOVA matches an in-memory recompute") {
+    val Array(row) = Curation.q273SourceAnova(spark, dir).collect()
+    val scored = Curation.q97ModelScore(spark, dir)
+      .select(col("doc_id"), col("logit")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val groups = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getString(1), scored(r.getLong(0))))
+      .groupBy(_._1).values.map(_.map(_._2).toSeq).toSeq
+    val (nn, gg, k0, f, icc) = anovaInMemory(groups)
+    assert(row.getLong(0) === nn && row.getLong(1) === gg)
+    assert(row.getDouble(2) === k0)
+    assert(row.getDouble(3) === f && row.getDouble(4) === icc)
+    assert(f >= 0.0, "F statistic must be nonnegative")
+  }
+
   // ------------------------------------------------------------ q270
   test("q270 stupid-backoff scoring matches an in-memory LM replay") {
     val got = TextAnalysis.q270StupidBackoff(spark, dir).collect()
