@@ -37,6 +37,66 @@ object Sampling {
   private def hmod(m: Long): Column =
     pmod(col("doc_id") * lit(2654435761L), lit(m))
 
+  // --------------------------------- q275 nested consistent sampling
+  /** Nested (consistent) corpus sampling: one ring position
+    * h = ((id mod P)·(K mod P)) mod P per document decides EVERY
+    * sample rate at once — keep at rate p iff h < ⌊P·p⌋ — so the 10%
+    * sample is a strict SUBSET of the 20% sample by construction
+    * (raising the rate only ADDS documents; no re-draw churn between
+    * corpus releases, the property ablation suites depend on). The
+    * audit materializes both samples and checks the nesting
+    * exactly: |S10 ∩ S20| must equal |S10|.
+    *
+    * Determinism: pure 64-bit modular arithmetic (the two-step
+    * mod-P product never overflows int64 even for arbitrary ids);
+    * the Knuth multiplier (> 2^31) spreads small sequential ids
+    * across the ring — a bare affine of small ids would not wrap.
+    *
+    * Scale: the keep decision is scan-local (composes with pushdown;
+    * zero shuffle); the audit's three counts are one
+    * map-side-combined aggregate. */
+  val RingP = 2147483647L // 2^31 − 1
+  val RingK = 2654435761L // Knuth multiplicative constant
+
+  def q275NestedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(RingP)) * lit(RingK % RingP),
+      lit(RingP))
+    val t10 = RingP / 10
+    val t20 = RingP / 5
+    docs(s, dir).select(col("doc_id"), h.as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < t10, 1L).otherwise(0L)).as("n_p10"),
+        sum(when(col("h") < t20, 1L).otherwise(0L)).as("n_p20"),
+        sum(when(col("h") < t10 && col("h") < t20, 1L).otherwise(0L))
+          .as("n_overlap"))
+      .select(col("n_docs"), col("n_p10"), col("n_p20"), col("n_overlap"),
+        (col("n_overlap") === col("n_p10")).as("nested"),
+        (col("n_p10").cast("double") / col("n_docs").cast("double"))
+          .as("rate10"),
+        (col("n_p20").cast("double") / col("n_docs").cast("double"))
+          .as("rate20"))
+  }
+
+  val q275Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  ((doc_id % $RingP) * ${RingK % RingP}) % $RingP AS h
+       |  FROM documents)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN h < ${RingP / 10} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_p10,
+       |  CAST(SUM(CASE WHEN h < ${RingP / 5} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_p20,
+       |  CAST(SUM(CASE WHEN h < ${RingP / 10} AND h < ${RingP / 5}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  SUM(CASE WHEN h < ${RingP / 10} AND h < ${RingP / 5}
+       |    THEN 1 ELSE 0 END) =
+       |    SUM(CASE WHEN h < ${RingP / 10} THEN 1 ELSE 0 END) AS nested,
+       |  CAST(SUM(CASE WHEN h < ${RingP / 10} THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS rate10,
+       |  CAST(SUM(CASE WHEN h < ${RingP / 5} THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS rate20
+       |FROM h""".stripMargin
+
   // ------------------------------------------- q68 stratified by rate
   /** Per-source rate sampling: each source keeps `5·(1 + src# mod 6)`
     * percent of its documents (5%–30% — a stand-in for a real mixing
@@ -121,10 +181,12 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_sample_stratified" -> (q68StratifiedSample _),
     "q74_sample_reservoir" -> (q74ReservoirPerLang _),
-    "q89_weighted_sample" -> (q89WeightedSample _))
+    "q89_weighted_sample" -> (q89WeightedSample _),
+    "q275_nested_sample" -> (q275NestedSample _))
 
   val oracles: Map[String, String] = Map(
     "q68_sample_stratified" -> q68Sql,
     "q74_sample_reservoir" -> q74Sql,
-    "q89_weighted_sample" -> q89Sql)
+    "q89_weighted_sample" -> q89Sql,
+    "q275_nested_sample" -> q275Sql)
 }

@@ -1378,6 +1378,121 @@ object TextAnalysis {
        |  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta, sx, sy FROM m)
        |SELECT n_total, k, beta, (sy - beta * sx) / k AS ln_k FROM sl""".stripMargin
 
+  // ------------------------------ q274 greedy coverage selection
+  /** Greedy set-cover source selection: which [[CoverRounds]] sources
+    * together cover the most of the corpus top-[[CoverUniverseK]]
+    * vocabulary? Each round picks the source adding the most
+    * still-uncovered tokens (ties → source name) — the classic
+    * (1 − 1/e) submodular-greedy guarantee, applied to "pick a small
+    * source subset that preserves headline vocabulary" (dual of
+    * q105/q194's proportional mixing: selection, not weighting).
+    * Rounds stop early when no source adds anything.
+    *
+    * Determinism: the universe is the (freq DESC, token) top-K total
+    * order; presence and gains are exact set counts; the argmax
+    * tie-break is lexicographic.
+    *
+    * Scale: the distributed work is the (source, token ∈ universe)
+    * presence relation — one token-keyed semi-join against the
+    * broadcast top-K; the greedy itself runs on that ≤
+    * |sources|·K-row relation driver-side (the PQ-codebook bounded
+    * pattern), and the oracle replays it as unrolled CTE rounds. */
+  val CoverUniverseK = 200
+  val CoverRounds = 5
+
+  def q274GreedyCover(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(CoverUniverseK)
+      .select("tok")
+    val pres = toks.join(broadcast(top), Seq("tok"), "left_semi")
+      .select("source", "tok").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val universe = pres.map(_._2).distinct.length.toLong
+    val bySource = pres.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var covered = Set.empty[String]
+    var picked = Set.empty[String]
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Double)]
+    var r = 1
+    var done = false
+    while (r <= CoverRounds && !done) {
+      val cands = bySource.view.filterKeys(!picked.contains(_))
+        .mapValues(t => (t -- covered).size.toLong).toSeq
+      val best = cands.filter(_._2 > 0).sortBy(c => (-c._2, c._1)).headOption
+      best match {
+        case None => done = true
+        case Some((src, gain)) =>
+          covered ++= bySource(src)
+          picked += src
+          rows += ((r.toLong, src, gain, covered.size.toLong,
+            covered.size.toDouble / universe))
+          r += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("gain",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("covered",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("coverage",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(
+        rows.toIndexedSeq.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
+      schema)
+  }
+
+  val q274Sql: String = {
+    def round(i: Int): String = {
+      val notPicked = if (i == 1) ""
+      else s"WHERE p.source NOT IN (SELECT source FROM ${
+        (1 until i).map(j => s"g$j").mkString(" UNION ALL SELECT source FROM ")
+      })\n    AND p.tok NOT IN (SELECT tok FROM c${i - 1})"
+      val cov = if (i == 1)
+        s"c1 AS (SELECT DISTINCT p.tok FROM p JOIN g1 USING (source))"
+      else
+        s"""c$i AS (SELECT tok FROM c${i - 1} UNION
+           |  SELECT p.tok FROM p JOIN g$i USING (source))""".stripMargin
+      s"""g$i AS (SELECT p.source, CAST(COUNT(*) AS BIGINT) AS gain FROM p
+         |  $notPicked
+         |  GROUP BY 1 HAVING COUNT(*) > 0
+         |  ORDER BY gain DESC, p.source LIMIT 1),
+         |$cov""".stripMargin
+    }
+    val rounds = (1 to CoverRounds).map(round).mkString(",\n")
+    val unions = (1 to CoverRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, source, gain FROM g$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT tok, COUNT(*) AS freq FROM tok
+       |  WHERE length(tok) > 0 GROUP BY 1
+       |  ORDER BY freq DESC, tok LIMIT $CoverUniverseK),
+       |u AS (SELECT tok FROM tf),
+       |p AS (SELECT DISTINCT t.source, t.tok FROM tok t
+       |  JOIN u USING (tok)),
+       |usz AS (SELECT CAST(COUNT(*) AS BIGINT) AS un FROM u),
+       |$rounds,
+       |outp AS (
+       |  $unions)
+       |SELECT round, source, gain,
+       |  CAST(SUM(gain) OVER (ORDER BY round
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS covered,
+       |  CAST(SUM(gain) OVER (ORDER BY round
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(usz.un AS DOUBLE) AS coverage
+       |FROM outp CROSS JOIN usz ORDER BY round""".stripMargin
+  }
+
   // ------------------------------ q270 Stupid-Backoff LM scoring
   /** Per-source Stupid-Backoff bigram scoring: every adjacent token
     * pair of the HELD-OUT half (odd doc_ids) scores
@@ -1842,6 +1957,7 @@ object TextAnalysis {
     "q253_heaps_fit" -> (q253HeapsFit _),
     "q263_hill_tail" -> (q263HillTail _),
     "q270_stupid_backoff" -> (q270StupidBackoff _),
+    "q274_greedy_cover" -> (q274GreedyCover _),
     "q246_packing_audit" -> (q246PackingAudit _),
     "q184_span_dedup_apply" -> (qSpanDedupApply _),
     "q177_span_dedup_audit" -> (qSpanDedupAudit _),
@@ -1873,6 +1989,7 @@ object TextAnalysis {
     "q253_heaps_fit" -> q253Sql,
     "q263_hill_tail" -> q263Sql,
     "q270_stupid_backoff" -> q270Sql,
+    "q274_greedy_cover" -> q274Sql,
     "q246_packing_audit" -> q246Sql,
     "q184_span_dedup_apply" -> qSpanDedupApplySql,
     "q177_span_dedup_audit" -> qSpanDedupAuditSql,
