@@ -350,10 +350,14 @@ object PipelineQueries {
     * at batch/HBaseReader.kt:145-187 gets all of this from the HBase
     * runtime. */
   def q243HfileV3Store(s: SparkSession, dir: String): DataFrame = {
+    // SNAPPY is the production-default table codec — with FAST_DIFF +
+    // a multi-level index this is the exact shape a modern cluster's
+    // store files arrive in (codec framing: Hadoop BlockCompressorStream
+    // over raw snappy blocks, HFileV2Format.hadoopBlockCompress)
     val snap = graft.sources.HFileFixture.snapshotDir(
       N, versions = 5, regions = 4, gens = 2,
       shape = graft.sources.HFileShape(
-        codec = graft.sources.HFileV2Format.CodecGz, blockEntries = 64,
+        codec = graft.sources.HFileV2Format.CodecSnappy, blockEntries = 64,
         encoding = graft.sources.HFileV2Format.EncodingFastDiff,
         majorVersion = 3, includesMvcc = true, maxIndexEntriesPerBlock = 8))
     val raw = s.read.format("graft.sources.EnvelopeSource")
@@ -397,6 +401,42 @@ object PipelineQueries {
   }
 
   val q247Sql: String = q47Sql
+
+  // ------------------ q276 tombstone (delete-marker) scan semantics
+  /** The multi-version export contract over a snapshot WITH DELETE
+    * MARKERS — the between-major-compactions state of a real table,
+    * where scanning without tombstone masking silently RESURRECTS
+    * deleted rows. Fixture = the q47 corpus plus a third generation
+    * (highest sequence id) of markers covering all four HBase delete
+    * scopes ([[graft.sources.HFileFixture.tombstoneSnapshotDir]]):
+    * DeleteFamily wipes its keys entirely (class 1 → 1000 keys do NOT
+    * export), DeleteColumn masks at-or-before its ts but a NEWER put
+    * survives (class 2 → v2 wins), the exact-version scopes Delete /
+    * DeleteFamilyVersion mask ONE ts and the winner falls back to the
+    * next older in-range version (classes 3/4/6). The region server
+    * applies these for the reference's live scan
+    * (batch/HBaseReader.kt:145-187 + HBase scan semantics); here the
+    * [[graft.sources.HFileSnapshotStore]] heap-merge does. Golden
+    * constants: 9000 of 10000 keys export; v0/v1/v2 = 3000/2000/4000
+    * (vs the undeleted corpus's 2000/2000/6000). */
+  def q276TombstoneExport(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.sources.HFileFixture.tombstoneSnapshotDir(N)
+    val raw = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "hfile").option("path", snap)
+      .option("scanWidth", 64)
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") < 1003L)
+    multiversionContract(raw, s)
+  }
+
+  val q276Sql: String =
+    """SELECT CAST(9000 AS BIGINT) AS n_records,
+      |CAST(3000 AS BIGINT) AS n_v0,
+      |CAST(2000 AS BIGINT) AS n_v1,
+      |CAST(4000 AS BIGINT) AS n_v2,
+      |CAST(2 AS BIGINT) AS max_v,
+      |CAST(9000 AS BIGINT) AS n_ts_match,
+      |CAST(9000 AS BIGINT) AS n_mts_match""".stripMargin
 
   // -------------------- q248 DSv2 micro-batch streaming source
   /** The envelope scan as a REAL DSv2 streaming source — incremental
@@ -905,7 +945,8 @@ object PipelineQueries {
     "q210_hfile_store" -> (q210HfileStore _),
     "q243_hfile_v3_store" -> (q243HfileV3Store _),
     "q247_hfile_compaction" -> (q247HfileCompaction _),
-    "q248_streaming_source" -> (q248StreamingSource _))
+    "q248_streaming_source" -> (q248StreamingSource _),
+    "q276_tombstone_export" -> (q276TombstoneExport _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -924,5 +965,6 @@ object PipelineQueries {
     "q210_hfile_store" -> q210Sql,
     "q243_hfile_v3_store" -> q243Sql,
     "q247_hfile_compaction" -> q247Sql,
-    "q248_streaming_source" -> q248Sql)
+    "q248_streaming_source" -> q248Sql,
+    "q276_tombstone_export" -> q276Sql)
 }

@@ -47,7 +47,10 @@ import graft.pipeline.Fixture
   *              [tagsLen:short tags]?        // iff FileInfo MAX_TAGS_LEN
   *              [mvcc:vlong]?                // iff FileInfo MAX_MEMSTORE_TS_KEY
   *   key      = rowLen:short row famLen:byte family qualifier
-  *              ts:long type:byte            // type 4 = Put
+  *              ts:long type:byte            // 4=Put, 8=Delete,
+  *                                           // 10=DeleteFamilyVersion,
+  *                                           // 12=DeleteColumn,
+  *                                           // 14=DeleteFamily
   *
   *   encoded datablock (DATABLKE) payload =
   *       encodingId:short                    // FAST_DIFF = 4
@@ -86,13 +89,17 @@ import graft.pipeline.Fixture
   * Scope: everything a modern cluster writes by default — v2 fixed and
   * v3 protobuf trailers, single- AND multi-level data block indexes,
   * unencoded and FAST_DIFF-encoded data blocks, per-cell tags and
-  * memstore-mvcc trailers, NONE/GZ compression with per-chunk CRC32
-  * verification, PBUF and legacy FileInfo, LASTKEY pruning. Remaining
-  * deltas fail loudly rather than misread: PREFIX/DIFF/ROW_INDEX_V1
-  * block encodings, non-GZ codecs (LZ4/SNAPPY/ZSTD need native libs),
-  * and AES-encrypted files (trailer `encryption_key`). FileInfo that
-  * fails to parse only disables pruning and the tags/mvcc cell
-  * trailers — the scan itself stays correct for files without them.
+  * memstore-mvcc trailers, NONE/GZ/SNAPPY/LZ4 compression (the latter
+  * two in Hadoop's BlockCompressorStream framing over the raw-block
+  * codecs Spark already ships) with per-chunk CRC32 verification,
+  * PBUF and legacy FileInfo, LASTKEY pruning, MAX_SEQ_ID generation
+  * ordering, and all four delete-marker scopes (masking applied in
+  * [[HFileSnapshotStore]]'s merge). Remaining deltas fail loudly
+  * rather than misread: PREFIX/DIFF/ROW_INDEX_V1 block encodings,
+  * LZO/ZSTD codecs, and AES-encrypted files (trailer
+  * `encryption_key`). FileInfo that fails to parse only disables
+  * pruning and the tags/mvcc cell trailers — the scan itself stays
+  * correct for files without them.
   */
 object HFileV2Format {
 
@@ -108,18 +115,45 @@ object HFileV2Format {
   val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(StandardCharsets.US_ASCII)
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(StandardCharsets.US_ASCII)
   val PbufMagic: Array[Byte] = "PBUF".getBytes(StandardCharsets.US_ASCII)
-  /** HBase `Compression.Algorithm` ordinals: LZO=0, GZ=1, NONE=2. */
+  /** HBase `Compression.Algorithm` ordinals: LZO=0, GZ=1, NONE=2,
+    * SNAPPY=3, LZ4=4. SNAPPY (the production default) and LZ4 ride
+    * the same jars Spark itself ships (snappy-java / lz4-java) inside
+    * Hadoop's `BlockCompressorStream` framing — see
+    * [[hadoopBlockCompress]]. */
   val CodecGz = 1
   val CodecNone = 2
+  val CodecSnappy = 3
+  val CodecLz4 = 4
   /** HBase `DataBlockEncoding` ids: NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4. */
   val EncodingNone = 0
   val EncodingFastDiff = 4
   /** HBase `ChecksumType` codes. */
   val ChecksumCrc32: Byte = 1
   val DefaultBytesPerChecksum = 16384
+  /** HBase `KeyValue.Type` codes. The four delete codes are the
+    * tombstone SCOPES a real between-compactions snapshot contains
+    * (HBase ref guide §26.4 "Delete"): Delete masks one column at
+    * exactly its ts; DeleteFamilyVersion masks every column of the
+    * family at exactly its ts; DeleteColumn masks one column at
+    * ts <= its ts; DeleteFamily masks the whole family at ts <= its
+    * ts. The region server applies these for the reference's live
+    * scan (batch/HBaseReader.kt:145-187); [[HFileSnapshotStore]]
+    * applies them in its heap-merge. */
   val KeyTypePut: Byte = 4
+  val KeyTypeDelete: Byte = 8
+  val KeyTypeDeleteFamilyVersion: Byte = 10
+  val KeyTypeDeleteColumn: Byte = 12
+  val KeyTypeDeleteFamily: Byte = 14
+
+  /** PrivateCellUtil.isDelete: every code in [Delete, DeleteFamily]. */
+  def isDelete(typ: Byte): Boolean =
+    typ >= KeyTypeDelete && typ <= KeyTypeDeleteFamily
+
   val Family: Array[Byte] = "cf".getBytes(StandardCharsets.US_ASCII)
   val Qualifier: Array[Byte] = "record".getBytes(StandardCharsets.US_ASCII)
+  /** DeleteFamily markers carry an EMPTY qualifier — they sort before
+    * every real column of their row (KeyValue.createFirstDeleteFamily). */
+  val EmptyQualifier: Array[Byte] = Array.emptyByteArray
 
   val RowLengthSize = 2
   val TimestampSize = 8
@@ -146,7 +180,8 @@ object HFileV2Format {
     * change per-cell decoding (tags / mvcc trailers). */
   final case class HFileMeta(trailer: Trailer, index: Array[RootIndexEntry],
       firstRow: Array[Byte], lastRow: Option[Array[Byte]],
-      includesTags: Boolean, includesMvcc: Boolean)
+      includesTags: Boolean, includesMvcc: Boolean,
+      maxSeqId: Option[Long] = None)
 
   /** FileInfo keys (HBase's reserved `hfile.` namespace, HFileInfo). */
   val InfoLastKey = "hfile.LASTKEY"
@@ -155,6 +190,13 @@ object HFileV2Format {
   val InfoMaxTagsLen = "hfile.MAX_TAGS_LEN"
   /** Written by HFileDataBlockEncoderImpl (no reserved prefix). */
   val InfoDataBlockEncoding = "DATA_BLOCK_ENCODING"
+  /** Written by StoreFileWriter.appendMetadata (HStoreFile
+    * MAX_SEQ_ID_KEY — no reserved prefix): the store file's maximum
+    * memstore sequence id. THE generation-order authority on a real
+    * snapshot — store-file names there are random hashes, so "newer
+    * file name" means nothing; the scan and compaction tie-breaks
+    * order generations by this value. */
+  val InfoMaxSeqId = "MAX_SEQ_ID_KEY"
 
   // ---------------------------------------------------------- vint
   /** Hadoop WritableUtils vlong: [-112,127] inline; else a length
@@ -215,6 +257,110 @@ object HFileV2Format {
       i += 1
     } while ((b & 0x80) != 0)
     result
+  }
+
+  // ----------------------------------------------- block codecs
+  /** Hadoop `BlockCompressorStream` framing — the on-disk form HBase's
+    * SNAPPY and LZ4 block compression actually writes (hadoop-common
+    * `io.compress.BlockCompressorStream` / `BlockDecompressorStream`):
+    * a sequence of groups, each `[uncompressedGroupLen:int]` followed
+    * by one or more `[compressedChunkLen:int][raw-codec chunk]` until
+    * the group's uncompressed bytes are produced. The chunks are RAW
+    * codec blocks (xerial snappy-java / jpountz lz4-java — the same
+    * jars Spark ships), no frame headers. Group size mirrors the
+    * codecs' default 64 KiB buffer. */
+  val HadoopCompressionGroup = 64 * 1024
+
+  private[sources] def hadoopBlockCompress(payload: Array[Byte],
+      chunkCompress: Array[Byte] => Array[Byte]): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    var off = 0
+    if (payload.length == 0) {
+      out.writeInt(0)
+    } else while (off < payload.length) {
+      val len = math.min(HadoopCompressionGroup, payload.length - off)
+      val chunk = chunkCompress(
+        java.util.Arrays.copyOfRange(payload, off, off + len))
+      out.writeInt(len)
+      out.writeInt(chunk.length)
+      out.write(chunk)
+      off += len
+    }
+    buf.toByteArray
+  }
+
+  /** Inverse of [[hadoopBlockCompress]], tolerating multiple chunks
+    * per group (a real Hadoop compressor may split a group).
+    * `chunkDecompress(chunk, maxLen)` returns the chunk's uncompressed
+    * bytes (at most `maxLen`). */
+  private[sources] def hadoopBlockDecompress(payload: Array[Byte],
+      uncompressedSize: Int,
+      chunkDecompress: (Array[Byte], Int) => Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(uncompressedSize)
+    val in = new DataInputStream(new ByteArrayInputStream(payload))
+    while (out.size() < uncompressedSize) {
+      val groupLen = in.readInt()
+      var produced = 0
+      while (produced < groupLen) {
+        val chunkLen = in.readInt()
+        val chunk = new Array[Byte](chunkLen)
+        in.readFully(chunk)
+        val plain = chunkDecompress(chunk, groupLen - produced)
+        out.write(plain)
+        produced += plain.length
+      }
+    }
+    out.toByteArray
+  }
+
+  private def lz4Factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  /** Compresses a block payload per the codec ordinal. */
+  private[sources] def compressPayload(codec: Int, payload: Array[Byte]): Array[Byte] =
+    codec match {
+      case CodecNone => payload
+      case CodecGz =>
+        val b = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(b)
+        gz.write(payload); gz.close()
+        b.toByteArray
+      case CodecSnappy =>
+        hadoopBlockCompress(payload, org.xerial.snappy.Snappy.compress)
+      case CodecLz4 =>
+        val comp = lz4Factory.fastCompressor()
+        hadoopBlockCompress(payload, c => comp.compress(c))
+      case c => throw new IOException(s"unsupported compression codec ordinal $c")
+    }
+
+  /** Decompresses a block payload per the codec ordinal, verifying the
+    * declared uncompressed size. */
+  private[sources] def decompressPayload(codec: Int, payload: Array[Byte],
+      uncompressedSize: Int): Array[Byte] = codec match {
+    case CodecNone => payload
+    case CodecGz =>
+      val gz = new GZIPInputStream(new ByteArrayInputStream(payload))
+      val b = gz.readAllBytes(); gz.close()
+      require(b.length == uncompressedSize,
+        s"decompressed ${b.length} != declared $uncompressedSize")
+      b
+    case CodecSnappy =>
+      val b = hadoopBlockDecompress(payload, uncompressedSize,
+        (chunk, _) => org.xerial.snappy.Snappy.uncompress(chunk))
+      require(b.length == uncompressedSize,
+        s"decompressed ${b.length} != declared $uncompressedSize")
+      b
+    case CodecLz4 =>
+      val dec = lz4Factory.safeDecompressor()
+      val b = hadoopBlockDecompress(payload, uncompressedSize, (chunk, maxLen) => {
+        val dest = new Array[Byte](maxLen)
+        val n = dec.decompress(chunk, 0, chunk.length, dest, 0)
+        if (n == maxLen) dest else java.util.Arrays.copyOfRange(dest, 0, n)
+      })
+      require(b.length == uncompressedSize,
+        s"decompressed ${b.length} != declared $uncompressedSize")
+      b
+    case c => throw new IOException(s"unsupported compression codec ordinal $c")
   }
 
   // ------------------------------------------------- mini protobuf
@@ -294,26 +440,71 @@ object HFileV2Format {
   }
 
   // ---------------------------------------------------------- key part
-  /** Serializes a cell KEY part for `row` at `ts` (fixed cf:record
-    * column, Put type) — the byte form both data blocks and index
-    * entries carry. */
-  def cellKey(row: Array[Byte], ts: Long): Array[Byte] = {
+  /** Serializes a cell KEY part for `row` at `ts` with explicit type
+    * and qualifier — the byte form both data blocks and index entries
+    * carry. DeleteFamily/DeleteFamilyVersion markers use
+    * [[EmptyQualifier]] (HBase writes them column-less). */
+  def cellKey(row: Array[Byte], ts: Long, typ: Byte,
+      qualifier: Array[Byte]): Array[Byte] = {
     val buf = new ByteArrayOutputStream()
     val out = new DataOutputStream(buf)
     out.writeShort(row.length)
     out.write(row)
     out.writeByte(Family.length)
     out.write(Family)
-    out.write(Qualifier)
+    out.write(qualifier)
     out.writeLong(ts)
-    out.writeByte(KeyTypePut)
+    out.writeByte(typ)
     buf.toByteArray
   }
+
+  /** Put cell key on the fixed cf:record column. */
+  def cellKey(row: Array[Byte], ts: Long): Array[Byte] =
+    cellKey(row, ts, KeyTypePut, Qualifier)
 
   /** Row bytes of a serialized key part. */
   def rowOf(key: Array[Byte]): Array[Byte] = {
     val rowLen = ((key(0) & 0xff) << 8) | (key(1) & 0xff)
     java.util.Arrays.copyOfRange(key, 2, 2 + rowLen)
+  }
+
+  /** Qualifier bytes of a serialized key part. */
+  def qualifierOf(key: Array[Byte]): Array[Byte] = {
+    val rowLen = ((key(0) & 0xff) << 8) | (key(1) & 0xff)
+    val famLen = key(2 + rowLen) & 0xff
+    java.util.Arrays.copyOfRange(key, 3 + rowLen + famLen, key.length - TsTypeSize)
+  }
+
+  /** Type byte (Put / one of the four delete codes) of a key part. */
+  def typeOf(key: Array[Byte]): Byte = key(key.length - 1)
+
+  /** Cell timestamp of a key part. */
+  def tsOf(key: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(key, key.length - TsTypeSize, TimestampSize).getLong
+
+  /** HBase CellComparator order over flat key parts: row ASC, family
+    * ASC, qualifier ASC (so a column-less DeleteFamily marker sorts
+    * before every real column of its row), timestamp DESC, type DESC
+    * (so at an equal ts a delete marker sorts before the put it
+    * masks). Every HFile's cells are laid out in this order; the
+    * scanner's reopen-at-key resume compares with it. */
+  def compareCellKeys(a: Array[Byte], b: Array[Byte]): Int = {
+    val rla = ((a(0) & 0xff) << 8) | (a(1) & 0xff)
+    val rlb = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+    var c = java.util.Arrays.compareUnsigned(a, 2, 2 + rla, b, 2, 2 + rlb)
+    if (c != 0) return c
+    val fla = a(2 + rla) & 0xff
+    val flb = b(2 + rlb) & 0xff
+    c = java.util.Arrays.compareUnsigned(
+      a, 3 + rla, 3 + rla + fla, b, 3 + rlb, 3 + rlb + flb)
+    if (c != 0) return c
+    c = java.util.Arrays.compareUnsigned(
+      a, 3 + rla + fla, a.length - TsTypeSize,
+      b, 3 + rlb + flb, b.length - TsTypeSize)
+    if (c != 0) return c
+    val t = java.lang.Long.compare(tsOf(b), tsOf(a)) // ts DESC
+    if (t != 0) return t
+    (typeOf(b) & 0xff) - (typeOf(a) & 0xff) // type DESC
   }
 
   // ---------------------------------------------------------- blocks
@@ -323,13 +514,7 @@ object HFileV2Format {
   private[sources] def writeBlock(out: DataOutputStream, magic: Array[Byte],
       payload: Array[Byte], prevOffset: Long, codec: Int,
       bytesPerChecksum: Int = DefaultBytesPerChecksum): Int = {
-    val onDisk =
-      if (codec == CodecGz) {
-        val b = new ByteArrayOutputStream()
-        val gz = new GZIPOutputStream(b)
-        gz.write(payload); gz.close()
-        b.toByteArray
-      } else payload
+    val onDisk = compressPayload(codec, payload)
     val dataWithHeader = HeaderSize + onDisk.length
     val nChunks = (dataWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
     val header = new ByteArrayOutputStream(HeaderSize)
@@ -403,14 +588,7 @@ object HFileV2Format {
         off += len
       }
     }
-    val data =
-      if (codec == CodecGz) {
-        val gz = new GZIPInputStream(new ByteArrayInputStream(payload))
-        val b = gz.readAllBytes(); gz.close()
-        require(b.length == uncompressedSize,
-          s"decompressed ${b.length} != declared $uncompressedSize")
-        b
-      } else payload
+    val data = decompressPayload(codec, payload, uncompressedSize)
     (matched.get, data, HeaderSize + onDiskSizeWithoutHeader)
   }
 
@@ -689,20 +867,23 @@ object HFileV2Format {
         // multi-level roots append midkey metadata (long,int,int) after
         // the entries — reading exactly dataIndexCount entries skips it
         require(entries.nonEmpty, s"empty HFile: $p")
-        val (lastRow, tags, mvcc) =
+        val (lastRow, tags, mvcc, seqId) =
           try {
             val (infoPayload, _) =
               readBlock(raf, t.fileInfoOffset, FileInfoMagic, t.compressionCodec)
             val m = parseFileInfo(infoPayload)
             (m.get(InfoLastKey).map(rowOf),
-              m.contains(InfoMaxTagsLen), m.contains(InfoMaxMemstoreTs))
+              m.contains(InfoMaxTagsLen), m.contains(InfoMaxMemstoreTs),
+              m.get(InfoMaxSeqId).filter(_.length == 8)
+                .map(java.nio.ByteBuffer.wrap(_).getLong))
           } catch {
             // unparseable FileInfo (foreign writer) only disables
             // pruning and the tags/mvcc cell trailers; the scan of a
             // file without them never depended on it
-            case _: Exception => (None, false, false)
+            case _: Exception => (None, false, false, None)
           }
-        HFileMeta(t, entries, rowOf(entries.head.firstKey), lastRow, tags, mvcc)
+        HFileMeta(t, entries, rowOf(entries.head.firstKey), lastRow, tags, mvcc,
+          seqId)
       } finally raf.close()
     })
 
@@ -1008,6 +1189,14 @@ final case class HFileShape(codec: Int = HFileV2Format.CodecNone,
     includesTags: Boolean = false,
     maxIndexEntriesPerBlock: Int = Int.MaxValue)
 
+/** One cell as the writer consumes it: a Put by default, or one of the
+  * four delete-marker scopes ([[HFileV2Format.isDelete]]). Markers
+  * carry an empty value; family-scoped markers carry
+  * [[HFileV2Format.EmptyQualifier]]. */
+final case class HFileCell(row: Array[Byte], ts: Long, value: Array[Byte],
+    typ: Byte = HFileV2Format.KeyTypePut,
+    qualifier: Array[Byte] = HFileV2Format.Qualifier)
+
 /** Writes HFile v2/v3 files. FIXTURE/TEST seam with the same role as
   * [[SortedRunWriter]]: production never writes HFiles (HBase does);
   * this writer exists so the READER — the production-relevant half —
@@ -1028,10 +1217,19 @@ object HFileV2Writer {
     writeHFile(path, cells, HFileShape(codec = codec,
       blockEntries = blockEntries, bytesPerChecksum = bytesPerChecksum))
 
-  /** Writes one HFile from cells ALREADY sorted (row unsigned ASC,
-    * ts DESC); returns the file's entry count. */
+  /** Put-only convenience over [[writeCells]]. */
   def writeHFile(path: Path, cells: Iterator[(Array[Byte], Long, Array[Byte])],
-      shape: HFileShape): Long = {
+      shape: HFileShape): Long =
+    writeCells(path,
+      cells.map { case (row, ts, v) => HFileCell(row, ts, v) }, shape)
+
+  /** Writes one HFile from cells ALREADY sorted in
+    * [[HFileV2Format.compareCellKeys]] order (row ASC, qualifier ASC,
+    * ts DESC, type DESC); returns the file's entry count. `seqId >= 0`
+    * records the file's MAX_SEQ_ID in FileInfo — the generation-order
+    * authority a real store file carries. */
+  def writeCells(path: Path, cells: Iterator[HFileCell],
+      shape: HFileShape, seqId: Long = -1L): Long = {
     require(shape.encoding == EncodingNone || shape.encoding == EncodingFastDiff,
       s"unsupported encoding ${shape.encoding}")
     require(!shape.includesTags || shape.majorVersion >= 3,
@@ -1102,11 +1300,11 @@ object HFileV2Writer {
       block.clear()
     }
 
-    cells.foreach { case (row, ts, value) =>
-      val key = cellKey(row, ts)
-      val tags = tagsFor(row)
+    cells.foreach { c =>
+      val key = cellKey(c.row, c.ts, c.typ, c.qualifier)
+      val tags = tagsFor(c.row)
       maxTagsLen = math.max(maxTagsLen, tags.length)
-      block += ((key, value, tags))
+      block += ((key, c.value, tags))
       lastKey = key
       entryCount += 1
       if (block.size >= shape.blockEntries) flushBlock()
@@ -1179,6 +1377,9 @@ object HFileV2Writer {
     if (shape.encoding == EncodingFastDiff)
       infoEntries += InfoDataBlockEncoding ->
         "FAST_DIFF".getBytes(StandardCharsets.UTF_8)
+    if (seqId >= 0L)
+      infoEntries += InfoMaxSeqId -> { val b = new ByteArrayOutputStream()
+        new DataOutputStream(b).writeLong(seqId); b.toByteArray }
     val infoPayload =
       if (shape.majorVersion >= 3) pbufFileInfoPayload(infoEntries.toSeq)
       else legacyFileInfoPayload(infoEntries.toSeq)
@@ -1250,7 +1451,11 @@ final case class HFileSnapshotStore(dir: String,
       firstB < hi && lastB.forall(_ >= lo)
     }
     val scanners = pruned.map { case (p, ord) =>
-      new HFileScanner(p, lo, hi, ts, ord, failAfterEntries)
+      // generation order: FileInfo MAX_SEQ_ID when the writer recorded
+      // it (real store files — their names are random hashes, so name
+      // order means nothing there), sorted-name index as the fallback
+      val seq = readMeta(p).maxSeqId.getOrElse(ord.toLong)
+      new HFileScanner(p, lo, hi, ts, seq, failAfterEntries)
     }.filter(_.hasNext)
 
     val ord = new Ordering[HFileScanner] {
@@ -1259,26 +1464,68 @@ final case class HFileSnapshotStore(dir: String,
         if (c != 0) c
         else {
           val t = java.lang.Long.compare(a.head.ts, b.head.ts)
-          if (t != 0) t else Integer.compare(a.ordinal, b.ordinal)
+          if (t != 0) t else java.lang.Long.compare(a.seqId, b.seqId)
         }
       }
     }
     val pq = mutable.PriorityQueue(scanners.toSeq: _*)(ord)
 
+    // Row-group merge with tombstone masking — the region server's
+    // ScanQueryMatcher + DeleteTracker semantics, which the reference
+    // gets free from HBase on its live scan (batch/HBaseReader
+    // .kt:145-187): all cells of one row — put versions AND delete
+    // markers, across every generation file — drain from the heap
+    // together (memory bounded by the row's cell count), the four
+    // delete scopes apply, and the row emits its newest surviving
+    // in-range put (exact-ts generation tie → highest sequence id) or
+    // nothing. A marker masks matching puts from EVERY generation,
+    // including puts written after it at a masked ts (HBase's
+    // documented puts-after-delete masking — only a major compaction
+    // drops the marker). Markers themselves never emit.
     new Iterator[EnvelopeCell] {
-      private var lastKey: Array[Byte] = _
       private var nextCell: EnvelopeCell = _
+      private val puts = mutable.ArrayBuffer.empty[(HFileEntry, Long)]
 
       private def advance(): Unit = {
         while (nextCell == null && pq.nonEmpty) {
-          val s = pq.dequeue()
-          val e = s.next()
-          if (s.hasNext) pq.enqueue(s)
-          if (lastKey == null || !java.util.Arrays.equals(lastKey, e.key)) {
-            lastKey = e.key
-            nextCell = EnvelopeCell(e.key, e.ts,
-              new String(e.value, StandardCharsets.UTF_8))
+          val row = pq.head.head.key
+          var famMax = Long.MinValue
+          var famVers: Set[Long] = Set.empty
+          var colMax = Map.empty[Seq[Byte], Long]
+          var colVers = Set.empty[(Seq[Byte], Long)]
+          puts.clear()
+          while (pq.nonEmpty && java.util.Arrays.equals(pq.head.head.key, row)) {
+            val s = pq.dequeue()
+            val e = s.next()
+            val sSeq = s.seqId
+            if (s.hasNext) pq.enqueue(s)
+            e.typ match {
+              case KeyTypeDeleteFamily => famMax = math.max(famMax, e.ts)
+              case KeyTypeDeleteFamilyVersion => famVers += e.ts
+              case KeyTypeDeleteColumn =>
+                val q = e.qualifier.toSeq
+                colMax += q -> math.max(colMax.getOrElse(q, Long.MinValue), e.ts)
+              case KeyTypeDelete => colVers += ((e.qualifier.toSeq, e.ts))
+              case _ => puts += ((e, sSeq))
+            }
           }
+          // the exact-version scopes can mask the newest put while
+          // sparing an older one, so select AFTER the row's tracker is
+          // complete: newest surviving put, ts tie -> highest seq id
+          var winner: HFileEntry = null
+          var winnerSeq = Long.MinValue
+          puts.foreach { case (e, sSeq) =>
+            val masked = e.ts <= famMax || famVers.contains(e.ts) ||
+              e.ts <= colMax.getOrElse(e.qualifier.toSeq, Long.MinValue) ||
+              colVers.contains((e.qualifier.toSeq, e.ts))
+            if (!masked && (winner == null || e.ts > winner.ts ||
+                (e.ts == winner.ts && sSeq > winnerSeq))) {
+              winner = e; winnerSeq = sSeq
+            }
+          }
+          if (winner != null)
+            nextCell = EnvelopeCell(winner.key, winner.ts,
+              new String(winner.value, StandardCharsets.UTF_8))
         }
       }
 
@@ -1298,7 +1545,8 @@ final case class HFileSnapshotStore(dir: String,
 }
 
 private[sources] final case class HFileEntry(key: Array[Byte], ts: Long,
-    value: Array[Byte])
+    value: Array[Byte], typ: Byte = HFileV2Format.KeyTypePut,
+    qualifier: Array[Byte] = HFileV2Format.Qualifier)
 
 /** Sequential KeyValue scanner over one HFile, seeked to a slice
   * start: descends the (possibly multi-level) block index, decodes
@@ -1310,7 +1558,7 @@ private[sources] final case class HFileEntry(key: Array[Byte], ts: Long,
   * within-attempt reopen-at-key contract [[RunScanner]] implements
   * (the reference's resume-at-key, HBaseReader.kt:62-90). */
 private[sources] final class HFileScanner(path: String, loByte: Int,
-    hiByte: Int, range: TsRange, val ordinal: Int,
+    hiByte: Int, range: TsRange, val seqId: Long,
     failAfter: Option[Int] = None)
     extends Iterator[HFileEntry] {
 
@@ -1323,8 +1571,8 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
   private var decoder: CellDecoder = _
   private var exhausted = false
   private var nextE: HFileEntry = _
-  private var lastRow: Array[Byte] = _
-  private var lastTs = 0L
+  private var lastCellKey: Array[Byte] = _
+  private var pendingKey: Array[Byte] = _
   private var decoded = 0
   private var faultFired = false
   private var reopensLeft = 2
@@ -1332,24 +1580,23 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
   open()
 
   /** (Re)open the file positioned at the seek block for either the
-    * slice start (fresh scan) or the last returned row (retry). */
+    * slice start (fresh scan) or the last returned cell's row (retry). */
   private def open(): Unit = {
     HFileV2Format.opens.incrementAndGet()
     raf = new RandomAccessFile(path, "r")
-    cursor.seek(raf, if (lastRow == null) seekRow else lastRow)
+    cursor.seek(raf, if (lastCellKey == null) seekRow else rowOf(lastCellKey))
     decoder = null
   }
 
-  /** An entry at (row, ts) is not-yet-returned iff it sorts strictly
-    * after the resume point in (row ASC, ts DESC) file order. Skipped
-    * (pre-seek / out-of-range) entries re-skip deterministically on
-    * replay, so the predicate only needs the last RETURNED entry. */
-  private def behindResumePoint(row: Array[Byte], ts: Long): Boolean =
-    if (lastRow == null) java.util.Arrays.compareUnsigned(row, seekRow) < 0
-    else {
-      val c = java.util.Arrays.compareUnsigned(row, lastRow)
-      c < 0 || (c == 0 && ts >= lastTs)
-    }
+  /** A cell is not-yet-returned iff it sorts strictly after the resume
+    * point in full-key file order ([[HFileV2Format.compareCellKeys]] —
+    * row/qualifier ASC, ts/type DESC, so a delete marker and the put
+    * it masks at the same (row, ts) resume distinctly). Skipped
+    * (pre-seek / out-of-range) cells re-skip deterministically on
+    * replay, so the predicate only needs the last RETURNED cell. */
+  private def behindResumePoint(key: Array[Byte], row: Array[Byte]): Boolean =
+    if (lastCellKey == null) java.util.Arrays.compareUnsigned(row, seekRow) < 0
+    else compareCellKeys(key, lastCellKey) <= 0
 
   private def close(): Unit = {
     exhausted = true
@@ -1377,13 +1624,23 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
         }
         val row = rowOf(key)
         if ((row(0) & 0xff) >= hiByte) return null // stop-at-slice-end
-        val ts = java.nio.ByteBuffer.wrap(key, key.length - 9, 8).getLong
-        if (behindResumePoint(row, ts) || !range.contains(ts)) {
+        val ts = tsOf(key)
+        val typ = typeOf(key)
+        // puts must be IN the pushed range; delete markers must only be
+        // >= its floor (ScanQueryMatcher's withinOrAfterTimeRange): a
+        // marker NEWER than the range ceiling still masks in-range
+        // cells <= its ts, one older than the floor can mask nothing
+        // in range
+        val emit =
+          if (isDelete(typ)) ts >= range.lo
+          else range.contains(ts)
+        if (behindResumePoint(key, row) || !emit) {
           // pre-seek row, already-returned entry on a reopen, or
           // out-of-range version
           decoder.skipValue()
         } else {
-          return HFileEntry(row, ts, decoder.readValue())
+          pendingKey = key
+          return HFileEntry(row, ts, decoder.readValue(), typ, qualifierOf(key))
         }
       }
     }
@@ -1413,7 +1670,7 @@ private[sources] final class HFileScanner(path: String, loByte: Int,
     if (nextE == null && !exhausted) {
       nextE = advanceWithRetry()
       if (nextE == null) close()
-      else { lastRow = nextE.key; lastTs = nextE.ts }
+      else lastCellKey = pendingKey
     }
     nextE != null
   }
@@ -1489,8 +1746,77 @@ object HFileFixture {
         val c = java.util.Arrays.compareUnsigned(a._1, b._1)
         if (c != 0) c < 0 else a._2 > b._2 // row ASC, ts DESC
       }
-      HFileV2Writer.writeHFile(dir.resolve(f"region-r$r%03d-g$g.hfile"),
-        sorted.iterator, s)
+      // generation ordering travels BOTH ways a real snapshot can
+      // carry it: zero-padded file names (fixture convention) and the
+      // authoritative FileInfo MAX_SEQ_ID
+      HFileV2Writer.writeCells(dir.resolve(f"region-r$r%03d-g$g%03d.hfile"),
+        sorted.iterator.map { case (row, ts, v) => HFileCell(row, ts, v) },
+        s, seqId = g.toLong)
     }
   }
+
+  private val tombstoneMemo = new ConcurrentHashMap[(Long, Int), String]()
+
+  /** Memoised snapshot with INTERLEAVED puts and delete markers across
+    * generations — the between-major-compactions state of a real
+    * table. Base corpus = the multi-version fixture (key i: 1 + i%5
+    * put versions at ts 1000+v, spread over 2 generations); a THIRD
+    * generation (highest seq id) carries one marker per key class
+    * `i % 10`, covering all four delete scopes:
+    *
+    *  - class 1 (versions v0,v1):    DeleteFamily @1001 — whole row
+    *    masked (every version <= 1001), the key must NOT export;
+    *  - class 2 (v0..v2):            DeleteColumn @1001 — v0/v1
+    *    masked, the NEWER v2 put survives the older marker;
+    *  - class 3 (v0..v3):            Delete @1002 — exactly v2
+    *    masked, the scan's [1000,1003) winner falls back to v1;
+    *  - class 4 (v0..v4):            DeleteFamilyVersion @1002 —
+    *    exactly ts 1002 masked family-wide, winner falls back to v1;
+    *  - class 6 (v0,v1):             Delete @1001 — v1 masked,
+    *    winner falls back to v0;
+    *  - classes 0,5,7,8,9: no markers — the q47 winner arithmetic
+    *    must hold untouched.
+    */
+  def tombstoneSnapshotDir(n: Long, regions: Int = 4): String =
+    tombstoneMemo.computeIfAbsent((n, regions), { _ =>
+      val dir = Files.createTempDirectory("graft-hfile-tomb")
+      writeSnapshot(dir, n, versions = 5, regions = regions, gens = 2)
+      val ks = Fixture.keyService
+      val dek = ks.batchDataKey().plaintextDataKey
+      val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+      val regionWidth = 256 / regions
+      val markers = Array.fill(regions)(mutable.ArrayBuffer.empty[HFileCell])
+      var i = 0L
+      while (i < n) {
+        val c = Fixture.cell(i, dek, encKey, corrupt = false, 0)
+        val row = c.hbase_id
+        val region = (row(0) & 0xff) / regionWidth
+        import HFileV2Format._
+        (i % 10) match {
+          case 1 => markers(region) += HFileCell(row, 1001L,
+            Array.emptyByteArray, KeyTypeDeleteFamily, EmptyQualifier)
+          case 2 => markers(region) += HFileCell(row, 1001L,
+            Array.emptyByteArray, KeyTypeDeleteColumn, Qualifier)
+          case 3 => markers(region) += HFileCell(row, 1002L,
+            Array.emptyByteArray, KeyTypeDelete, Qualifier)
+          case 4 => markers(region) += HFileCell(row, 1002L,
+            Array.emptyByteArray, KeyTypeDeleteFamilyVersion, EmptyQualifier)
+          case 6 => markers(region) += HFileCell(row, 1001L,
+            Array.emptyByteArray, KeyTypeDelete, Qualifier)
+          case _ => ()
+        }
+        i += 1
+      }
+      for (r <- 0 until regions if markers(r).nonEmpty) {
+        val sorted = markers(r).sortWith { (a, b) =>
+          HFileV2Format.compareCellKeys(
+            HFileV2Format.cellKey(a.row, a.ts, a.typ, a.qualifier),
+            HFileV2Format.cellKey(b.row, b.ts, b.typ, b.qualifier)) < 0
+        }
+        HFileV2Writer.writeCells(dir.resolve(f"region-r$r%03d-g002.hfile"),
+          sorted.iterator, HFileShape(codec = HFileV2Format.CodecGz),
+          seqId = 2L)
+      }
+      dir.toString
+    })
 }

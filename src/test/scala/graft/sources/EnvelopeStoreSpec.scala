@@ -459,6 +459,231 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unsupported data block encoding"))
   }
 
+  // ----------------------------------- SNAPPY / LZ4 block codecs
+
+  test("snappy and lz4 hfile codecs: cells byte-identical to the fixture store's") {
+    val fix = FixtureEnvelopeStore(200L, corrupt = false, 0L, 5)
+    def dump(s: EnvelopeStore, range: TsRange) =
+      (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value)).sortBy(_._1.toString)
+    val shapes = Seq(
+      "snappy raw" -> HFileShape(codec = HFileV2Format.CodecSnappy,
+        blockEntries = 16),
+      "lz4 raw" -> HFileShape(codec = HFileV2Format.CodecLz4,
+        blockEntries = 16),
+      // the actual modern-cluster default: SNAPPY + FAST_DIFF + v3 +
+      // mvcc + multi-level index
+      "snappy fastdiff v3 multilevel" -> HFileShape(
+        codec = HFileV2Format.CodecSnappy, blockEntries = 16,
+        encoding = HFileV2Format.EncodingFastDiff, majorVersion = 3,
+        includesMvcc = true, maxIndexEntriesPerBlock = 4),
+      "lz4 fastdiff v3 multilevel" -> HFileShape(
+        codec = HFileV2Format.CodecLz4, blockEntries = 16,
+        encoding = HFileV2Format.EncodingFastDiff, majorVersion = 3,
+        includesMvcc = true, maxIndexEntriesPerBlock = 4))
+    for ((name, shape) <- shapes) {
+      val dir = Files.createTempDirectory("graft-hfile-codec2")
+      HFileFixture.writeSnapshot(dir, 200L, 5, regions = 4, gens = 2,
+        shape = shape)
+      val hf = HFileSnapshotStore(dir.toString)
+      assert(dump(hf, TsRange.All) === dump(fix, TsRange.All), name)
+      val capped = TsRange(0L, t0 + 2L)
+      assert(dump(hf, capped) === dump(fix, capped), s"$name capped")
+      assert(dump(hf, capped).nonEmpty, name)
+    }
+  }
+
+  test("hadoop block-compression framing round-trips, incl. multi-group payloads") {
+    import HFileV2Format._
+    val rng = new scala.util.Random(7)
+    // > 64 KiB forces multiple groups; low-entropy so codecs compress
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "abc".getBytes,
+      Array.fill(200 * 1024)((rng.nextInt(4) + 'a').toByte))
+    for (codec <- Seq(CodecSnappy, CodecLz4); p <- payloads) {
+      val packed = compressPayload(codec, p)
+      assert(decompressPayload(codec, packed, p.length).toSeq === p.toSeq,
+        s"codec $codec payload ${p.length}")
+    }
+  }
+
+  test("a bit-flipped snappy block still fails its CRC before decode") {
+    val dir = Files.createTempDirectory("graft-hfile-snappy-corrupt")
+    HFileFixture.writeSnapshot(dir, 64L, 1, regions = 1, gens = 1,
+      shape = HFileShape(codec = HFileV2Format.CodecSnappy, blockEntries = 16))
+    val file = Files.list(dir).iterator().next()
+    val bytes = Files.readAllBytes(file)
+    bytes(40) = (bytes(40) ^ 0x5a).toByte
+    Files.write(file, bytes)
+    val store = HFileSnapshotStore(file.getParent.toString)
+    val ex = intercept[java.io.IOException] {
+      (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    }
+    assert(ex.getMessage.contains("checksum mismatch"))
+  }
+
+  // --------------------------------- delete markers (tombstones)
+
+  /** One-region snapshot: generation files from (cells, seqId) pairs,
+    * each file's cells pre-sorted in full-key order. */
+  private def tombDir(gens: (Seq[HFileCell], Long)*): String = {
+    val dir = Files.createTempDirectory("graft-hfile-tomb-spec")
+    gens.zipWithIndex.foreach { case ((cells, seqId), g) =>
+      val sorted = cells.sortWith { (a, b) =>
+        HFileV2Format.compareCellKeys(
+          HFileV2Format.cellKey(a.row, a.ts, a.typ, a.qualifier),
+          HFileV2Format.cellKey(b.row, b.ts, b.typ, b.qualifier)) < 0
+      }
+      HFileV2Writer.writeCells(dir.resolve(f"region-r000-g$g%03d.hfile"),
+        sorted.iterator, HFileShape(codec = HFileV2Format.CodecNone),
+        seqId = seqId)
+    }
+    dir.toString
+  }
+
+  private def scanValues(dir: String, range: TsRange): Seq[(Seq[Byte], Long, String)] =
+    HFileSnapshotStore(dir).scan(KeySlice(0, 256), range).toSeq
+      .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+
+  test("tombstones: each delete scope masks exactly its cells, across generations") {
+    import HFileV2Format._
+    import java.nio.charset.StandardCharsets.UTF_8
+    def put(row: Byte, ts: Long, v: String) =
+      HFileCell(Array[Byte](row), ts, v.getBytes(UTF_8))
+    def del(row: Byte, ts: Long, typ: Byte) =
+      HFileCell(Array[Byte](row), ts, Array.emptyByteArray, typ,
+        if (typ == KeyTypeDeleteFamily || typ == KeyTypeDeleteFamilyVersion)
+          EmptyQualifier else Qualifier)
+    // rows 1..5, versions at ts 10/20/30 in gen0; markers in gen1
+    val puts = (1 to 5).flatMap(r =>
+      Seq(put(r.toByte, 10L, s"r$r-v10"), put(r.toByte, 20L, s"r$r-v20"),
+        put(r.toByte, 30L, s"r$r-v30")))
+    val markers = Seq(
+      del(1, 30L, KeyTypeDeleteFamily),        // row 1: everything <= 30 gone
+      del(2, 20L, KeyTypeDeleteColumn),        // row 2: 10/20 gone, 30 survives
+      del(3, 30L, KeyTypeDelete),              // row 3: exactly 30 gone -> 20 wins
+      del(4, 20L, KeyTypeDeleteFamilyVersion), // row 4: exactly 20 gone -> 30 wins
+      del(5, 5L, KeyTypeDeleteColumn))         // row 5: nothing in reach
+    val dir = tombDir((puts, 0L), (markers, 1L))
+    assert(scanValues(dir, TsRange.All) === Seq(
+      (Seq[Byte](2), 30L, "r2-v30"),
+      (Seq[Byte](3), 20L, "r3-v20"),
+      (Seq[Byte](4), 30L, "r4-v30"),
+      (Seq[Byte](5), 30L, "r5-v30")))
+    // masked versions never resurface under narrower ranges either
+    // (row 4's exact-ts mask at 20 now falls back to v10; row 2's
+    // surviving v30 is out of range, so the row disappears)
+    assert(scanValues(dir, TsRange(0L, 25L)) === Seq(
+      (Seq[Byte](3), 20L, "r3-v20"),
+      (Seq[Byte](4), 10L, "r4-v10"),
+      (Seq[Byte](5), 20L, "r5-v20")))
+  }
+
+  test("tombstones: a marker NEWER than the scan ceiling still masks in-range cells") {
+    import HFileV2Format._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val row = Array[Byte](9)
+    val dir = tombDir(
+      (Seq(HFileCell(row, 10L, "v10".getBytes(UTF_8)),
+        HFileCell(row, 20L, "v20".getBytes(UTF_8))), 0L),
+      // DeleteFamily at ts 50 — outside a [0,25] scan, but
+      // withinOrAfterTimeRange says it still masks everything <= 50
+      (Seq(HFileCell(row, 50L, Array.emptyByteArray, KeyTypeDeleteFamily,
+        EmptyQualifier)), 1L))
+    assert(scanValues(dir, TsRange(0L, 25L)) === Seq.empty)
+    // while a marker BELOW the scan floor is irrelevant (it can only
+    // mask cells that are below the floor themselves)
+    val dir2 = tombDir(
+      (Seq(HFileCell(row, 10L, "v10".getBytes(UTF_8)),
+        HFileCell(row, 20L, "v20".getBytes(UTF_8))), 0L),
+      (Seq(HFileCell(row, 12L, Array.emptyByteArray, KeyTypeDeleteFamily,
+        EmptyQualifier)), 1L))
+    assert(scanValues(dir2, TsRange(15L, 25L)) ===
+      Seq((row.toSeq, 20L, "v20")))
+  }
+
+  test("tombstones: a put AFTER the delete at a masked ts stays masked until major compaction") {
+    import HFileV2Format._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val row = Array[Byte](7)
+    // gen0: marker at ts 20; gen1 (NEWER): put at ts 20 — HBase's
+    // documented quirk: the marker still masks the later put
+    val dir = tombDir(
+      (Seq(HFileCell(row, 20L, Array.emptyByteArray, KeyTypeDelete,
+        Qualifier)), 5L),
+      (Seq(HFileCell(row, 20L, "late-put".getBytes(UTF_8))), 9L))
+    assert(scanValues(dir, TsRange.All) === Seq.empty)
+    // but major compaction DROPS the marker (and the masked put), so a
+    // re-put after compaction would become visible — pin the drop
+    val out = Files.createTempDirectory("graft-tomb-majc")
+    HFileCompaction.compactRegion(
+      HFileCompaction.regionFiles(dir).head._2,
+      s"$out/region-r000-g000.hfile", HFileShape(), dropDeletes = true)
+    assert(Files.list(out).count() === 0 ||
+      HFileV2Format.readMeta(s"$out/region-r000-g000.hfile").trailer.entryCount === 0L ||
+      scanValues(out.toString, TsRange.All) === Seq.empty)
+  }
+
+  test("major compaction with dropDeletes: scans stay identical, markers vanish") {
+    import HFileV2Format._
+    val dir = HFileFixture.tombstoneSnapshotDir(400L)
+    val out = Files.createTempDirectory("graft-tomb-majc-eq")
+    HFileCompaction.regionFiles(dir).foreach { case (r, fs) =>
+      HFileCompaction.compactRegion(fs, s"$out/$r-g000.hfile", HFileShape(),
+        dropDeletes = true)
+    }
+    val before = HFileSnapshotStore(dir)
+    val after = HFileSnapshotStore(out.toString)
+    def dump(s: EnvelopeStore, range: TsRange) =
+      (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+    for (range <- Seq(TsRange.All, TsRange(1000L, 1002L), TsRange(1001L, 1004L)))
+      assert(dump(after, range) === dump(before, range), s"range $range")
+    assert(dump(after, TsRange.All).nonEmpty)
+    // and snapshot-export compaction (dropDeletes=false) ALSO stays
+    // identical — it carries the markers through instead
+    val out2 = Files.createTempDirectory("graft-tomb-minc-eq")
+    HFileCompaction.regionFiles(dir).foreach { case (r, fs) =>
+      HFileCompaction.compactRegion(fs, s"$out2/$r-g000.hfile", HFileShape())
+    }
+    val after2 = HFileSnapshotStore(out2.toString)
+    for (range <- Seq(TsRange.All, TsRange(1000L, 1002L)))
+      assert(dump(after2, range) === dump(before, range), s"carry $range")
+  }
+
+  test("generation order follows MAX_SEQ_ID, not file names") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("graft-hfile-seqid")
+    val row = Array[Byte](10, 1)
+    // name order says g000 is older, but its seq id is HIGHER — the
+    // real-snapshot case where names are random hashes
+    HFileV2Writer.writeCells(dir.resolve("region-r000-g000.hfile"),
+      Iterator(HFileCell(row, 5L, "winner".getBytes(UTF_8))),
+      HFileShape(), seqId = 12L)
+    HFileV2Writer.writeCells(dir.resolve("region-r000-g001.hfile"),
+      Iterator(HFileCell(row, 5L, "loser".getBytes(UTF_8))),
+      HFileShape(), seqId = 3L)
+    assert(HFileV2Format.readMeta(
+      dir.resolve("region-r000-g000.hfile").toString).maxSeqId === Some(12L))
+    val cells = HFileSnapshotStore(dir.toString)
+      .scan(KeySlice(0, 256), TsRange.All).toSeq
+    assert(cells.map(_.value) === Seq("winner"))
+    // compaction applies the same rule
+    val out = Files.createTempDirectory("graft-hfile-seqid-c")
+    HFileCompaction.compactRegion(
+      Seq(dir.resolve("region-r000-g000.hfile").toString,
+        dir.resolve("region-r000-g001.hfile").toString),
+      s"$out/region-r000-g000.hfile", HFileShape())
+    val compacted = HFileSnapshotStore(out.toString)
+      .scan(KeySlice(0, 256), TsRange.All).toSeq
+    assert(compacted.map(_.value) === Seq("winner"))
+    // and the compacted file carries max(input seq ids) forward
+    assert(HFileV2Format.readMeta(s"$out/region-r000-g000.hfile")
+      .maxSeqId === Some(12L))
+  }
+
   // --------------------------------------------- major compaction
 
   test("compaction: one file per region, scans byte-identical, transcodes shape") {
