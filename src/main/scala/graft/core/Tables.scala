@@ -47,19 +47,31 @@ object Tables {
     * around does. Sessions are weakly keyed so a stopped session's
     * relations are collectable. */
   private val memo = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]]()
+
+  /** Cheap staleness fingerprint: the path's mtime (a rewritten file
+    * OR a file added/removed under a directory-shaped table bumps it).
+    * Keying the memo on it means a caller that regenerates a fixture
+    * in place gets a FRESH relation instead of the memo serving a
+    * stale file listing — the immutable bench fixtures still hit the
+    * memo every time. */
+  private def fingerprint(path: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Path.of(path)).toMillis
+    catch { case _: Exception => 0L }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = memo.synchronized {
       var m = memo.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]()
         memo.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent((dir, name), { _ =>
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    perSession.computeIfAbsent((dir, name, fingerprint(path)), { _ =>
+      val df = spark.read.parquet(path)
       if (name == "events" && df.schema("ts").dataType != LongType)
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * lit(1000L))

@@ -1291,12 +1291,41 @@ object EventAnalytics {
     val slopes = a.join(b, col("d1") < col("d2"))
       .select(((col("m2") - col("m1")) /
         (col("d2") - col("d1")).cast("double")).as("slope"))
-    val ranked = slopes.withColumn("rn",
-      row_number().over(Window.orderBy("slope")))
-    val medianSlope = ranked
-      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("rn") === expr("(np + 1) div 2"))
-      .select(col("slope").as("ts_slope"), col("np").as("n_pairs"))
+    // median slope via the q223 two-phase histogram-refinement
+    // selection instead of a single-partition global rank window: the
+    // pair relation is |days|²/2 rows (bounded by construction, but
+    // ~6.7 M at a decade of days), so phase 1 bins the slopes (256
+    // equi-width bins, map-side-combined counts) and locates the
+    // median's bin by prefix sum over the 256-row histogram; phase 2
+    // rank-sorts ONLY that bin's ~1/256 share. The k-th order
+    // statistic is selection-method-independent, so the oracle value
+    // is unchanged.
+    val bins = 256
+    val stats = slopes.agg(count(lit(1)).as("n_pairs"),
+        min("slope").as("mn"), max("slope").as("mx"))
+      .withColumn("k", expr("(n_pairs + 1) div 2"))
+    val binned = slopes.crossJoin(broadcast(stats))
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((col("slope") - col("mn")) /
+          (col("mx") - col("mn")) * bins), lit((bins - 1).toDouble))
+          .cast("long")))
+    val hist = binned.groupBy("bin", "k", "n_pairs")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("g", lit(0))
+    val wcum = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("cum_before", coalesce(sum("bc").over(wcum), lit(0L)))
+      .filter(col("cum_before") < col("k") &&
+        col("k") <= col("cum_before") + col("bc"))
+      .select(col("bin"), col("n_pairs"),
+        (col("k") - col("cum_before")).as("kk"))
+    val medianSlope = binned.select("bin", "slope")
+      .join(broadcast(target), "bin")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("bin").orderBy("slope")))
+      .filter(col("rn") === col("kk"))
+      .select(col("slope").as("ts_slope"), col("n_pairs"))
     // OLS over (day − mnd, round(m·1e6)) — EXACT integer sums in
     // decimal, cast to double only for the final closed form, so both
     // engines combine bit-identical operands (quantizing the raw

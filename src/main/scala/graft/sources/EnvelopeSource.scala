@@ -244,18 +244,33 @@ private[sources] class EnvelopeMicroBatchStream(scan: EnvelopeScan,
 
   // one step per trigger; stays at the final bound once exhausted
   private val stepIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+  // committed/recovered high-watermark: the step counter is in-memory
+  // state, so on a checkpoint restart it resets to 0 — without the
+  // clamp latestOffset would announce steps(0), REGRESSING below the
+  // committed offset and re-planning (duplicating, in an append sink)
+  // already-committed ts windows. Every offset the engine hands back
+  // (checkpoint recovery via deserializeOffset, batch completion via
+  // commit) raises the floor latestOffset may never go under.
+  private val highWatermark =
+    new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+
+  private def noteWatermark(ts: Long): Unit = {
+    highWatermark.accumulateAndGet(ts, (a, b) => math.max(a, b)); ()
+  }
 
   override def initialOffset(): Offset =
     TsOffset(math.max(Long.MinValue + 1, tsLo) - 1)
 
   override def latestOffset(): Offset = {
     val i = stepIdx.getAndIncrement()
-    TsOffset(steps(math.min(i, steps.size - 1)))
+    TsOffset(math.max(steps(math.min(i, steps.size - 1)), highWatermark.get()))
   }
 
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    TsOffset(node.get("ts").asLong())
+    val ts = node.get("ts").asLong()
+    noteWatermark(ts)
+    TsOffset(ts)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -270,7 +285,8 @@ private[sources] class EnvelopeMicroBatchStream(scan: EnvelopeScan,
   override def createReaderFactory(): PartitionReaderFactory =
     new EnvelopeReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    noteWatermark(end.asInstanceOf[TsOffset].ts)
   override def stop(): Unit = ()
 }
 

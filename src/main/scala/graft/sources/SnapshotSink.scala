@@ -38,12 +38,19 @@ import graft.pipeline.{DataKeyResult, Retry, SnapshotWriter}
   *    sit in a dir nothing ever reads;
   *  - **the driver's `commit()` publishes**: exactly one committed
   *    message per partition (Spark's output-commit coordinator)
-  *    has its files moved `ATOMIC_MOVE` into the output/manifest
-  *    dirs — under the reference's retry envelope
-  *    (S3ObjectServiceImpl.kt:19-23), since publication is the S3-PUT
-  *    analogue — then the staging root is deleted. `abort()` only
-  *    deletes staging. A consumer can never observe a torn file OR a
-  *    partial job.
+  *    has its files moved into the output/manifest dirs — atomically
+  *    within a filesystem, via copy-into-target-then-rename when the
+  *    manifest dir sits on a DIFFERENT filesystem than staging
+  *    ([[SnapshotSinkBatchWrite.publish]]) — under the reference's
+  *    retry envelope (S3ObjectServiceImpl.kt:19-23), since
+  *    publication is the S3-PUT analogue — then the staging root is
+  *    deleted. `abort()` only deletes staging. Guarantee level: a
+  *    consumer can never observe a TORN FILE or an uncommitted
+  *    attempt's output (task-level atomicity, the v1-committer
+  *    contract); a driver crash mid-commit can leave a published
+  *    PREFIX of the job plus a `.staging-*` dir, which the `_SUCCESS`
+  *    marker written as commit's last step lets consumers detect —
+  *    key on the marker, ignore snapshots without it.
   *
   * At 100 TB this is the layout a 1000-executor run uses unchanged:
   * staging becomes a task-scoped object-store prefix, the commit
@@ -168,6 +175,30 @@ private[sources] final class SnapshotSinkBatchWrite(writeId: String,
     * reference's S3-PUT retry envelope), then drop staging. Runs on
     * the driver AFTER every partition has exactly one committed
     * message — the all-or-nothing boundary. */
+  /** Atomically materializes one staged file at `target`. Staging
+    * lives under outputDir, but the MANIFEST dir may be a different
+    * filesystem/mount — there `ATOMIC_MOVE` across the boundary
+    * throws `AtomicMoveNotSupportedException` (a non-retryable error
+    * the retry envelope must not spin on), so the file is first
+    * copied to a dot-temp INSIDE the target dir and renamed
+    * atomically within it — the same-filesystem guarantee restored. */
+  private def publish(staged: java.nio.file.Path, target: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.move(staged, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        val tmp = target.resolveSibling("." + target.getFileName + ".publish")
+        java.nio.file.Files.copy(staged, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.deleteIfExists(staged)
+        ()
+    }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[SnapshotCommitMessage])
     msgs.foreach { m =>
@@ -175,13 +206,16 @@ private[sources] final class SnapshotSinkBatchWrite(writeId: String,
         val target = new File(f.targetDir, f.name)
         target.getParentFile.mkdirs()
         Retry.withRetry(Retry.Policy()) {
-          java.nio.file.Files.move(new File(f.stagedPath).toPath, target.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          publish(new File(f.stagedPath).toPath, target.toPath)
         }
       }
     }
     SnapshotSink.deleteRecursively(SnapshotSink.stagingRoot(cfg, writeId))
+    // terminal marker — commit's LAST step, so its presence certifies
+    // every file above was published (consumers key on it; a
+    // mid-commit driver crash leaves no marker)
+    java.nio.file.Files.writeString(
+      new File(cfg.outputDir, "_SUCCESS").toPath, "")
     val acct = msgs.flatMap(_.accounting).toSeq
     SnapshotSink.accounting.put(writeId, acct)
     ()
