@@ -1,0 +1,121 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.GraftScheduler
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Prepared-statement cache for the declarative query surface.
+  *
+  * A `queries` entry is a FUNCTION `(session, sfDir) => DataFrame`;
+  * every invocation re-runs the Scala-side DataFrame construction,
+  * and — because the Dataset API analyzes eagerly at every chained
+  * transformation — re-runs the analyzer dozens of times on growing
+  * trees. For the ~230 sub-second queries that construction is pure
+  * fixed overhead (~35-45 ms each, measured by `graft.tools.Profile`):
+  * the logical plan it produces is identical on every call for the
+  * same (session, dir, fixture fingerprint).
+  *
+  * This memo caches the ANALYZED LOGICAL PLAN only — the cheapest
+  * artifact that is still honest to reuse. Serving a hit goes through
+  * [[PlanBridge.ofRows]], which builds a FRESH `Dataset` with a fresh
+  * `QueryExecution`: optimization, physical planning, AQE stage
+  * re-planning, and every exchange all run anew on each action, so a
+  * bench rep still executes the entire query over the data. Nothing
+  * result-shaped is cached (contrast a result cache, which would turn
+  * reps into no-ops). This is the same contract as a SQL engine's
+  * prepared statements: parse/analyze once, execute many.
+  *
+  * Safety rails:
+  *  - **Purity probe**: a query whose CONSTRUCTION launches Spark
+  *    jobs (iterative trainers like the BPE loop, k-means, connected
+  *    components; anything with a driver-side fixpoint or an internal
+  *    `.cache()` materialization) does real per-call work that a memo
+  *    would silently skip. The wrapper compares the DAGScheduler's
+  *    synchronous job counter before/after the first construction;
+  *    if any job ran, the query is pinned non-memoizable for the
+  *    session and every later call re-runs `fn` in full.
+  *  - **Fixture staleness**: the key carries a fingerprint of the
+  *    data directory (its mtime plus every child entry's name+mtime),
+  *    so a regenerated fixture yields a fresh plan — same convention
+  *    as [[Tables.load]]'s relation memo.
+  *  - **Session scoping**: sessions are weakly keyed; a stopped
+  *    session's plans are collectable.
+  *
+  * Side-effectful families (the export pipeline and streaming
+  * queries, whose fn IS the work) are never wrapped — see
+  * [[graft.SparkEntry]].
+  */
+object PlanMemo {
+
+  private val debug = sys.env.contains("SPARK_GRAFT_PLANMEMO_DEBUG")
+
+  private final case class Entry(plan: LogicalPlan)
+
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, ConcurrentHashMap[(String, String, Long), Entry]]()
+
+  private def perSession(s: SparkSession) = memo.synchronized {
+    var m = memo.get(s)
+    if (m == null) {
+      m = new ConcurrentHashMap[(String, String, Long), Entry]()
+      memo.put(s, m)
+    }
+    m
+  }
+
+  /** Directory fingerprint: mtime of `dir` plus a hash of each child
+    * entry's (name, mtime). Rewriting a parquet file in place, adding
+    * or removing one, or re-creating the directory all change it. */
+  private[core] def fingerprint(dir: String): Long = {
+    try {
+      val p = java.nio.file.Path.of(dir)
+      var h = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val st = java.nio.file.Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          h = h * 1000003L + c.getFileName.toString.hashCode
+          h = h * 1000003L +
+            java.nio.file.Files.getLastModifiedTime(c).toMillis
+        }
+      } finally st.close()
+      h
+    } catch { case _: Exception => 0L }
+  }
+
+  /** Wrap one query function with the plan memo. */
+  def cached(name: String, fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = { (s, dir) =>
+    val key = (name, dir, fingerprint(dir))
+    val m = perSession(s)
+    m.get(key) match {
+      case Entry(plan) =>
+        if (debug) System.err.println(s"[planmemo] hit $name")
+        PlanBridge.ofRows(s, plan)
+      case null =>
+        // Probe EVERY call until one constructs job-free: a cold first
+        // call legitimately runs jobs (Tables.load file listing, an
+        // internal cache materialization) and must not pin the query
+        // out; an iterative query runs jobs on every construction and
+        // so never memoizes.
+        val before = GraftScheduler.jobsSubmitted(s.sparkContext)
+        val df = fn(s, dir)
+        val after = GraftScheduler.jobsSubmitted(s.sparkContext)
+        if (after == before) {
+          if (debug) System.err.println(s"[planmemo] memoize $name")
+          m.put(key, Entry(df.queryExecution.analyzed))
+        } else if (debug)
+          System.err.println(s"[planmemo] impure $name ($before -> $after)")
+        df
+    }
+  }
+
+  /** Wrap a whole module's `queries` map. */
+  def wrap(qs: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, (SparkSession, String) => DataFrame] =
+    qs.map { case (n, fn) => n -> cached(n, fn) }
+}

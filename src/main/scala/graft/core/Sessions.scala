@@ -125,13 +125,21 @@ object Sessions {
     val master =
       if (maxTaskFailures > 1) s"local[$cpus,$maxTaskFailures]"
       else s"local[$cpus]"
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // measurement/tuning seam: extra SQL confs via env, e.g.
+    // SPARK_GRAFT_SQL_CONFS="spark.sql.adaptive.enabled=false;k=v" —
+    // lets the bench A/B engine-level conf choices without code edits
+    sys.env.get("SPARK_GRAFT_SQL_CONFS").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // native expressions (canonical_json, graft_aes_ctr_decrypt,
     // vec_dot) available in every session built here

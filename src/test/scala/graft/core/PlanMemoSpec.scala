@@ -1,0 +1,98 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** The prepared-statement plan memo's contract: construction is
+  * skipped on a hit, execution is NOT (fresh QueryExecution per call,
+  * so exchanges re-run), impure constructions are never served from
+  * the memo, and a regenerated fixture invalidates. */
+class PlanMemoSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hit skips construction but yields identical results") {
+    var builds = 0
+    val fn = PlanMemo.cached("pm_test_pure", (s, dir) => {
+      builds += 1
+      Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    })
+    Tables.load(spark, sf, "nation").count() // warm the relation memo
+    val r1 = fn(spark, sf).collect().map(_.toString).sorted
+    val r2 = fn(spark, sf).collect().map(_.toString).sorted
+    val r3 = fn(spark, sf).collect().map(_.toString).sorted
+    assert(builds === 1, "second call must be served from the memo")
+    assert(r1 === r2 && r2 === r3)
+    assert(r1.length === 25)
+  }
+
+  test("a construction that runs Spark jobs is never memoized") {
+    var builds = 0
+    val fn = PlanMemo.cached("pm_test_impure", (s, dir) => {
+      builds += 1
+      val n = Tables.load(s, dir, "region").count() // a job per call
+      Tables.load(s, dir, "region").limit(n.toInt)
+    })
+    fn(spark, sf).collect()
+    fn(spark, sf).collect()
+    assert(builds === 2,
+      "impure construction must re-run fn on every call")
+  }
+
+  test("hit serves a fresh plan whose execution re-runs (not a result cache)") {
+    // A shuffling aggregate: if the memo reused executed state, the
+    // second call's QueryExecution would be the same object; it must
+    // not be, and both must agree with a direct computation.
+    val fn = PlanMemo.cached("pm_test_fresh", (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus").count())
+    val d1 = fn(spark, sf)
+    d1.collect()
+    val d2 = fn(spark, sf)
+    assert(d1.queryExecution ne d2.queryExecution,
+      "each call must get its own QueryExecution")
+    assert(d2.collect().map(_.toString).sorted ===
+      Tables.load(spark, sf, "orders").groupBy("o_orderstatus").count()
+        .collect().map(_.toString).sorted)
+  }
+
+  test("rewritten fixture invalidates the memo") {
+    val dir = Files.createTempDirectory("pm_inval").toString
+    def write(rows: Seq[Int]): Unit = {
+      import spark.implicits._
+      rows.toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/t.parquet")
+    }
+    write(Seq(1, 2, 3))
+    val fn = PlanMemo.cached("pm_test_stale", (s, d) =>
+      s.read.parquet(s"$d/t.parquet"))
+    def settled(): Unit = { // distinct mtimes across rewrites
+      Thread.sleep(1100)
+    }
+    fn(spark, dir).count() // may be impure (cold listing) — probe again
+    val n1 = fn(spark, dir).count()
+    assert(n1 === 3)
+    settled()
+    write(Seq(1, 2, 3, 4, 5))
+    val n2 = fn(spark, dir).count()
+    assert(n2 === 5, "fingerprint must invalidate on fixture rewrite")
+  }
+
+  test("wrapped real queries agree between miss and hit paths") {
+    // Drive a slice of the production surface twice through
+    // SparkEntry (memo-wrapped) and pin call-1 == call-2 row sets.
+    val sample = Seq("q02_proj_filter", "q07_latest_version",
+      "q09_join_inner", "q20_dedup_exact", "q30_knn_brute")
+    val qs = graft.SparkEntry.queries
+    for (name <- sample) {
+      def run(): Array[String] =
+        qs(name)(spark, sf).collect().map(_.toString).sorted
+      val first = run()
+      val second = run()
+      assert(first === second, s"$name: memo hit changed the result")
+    }
+  }
+}
