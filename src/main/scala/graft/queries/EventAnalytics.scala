@@ -1275,17 +1275,24 @@ object EventAnalytics {
     *
     * Scale: the corpus collapses to |days| rows in one
     * map-side-combined shuffle; the O(days²) pair join runs on that
-    * bounded relation (a decade is ~7 k²/2 pairs), never on events. */
+    * bounded relation (a decade is ~7 k²/2 pairs), never on events.
+    * `byDay` has FIVE consumers (both pair-join sides, the histogram
+    * stats, the OLS xy, and the min-day broadcast) and `binned` two
+    * (the 256-bin histogram and the bin-local rank) — each is pinned
+    * ([[graft.core.Sessions.pin]]) so the corpus is scanned exactly
+    * once and the |days|²/2 binning runs exactly once, however many
+    * derivations read them. */
   def q261TheilSen(s: SparkSession, dir: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val byDay = events(s, dir)
+    val byDay = graft.core.Sessions.pin(events(s, dir)
       .select(expr("ts div 1000 div 86400000000").as("day"),
         expr("CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)")
           .as("v_us"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"), sum(col("v_us").cast(dec38)).as("sv"))
       .select(col("day"),
-        (col("sv").cast("double") / (col("n").cast("double") * 1e6)).as("m"))
+        (col("sv").cast("double") / (col("n").cast("double") * 1e6)).as("m")),
+      parts = 1)
     val a = byDay.select(col("day").as("d1"), col("m").as("m1"))
     val b = byDay.select(col("day").as("d2"), col("m").as("m2"))
     val slopes = a.join(b, col("d1") < col("d2"))
@@ -1304,11 +1311,12 @@ object EventAnalytics {
     val stats = slopes.agg(count(lit(1)).as("n_pairs"),
         min("slope").as("mn"), max("slope").as("mx"))
       .withColumn("k", expr("(n_pairs + 1) div 2"))
-    val binned = slopes.crossJoin(broadcast(stats))
+    val binned = graft.core.Sessions.pin(slopes.crossJoin(broadcast(stats))
       .withColumn("bin", when(col("mx") === col("mn"), lit(0L))
         .otherwise(least(floor((col("slope") - col("mn")) /
           (col("mx") - col("mn")) * bins), lit((bins - 1).toDouble))
-          .cast("long")))
+          .cast("long"))),
+      parts = 8)
     val hist = binned.groupBy("bin", "k", "n_pairs")
       .agg(count(lit(1)).as("bc"))
       .withColumn("g", lit(0))
