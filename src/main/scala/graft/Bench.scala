@@ -217,11 +217,17 @@ object Bench {
     def pctl(sorted: Vector[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(((sorted.size - 1) * p).round.toInt.min(sorted.size - 1))
+    // name the max carriers: ratio_max alone is unattributable from
+    // the artifact (which query drifted?) — top3 (query → ratio,
+    // descending) makes scaling drift diagnosable without a re-run
+    def top3(rs: Map[String, Double]): String =
+      jmap(rs.toSeq.sortBy(-_._2).take(3).map { case (k, v) => k -> fmt(v) })
     val ratioScalars = {
       val sf = if (ratios.isEmpty) ""
       else {
         val rs = ratios.values.toVector.sorted
         s""","ratio_p50":${fmt(pctl(rs, 0.5))},"ratio_max":${fmt(rs.last)}""" +
+          s""","ratio_top3":${top3(ratios)}""" +
           s""","superlinear_n":${superlinear.size}"""
       }
       val ex = if (ratiosE.isEmpty) ""
@@ -229,6 +235,7 @@ object Bench {
         val rs = ratiosE.values.toVector.sorted
         s""","export_ratio_p50":${fmt(pctl(rs, 0.5))}""" +
           s""","export_ratio_max":${fmt(rs.last)}""" +
+          s""","export_ratio_top3":${top3(ratiosE)}""" +
           s""","superlinear_export_n":${superlinearE.size}"""
       }
       sf + ex
