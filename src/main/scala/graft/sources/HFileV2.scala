@@ -93,8 +93,12 @@ import graft.pipeline.Fixture
   * two in Hadoop's BlockCompressorStream framing over the raw-block
   * codecs Spark already ships) with per-chunk CRC32 verification,
   * PBUF and legacy FileInfo, LASTKEY pruning, MAX_SEQ_ID generation
-  * ordering, and all four delete-marker scopes (masking applied in
-  * [[HFileSnapshotStore]]'s merge). Remaining deltas fail loudly
+  * ordering, all four delete-marker scopes (masking applied in
+  * [[HFileSnapshotStore]]'s merge), and general ROW bloom filters
+  * (CompoundBloomFilter v3: murmur double-hashing, chunked bit arrays
+  * in the scanned section, chunk directory + meta in load-on-open —
+  * consulted by [[HFileSnapshotStore.multiGet]]'s point probes, with
+  * full-index fallback for bloomless files). Remaining deltas fail loudly
   * rather than misread: PREFIX/DIFF/ROW_INDEX_V1 block encodings,
   * LZO/ZSTD codecs, and AES-encrypted files (trailer
   * `encryption_key`). FileInfo that fails to parse only disables
@@ -113,6 +117,13 @@ object HFileV2Format {
   val LeafIndexMagic: Array[Byte] = "IDXLEAF2".getBytes(StandardCharsets.US_ASCII)
   val IntermediateIndexMagic: Array[Byte] = "IDXINTE2".getBytes(StandardCharsets.US_ASCII)
   val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(StandardCharsets.US_ASCII)
+  /** Bloom-filter block magics (HFileBlock.BlockType BLOOM_CHUNK /
+    * GENERAL_BLOOM_META / DELETE_FAMILY_BLOOM_META): chunk blocks live
+    * in the scanned section, the meta block in load-on-open after
+    * FileInfo ("additional load-on-open data", HFileWriterImpl.close). */
+  val BloomChunkMagic: Array[Byte] = "BLMFBLK2".getBytes(StandardCharsets.US_ASCII)
+  val BloomMetaMagic: Array[Byte] = "BLMFMET2".getBytes(StandardCharsets.US_ASCII)
+  val DeleteFamilyBloomMetaMagic: Array[Byte] = "DFBLMET2".getBytes(StandardCharsets.US_ASCII)
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(StandardCharsets.US_ASCII)
   val PbufMagic: Array[Byte] = "PBUF".getBytes(StandardCharsets.US_ASCII)
   /** HBase `Compression.Algorithm` ordinals: LZO=0, GZ=1, NONE=2,
@@ -175,13 +186,24 @@ object HFileV2Format {
   final case class RootIndexEntry(offset: Long, onDiskSize: Int,
       firstKey: Array[Byte]) // the subtree's first cell KEY (not full KV)
 
+  /** Parsed GENERAL_BLOOM_META: a CompoundBloomFilter (version 3) —
+    * one hashCount/hashType pair shared by every chunk, plus a
+    * root-index-format directory of the on-disk bloom chunk blocks
+    * keyed by each chunk's first bloom key (the ROW bytes for a ROW
+    * bloom). A point probe binary-searches the directory, reads ONE
+    * chunk block, and tests `hashCount` bits. */
+  final case class BloomMeta(hashCount: Int, hashType: Int,
+      totalKeyCount: Long, index: Array[RootIndexEntry])
+
   /** Load-on-open state of one HFile: trailer + root index + the
     * first/last keys used for slice pruning + the FileInfo flags that
-    * change per-cell decoding (tags / mvcc trailers). */
+    * change per-cell decoding (tags / mvcc trailers) + the general
+    * ROW bloom when the writer recorded one. */
   final case class HFileMeta(trailer: Trailer, index: Array[RootIndexEntry],
       firstRow: Array[Byte], lastRow: Option[Array[Byte]],
       includesTags: Boolean, includesMvcc: Boolean,
-      maxSeqId: Option[Long] = None)
+      maxSeqId: Option[Long] = None,
+      bloom: Option[BloomMeta] = None)
 
   /** FileInfo keys (HBase's reserved `hfile.` namespace, HFileInfo). */
   val InfoLastKey = "hfile.LASTKEY"
@@ -197,6 +219,11 @@ object HFileV2Format {
     * file name" means nothing; the scan and compaction tie-breaks
     * order generations by this value. */
   val InfoMaxSeqId = "MAX_SEQ_ID_KEY"
+  /** Written by StoreFileWriter (BLOOM_FILTER_TYPE_KEY — no reserved
+    * prefix): which cell fragment the general bloom keys on. Only ROW
+    * is implemented (the modern default; ROWCOL blooms are rarely
+    * enabled because flush-per-column cardinality inflates them). */
+  val InfoBloomFilterType = "BLOOM_FILTER_TYPE"
 
   // ---------------------------------------------------------- vint
   /** Hadoop WritableUtils vlong: [-112,127] inline; else a length
@@ -841,6 +868,146 @@ object HFileV2Format {
     }
   }
 
+  // ------------------------------------------------------------ bloom
+  /** HBase `Hash` algorithm ids (hbase.hash.type; MURMUR is the
+    * default a real store file's bloom carries). */
+  val HashMurmur = 1
+
+  /** MurmurHash2 32-bit, the exact byte walk of
+    * org.apache.hadoop.hbase.util.MurmurHash (little-endian word
+    * assembly, 3/2/1-byte tail, 13/15 finalization shifts) — bloom bit
+    * positions must replicate bit-for-bit or a reader of a real file
+    * would skip rows the file contains. */
+  def murmurHash(data: Array[Byte], offset: Int, length: Int, seed: Int): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ length
+    val len4 = length >> 2
+    var i = 0
+    while (i < len4) {
+      val i4 = (i << 2) + offset
+      var k = data(i4 + 3).toInt
+      k = (k << 8) | (data(i4 + 2) & 0xff)
+      k = (k << 8) | (data(i4 + 1) & 0xff)
+      k = (k << 8) | (data(i4) & 0xff)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    val lenM = len4 << 2
+    val left = length - lenM
+    val iM = lenM + offset
+    if (left != 0) {
+      if (left >= 3) h ^= data(iM + 2).toInt << 16
+      if (left >= 2) h ^= data(iM + 1).toInt << 8
+      if (left >= 1) h ^= data(iM).toInt
+      h *= m
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** Bloom allocation for `maxKeys` at `errorRate`
+    * (BloomFilterUtil.computeBitSize / optimalFunctionCount):
+    * m = -n·ln(p)/ln(2)², k = (m/n)·ln(2), byte-aligned. */
+  def bloomByteSize(maxKeys: Int, errorRate: Double): Int = {
+    val bits = math.ceil(-maxKeys * math.log(errorRate) /
+      (math.log(2) * math.log(2))).toLong
+    (((bits + 7) >> 3).max(1L)).toInt
+  }
+
+  def bloomHashCount(byteSize: Int, maxKeys: Int): Int =
+    math.ceil(math.log(2) * (byteSize.toLong << 3).toDouble / maxKeys)
+      .toInt.max(1)
+
+  /** Double hashing over the chunk's bit array — BloomFilterUtil's
+    * production path: h1, h2 = murmur(key, 0), murmur(key, h1); probe
+    * i tests bit |h1 + i·h2| mod bits, LSB-first within each byte. */
+  private def bloomBitPos(i: Int, h1: Int, h2: Int, bitSize: Int): Int =
+    math.abs((h1 + i * h2) % bitSize)
+
+  def bloomSet(bits: Array[Byte], key: Array[Byte], hashCount: Int): Unit = {
+    val bitSize = bits.length << 3
+    val h1 = murmurHash(key, 0, key.length, 0)
+    val h2 = murmurHash(key, 0, key.length, h1)
+    var i = 0
+    while (i < hashCount) {
+      val pos = bloomBitPos(i, h1, h2, bitSize)
+      bits(pos >> 3) = (bits(pos >> 3) | (1 << (pos & 7))).toByte
+      i += 1
+    }
+  }
+
+  def bloomContains(bits: Array[Byte], key: Array[Byte], hashCount: Int): Boolean = {
+    val bitSize = bits.length << 3
+    val h1 = murmurHash(key, 0, key.length, 0)
+    val h2 = murmurHash(key, 0, key.length, h1)
+    var i = 0
+    while (i < hashCount) {
+      val pos = bloomBitPos(i, h1, h2, bitSize)
+      if ((bits(pos >> 3) & (1 << (pos & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** GENERAL_BLOOM_META payload (CompoundBloomFilterBase VERSION=3 +
+    * BlockIndexChunk.writeRoot): version, totalByteSize, hashCount,
+    * hashType, totalKeyCount, totalMaxKeys, numChunks, vint-prefixed
+    * comparator name (vint 0 = null, the raw-byte ROW-bloom case),
+    * then (offset:long onDiskSize:int vint-keyLen firstKey)* — the
+    * root-index entry layout, uncompressed and headerless inside the
+    * meta block. */
+  private[sources] def bloomMetaPayload(totalByteSize: Long, hashCount: Int,
+      totalKeyCount: Long, totalMaxKeys: Long,
+      chunks: Seq[RootIndexEntry]): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    out.writeInt(3) // CompoundBloomFilterBase.VERSION
+    out.writeLong(totalByteSize)
+    out.writeInt(hashCount)
+    out.writeInt(HashMurmur)
+    out.writeLong(totalKeyCount)
+    out.writeLong(totalMaxKeys)
+    out.writeInt(chunks.size)
+    writeVLong(out, 0L) // null comparator: raw-byte ROW keys
+    chunks.foreach { e =>
+      out.writeLong(e.offset)
+      out.writeInt(e.onDiskSize)
+      writeVLong(out, e.firstKey.length)
+      out.write(e.firstKey)
+    }
+    buf.toByteArray
+  }
+
+  private[sources] def parseBloomMeta(payload: Array[Byte]): BloomMeta = {
+    val in = new DataInputStream(new ByteArrayInputStream(payload))
+    val version = in.readInt()
+    require(version == 3, s"unsupported compound bloom version $version")
+    in.readLong() // totalByteSize
+    val hashCount = in.readInt()
+    val hashType = in.readInt()
+    require(hashType == HashMurmur, s"unsupported bloom hash type $hashType")
+    val totalKeyCount = in.readLong()
+    in.readLong() // totalMaxKeys
+    val numChunks = in.readInt()
+    val cmpLen = readVLong(in).toInt
+    if (cmpLen > 0) in.skipBytes(cmpLen)
+    val chunks = Array.fill(numChunks) {
+      val off = in.readLong()
+      val size = in.readInt()
+      val kl = readVLong(in).toInt
+      val k = new Array[Byte](kl); in.readFully(k)
+      RootIndexEntry(off, size, k)
+    }
+    BloomMeta(hashCount, hashType, totalKeyCount, chunks)
+  }
+
   // ------------------------------------------------------- load-on-open
   private val metaMemo = new ConcurrentHashMap[String, HFileMeta]()
   /** Files opened for scanning — observability for the pruning spec. */
@@ -867,23 +1034,45 @@ object HFileV2Format {
         // multi-level roots append midkey metadata (long,int,int) after
         // the entries — reading exactly dataIndexCount entries skips it
         require(entries.nonEmpty, s"empty HFile: $p")
-        val (lastRow, tags, mvcc, seqId) =
+        val (lastRow, tags, mvcc, seqId, infoSize) =
           try {
-            val (infoPayload, _) =
+            val (infoPayload, size) =
               readBlock(raf, t.fileInfoOffset, FileInfoMagic, t.compressionCodec)
             val m = parseFileInfo(infoPayload)
             (m.get(InfoLastKey).map(rowOf),
               m.contains(InfoMaxTagsLen), m.contains(InfoMaxMemstoreTs),
               m.get(InfoMaxSeqId).filter(_.length == 8)
-                .map(java.nio.ByteBuffer.wrap(_).getLong))
+                .map(java.nio.ByteBuffer.wrap(_).getLong), size)
           } catch {
             // unparseable FileInfo (foreign writer) only disables
             // pruning and the tags/mvcc cell trailers; the scan of a
             // file without them never depended on it
-            case _: Exception => (None, false, false, None)
+            case _: Exception => (None, false, false, None, 0)
           }
+        // bloom meta lives in load-on-open AFTER FileInfo (the
+        // "additional load-on-open data" HFileWriterImpl.close appends
+        // before the trailer) — walk the remaining blocks up to the
+        // trailer, keeping the general (ROW) bloom if present. Bloom
+        // parse failure only disables the probe fast path; scans never
+        // consult it.
+        val bloom =
+          try {
+            val trailerStart = raf.length() -
+              (if (t.majorVersion >= 3) TrailerSizeV3 else TrailerSize)
+            var off = t.fileInfoOffset + infoSize
+            var found: Option[BloomMeta] = None
+            while (found.isEmpty && infoSize > 0 && off < trailerStart) {
+              val (magic, payload, size) = readBlockOneOf(raf, off,
+                Seq(BloomMetaMagic, DeleteFamilyBloomMetaMagic),
+                t.compressionCodec)
+              if (java.util.Arrays.equals(magic, BloomMetaMagic))
+                found = Some(parseBloomMeta(payload))
+              off += size
+            }
+            found
+          } catch { case _: Exception => None }
         HFileMeta(t, entries, rowOf(entries.head.firstKey), lastRow, tags, mvcc,
-          seqId)
+          seqId, bloom)
       } finally raf.close()
     })
 
@@ -893,6 +1082,24 @@ object HFileV2Format {
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
       if (java.util.Arrays.compareUnsigned(rowOf(index(mid).firstKey), targetRow) <= 0) {
+        best = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    best
+  }
+
+  /** Greatest index entry whose first ROW is STRICTLY < target, or 0.
+    * The seek floor a row-targeted descent needs: cells sort ts DESC
+    * within a row, so when a row spans a block boundary its
+    * highest-ts cells trail the PREVIOUS block — a descent that lands
+    * on the block whose first row == target would miss them. Differs
+    * from [[seekBlock]] only in that equality case (one extra block
+    * read); identical otherwise. */
+  def seekBlockBefore(index: Array[RootIndexEntry], targetRow: Array[Byte]): Int = {
+    var lo = 0; var hi = index.length - 1; var best = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.util.Arrays.compareUnsigned(rowOf(index(mid).firstKey), targetRow) < 0) {
         best = mid; lo = mid + 1
       } else hi = mid - 1
     }
@@ -917,15 +1124,17 @@ object HFileV2Format {
       parseNonRootIndex(payload)
     }
 
-    /** Positions the cursor so the next [[next]] returns the data
-      * block whose range contains `targetRow` (floor semantics). */
+    /** Positions the cursor so the next [[next]] returns the FIRST
+      * data block that can contain a cell of `targetRow`
+      * ([[seekBlockBefore]] floor at every level — the row's
+      * highest-ts cells can trail the previous block). */
     def seek(raf: RandomAccessFile, targetRow: Array[Byte]): Unit = {
       entries(0) = meta.index
-      pos(0) = seekBlock(entries(0), targetRow)
+      pos(0) = seekBlockBefore(entries(0), targetRow)
       var lvl = 1
       while (lvl < levels) {
         entries(lvl) = loadChild(raf, entries(lvl - 1)(pos(lvl - 1)))
-        pos(lvl) = seekBlock(entries(lvl), targetRow)
+        pos(lvl) = seekBlockBefore(entries(lvl), targetRow)
         lvl += 1
       }
       pending = true
@@ -1187,7 +1396,12 @@ final case class HFileShape(codec: Int = HFileV2Format.CodecNone,
     majorVersion: Int = 2,
     includesMvcc: Boolean = false,
     includesTags: Boolean = false,
-    maxIndexEntriesPerBlock: Int = Int.MaxValue)
+    maxIndexEntriesPerBlock: Int = Int.MaxValue,
+    // > 0 writes a general ROW bloom (CompoundBloomFilter, 1% error):
+    // chunks of this many distinct rows. A real cluster sizes chunks
+    // by bytes (128 KB default); the fixture sizes by rows so specs
+    // can pin exact chunk counts.
+    bloomRowsPerChunk: Int = 0)
 
 /** One cell as the writer consumes it: a Put by default, or one of the
   * four delete-marker scopes ([[HFileV2Format.isDelete]]). Markers
@@ -1300,10 +1514,27 @@ object HFileV2Writer {
       block.clear()
     }
 
+    // general ROW bloom accumulation: every cell's row — puts AND
+    // delete markers (StoreFileWriter appends the bloom key for each
+    // cell, so a probe that bloom-skips a file cannot miss a
+    // tombstone) — deduped consecutively (cells arrive row-sorted)
+    val bloomChunkRows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Array[Byte]]]
+    var lastBloomRow: Array[Byte] = null
+    def noteBloomRow(row: Array[Byte]): Unit =
+      if (shape.bloomRowsPerChunk > 0 &&
+          (lastBloomRow == null || !java.util.Arrays.equals(lastBloomRow, row))) {
+        if (bloomChunkRows.isEmpty ||
+            bloomChunkRows.last.size >= shape.bloomRowsPerChunk)
+          bloomChunkRows += mutable.ArrayBuffer.empty[Array[Byte]]
+        bloomChunkRows.last += row
+        lastBloomRow = row
+      }
+
     cells.foreach { c =>
       val key = cellKey(c.row, c.ts, c.typ, c.qualifier)
       val tags = tagsFor(c.row)
       maxTagsLen = math.max(maxTagsLen, tags.length)
+      noteBloomRow(c.row)
       block += ((key, c.value, tags))
       lastKey = key
       entryCount += 1
@@ -1311,6 +1542,26 @@ object HFileV2Writer {
     }
     flushBlock()
     require(entryCount > 0, "refusing to write an empty HFile")
+
+    // bloom chunk blocks: still the scanned section (real writers
+    // interleave them with data blocks as chunks fill; trailing is
+    // equally valid — every offset is explicit in the chunk directory)
+    val bloomChunks = mutable.ArrayBuffer.empty[RootIndexEntry]
+    val bloomHashes =
+      if (shape.bloomRowsPerChunk > 0)
+        bloomHashCount(bloomByteSize(shape.bloomRowsPerChunk, 0.01),
+          shape.bloomRowsPerChunk)
+      else 0
+    var bloomKeyCount = 0L
+    bloomChunkRows.foreach { rows =>
+      val bits = new Array[Byte](bloomByteSize(shape.bloomRowsPerChunk, 0.01))
+      rows.foreach(bloomSet(bits, _, bloomHashes))
+      bloomKeyCount += rows.size
+      val size = writeBlock(out, BloomChunkMagic, bits, -1L, shape.codec,
+        shape.bytesPerChecksum)
+      bloomChunks += RootIndexEntry(offset, size, rows.head)
+      offset += size
+    }
 
     // ------------------------------------------ block index (1..N levels)
     // chunk the data-entry level into leaf blocks, then intermediate
@@ -1380,11 +1631,25 @@ object HFileV2Writer {
     if (seqId >= 0L)
       infoEntries += InfoMaxSeqId -> { val b = new ByteArrayOutputStream()
         new DataOutputStream(b).writeLong(seqId); b.toByteArray }
+    if (bloomChunks.nonEmpty)
+      infoEntries += InfoBloomFilterType ->
+        "ROW".getBytes(StandardCharsets.UTF_8)
     val infoPayload =
       if (shape.majorVersion >= 3) pbufFileInfoPayload(infoEntries.toSeq)
       else legacyFileInfoPayload(infoEntries.toSeq)
     offset += writeBlock(out, FileInfoMagic, infoPayload, -1L, shape.codec,
       shape.bytesPerChecksum)
+
+    // general bloom meta: the "additional load-on-open data" slot
+    // after FileInfo; readers walk to it from the FileInfo block
+    if (bloomChunks.nonEmpty) {
+      val metaPayload = bloomMetaPayload(
+        bloomChunks.size.toLong * bloomByteSize(shape.bloomRowsPerChunk, 0.01),
+        bloomHashes, bloomKeyCount,
+        bloomChunks.size.toLong * shape.bloomRowsPerChunk, bloomChunks.toSeq)
+      offset += writeBlock(out, BloomMetaMagic, metaPayload, -1L, shape.codec,
+        shape.bytesPerChecksum)
+    }
 
     val comparator =
       if (shape.majorVersion >= 3) "org.apache.hadoop.hbase.CellComparatorImpl"
@@ -1484,48 +1749,22 @@ final case class HFileSnapshotStore(dir: String,
     // drops the marker). Markers themselves never emit.
     new Iterator[EnvelopeCell] {
       private var nextCell: EnvelopeCell = _
-      private val puts = mutable.ArrayBuffer.empty[(HFileEntry, Long)]
+      private val rowCells = mutable.ArrayBuffer.empty[(HFileEntry, Long)]
 
       private def advance(): Unit = {
         while (nextCell == null && pq.nonEmpty) {
           val row = pq.head.head.key
-          var famMax = Long.MinValue
-          var famVers: Set[Long] = Set.empty
-          var colMax = Map.empty[Seq[Byte], Long]
-          var colVers = Set.empty[(Seq[Byte], Long)]
-          puts.clear()
+          rowCells.clear()
           while (pq.nonEmpty && java.util.Arrays.equals(pq.head.head.key, row)) {
             val s = pq.dequeue()
             val e = s.next()
-            val sSeq = s.seqId
+            rowCells += ((e, s.seqId))
             if (s.hasNext) pq.enqueue(s)
-            e.typ match {
-              case KeyTypeDeleteFamily => famMax = math.max(famMax, e.ts)
-              case KeyTypeDeleteFamilyVersion => famVers += e.ts
-              case KeyTypeDeleteColumn =>
-                val q = e.qualifier.toSeq
-                colMax += q -> math.max(colMax.getOrElse(q, Long.MinValue), e.ts)
-              case KeyTypeDelete => colVers += ((e.qualifier.toSeq, e.ts))
-              case _ => puts += ((e, sSeq))
-            }
           }
-          // the exact-version scopes can mask the newest put while
-          // sparing an older one, so select AFTER the row's tracker is
-          // complete: newest surviving put, ts tie -> highest seq id
-          var winner: HFileEntry = null
-          var winnerSeq = Long.MinValue
-          puts.foreach { case (e, sSeq) =>
-            val masked = e.ts <= famMax || famVers.contains(e.ts) ||
-              e.ts <= colMax.getOrElse(e.qualifier.toSeq, Long.MinValue) ||
-              colVers.contains((e.qualifier.toSeq, e.ts))
-            if (!masked && (winner == null || e.ts > winner.ts ||
-                (e.ts == winner.ts && sSeq > winnerSeq))) {
-              winner = e; winnerSeq = sSeq
-            }
+          HFileSnapshotStore.selectRowWinner(rowCells).foreach { w =>
+            nextCell = EnvelopeCell(w.key, w.ts,
+              new String(w.value, StandardCharsets.UTF_8))
           }
-          if (winner != null)
-            nextCell = EnvelopeCell(winner.key, winner.ts,
-              new String(winner.value, StandardCharsets.UTF_8))
         }
       }
 
@@ -1541,6 +1780,185 @@ final case class HFileSnapshotStore(dir: String,
         c
       }
     }
+  }
+
+  /** Point-get over the snapshot — the GET path a real region server
+    * answers from its blooms: for each probed row, every generation
+    * file whose [firstRow, lastRow] covers the row consults its
+    * general ROW bloom FIRST (one chunk directory binary search + one
+    * bloom chunk block), and only maybe-present files pay the block
+    * index descent + data block fetch. Delete markers are bloom
+    * visible (the writer keys every cell's row), so a bloom skip can
+    * never lose a tombstone; matched cells across files then pass
+    * through the SAME tracker+selection as [[scan]].
+    *
+    * `useBloom = false` is the observability control: the report's
+    * `dataBlocksRead` under it measures what the bloom saves. At 100
+    * TB this is the difference between touching O(|files|) index
+    * descents per probe and O(matching files): a selective audit
+    * (recover N keys from a snapshot of thousands of store files)
+    * reads ~hashCount bits per non-matching file instead of a block.
+    */
+  def multiGet(rows: Seq[Array[Byte]], ts: TsRange,
+      useBloom: Boolean = true): HFileProbeReport = {
+    import scala.jdk.CollectionConverters._
+    val paths = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".hfile")).toSeq.sorted
+    val metas = paths.zipWithIndex.map { case (p, ord) =>
+      val m = readMeta(p)
+      (p, m, m.maxSeqId.getOrElse(ord.toLong))
+    }
+    var filesConsidered = 0
+    var bloomSkips = 0
+    var bloomChunksRead = 0
+    var dataBlocksRead = 0
+    val bloomBitsCache = mutable.Map.empty[(String, Int), Array[Byte]]
+    val blockCache = mutable.Map.empty[(String, Long), Array[HFileEntry]]
+    val rafs = mutable.Map.empty[String, RandomAccessFile]
+    def rafFor(p: String): RandomAccessFile =
+      rafs.getOrElseUpdate(p, new RandomAccessFile(p, "r"))
+
+    def fetchRow(p: String, meta: HFileMeta, row: Array[Byte], range: TsRange,
+        seq: Long): Seq[(HFileEntry, Long)] = {
+      val out = mutable.ArrayBuffer.empty[(HFileEntry, Long)]
+      val raf = rafFor(p)
+      val cursor = new IndexCursor(meta)
+      cursor.seek(raf, row)
+      var done = false
+      while (!done) {
+        val entry = cursor.next(raf)
+        if (entry == null) done = true
+        else {
+          val cells = blockCache.getOrElseUpdate((p, entry.offset), {
+            dataBlocksRead += 1
+            val (magic, payload, _) = readBlockOneOf(raf, entry.offset,
+              Seq(DataMagic, EncodedDataMagic), meta.trailer.compressionCodec)
+            val dec = cellDecoder(magic, payload, meta)
+            val buf = mutable.ArrayBuffer.empty[HFileEntry]
+            var k = dec.nextKey()
+            while (k != null) {
+              buf += HFileEntry(rowOf(k), tsOf(k), dec.readValue(),
+                typeOf(k), qualifierOf(k))
+              k = dec.nextKey()
+            }
+            buf.toArray
+          })
+          var sawBeyond = false
+          cells.foreach { e =>
+            val c = java.util.Arrays.compareUnsigned(e.key, row)
+            if (c == 0) {
+              // same put-vs-marker ts-range rule as the slice scan
+              val emit =
+                if (isDelete(e.typ)) e.ts >= range.lo
+                else range.contains(e.ts)
+              if (emit) out += ((e, seq))
+            } else if (c > 0) sawBeyond = true
+          }
+          // the row's cells can span a block boundary; stop once a
+          // block contains a row beyond the target
+          if (sawBeyond) done = true
+        }
+      }
+      out.toSeq
+    }
+
+    try {
+      val found = rows.flatMap { row =>
+        val cells = mutable.ArrayBuffer.empty[(HFileEntry, Long)]
+        metas.foreach { case (p, meta, seq) =>
+          val inRange =
+            java.util.Arrays.compareUnsigned(meta.firstRow, row) <= 0 &&
+              meta.lastRow.forall(java.util.Arrays.compareUnsigned(row, _) <= 0)
+          if (inRange) {
+            filesConsidered += 1
+            val maybe = (useBloom, meta.bloom) match {
+              case (true, Some(b)) =>
+                // chunk directory firstKeys are RAW bloom keys (the
+                // row bytes), not cell keys — floor-search them raw
+                var lo = 0; var hi = b.index.length - 1; var chunk = -1
+                while (lo <= hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (java.util.Arrays.compareUnsigned(
+                      b.index(mid).firstKey, row) <= 0) {
+                    chunk = mid; lo = mid + 1
+                  } else hi = mid - 1
+                }
+                if (chunk < 0) false // sorts before every chunk's first key
+                else {
+                  val bits = bloomBitsCache.getOrElseUpdate((p, chunk), {
+                    bloomChunksRead += 1
+                    readBlock(rafFor(p), b.index(chunk).offset,
+                      BloomChunkMagic, meta.trailer.compressionCodec)._1
+                  })
+                  bloomContains(bits, row, b.hashCount)
+                }
+              case _ => true
+            }
+            if (!maybe) bloomSkips += 1
+            else cells ++= fetchRow(p, meta, row, ts, seq)
+          }
+        }
+        HFileSnapshotStore.selectRowWinner(cells).map(w =>
+          EnvelopeCell(w.key, w.ts, new String(w.value, StandardCharsets.UTF_8)))
+      }
+      HFileProbeReport(found, rows.size, filesConsidered, bloomSkips,
+        bloomChunksRead, dataBlocksRead)
+    } finally rafs.values.foreach(r =>
+      try r.close() catch { case _: IOException => })
+  }
+}
+
+/** Result + cost accounting of one [[HFileSnapshotStore.multiGet]]:
+  * `found` carries the surviving winner per probed row (absent and
+  * fully-masked rows contribute nothing); the counters make the bloom
+  * skip OBSERVABLE — `bloomSkips` files never paid an index descent,
+  * and `dataBlocksRead` under `useBloom = false` measures the saving. */
+final case class HFileProbeReport(found: Seq[EnvelopeCell], rowsProbed: Int,
+    filesConsidered: Int, bloomSkips: Int, bloomChunksRead: Int,
+    dataBlocksRead: Int)
+
+object HFileSnapshotStore {
+  import HFileV2Format._
+
+  /** Tombstone tracker + winner selection over ALL cells of one row
+    * (across every generation file): the four delete scopes mask, the
+    * newest surviving in-range put wins, exact-ts generation tie goes
+    * to the highest sequence id. The exact-version scopes can mask the
+    * newest put while sparing an older one, so selection runs only
+    * AFTER the row's tracker is complete. Shared verbatim by the slice
+    * scan's heap-merge and [[HFileSnapshotStore.multiGet]] — the two
+    * paths cannot drift. */
+  private[sources] def selectRowWinner(
+      cells: scala.collection.Seq[(HFileEntry, Long)]): Option[HFileEntry] = {
+    var famMax = Long.MinValue
+    var famVers: Set[Long] = Set.empty
+    var colMax = Map.empty[Seq[Byte], Long]
+    var colVers = Set.empty[(Seq[Byte], Long)]
+    cells.foreach { case (e, _) =>
+      e.typ match {
+        case KeyTypeDeleteFamily => famMax = math.max(famMax, e.ts)
+        case KeyTypeDeleteFamilyVersion => famVers += e.ts
+        case KeyTypeDeleteColumn =>
+          val q = e.qualifier.toSeq
+          colMax += q -> math.max(colMax.getOrElse(q, Long.MinValue), e.ts)
+        case KeyTypeDelete => colVers += ((e.qualifier.toSeq, e.ts))
+        case _ => ()
+      }
+    }
+    var winner: HFileEntry = null
+    var winnerSeq = Long.MinValue
+    cells.foreach { case (e, sSeq) =>
+      if (!isDelete(e.typ)) {
+        val masked = e.ts <= famMax || famVers.contains(e.ts) ||
+          e.ts <= colMax.getOrElse(e.qualifier.toSeq, Long.MinValue) ||
+          colVers.contains((e.qualifier.toSeq, e.ts))
+        if (!masked && (winner == null || e.ts > winner.ts ||
+            (e.ts == winner.ts && sSeq > winnerSeq))) {
+          winner = e; winnerSeq = sSeq
+        }
+      }
+    }
+    Option(winner)
   }
 }
 

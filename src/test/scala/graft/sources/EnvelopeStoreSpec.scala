@@ -642,6 +642,14 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     for (range <- Seq(TsRange.All, TsRange(1000L, 1002L), TsRange(1001L, 1004L)))
       assert(dump(after, range) === dump(before, range), s"range $range")
     assert(dump(after, TsRange.All).nonEmpty)
+    // the compacted files carry ZERO delete-type cells — the markers
+    // did their masking and were themselves dropped
+    import scala.jdk.CollectionConverters._
+    val rawMarkers = Files.list(out).iterator().asScala
+      .filter(_.toString.endsWith(".hfile"))
+      .flatMap(p => new HFileScanner(p.toString, 0, 256, TsRange.All, 0L))
+      .count(e => isDelete(e.typ))
+    assert(rawMarkers === 0, "dropDeletes output must be marker-free")
     // and snapshot-export compaction (dropDeletes=false) ALSO stays
     // identical — it carries the markers through instead
     val out2 = Files.createTempDirectory("graft-tomb-minc-eq")
@@ -651,6 +659,131 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     val after2 = HFileSnapshotStore(out2.toString)
     for (range <- Seq(TsRange.All, TsRange(1000L, 1002L)))
       assert(dump(after2, range) === dump(before, range), s"carry $range")
+  }
+
+  // ------------------------------------------------------------ bloom
+
+  test("row bloom: meta payload round-trips the compound v3 layout") {
+    import HFileV2Format._
+    val chunks = Seq(RootIndexEntry(100L, 64, Array[Byte](1, 2)),
+      RootIndexEntry(400L, 64, Array[Byte](9)))
+    val m = parseBloomMeta(bloomMetaPayload(128L, 7, 50L, 64L, chunks))
+    assert(m.hashCount === 7 && m.hashType === HashMurmur)
+    assert(m.totalKeyCount === 50L)
+    assert(m.index.length === 2)
+    assert(m.index(1).offset === 400L && m.index(1).onDiskSize === 64)
+    assert(m.index(0).firstKey.toSeq === Seq[Byte](1, 2))
+  }
+
+  test("row bloom: no false negatives, FP rate near the 1% design point") {
+    import HFileV2Format._
+    val n = 1000
+    val bits = new Array[Byte](bloomByteSize(n, 0.01))
+    val k = bloomHashCount(bits.length, n)
+    val keys = (0 until n).map(i => s"row-$i".getBytes)
+    keys.foreach(bloomSet(bits, _, k))
+    assert(keys.forall(bloomContains(bits, _, k)), "bloom false negative")
+    val fps = (0 until 10000).count(i =>
+      bloomContains(bits, s"absent-$i".getBytes, k))
+    assert(fps < 300, s"FP rate ${fps / 10000.0} far above the 1% design point")
+  }
+
+  test("row bloom: point probes skip files, read fewer blocks, match the scan") {
+    import HFileV2Format._
+    val dir = Files.createTempDirectory("graft-hfile-bloom")
+    HFileFixture.writeSnapshot(dir, 400L, versions = 5, regions = 4, gens = 2,
+      shape = HFileShape(codec = CodecGz, blockEntries = 16,
+        bloomRowsPerChunk = 32))
+    val store = HFileSnapshotStore(dir.toString)
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    val expected = all.map(c => c.hbaseId.toSeq -> (c.ts, c.value)).toMap
+    val present = all.map(_.hbaseId).take(30)
+    // absent probes derive from rows NOT probed as present, so their
+    // data blocks are untouched unless the no-bloom path fetches them
+    val absent = all.map(_.hbaseId).drop(200).take(30).map { r =>
+      val x = r.clone(); x(x.length - 1) = (x(x.length - 1) ^ 0x5a).toByte; x
+    }.filterNot(r => expected.contains(r.toSeq))
+    assert(absent.nonEmpty)
+    val rep = store.multiGet(present ++ absent, TsRange.All)
+    assert(rep.found.size === present.size, "every present row yields its winner")
+    rep.found.foreach(c =>
+      assert(expected(c.hbaseId.toSeq) === ((c.ts, c.value))))
+    assert(rep.bloomSkips > 0, "absent rows must bloom-skip files")
+    assert(rep.bloomChunksRead > 0)
+    // the observability control: same answers, more blocks, no skips
+    val noBloom = store.multiGet(present ++ absent, TsRange.All,
+      useBloom = false)
+    assert(noBloom.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)) ===
+      rep.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)))
+    assert(noBloom.bloomSkips === 0)
+    assert(rep.dataBlocksRead < noBloom.dataBlocksRead,
+      s"bloom must save data blocks: ${rep.dataBlocksRead} vs ${noBloom.dataBlocksRead}")
+  }
+
+  test("row bloom: a ts-pushed probe matches the scan's version winner") {
+    import HFileV2Format._
+    val dir = Files.createTempDirectory("graft-hfile-bloom-ts")
+    HFileFixture.writeSnapshot(dir, 200L, versions = 5, regions = 4, gens = 2,
+      shape = HFileShape(codec = CodecGz, blockEntries = 16,
+        bloomRowsPerChunk = 32))
+    val store = HFileSnapshotStore(dir.toString)
+    val range = TsRange(0L, t0 + 1L)
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), range).toSeq)
+    val rep = store.multiGet(all.map(_.hbaseId), range)
+    val probed = rep.found.map(c => c.hbaseId.toSeq -> ((c.ts, c.value))).toMap
+    assert(rep.found.size === all.size)
+    all.foreach(c => assert(probed(c.hbaseId.toSeq) === ((c.ts, c.value)),
+      s"row ${c.hbaseId.toSeq}"))
+  }
+
+  test("bloomless files fall back to the full index descent, tombstones apply") {
+    import graft.pipeline.Fixture
+    val dir = HFileFixture.tombstoneSnapshotDir(400L)
+    val store = HFileSnapshotStore(dir)
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), TsRange(1000L, 1003L)).toSeq)
+    val expected = all.map(c => c.hbaseId.toSeq -> (c.ts, c.value)).toMap
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    val rows = (0L until 40L).map(i =>
+      (i, Fixture.cell(i, dek, encKey, corrupt = false, 0).hbase_id))
+    val rep = store.multiGet(rows.map(_._2), TsRange(1000L, 1003L))
+    assert(rep.bloomSkips === 0, "no blooms to skip with")
+    val foundRows = rep.found.map(_.hbaseId.toSeq).toSet
+    rows.foreach { case (i, row) =>
+      if (i % 10 == 1)
+        assert(!foundRows.contains(row.toSeq), s"DeleteFamily key $i must not probe")
+      else {
+        val c = rep.found.find(_.hbaseId.sameElements(row)).get
+        assert(expected(row.toSeq) === ((c.ts, c.value)), s"key $i")
+      }
+    }
+  }
+
+  test("row bloom: a marker-only generation is bloom-visible, masking survives the skip path") {
+    import HFileV2Format._
+    val dir = Files.createTempDirectory("graft-hfile-bloom-tomb")
+    val shape = HFileShape(bloomRowsPerChunk = 8)
+    val rowA = Array[Byte](10, 1)
+    val rowB = Array[Byte](20, 2) // absent, but INSIDE g000's key range
+    val rowC = Array[Byte](30, 3)
+    HFileV2Writer.writeCells(dir.resolve("g000.hfile"), Iterator(
+      HFileCell(rowA, 1000L, "a".getBytes),
+      HFileCell(rowC, 1000L, "c".getBytes)), shape, seqId = 0L)
+    HFileV2Writer.writeCells(dir.resolve("g001.hfile"), Iterator(
+      HFileCell(rowA, 1001L, Array.emptyByteArray, KeyTypeDeleteFamily,
+        EmptyQualifier)), shape, seqId = 1L)
+    val store = HFileSnapshotStore(dir.toString)
+    val rep = store.multiGet(Seq(rowA, rowB, rowC), TsRange.All)
+    // rowA: put bloom-hits g000, the MARKER bloom-hits g001 -> masked;
+    // rowB: in g000's range but bloom-skipped (range-pruned from
+    // g001); rowC: found, g001 range-pruned
+    assert(rep.found.map(c => (c.hbaseId.toSeq, c.value)) ===
+      Seq((rowC.toSeq, "c")))
+    assert(rep.bloomSkips >= 1, "in-range absent row must bloom-skip")
   }
 
   test("generation order follows MAX_SEQ_ID, not file names") {
