@@ -438,6 +438,77 @@ object PipelineQueries {
       |CAST(9000 AS BIGINT) AS n_ts_match,
       |CAST(9000 AS BIGINT) AS n_mts_match""".stripMargin
 
+  // ------------------- q278 bloom-filtered point probes (multi-get)
+  /** Selective key recovery over the HFile snapshot through the
+    * general ROW bloom read path — the GET workload a region server
+    * answers from its blooms, run distributed: probe groups fan out as
+    * Spark tasks, each opening [[graft.sources.HFileSnapshotStore]]
+    * against the shared snapshot and multi-getting its rows
+    * ([[graft.sources.HFileSnapshotStore.multiGet]]: range prune →
+    * bloom chunk test → index descent only for maybe-present files).
+    * Probes: 500 present keys (0..499) and 500 perturbed rows that
+    * exist nowhere. Golden constants: every present key exports its
+    * q47 winner under ts [1000,1002] — version min(i%5, 2), so
+    * 100/100/300 across v0/v1/v2 — no absent row matches, every task
+    * bloom-skips at least one file somewhere (single-version keys are
+    * absent from generation 1; perturbed rows from all), the
+    * bloom-consulting pass reads strictly fewer data blocks than the
+    * `useBloom = false` control, and both passes agree cell-for-cell.
+    * At 100 TB this is the audit shape "recover these N keys from a
+    * snapshot of thousands of store files": ~hashCount bloom bits per
+    * non-matching file instead of an index descent + block fetch. */
+  def q278BloomProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = graft.sources.HFileFixture.snapshotDir(
+      N, versions = 5, regions = 4, gens = 2,
+      shape = graft.sources.HFileShape(
+        codec = graft.sources.HFileV2Format.CodecGz,
+        bloomRowsPerChunk = 512))
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    def rowOf(i: Long): Array[Byte] =
+      Fixture.cell(i, dek, encKey, corrupt = false, 0).hbase_id
+    val present = (0L until 500L).map(rowOf)
+    // perturbed tail byte: real rows end in '}', so these exist in NO
+    // file at any fixture size — pure bloom-skip / FP traffic
+    val absent = (5000L until 5500L).map(rowOf).map { r =>
+      val x = r.clone(); x(x.length - 1) = (x(x.length - 1) ^ 0x5a).toByte; x
+    }
+    // present and absent groups probe separately so the control pass's
+    // block reads for absent rows aren't hidden by a shared block cache
+    val groups = (present.grouped(64) ++ absent.grouped(64)).toSeq
+    val stats = s.sparkContext.parallelize(groups, groups.size).map { rows =>
+      val store = graft.sources.HFileSnapshotStore(snap)
+      val range = graft.sources.TsRange(1000L, 1002L)
+      val rep = store.multiGet(rows, range)
+      val ctl = store.multiGet(rows, range, useBloom = false)
+      val parityMiss =
+        if (rep.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)) ==
+          ctl.found.map(c => (c.hbaseId.toSeq, c.ts, c.value))) 0L else 1L
+      (rep.found.size.toLong,
+        rep.found.count(_.ts == 1000L).toLong,
+        rep.found.count(_.ts == 1001L).toLong,
+        rep.found.count(_.ts == 1002L).toLong,
+        rep.bloomSkips.toLong, rep.dataBlocksRead.toLong,
+        ctl.dataBlocksRead.toLong, parityMiss)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4,
+      a._5 + b._5, a._6 + b._6, a._7 + b._7, a._8 + b._8))
+    Seq((stats._1, stats._2, stats._3, stats._4,
+      stats._5 > 0L, stats._6 < stats._7, stats._8 == 0L))
+      .toDF("n_found", "n_v0", "n_v1", "n_v2",
+        "bloom_skipped", "blocks_saved", "parity")
+  }
+
+  val q278Sql: String =
+    """SELECT CAST(500 AS BIGINT) AS n_found,
+      |CAST(100 AS BIGINT) AS n_v0,
+      |CAST(100 AS BIGINT) AS n_v1,
+      |CAST(300 AS BIGINT) AS n_v2,
+      |TRUE AS bloom_skipped,
+      |TRUE AS blocks_saved,
+      |TRUE AS parity""".stripMargin
+
   // -------------------- q248 DSv2 micro-batch streaming source
   /** The envelope scan as a REAL DSv2 streaming source — incremental
     * exports tiled as micro-batches: `readStream` over
@@ -946,7 +1017,8 @@ object PipelineQueries {
     "q243_hfile_v3_store" -> (q243HfileV3Store _),
     "q247_hfile_compaction" -> (q247HfileCompaction _),
     "q248_streaming_source" -> (q248StreamingSource _),
-    "q276_tombstone_export" -> (q276TombstoneExport _))
+    "q276_tombstone_export" -> (q276TombstoneExport _),
+    "q278_bloom_probe" -> (q278BloomProbe _))
 
   val oracles: Map[String, String] = Map(
     "q92_manifest_reimport" -> q92Sql,
@@ -966,5 +1038,6 @@ object PipelineQueries {
     "q243_hfile_v3_store" -> q243Sql,
     "q247_hfile_compaction" -> q247Sql,
     "q248_streaming_source" -> q248Sql,
-    "q276_tombstone_export" -> q276Sql)
+    "q276_tombstone_export" -> q276Sql,
+    "q278_bloom_probe" -> q278Sql)
 }

@@ -1030,6 +1030,151 @@ object TextAnalysis {
     sb.toString
   }
 
+  // ---------------------------------------------- q277 BPE apply
+  /** BPE APPLY with the LEARNED vocabulary — the operator an actual
+    * pipeline runs (train once, tokenize everywhere): re-derives
+    * q244's [[BpeTrainRounds]] merges from the cached vocab relation
+    * (6 one-row argmax collects — the trained artifact is a 6-entry
+    * merge list, broadcast by value inside literal `replace`
+    * expressions), then tokenizes the corpus per SOURCE with those
+    * merges applied in training order under q244's exact
+    * ' x y ' → ' xy ' double-replace convention, reporting per-source
+    * word/char-token/BPE-token counts, the compression each source
+    * gets from the shared vocabulary, and q51's regex-tokenizer count
+    * for comparison (a source whose BPE compression lags the corpus
+    * is the one the vocabulary serves worst — the multilingual
+    * under-tokenization signal).
+    *
+    * Scale: application runs on the (source × word) VOCAB relation —
+    * one map-side-combined shuffle to |sources|·|vocab| rows, each
+    * word merge-rewritten once per source, never per occurrence; the
+    * q51 regex rides the corpus scan it already paid. Final joins are
+    * |sources|-row relations. Determinism: exact integer counts; the
+    * compression is one double division of exact longs; merge
+    * derivation reuses q244's pinned tie-break (count DESC, pair ASC,
+    * binary collation). Reconciliation: Σ tokens_bpe over sources ==
+    * q244 round-6 tokens_after (same corpus, same convention) —
+    * pinned in spec. */
+  def q277BpeApply(s: SparkSession, dir: String): DataFrame = {
+    // learn: q244's loop, merges only (vocab relation shared via the
+    // same managed cache — training and applying in one session pay
+    // the corpus scan once)
+    var vocab = bpeVocab(s, dir)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (_ <- 1 to BpeTrainRounds) {
+      val top = vocab
+        .withColumn("a", split(col("sym"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(a) - 1), i ->
+            |  concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
+            .stripMargin)).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair"))
+        .limit(1).head()
+      val pair = top.getString(0)
+      merges += pair
+      val merged = pair.replace(" ", "")
+      def pass(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        replace(c, lit(s" $pair "), lit(s" $merged "))
+      vocab = vocab.withColumn("sym",
+        trim(pass(pass(concat(lit(" "), col("sym"), lit(" "))))))
+    }
+    // apply: per-source vocab, every learned merge in training order
+    // (literal-safe via lit() — merges are corpus text, never SQL)
+    val perSrc = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym0", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+    var sym: org.apache.spark.sql.Column =
+      concat(lit(" "), col("sym0"), lit(" "))
+    merges.foreach { pair =>
+      val merged = pair.replace(" ", "")
+      def pass(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        replace(c, lit(s" $pair "), lit(s" $merged "))
+      sym = pass(pass(sym))
+    }
+    val applied = perSrc.withColumn("sym", trim(sym))
+    val counts = applied.groupBy("source").agg(
+      sum(col("cnt")).cast("long").as("words"),
+      sum(col("cnt") * length(col("word"))).cast("long").as("tokens_char"),
+      sum(col("cnt") * size(split(col("sym"), " "))).cast("long")
+        .as("tokens_bpe"))
+    val regex = docs(s, dir).groupBy("source").agg(
+      sum(size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))))
+        .cast("long").as("tokens_regex"))
+    counts.join(regex, "source")
+      .select(col("source"), col("words"), col("tokens_char"),
+        col("tokens_bpe"),
+        (col("tokens_bpe").cast("double") / col("tokens_char").cast("double"))
+          .as("compression"),
+        col("tokens_regex"))
+      .orderBy("source")
+  }
+
+  val q277Sql: String = {
+    val sqlPattern = BpePattern.replace("'", "''")
+    val sb = new StringBuilder
+    // merge derivation: q244's CTE chain minus the per-round token
+    // totals (only the w_r vocab states and m_r winners are needed)
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 1 GROUP BY 1)""".stripMargin)
+    for (r <- 1 to BpeTrainRounds) {
+      sb.append(s""",
+        |c$r AS MATERIALIZED (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |  SELECT unnest(list_transform(range(1, len(a)), i ->
+        |    a[i] || ' ' || a[i + 1])) AS pair, cnt
+        |  FROM (SELECT string_split(sym, ' ') AS a, cnt FROM w${r - 1}))
+        |  GROUP BY 1),
+        |m$r AS MATERIALIZED (SELECT pair, pc FROM c$r ORDER BY pc DESC, pair LIMIT 1),
+        |w$r AS MATERIALIZED (SELECT trim(replace(replace(' ' || sym || ' ',
+        |    ' ' || (SELECT pair FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' '),
+        |    ' ' || (SELECT pair FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' ')) AS sym,
+        |  cnt FROM w${r - 1})""".stripMargin)
+    }
+    // application: the per-source vocab through the same 6 rewrites
+    sb.append(
+      """,
+        |s0 AS MATERIALIZED (
+        |  SELECT source, word,
+        |    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) >= 1 GROUP BY 1, 2, 3)""".stripMargin)
+    for (r <- 1 to BpeTrainRounds) {
+      sb.append(s""",
+        |s$r AS (SELECT source, word, trim(replace(replace(' ' || sym || ' ',
+        |    ' ' || (SELECT pair FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' '),
+        |    ' ' || (SELECT pair FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' ')) AS sym,
+        |  cnt FROM s${r - 1})""".stripMargin)
+    }
+    sb.append(s""",
+      |agg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS words,
+      |  CAST(SUM(cnt * length(word)) AS BIGINT) AS tokens_char,
+      |  CAST(SUM(cnt * (1 + length(sym) - length(replace(sym, ' ', ''))))
+      |    AS BIGINT) AS tokens_bpe
+      |  FROM s$BpeTrainRounds GROUP BY 1),
+      |rx AS (SELECT source, CAST(SUM(len(regexp_extract_all(text,
+      |  '$sqlPattern'))) AS BIGINT) AS tokens_regex
+      |  FROM documents GROUP BY 1)
+      |SELECT agg.source AS source, words, tokens_char, tokens_bpe,
+      |  CAST(tokens_bpe AS DOUBLE) / CAST(tokens_char AS DOUBLE)
+      |    AS compression,
+      |  tokens_regex
+      |FROM agg JOIN rx USING (source) ORDER BY source""".stripMargin)
+    sb.toString
+  }
+
   // ------------------------------------------ q202 tokenizer fertility
   /** Per-language tokenizer fertility: BPE-ish tokens per whitespace
     * word and characters per BPE token, aggregated by language — the
@@ -1953,6 +2098,7 @@ object TextAnalysis {
     "q202_tokenizer_fertility" -> (q202TokenizerFertility _),
     "q189_bpe_merge_stats" -> (q189BpeMergeStats _),
     "q244_bpe_trainer" -> (q244BpeTrainer _),
+    "q277_bpe_apply" -> (q277BpeApply _),
     "q252_vocab_richness" -> (q252VocabRichness _),
     "q253_heaps_fit" -> (q253HeapsFit _),
     "q263_hill_tail" -> (q263HillTail _),
@@ -1985,6 +2131,7 @@ object TextAnalysis {
     "q202_tokenizer_fertility" -> q202Sql,
     "q189_bpe_merge_stats" -> q189Sql,
     "q244_bpe_trainer" -> q244Sql,
+    "q277_bpe_apply" -> q277Sql,
     "q252_vocab_richness" -> q252Sql,
     "q253_heaps_fit" -> q253Sql,
     "q263_hill_tail" -> q263Sql,

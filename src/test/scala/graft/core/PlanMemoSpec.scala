@@ -81,6 +81,38 @@ class PlanMemoSpec extends SparkSuite {
     assert(n2 === 5, "fingerprint must invalidate on fixture rewrite")
   }
 
+  test("memo-hit results are identical to a never-wrapped fresh construction") {
+    // The end-to-end value-parity canary: one relational join, one
+    // windowed rank, one dedup-family query, each executed BOTH ways —
+    // through SparkEntry's memo wrapper (second call = served from the
+    // cached analyzed plan) and through the module's RAW function
+    // (never wrapped, full construction) — with identical collected
+    // results required. Reference-equality of the served logical plan
+    // across two wrapped calls witnesses that the hit path actually
+    // engaged (a query pinned non-memoizable would silently pass the
+    // value check while testing nothing).
+    val cases: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        DataFrame)] = Seq(
+      "q09_join_inner" -> graft.queries.Relational.queries("q09_join_inner"),
+      "q176_domain_cap" -> graft.queries.Curation.queries("q176_domain_cap"),
+      "q20_dedup_exact" -> graft.queries.Dedup.queries("q20_dedup_exact"))
+    for ((name, raw) <- cases) {
+      val wrapped = graft.SparkEntry.queries(name)
+      // prime twice: a cold first construction legitimately runs jobs
+      // (relation-memo listing) and is probed out, the second
+      // constructs job-free and memoizes; calls 3+ are hits
+      wrapped(spark, sf).collect()
+      wrapped(spark, sf).collect()
+      val hit1 = wrapped(spark, sf)
+      val hit2 = wrapped(spark, sf)
+      assert(hit1.queryExecution.logical eq hit2.queryExecution.logical,
+        s"$name: expected memo hits to serve the cached plan instance")
+      val viaMemo = hit1.collect().map(_.toString).sorted
+      val fresh = raw(spark, sf).collect().map(_.toString).sorted
+      assert(viaMemo === fresh, s"$name: memo-hit diverged from fresh run")
+    }
+  }
+
   test("wrapped real queries agree between miss and hit paths") {
     // Drive a slice of the production surface twice through
     // SparkEntry (memo-wrapped) and pin call-1 == call-2 row sets.

@@ -155,6 +155,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.last._5 < 1.0)
   }
 
+  // ------------------------------------------------------------ q277
+  test("q277 BPE apply reconciles with q244's final-round totals") {
+    val apply = TextAnalysis.q277BpeApply(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val train = TextAnalysis.q244BpeTrainer(spark, dir).collect()
+    // the per-source application of the learned merges must tile the
+    // trainer's own global accounting: Σ tokens_bpe == round-6
+    // tokens_after, Σ tokens_char == the trainer's round-0 baseline
+    // (recoverable as tokens_after / compression at any round)
+    val finalRow = train.last
+    assert(apply.map(_._4).sum === finalRow.getLong(3), "tokens_after")
+    val tokens0 =
+      math.round(finalRow.getLong(3).toDouble / finalRow.getDouble(4))
+    assert(apply.map(_._3).sum === tokens0, "char-token baseline")
+    // compression strictly < 1 for every source (six merges always
+    // fire somewhere in each source's vocab on this corpus), and the
+    // q51 regex count rides along as a sanity-scale reference
+    apply.foreach { case (src, words, chars, bpe, comp, regex) =>
+      assert(comp < 1.0 && comp > 0.0, src)
+      assert(bpe < chars, src)
+      assert(words > 0 && regex > 0, src)
+    }
+  }
+
   // ------------------------------------------------------------ q246
   test("q246 packing audit matches a brute in-memory concat-and-chunk") {
     val W = TextAnalysis.PackWindow
