@@ -68,24 +68,30 @@ object Envelope {
       .getOrElse((lit(null).cast(StringType), lit(null).cast(StringType)))
 
     val msg = col("env.message")
+    // one withColumns pass for every env-derived field: each chained
+    // withColumn is a full analyzer pass over a growing tree, and this
+    // tree is re-analyzed/re-optimized on EVERY micro-batch of the
+    // streaming export — collapsing 12 passes to 2 is measurable fixed
+    // cost off each one (plan-construction altitude, not semantics)
     val withEnv = raw
       .withColumn("env", from_json(col("value"), EnvelopeSchema))
-      .withColumn("id_json",
-        expr("CAST(substring(hbase_id, 5, length(hbase_id) - 4) AS STRING)"))
-      .withColumn("outer_type",
-        coalesce(blankToNull(trim(col("env").getField("@type"))), lit("TYPE_NOT_SET")))
-      .withColumn("inner_type",
-        coalesce(blankToNull(trim(msg.getField("@type"))), lit("TYPE_NOT_SET")))
-      .withColumn("last_modified",
-        coalesce(msg.getField("_lastModifiedDateTime"), lit("")))
-      .withColumn("db", coalesce(blankToNull(msg.getField("db")), topicDb))
-      .withColumn("collection",
-        coalesce(blankToNull(msg.getField("collection")), topicColl))
-      .withColumn("kek_id", msg.getField("encryption").getField("keyEncryptionKeyId"))
-      .withColumn("enc_key", msg.getField("encryption").getField("encryptedEncryptionKey"))
-      .withColumn("iv", msg.getField("encryption").getField("initialisationVector"))
-      .withColumn("db_object", msg.getField("dbObject"))
-      .withColumn("id_raw", msg.getField("_id"))
+      .withColumns(scala.collection.immutable.ListMap(
+        "id_json" ->
+          expr("CAST(substring(hbase_id, 5, length(hbase_id) - 4) AS STRING)"),
+        "outer_type" ->
+          coalesce(blankToNull(trim(col("env").getField("@type"))), lit("TYPE_NOT_SET")),
+        "inner_type" ->
+          coalesce(blankToNull(trim(msg.getField("@type"))), lit("TYPE_NOT_SET")),
+        "last_modified" ->
+          coalesce(msg.getField("_lastModifiedDateTime"), lit("")),
+        "db" -> coalesce(blankToNull(msg.getField("db")), topicDb),
+        "collection" ->
+          coalesce(blankToNull(msg.getField("collection")), topicColl),
+        "kek_id" -> msg.getField("encryption").getField("keyEncryptionKeyId"),
+        "enc_key" -> msg.getField("encryption").getField("encryptedEncryptionKey"),
+        "iv" -> msg.getField("encryption").getField("initialisationVector"),
+        "db_object" -> msg.getField("dbObject"),
+        "id_raw" -> msg.getField("_id")))
 
     // Mandatory-field check in the reference's order
     // (HBaseResultProcessor.kt:44-49). A malformed envelope, an

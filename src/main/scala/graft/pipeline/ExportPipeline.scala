@@ -77,9 +77,10 @@ object ExportPipeline {
       col("db") === Transforms.BusinessAuditDb &&
       col("collection") === Transforms.BusinessAuditCollection
     df.withColumn("aud", when(gate, auditUdf(col("decrypted"), col("last_modified"))))
-      .withColumn("decrypted",
-        when(gate, col("aud.decrypted")).otherwise(col("decrypted")))
-      .withColumn("err", coalesce(col("err"), col("aud.err")))
+      .withColumns(scala.collection.immutable.ListMap(
+        "decrypted" ->
+          when(gate, col("aud.decrypted")).otherwise(col("decrypted")),
+        "err" -> coalesce(col("err"), col("aud.err"))))
       .drop("aud")
   }
 
@@ -102,20 +103,24 @@ object ExportPipeline {
           null, null, "bad_decrypted")
       }
     }
+    // single withColumns pass for the struct expansion (was 10 chained
+    // passes, each re-analyzing the whole pipeline tree — see
+    // Envelope.parse for the per-micro-batch rationale)
     df.withColumn("val",
         when(col("err").isNull,
           validateUdf(col("decrypted"), col("id_json"), col("ts"),
             col("db"), col("collection"), col("outer_type"), col("inner_type"))))
-      .withColumn("doc", col("val.doc"))
-      .withColumn("m_id", col("val.m_id"))
-      .withColumn("m_ts", col("val.m_ts"))
-      .withColumn("m_db", col("val.m_db"))
-      .withColumn("m_collection", col("val.m_collection"))
-      .withColumn("m_source", col("val.m_source"))
-      .withColumn("m_outer", col("val.m_outer"))
-      .withColumn("m_inner", col("val.m_inner"))
-      .withColumn("m_original_id", col("val.m_original_id"))
-      .withColumn("err", coalesce(col("err"), col("val.err")))
+      .withColumns(scala.collection.immutable.ListMap(
+        "doc" -> col("val.doc"),
+        "m_id" -> col("val.m_id"),
+        "m_ts" -> col("val.m_ts"),
+        "m_db" -> col("val.m_db"),
+        "m_collection" -> col("val.m_collection"),
+        "m_source" -> col("val.m_source"),
+        "m_outer" -> col("val.m_outer"),
+        "m_inner" -> col("val.m_inner"),
+        "m_original_id" -> col("val.m_original_id"),
+        "err" -> coalesce(col("err"), col("val.err"))))
       .drop("val")
   }
 

@@ -817,25 +817,53 @@ object PipelineQueries {
       val stream = MemoryStream[Fixture.RawCell]
       val streamRecs = ExportPipeline.records(
         ExportPipeline.run(stream.toDF(), Fixture.Topic, ks))
-      // same scoped streaming-run conf as the q57–q126 replays: tmpfs
-      // checkpoint (offset/commit logs are pure replay scaffolding
-      // here) + small shuffle partitioning for the micro-batch jobs
-      StreamingQueries.withShufflePartitions(s, 2) {
+      // scoped streaming-run conf, same rationale as the q57–q126
+      // replays: tmpfs checkpoint (offset/commit logs are pure replay
+      // scaffolding here — a production incremental export points
+      // them at durable storage), small shuffle partitioning for the
+      // 1000-row micro-batch jobs, AQE off (its per-stage re-plan
+      // rounds cost more than they can save on a 2-partition write —
+      // measured ~80 ms per write invocation), and
+      // ConvertToLocalRelation off: a MemoryStream micro-batch is a
+      // LocalRelation, so that rule EVALUATES the whole
+      // decrypt+validate pipeline single-threaded on the driver at
+      // optimization time — TWICE per batch (engine queryPlanning +
+      // the foreachBatch write re-plan; measured 280 ms per pass) —
+      // where excluding it keeps execution on the executors. A real
+      // deployment's source is a DSv2 scan, which the rule never
+      // touches; the exclusion reproduces production shape
+      val shm = java.nio.file.Path.of("/dev/shm")
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        if (java.nio.file.Files.isDirectory(shm)) shm
+        else java.nio.file.Path.of(System.getProperty("java.io.tmpdir")),
+        "graft-q56-ckpt")
+      graft.core.Sessions.withConfs(s,
+        "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.optimizer.excludedRules" ->
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation") {
         val query = StreamingExport.start(streamRecs, cfgS, ks,
-          "graft_q56_sink", r => results.synchronized { results += r })
+          "graft_q56_sink", r => results.synchronized { results += r },
+          checkpointDir = Some(ckpt.toString))
         try {
           cells.foreach { batch =>
             stream.addData(batch)
             query.processAllAvailable()
           }
-        } finally query.stop()
+        } finally {
+          query.stop()
+          deleteRecursively(ckpt)
+        }
       }
       val snap = results.synchronized(results.toList)
 
-      val batchAcct = SnapshotWriter.write(
-        ExportPipeline.records(ExportPipeline.run(
-          cells.flatten.toDF(), Fixture.Topic, ks)), cfgB, ks)
-        .collect().toSeq
+      val batchAcct = graft.core.Sessions.withConfs(s,
+        "spark.sql.adaptive.enabled" -> "false") {
+        SnapshotWriter.write(
+          ExportPipeline.records(ExportPipeline.run(
+            cells.flatten.toDF(), Fixture.Topic, ks)), cfgB, ks)
+          .collect().toSeq
+      }
 
       // (objectDir, manifestDir, accounting) per written file, per mode
       val streamedFiles = snap.flatMap(b => b.files.map(fa =>
