@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -123,15 +123,28 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
 
   private var tsLo = Long.MinValue
   private var tsHi = Long.MaxValue
+  private var probe: Option[Set[Seq[Byte]]] = None
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = EnvelopeSource.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // hbase_id point predicates push down to the store's GET path
+    // (bloom-consulting multiGet on the HFile store) — batch scans
+    // only; the micro-batch stream plans its own slice partitions and
+    // must leave row predicates to Spark's post-scan filter
+    def rowsOf(f: Filter): Option[Set[Seq[Byte]]] = f match {
+      case EqualTo("hbase_id", v: Array[Byte]) if tsSteps.isEmpty =>
+        Some(Set(v.toSeq))
+      case In("hbase_id", vs) if tsSteps.isEmpty &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        Some(vs.map(_.asInstanceOf[Array[Byte]].toSeq).toSet)
+      case _ => None
+    }
     val (accepted, rejected) = filters.partition {
       case GreaterThan("ts", _: Long) | GreaterThanOrEqual("ts", _: Long) |
            LessThan("ts", _: Long) | LessThanOrEqual("ts", _: Long) |
            EqualTo("ts", _: Long) => true
-      case _ => false
+      case f => rowsOf(f).isDefined
     }
     accepted.foreach {
       case GreaterThan("ts", v: Long) => tsLo = math.max(tsLo, v + 1)
@@ -140,7 +153,10 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
       case LessThanOrEqual("ts", v: Long) => tsHi = math.min(tsHi, v)
       case EqualTo("ts", v: Long) =>
         tsLo = math.max(tsLo, v); tsHi = math.min(tsHi, v)
-      case _ => ()
+      case f => rowsOf(f).foreach { rs =>
+        // several point predicates conjoin: intersect their row sets
+        probe = Some(probe.fold(rs)(_ intersect rs))
+      }
     }
     pushed = accepted
     rejected // Spark re-evaluates what the source does not handle
@@ -153,14 +169,17 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
 
   override def build(): Scan =
     new EnvelopeScan(n, scanWidth, corrupt, tsSpread, versions, storeKind,
-      path, failAfter, tsLo, tsHi, requiredSchema, pushed, tsSteps)
+      path, failAfter, tsLo, tsHi, requiredSchema, pushed, tsSteps,
+      probe.map(_.toSeq.map(_.toArray)
+        .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)))
 }
 
 private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
     corrupt: Boolean, tsSpread: Long, versions: Int, storeKind: String,
     path: String, failAfter: Int, tsLo: Long, tsHi: Long,
     requiredSchema: StructType, pushed: Array[Filter],
-    tsSteps: String = "")
+    tsSteps: String = "",
+    probe: Option[Seq[Array[Byte]]] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -192,9 +211,23 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val store = mkStore()
-    (0 until 256 / scanWidth).map(i =>
-      EnvelopePartition(KeySlice(i, scanWidth), store, TsRange(tsLo, tsHi),
-        requiredSchema.fieldNames): InputPartition).toArray
+    probe match {
+      case Some(rows) =>
+        // point-predicate plan: one partition per slice that owns a
+        // probed row (not 256/width full-range slices) — each task
+        // multi-gets its rows through the store's bloom-consulting GET
+        // path where the store has one, full-descent otherwise
+        rows.groupBy(r => ((r(0) & 0xff)) / scanWidth).toSeq.sortBy(_._1)
+          .map { case (slice, rs) =>
+            EnvelopeProbePartition(KeySlice(slice, scanWidth), rs.toArray,
+              store, TsRange(tsLo, tsHi),
+              requiredSchema.fieldNames): InputPartition
+          }.toArray
+      case None =>
+        (0 until 256 / scanWidth).map(i =>
+          EnvelopePartition(KeySlice(i, scanWidth), store, TsRange(tsLo, tsHi),
+            requiredSchema.fieldNames): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -294,9 +327,16 @@ private[sources] case class EnvelopePartition(slice: KeySlice,
     store: EnvelopeStore, ts: TsRange, columns: Array[String])
     extends InputPartition
 
+private[sources] case class EnvelopeProbePartition(slice: KeySlice,
+    rows: Array[Array[Byte]], store: EnvelopeStore, ts: TsRange,
+    columns: Array[String]) extends InputPartition
+
 private[sources] class EnvelopeReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EnvelopeReader(partition.asInstanceOf[EnvelopePartition])
+    partition match {
+      case p: EnvelopeProbePartition => new EnvelopeProbeReader(p)
+      case p => new EnvelopeReader(p.asInstanceOf[EnvelopePartition])
+    }
 }
 
 /** Per-slice id streams for the fixture key space — the stand-in for a
@@ -336,6 +376,35 @@ private[sources] class EnvelopeReader(p: EnvelopePartition)
     extends PartitionReader[InternalRow] {
 
   private val cells = p.store.scan(p.slice, p.ts)
+  private var current: EnvelopeCell = _
+
+  override def next(): Boolean =
+    if (cells.hasNext) { current = cells.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = p.columns.map {
+      case "hbase_id" => current.hbaseId
+      case "ts" => current.ts: java.lang.Long
+      case "value" => UTF8String.fromString(current.value)
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}
+
+/** GET-path reader for pushed `hbase_id` point predicates — delegates
+  * to [[EnvelopeStore.get]]: the HFile store answers through its
+  * bloom-consulting multiGet (range prune → ROW bloom chunk test →
+  * index descent only for maybe-present files — the region server's
+  * bloom-backed GET, here as a DSv2 pushdown); other stores use the
+  * trait's convention-free scan-and-filter default, so every store
+  * kind honors the predicate with scan-identical semantics (latest
+  * in-ts-range version per row, tombstones applied in the store). */
+private[sources] class EnvelopeProbeReader(p: EnvelopeProbePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val cells: Iterator[EnvelopeCell] = p.store.get(p.rows.toSeq, p.ts)
   private var current: EnvelopeCell = _
 
   override def next(): Boolean =

@@ -71,6 +71,19 @@ object VersionSelect {
   * therefore keep `scan` free of cross-attempt side effects. */
 trait EnvelopeStore extends Serializable {
   def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell]
+
+  /** Point lookups for pushed `hbase_id` predicates. The default is
+    * convention-free and always correct — one full-key-space slice
+    * (width 256 covers everything under both the signed and unsigned
+    * slice-band readings) filtered to the probed rows — so every
+    * store honors a pushed point predicate with scan-identical
+    * semantics. Stores with a real GET path override it:
+    * [[HFileSnapshotStore]] answers through its bloom-consulting
+    * [[HFileSnapshotStore.multiGet]]. */
+  def get(rows: Seq[Array[Byte]], ts: TsRange): Iterator[EnvelopeCell] = {
+    val want = rows.map(_.toSeq).toSet
+    scan(KeySlice(0, 256), ts).filter(c => want.contains(c.hbaseId.toSeq))
+  }
 }
 
 /** Fixture-backed store: streams the deterministic [[Fixture]] cells

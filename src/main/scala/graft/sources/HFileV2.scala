@@ -1700,6 +1700,10 @@ final case class HFileSnapshotStore(dir: String,
 
   import HFileV2Format._
 
+  /** The DSv2 point-predicate path: bloom-consulting [[multiGet]]. */
+  override def get(rows: Seq[Array[Byte]], ts: TsRange): Iterator[EnvelopeCell] =
+    multiGet(rows, ts).found.iterator
+
   override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] = {
     val lo = slice.index * slice.width
     val hi = (slice.index + 1) * slice.width

@@ -44,6 +44,82 @@ class EnvelopeSourceSpec extends SparkSuite {
       s"expected pushed ts filters in:\n$planStr")
   }
 
+  test("hbase_id point predicates push down and plan only the owning slices") {
+    val df = read("n" -> "1000", "versions" -> "5")
+    val ids = df.select("hbase_id").orderBy("hbase_id").take(5)
+      .map(_.getAs[Array[Byte]](0))
+    val byId = df.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // equality: pushed, one partition, same row as the full scan
+    val eq = df.filter(col("hbase_id") === lit(ids(0)))
+    val eqPlan = eq.queryExecution.executedPlan.toString
+    assert(eqPlan.contains("EqualTo(hbase_id"), s"not pushed:\n$eqPlan")
+    assert(eq.rdd.getNumPartitions == 1, "one probe partition, not 256/width")
+    val Array(row) = eq.collect()
+    assert(byId(row.getAs[Array[Byte]](0).toSeq) ===
+      ((row.getLong(1), row.getString(2))))
+    // IN: pushed, at most one partition per probed slice, exact rows
+    val in = df.filter(col("hbase_id").isin(ids.toSeq: _*))
+    val inPlan = in.queryExecution.executedPlan.toString
+    assert(inPlan.contains("In(hbase_id"), s"not pushed:\n$inPlan")
+    assert(in.rdd.getNumPartitions <= ids.length)
+    val got = in.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got === ids.map(_.toSeq).map(k => k -> byId(k)).toMap)
+    // conjunction with a ts predicate: both push, winner re-selects
+    val ranged = df.filter(col("hbase_id") === lit(ids(4)) && col("ts") <= 1000L)
+    val rangedPlan = ranged.queryExecution.executedPlan.toString
+    assert(rangedPlan.contains("EqualTo(hbase_id") &&
+      rangedPlan.contains("LessThanOrEqual(ts,1000)"))
+    assert(ranged.collect().forall(_.getLong(1) == 1000L))
+  }
+
+  test("hbase_id probes over the HFile store ride the bloom GET path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-bloom")
+    HFileFixture.writeSnapshot(dir, 400L, versions = 5, regions = 4, gens = 2,
+      shape = HFileShape(codec = HFileV2Format.CodecGz, blockEntries = 16,
+        bloomRowsPerChunk = 32))
+    val df = read("store" -> "hfile", "path" -> dir.toString)
+    val full = df.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val present = full.keys.toSeq.sortBy(_.mkString(",")).take(4)
+      .map(_.toArray)
+    val absent = present.map { r =>
+      val x = r.clone(); x(x.length - 1) = (x(x.length - 1) ^ 0x5a).toByte; x
+    }
+    val probed = df.filter(
+      col("hbase_id").isin((present ++ absent).toSeq: _*)).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(probed === present.map(_.toSeq).map(k => k -> full(k)).toMap,
+      "probe must return exactly the present rows' scan winners")
+  }
+
+  test("streaming scans leave hbase_id predicates to Spark (no false pushdown)") {
+    // the micro-batch stream plans slice partitions; a row predicate
+    // accepted there would silently drop rows — it must be REJECTED at
+    // pushdown so Spark keeps the post-scan filter
+    val streamed = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("n", "500").option("scanWidth", "64")
+      .option("versions", "5").option("tsSteps", "1000,1001")
+      .load()
+    val id = read("n" -> "500", "versions" -> "5")
+      .select("hbase_id").take(1)(0).getAs[Array[Byte]](0)
+    val qname = "graft_probe_stream_guard"
+    spark.catalog.dropTempView(qname)
+    val q = streamed.filter(col("hbase_id") === lit(id))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // exactly that key's rows from both micro-batches, nothing dropped
+    val rows = spark.table(qname).collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getAs[Array[Byte]](0).sameElements(id)))
+  }
+
   test("column pruning reaches the reader (ReadSchema)") {
     val df = read("n" -> "100").select("value")
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
