@@ -106,6 +106,25 @@ object SortedRunFormat {
     }
     best
   }
+
+  /** Greatest block whose first key is STRICTLY < target, or 0. The
+    * floor a KEY-targeted seek needs: entries sort (key ASC, ts DESC),
+    * so when one key's versions span a block boundary its higher-ts
+    * entries trail the PREVIOUS block — a seek landing on the block
+    * whose first key == target would miss them (bites resume-at-key
+    * after a fault and point probes; the slice-start seek uses a
+    * 1-byte prefix no full key equals, so either floor works there).
+    * Differs from [[seekBlock]] only in that equality case. */
+  def seekBlockBefore(index: Array[BlockRef], target: Array[Byte]): Int = {
+    var lo = 0; var hi = index.length - 1; var best = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.util.Arrays.compareUnsigned(index(mid).firstKey, target) < 0) {
+        best = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    best
+  }
 }
 
 /** Writes sorted run files. This is a FIXTURE/TEST seam: in production
@@ -196,6 +215,47 @@ object SortedRunWriter {
   */
 final case class SortedRunStore(dir: String,
     failAfterEntries: Option[Int] = None) extends EnvelopeStore {
+
+  /** Point lookups for pushed `hbase_id` predicates: per probed row,
+    * prune runs by the manifest's [firstByte, lastByte] band, seek
+    * each surviving run's block index straight to the row
+    * ([[SortedRunFormat.seekBlockBefore]] — one block, maybe two when
+    * the row's versions span a boundary), and select the newest
+    * in-range version with the same generation tie-break as the scan
+    * merge (higher manifest ordinal wins an exact (key, ts) tie). The
+    * sorted-run format carries no tombstones, so winner selection is
+    * pure max — the scan's first-in-merge-order rule, computed
+    * directly. */
+  override def get(rows: Seq[Array[Byte]], ts: TsRange): Iterator[EnvelopeCell] = {
+    val runs = SortedRunFormat.readManifest(dir).zipWithIndex
+    rows.iterator.flatMap { row =>
+      val b = row(0) & 0xff
+      var bestTs = Long.MinValue
+      var bestOrd = -1
+      var bestVal: String = null
+      runs.foreach { case (r, ord) =>
+        if (r.firstByte <= b && b <= r.lastByte) {
+          val sc = new RunScanner(Paths.get(dir, r.file).toString, row,
+            b, b + 1, ts, failAfterEntries, ordinal = ord)
+          try {
+            var done = false
+            while (!done && sc.hasNext) {
+              val c = java.util.Arrays.compareUnsigned(sc.head.key, row)
+              if (c > 0) done = true
+              else {
+                val e = sc.next()
+                if (c == 0 && (e.ts > bestTs ||
+                    (e.ts == bestTs && ord > bestOrd))) {
+                  bestTs = e.ts; bestOrd = ord; bestVal = e.value
+                }
+              }
+            }
+          } finally sc.closeEarly()
+        }
+      }
+      if (bestVal == null) None else Some(EnvelopeCell(row, bestTs, bestVal))
+    }
+  }
 
   override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] = {
     val lo = slice.index * slice.width
@@ -295,7 +355,7 @@ private[sources] final class RunScanner(path: String, seekKey: Array[Byte],
   private def open(): Unit = {
     SortedRunFormat.opens.incrementAndGet()
     val target = if (lastKey == null) seekKey else lastKey
-    val startBlock = SortedRunFormat.seekBlock(index, target)
+    val startBlock = SortedRunFormat.seekBlockBefore(index, target)
     val fis = new FileInputStream(path)
     fis.getChannel.position(index(startBlock).offset)
     in = new DataInputStream(new java.io.BufferedInputStream(fis, 1 << 16))
@@ -387,6 +447,14 @@ private[sources] final class RunScanner(path: String, seekKey: Array[Byte],
     lastKey = e.key
     lastTs = e.ts
     e
+  }
+
+  /** Early termination for consumers that stop before exhaustion
+    * (point probes): releases the stream; the scanner is dead after. */
+  private[sources] def closeEarly(): Unit = {
+    exhausted = true
+    nextE = null
+    try if (in != null) in.close() catch { case _: IOException => () }
   }
 }
 

@@ -661,6 +661,56 @@ class EnvelopeStoreSpec extends AnyFunSuite {
       assert(dump(after2, range) === dump(before, range), s"carry $range")
   }
 
+  test("sorted-run point gets match the scan winners, ts range pushed") {
+    val store = sortedRunStore(400L, 0L, 5)
+    for (range <- Seq(TsRange.All, TsRange(0L, t0 + 1L))) {
+      val all = (0 until 256 / 8).flatMap(i =>
+        store.scan(KeySlice(i, 8), range).toSeq)
+      val expected = all.map(c => c.hbaseId.toSeq -> ((c.ts, c.value))).toMap
+      val probeRows = all.map(_.hbaseId).take(25)
+      val absent = probeRows.take(5).map { r =>
+        val x = r.clone(); x(x.length - 1) = (x(x.length - 1) ^ 0x5a).toByte; x
+      }
+      val got = store.get(probeRows ++ absent, range).toSeq
+      assert(got.size === probeRows.size, s"range $range")
+      got.foreach(c =>
+        assert(expected(c.hbaseId.toSeq) === ((c.ts, c.value)), s"range $range"))
+    }
+  }
+
+  test("run seek survives a key whose versions span block boundaries") {
+    // one key with 10 versions, 3-entry blocks: the key's entries
+    // straddle 4 blocks, so both the resume-at-key path (fault mid-key
+    // re-seeks to the key) and the point probe must start at the
+    // strictly-before block or silently lose the higher-ts versions
+    val dir = Files.createTempDirectory("graft-srs-span")
+    val key = Array[Byte](10, 1)
+    val after = Array[Byte](10, 2)
+    val entries = (0 until 10).map(v => (key, 1009L - v, s"v${9 - v}")) :+
+      ((after, 1000L, "tail"))
+    val meta = SortedRunWriter.writeRun(dir, "run-000.dat", entries.iterator,
+      blockEntries = 3)
+    SortedRunFormat.writeManifest(dir, Seq(meta))
+    // clean scan == every fault-injection offset's scan (store-level
+    // merge keeps the newest version; the scanner must still DECODE
+    // every version to find it after a mid-key reopen)
+    val clean = SortedRunStore(dir.toString)
+      .scan(KeySlice(0, 256), TsRange.All).toSeq
+      .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+    assert(clean === Seq((key.toSeq, 1009L, "v9"), (after.toSeq, 1000L, "tail")))
+    for (failAt <- 2 to 10) {
+      val faulty = SortedRunStore(dir.toString, failAfterEntries = Some(failAt))
+        .scan(KeySlice(0, 256), TsRange.All).toSeq
+        .map(c => (c.hbaseId.toSeq, c.ts, c.value))
+      assert(faulty === clean, s"failAfter=$failAt")
+    }
+    // point probe with a ts cap must find the capped winner even
+    // though it lives mid-span
+    val capped = SortedRunStore(dir.toString)
+      .get(Seq(key), TsRange(0L, 1005L)).toSeq
+    assert(capped.map(c => (c.ts, c.value)) === Seq((1005L, "v5")))
+  }
+
   // ------------------------------------------------------------ bloom
 
   test("row bloom: meta payload round-trips the compound v3 layout") {
