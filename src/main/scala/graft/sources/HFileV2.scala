@@ -100,7 +100,7 @@ import graft.pipeline.Fixture
   * consulted by [[HFileSnapshotStore.multiGet]]'s point probes, with
   * full-index fallback for bloomless files). Remaining deltas fail loudly
   * rather than misread: PREFIX/DIFF/ROW_INDEX_V1 block encodings,
-  * LZO/ZSTD codecs, and AES-encrypted files (trailer
+  * LZO/BZIP2 codecs, and AES-encrypted files (trailer
   * `encryption_key`). FileInfo that fails to parse only disables
   * pruning and the tags/mvcc cell trailers — the scan itself stays
   * correct for files without them.
@@ -127,14 +127,16 @@ object HFileV2Format {
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(StandardCharsets.US_ASCII)
   val PbufMagic: Array[Byte] = "PBUF".getBytes(StandardCharsets.US_ASCII)
   /** HBase `Compression.Algorithm` ordinals: LZO=0, GZ=1, NONE=2,
-    * SNAPPY=3, LZ4=4. SNAPPY (the production default) and LZ4 ride
-    * the same jars Spark itself ships (snappy-java / lz4-java) inside
-    * Hadoop's `BlockCompressorStream` framing — see
-    * [[hadoopBlockCompress]]. */
+    * SNAPPY=3, LZ4=4, BZIP2=5, ZSTD=6. SNAPPY (the legacy production
+    * default), LZ4, and ZSTD (the modern default — hbase-compression-
+    * zstd) ride the same jars Spark itself ships (snappy-java /
+    * lz4-java / zstd-jni) inside Hadoop's `BlockCompressorStream`
+    * framing — see [[hadoopBlockCompress]]. */
   val CodecGz = 1
   val CodecNone = 2
   val CodecSnappy = 3
   val CodecLz4 = 4
+  val CodecZstd = 6
   /** HBase `DataBlockEncoding` ids: NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4. */
   val EncodingNone = 0
   val EncodingFastDiff = 4
@@ -357,6 +359,8 @@ object HFileV2Format {
       case CodecLz4 =>
         val comp = lz4Factory.fastCompressor()
         hadoopBlockCompress(payload, c => comp.compress(c))
+      case CodecZstd =>
+        hadoopBlockCompress(payload, com.github.luben.zstd.Zstd.compress)
       case c => throw new IOException(s"unsupported compression codec ordinal $c")
     }
 
@@ -384,6 +388,12 @@ object HFileV2Format {
         val n = dec.decompress(chunk, 0, chunk.length, dest, 0)
         if (n == maxLen) dest else java.util.Arrays.copyOfRange(dest, 0, n)
       })
+      require(b.length == uncompressedSize,
+        s"decompressed ${b.length} != declared $uncompressedSize")
+      b
+    case CodecZstd =>
+      val b = hadoopBlockDecompress(payload, uncompressedSize,
+        (chunk, maxLen) => com.github.luben.zstd.Zstd.decompress(chunk, maxLen))
       require(b.length == uncompressedSize,
         s"decompressed ${b.length} != declared $uncompressedSize")
       b

@@ -461,7 +461,7 @@ class EnvelopeStoreSpec extends AnyFunSuite {
 
   // ----------------------------------- SNAPPY / LZ4 block codecs
 
-  test("snappy and lz4 hfile codecs: cells byte-identical to the fixture store's") {
+  test("snappy, lz4, and zstd hfile codecs: cells byte-identical to the fixture store's") {
     val fix = FixtureEnvelopeStore(200L, corrupt = false, 0L, 5)
     def dump(s: EnvelopeStore, range: TsRange) =
       (0 until 256 / 16).flatMap(i => s.scan(KeySlice(i, 16), range).toSeq)
@@ -480,7 +480,15 @@ class EnvelopeStoreSpec extends AnyFunSuite {
       "lz4 fastdiff v3 multilevel" -> HFileShape(
         codec = HFileV2Format.CodecLz4, blockEntries = 16,
         encoding = HFileV2Format.EncodingFastDiff, majorVersion = 3,
-        includesMvcc = true, maxIndexEntriesPerBlock = 4))
+        includesMvcc = true, maxIndexEntriesPerBlock = 4),
+      "zstd raw" -> HFileShape(codec = HFileV2Format.CodecZstd,
+        blockEntries = 16),
+      // what a NEW cluster writes by default: ZSTD + FAST_DIFF + v3
+      "zstd fastdiff v3 multilevel bloom" -> HFileShape(
+        codec = HFileV2Format.CodecZstd, blockEntries = 16,
+        encoding = HFileV2Format.EncodingFastDiff, majorVersion = 3,
+        includesMvcc = true, maxIndexEntriesPerBlock = 4,
+        bloomRowsPerChunk = 32))
     for ((name, shape) <- shapes) {
       val dir = Files.createTempDirectory("graft-hfile-codec2")
       HFileFixture.writeSnapshot(dir, 200L, 5, regions = 4, gens = 2,
@@ -501,7 +509,7 @@ class EnvelopeStoreSpec extends AnyFunSuite {
       Array.emptyByteArray,
       "abc".getBytes,
       Array.fill(200 * 1024)((rng.nextInt(4) + 'a').toByte))
-    for (codec <- Seq(CodecSnappy, CodecLz4); p <- payloads) {
+    for (codec <- Seq(CodecSnappy, CodecLz4, CodecZstd); p <- payloads) {
       val packed = compressPayload(codec, p)
       assert(decompressPayload(codec, packed, p.length).toSeq === p.toSeq,
         s"codec $codec payload ${p.length}")
