@@ -213,6 +213,12 @@ class PlanAuditSpec extends SparkSuite {
       // min-day agg, and the OLS agg — losing a pin re-embeds the
       // corpus lineage and blows well past this
       "q261_theil_sen" -> 5,
+      // q277's deliberate 4: the (source, word) vocab agg, the
+      // per-source rollup, the q51 regex agg, and the tiny
+      // source-keyed join (post-agg sides, AQE broadcasts at scale);
+      // the merge DERIVATION runs eagerly against the cached q244
+      // vocab relation and never appears in the report plan
+      "q277_bpe_apply" -> 4,
       "q262_daily_acf" -> 14)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
       val p = graft.SparkEntry.queries(name)(spark, dir)
