@@ -1825,6 +1825,7 @@ final case class HFileSnapshotStore(dir: String,
     var filesConsidered = 0
     var bloomSkips = 0
     var bloomChunksRead = 0
+    var bloomErrors = 0
     var dataBlocksRead = 0
     val bloomBitsCache = mutable.Map.empty[(String, Int), Array[Byte]]
     val blockCache = mutable.Map.empty[(String, Long), Array[HFileEntry]]
@@ -1899,12 +1900,19 @@ final case class HFileSnapshotStore(dir: String,
                 }
                 if (chunk < 0) false // sorts before every chunk's first key
                 else {
-                  val bits = bloomBitsCache.getOrElseUpdate((p, chunk), {
-                    bloomChunksRead += 1
-                    readBlock(rafFor(p), b.index(chunk).offset,
-                      BloomChunkMagic, meta.trailer.compressionCodec)._1
-                  })
-                  bloomContains(bits, row, b.hashCount)
+                  // a bloom is ADVISORY: a torn/corrupt chunk (CRC
+                  // failure here) must degrade to the full index
+                  // descent, never fail a probe the data could answer
+                  try {
+                    val bits = bloomBitsCache.getOrElseUpdate((p, chunk), {
+                      bloomChunksRead += 1
+                      readBlock(rafFor(p), b.index(chunk).offset,
+                        BloomChunkMagic, meta.trailer.compressionCodec)._1
+                    })
+                    bloomContains(bits, row, b.hashCount)
+                  } catch {
+                    case _: IOException => bloomErrors += 1; true
+                  }
                 }
               case _ => true
             }
@@ -1916,7 +1924,7 @@ final case class HFileSnapshotStore(dir: String,
           EnvelopeCell(w.key, w.ts, new String(w.value, StandardCharsets.UTF_8)))
       }
       HFileProbeReport(found, rows.size, filesConsidered, bloomSkips,
-        bloomChunksRead, dataBlocksRead)
+        bloomChunksRead, dataBlocksRead, bloomErrors)
     } finally rafs.values.foreach(r =>
       try r.close() catch { case _: IOException => })
   }
@@ -1929,7 +1937,11 @@ final case class HFileSnapshotStore(dir: String,
   * and `dataBlocksRead` under `useBloom = false` measures the saving. */
 final case class HFileProbeReport(found: Seq[EnvelopeCell], rowsProbed: Int,
     filesConsidered: Int, bloomSkips: Int, bloomChunksRead: Int,
-    dataBlocksRead: Int)
+    dataBlocksRead: Int,
+    // unreadable bloom chunks (CRC/parse) that degraded to a full
+    // descent — nonzero means the snapshot needs attention, but the
+    // probe's ANSWER is unaffected (blooms are advisory)
+    bloomErrors: Int = 0)
 
 object HFileSnapshotStore {
   import HFileV2Format._

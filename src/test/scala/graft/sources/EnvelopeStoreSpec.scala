@@ -844,6 +844,74 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     assert(rep.bloomSkips >= 1, "in-range absent row must bloom-skip")
   }
 
+  test("a corrupt bloom chunk degrades to the full descent, never fails the probe") {
+    import HFileV2Format._
+    val dir = Files.createTempDirectory("graft-hfile-bloom-corrupt")
+    HFileFixture.writeSnapshot(dir, 200L, versions = 5, regions = 2, gens = 1,
+      shape = HFileShape(codec = CodecGz, blockEntries = 16,
+        bloomRowsPerChunk = 32))
+    val store = HFileSnapshotStore(dir.toString)
+    val all = (0 until 256 / 16).flatMap(i =>
+      store.scan(KeySlice(i, 16), TsRange.All).toSeq)
+    val expected = all.map(c => c.hbaseId.toSeq -> ((c.ts, c.value))).toMap
+    // flip one byte inside every file's FIRST bloom chunk payload —
+    // its CRC now fails on read
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".hfile")).foreach { p =>
+        val meta = readMeta(p.toString)
+        val off = meta.bloom.get.index(0).offset + HeaderSize + 3
+        val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+        try {
+          raf.seek(off)
+          val b = raf.readByte()
+          raf.seek(off)
+          raf.writeByte(b ^ 0x41)
+        } finally raf.close()
+      }
+    val rows = all.map(_.hbaseId).take(40)
+    val rep = store.multiGet(rows, TsRange.All)
+    assert(rep.bloomErrors > 0, "the torn chunk must be observed")
+    assert(rep.found.size === rows.size)
+    rep.found.foreach(c =>
+      assert(expected(c.hbaseId.toSeq) === ((c.ts, c.value))))
+  }
+
+  test("probes over a bloom-carrying compacted tombstone snapshot stay masked") {
+    import HFileV2Format._
+    import graft.pipeline.Fixture
+    val src = HFileFixture.tombstoneSnapshotDir(400L)
+    val out = Files.createTempDirectory("graft-tomb-bloom-majc")
+    // snapshot-export compaction (markers carried) into a bloom-
+    // carrying shape: the rewritten files' ROW blooms must cover the
+    // markers too, or a probe would resurrect DeleteFamily'd keys
+    HFileCompaction.regionFiles(src).foreach { case (r, fs) =>
+      HFileCompaction.compactRegion(fs, s"$out/$r-g000.hfile",
+        HFileShape(blockEntries = 16, bloomRowsPerChunk = 32))
+    }
+    val store = HFileSnapshotStore(out.toString)
+    val range = TsRange(1000L, 1003L)
+    val all = (0 until 256 / 16).flatMap(i =>
+      store.scan(KeySlice(i, 16), range).toSeq)
+    val expected = all.map(c => c.hbaseId.toSeq -> ((c.ts, c.value))).toMap
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    val rows = (0L until 40L).map(i =>
+      (i, Fixture.cell(i, dek, encKey, corrupt = false, 0).hbase_id))
+    val rep = store.multiGet(rows.map(_._2), range)
+    val foundRows = rep.found.map(_.hbaseId.toSeq).toSet
+    rows.foreach { case (i, row) =>
+      if (i % 10 == 1)
+        assert(!foundRows.contains(row.toSeq), s"DeleteFamily key $i resurrected")
+      else {
+        val c = rep.found.find(_.hbaseId.sameElements(row)).get
+        assert(expected(row.toSeq) === ((c.ts, c.value)), s"key $i")
+      }
+    }
+    assert(rep.bloomChunksRead > 0, "the compacted files must carry blooms")
+  }
+
   test("generation order follows MAX_SEQ_ID, not file names") {
     import java.nio.charset.StandardCharsets.UTF_8
     val dir = Files.createTempDirectory("graft-hfile-seqid")
