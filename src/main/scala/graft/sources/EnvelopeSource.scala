@@ -186,6 +186,7 @@ private[sources] class EnvelopeScan(n: Long, scanWidth: Int,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_envelope n=$n slices=${256 / scanWidth} " +
+      probe.map(p => s"ProbedRows: ${p.size}, ").getOrElse("") +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${requiredSchema.simpleString}"
 

@@ -68,6 +68,11 @@ class EnvelopeSourceSpec extends SparkSuite {
       .map(r => r.getAs[Array[Byte]](0).toSeq -> (r.getLong(1), r.getString(2)))
       .toMap
     assert(got === ids.map(_.toSeq).map(k => k -> byId(k)).toMap)
+    // contradictory point predicates intersect to the empty probe set:
+    // zero partitions, zero rows, no error
+    val none = df.filter(col("hbase_id") === lit(ids(0)) &&
+      col("hbase_id") === lit(ids(1)))
+    assert(none.count() === 0)
     // conjunction with a ts predicate: both push, winner re-selects
     val ranged = df.filter(col("hbase_id") === lit(ids(4)) && col("ts") <= 1000L)
     val rangedPlan = ranged.queryExecution.executedPlan.toString
