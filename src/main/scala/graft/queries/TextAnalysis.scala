@@ -953,39 +953,82 @@ object TextAnalysis {
       }
     }
 
+  /** Count of driver-side TRAINING actions performed by [[bpeMerges]]
+    * (argmax heads + token-total folds) — a warm per-dir call performs
+    * zero, pinned in CorpusOpsSpec. */
+  private[queries] val bpeTrainActions =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // Managed per-dir artifact (the q63-fixpoint / q24-layout pattern):
+  // the trained merge list. Train ONCE per corpus snapshot; q244 (the
+  // training report) and q277 (apply) both consume it — neither pays
+  // training actions on a warm dir.
+  @transient private var cachedBpeMerges:
+      Option[(String, Seq[(Long, String, Long, Long, Double)])] = None
+
+  /** Trains [[BpeTrainRounds]] merges over the cached vocab relation
+    * and memoizes the result per dir: each round is one pair-count
+    * aggregate over the vocab-bounded relation, a ONE-ROW argmax
+    * collect, a literal scan-local rewrite, and a token-total fold
+    * (so q244's report costs nothing extra on consumption). Rows are
+    * (rank, pair, pair_count, tokens_after, compression).
+    *
+    * Scale note: driver round-trips scale with MERGE COUNT — one
+    * argmax action per merge is the known limiting constant of
+    * distributed BPE training (a production 30k-merge vocabulary is
+    * 30k sequential one-row actions; the per-round relation stays
+    * vocab-bounded throughout, so the cost is latency, not data). The
+    * artifact memo means that constant is paid once per corpus
+    * snapshot, not once per consuming query. */
+  private[queries] def bpeMerges(
+      s: SparkSession, dir: String): Seq[(Long, String, Long, Long, Double)] =
+    synchronized {
+      cachedBpeMerges match {
+        case Some((d, m)) if d == dir => m
+        case _ =>
+          def tokensOf(v: DataFrame): Long = {
+            bpeTrainActions.incrementAndGet()
+            v.agg(sum(col("cnt") * size(split(col("sym"), " "))).cast("long"))
+              .head().getLong(0)
+          }
+          var vocab = bpeVocab(s, dir)
+          val tokens0 = tokensOf(vocab)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Long, Double)]
+          for (r <- 1 to BpeTrainRounds) {
+            bpeTrainActions.incrementAndGet()
+            val top = vocab
+              .withColumn("a", split(col("sym"), " "))
+              .filter(size(col("a")) >= 2)
+              .select(explode(expr(
+                """transform(sequence(1, size(a) - 1), i ->
+                  |  concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
+                  .stripMargin)).as("pair"), col("cnt"))
+              .groupBy("pair").agg(sum("cnt").as("pc"))
+              .orderBy(col("pc").desc, col("pair"))
+              .limit(1).head()
+            val pair = top.getString(0)
+            val pc = top.getLong(1)
+            val merged = pair.replace(" ", "")
+            // literal-safe via lit(): the pair travels as a Column
+            // value, never through SQL-string interpolation
+            def pass(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+              replace(c, lit(s" $pair "), lit(s" $merged "))
+            vocab = vocab.withColumn("sym",
+              trim(pass(pass(concat(lit(" "), col("sym"), lit(" "))))))
+            val toks = tokensOf(vocab)
+            out += ((r.toLong, pair, pc, toks,
+              toks.toDouble / tokens0.toDouble))
+          }
+          val result = out.toSeq
+          cachedBpeMerges = Some((dir, result))
+          result
+      }
+    }
+
   def q244BpeTrainer(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def tokensOf(v: DataFrame): Long =
-      v.agg(sum(col("cnt") * size(split(col("sym"), " "))).cast("long"))
-        .head().getLong(0)
-    var vocab = bpeVocab(s, dir)
-    val tokens0 = tokensOf(vocab)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, Long, Long, Double)]
-    for (r <- 1 to BpeTrainRounds) {
-      val top = vocab
-        .withColumn("a", split(col("sym"), " "))
-        .filter(size(col("a")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(a) - 1), i ->
-            |  concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
-            .stripMargin)).as("pair"), col("cnt"))
-        .groupBy("pair").agg(sum("cnt").as("pc"))
-        .orderBy(col("pc").desc, col("pair"))
-        .limit(1).head()
-      val pair = top.getString(0)
-      val pc = top.getLong(1)
-      val merged = pair.replace(" ", "")
-      // literal-safe via lit(): the pair travels as a Column value,
-      // never through SQL-string interpolation
-      def pass(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        replace(c, lit(s" $pair "), lit(s" $merged "))
-      vocab = vocab.withColumn("sym",
-        trim(pass(pass(concat(lit(" "), col("sym"), lit(" "))))))
-      val toks = tokensOf(vocab)
-      out += ((r.toLong, pair, pc, toks, toks.toDouble / tokens0.toDouble))
-    }
-    out.toSeq
+    bpeMerges(s, dir)
       .toDF("rank", "pair", "pair_count", "tokens_after", "compression")
       .orderBy("rank")
   }
@@ -1032,10 +1075,10 @@ object TextAnalysis {
 
   // ---------------------------------------------- q277 BPE apply
   /** BPE APPLY with the LEARNED vocabulary — the operator an actual
-    * pipeline runs (train once, tokenize everywhere): re-derives
-    * q244's [[BpeTrainRounds]] merges from the cached vocab relation
-    * (6 one-row argmax collects — the trained artifact is a 6-entry
-    * merge list, broadcast by value inside literal `replace`
+    * pipeline runs (train once, tokenize everywhere): consumes the
+    * MANAGED PER-DIR MERGE ARTIFACT ([[bpeMerges]] — trained once per
+    * corpus snapshot, shared with q244; the trained artifact is a
+    * 6-entry merge list, broadcast by value inside literal `replace`
     * expressions), then tokenizes the corpus per SOURCE with those
     * merges applied in training order under q244's exact
     * ' x y ' → ' xy ' double-replace convention, reporting per-source
@@ -1056,30 +1099,11 @@ object TextAnalysis {
     * q244 round-6 tokens_after (same corpus, same convention) —
     * pinned in spec. */
   def q277BpeApply(s: SparkSession, dir: String): DataFrame = {
-    // learn: q244's loop, merges only (vocab relation shared via the
-    // same managed cache — training and applying in one session pay
-    // the corpus scan once)
-    var vocab = bpeVocab(s, dir)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (_ <- 1 to BpeTrainRounds) {
-      val top = vocab
-        .withColumn("a", split(col("sym"), " "))
-        .filter(size(col("a")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(a) - 1), i ->
-            |  concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
-            .stripMargin)).as("pair"), col("cnt"))
-        .groupBy("pair").agg(sum("cnt").as("pc"))
-        .orderBy(col("pc").desc, col("pair"))
-        .limit(1).head()
-      val pair = top.getString(0)
-      merges += pair
-      val merged = pair.replace(" ", "")
-      def pass(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        replace(c, lit(s" $pair "), lit(s" $merged "))
-      vocab = vocab.withColumn("sym",
-        trim(pass(pass(concat(lit(" "), col("sym"), lit(" "))))))
-    }
+    // learn: consume the managed per-dir merge artifact ([[bpeMerges]])
+    // — trained once per corpus snapshot (by whichever of q244/q277
+    // runs first); a warm dir performs ZERO training actions here
+    // (pinned in CorpusOpsSpec via bpeTrainActions)
+    val merges = bpeMerges(s, dir).map(_._2)
     // apply: per-source vocab, every learned merge in training order
     // (literal-safe via lit() — merges are corpus text, never SQL)
     val perSrc = docs(s, dir)

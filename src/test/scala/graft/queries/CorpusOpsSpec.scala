@@ -180,6 +180,22 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("BPE merge artifact: warm dir performs zero training actions " +
+      "and serves identical results") {
+    // prime the managed per-dir artifact (either consumer trains it)
+    val first = TextAnalysis.q244BpeTrainer(spark, dir).collect()
+    val before = TextAnalysis.bpeTrainActions.get()
+    // warm-dir consumption: BOTH q244 and q277 must perform zero
+    // training driver actions (no argmax heads, no token-total folds)
+    val again = TextAnalysis.q244BpeTrainer(spark, dir).collect()
+    val apply = TextAnalysis.q277BpeApply(spark, dir).collect()
+    assert(TextAnalysis.bpeTrainActions.get() === before,
+      "warm-dir consumers must not re-train the merge list")
+    // cache-hit equivalence: the served artifact is the trained one
+    assert(again.map(_.toSeq).toSeq === first.map(_.toSeq).toSeq)
+    assert(apply.nonEmpty)
+  }
+
   // ------------------------------------------------------------ q246
   test("q246 packing audit matches a brute in-memory concat-and-chunk") {
     val W = TextAnalysis.PackWindow

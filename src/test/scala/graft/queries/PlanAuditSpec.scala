@@ -216,8 +216,9 @@ class PlanAuditSpec extends SparkSuite {
       // q277's deliberate 4: the (source, word) vocab agg, the
       // per-source rollup, the q51 regex agg, and the tiny
       // source-keyed join (post-agg sides, AQE broadcasts at scale);
-      // the merge DERIVATION runs eagerly against the cached q244
-      // vocab relation and never appears in the report plan
+      // the merge list comes from the managed per-dir bpeMerges
+      // artifact (trained once per corpus snapshot) and never
+      // appears in the report plan
       "q277_bpe_apply" -> 4,
       "q262_daily_acf" -> 14)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
