@@ -350,14 +350,15 @@ object PipelineQueries {
     * at batch/HBaseReader.kt:145-187 gets all of this from the HBase
     * runtime. */
   def q243HfileV3Store(s: SparkSession, dir: String): DataFrame = {
-    // SNAPPY is the production-default table codec — with FAST_DIFF +
-    // a multi-level index this is the exact shape a modern cluster's
-    // store files arrive in (codec framing: Hadoop BlockCompressorStream
-    // over raw snappy blocks, HFileV2Format.hadoopBlockCompress)
+    // ZSTD is the modern-cluster default table codec — with FAST_DIFF
+    // + a multi-level index this is the exact shape a new cluster's
+    // store files arrive in (codec framing: Hadoop BlockCompressorStream,
+    // HFileV2Format.hadoopBlockCompress). SNAPPY (the legacy default)
+    // keeps byte-parity coverage in EnvelopeStoreSpec's codec sweep.
     val snap = graft.sources.HFileFixture.snapshotDir(
       N, versions = 5, regions = 4, gens = 2,
       shape = graft.sources.HFileShape(
-        codec = graft.sources.HFileV2Format.CodecSnappy, blockEntries = 64,
+        codec = graft.sources.HFileV2Format.CodecZstd, blockEntries = 64,
         encoding = graft.sources.HFileV2Format.EncodingFastDiff,
         majorVersion = 3, includesMvcc = true, maxIndexEntriesPerBlock = 8))
     val raw = s.read.format("graft.sources.EnvelopeSource")
@@ -456,7 +457,12 @@ object PipelineQueries {
     * `useBloom = false` control, and both passes agree cell-for-cell.
     * At 100 TB this is the audit shape "recover these N keys from a
     * snapshot of thousands of store files": ~hashCount bloom bits per
-    * non-matching file instead of an index descent + block fetch. */
+    * non-matching file instead of an index descent + block fetch.
+    * A second leg drives the SAME snapshot through the DSv2 planned
+    * scan with a `filter(isin)`: `probe_plan` pins that the row set
+    * pushes down (`ProbedRows: k` in the scan description) and the
+    * plan holds one probe partition per owning slice rather than
+    * full-range slices; `probe_rows` pins the fetched row count. */
   def q278BloomProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val snap = graft.sources.HFileFixture.snapshotDir(
@@ -494,10 +500,32 @@ object PipelineQueries {
         ctl.dataBlocksRead.toLong, parityMiss)
     }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4,
       a._5 + b._5, a._6 + b._6, a._7 + b._7, a._8 + b._8))
+    // DSv2 point-pushdown leg — the SAME snapshot probed through the
+    // PLANNED scan: a `filter(isin)` over the envelope source must
+    // push the row set into the ScanBuilder (the plan carries
+    // `ProbedRows: k`) and plan one probe partition per OWNING slice,
+    // never the 256/width full-range slices — this is the oracle gate
+    // on the q24 no_exchange pattern: if the pushdown regresses to
+    // full slices, `probe_plan` flips false and correctness goes red.
+    val probeRows = present.take(3)
+    val probeDf = s.read.format("graft.sources.EnvelopeSource")
+      .option("store", "hfile").option("path", snap)
+      .option("scanWidth", "8")
+      .load()
+      .filter(col("ts") >= 1000L && col("ts") <= 1002L)
+      .filter(col("hbase_id").isin(probeRows: _*))
+    val probePlan = probeDf.queryExecution.executedPlan.toString
+    val probeParts = probeDf.rdd.getNumPartitions
+    val probeGot = probeDf.collect()
+      .map(r => (r.getAs[Array[Byte]]("hbase_id").toSeq, r.getAs[Long]("ts")))
+    val probePlanOk = probePlan.contains(s"ProbedRows: ${probeRows.size}") &&
+      probeParts <= probeRows.size && probeParts < 256 / 8
     Seq((stats._1, stats._2, stats._3, stats._4,
-      stats._5 > 0L, stats._6 < stats._7, stats._8 == 0L))
+      stats._5 > 0L, stats._6 < stats._7, stats._8 == 0L,
+      probePlanOk, probeGot.length.toLong))
       .toDF("n_found", "n_v0", "n_v1", "n_v2",
-        "bloom_skipped", "blocks_saved", "parity")
+        "bloom_skipped", "blocks_saved", "parity",
+        "probe_plan", "probe_rows")
   }
 
   val q278Sql: String =
@@ -507,7 +535,9 @@ object PipelineQueries {
       |CAST(300 AS BIGINT) AS n_v2,
       |TRUE AS bloom_skipped,
       |TRUE AS blocks_saved,
-      |TRUE AS parity""".stripMargin
+      |TRUE AS parity,
+      |TRUE AS probe_plan,
+      |CAST(3 AS BIGINT) AS probe_rows""".stripMargin
 
   // -------------------- q248 DSv2 micro-batch streaming source
   /** The envelope scan as a REAL DSv2 streaming source — incremental

@@ -72,17 +72,30 @@ object VersionSelect {
 trait EnvelopeStore extends Serializable {
   def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell]
 
+  /** The slice index (of `width`-wide bands) that THIS store's `scan`
+    * reads as owning `row` — slice-band conventions differ by store
+    * ([[FixtureEnvelopeStore]] maps slice i to the SIGNED first-byte
+    * band, the snapshot stores to the UNSIGNED band), so any
+    * row-targeted scan must ask the store, never assume one mapping.
+    * Default = unsigned bands (the [[SortedRunStore]] /
+    * [[HFileSnapshotStore]] layout); wrappers delegate to their inner
+    * store. */
+  def owningSlice(row: Array[Byte], width: Int): Int = (row(0) & 0xff) / width
+
   /** Point lookups for pushed `hbase_id` predicates. The default is
-    * convention-free and always correct — one full-key-space slice
-    * (width 256 covers everything under both the signed and unsigned
-    * slice-band readings) filtered to the probed rows — so every
-    * store honors a pushed point predicate with scan-identical
-    * semantics. Stores with a real GET path override it:
-    * [[HFileSnapshotStore]] answers through its bloom-consulting
-    * [[HFileSnapshotStore.multiGet]]. */
+    * always correct and scans only the width-1 bands that can contain
+    * the probed rows — each row's owning byte-band under THIS store's
+    * own convention ([[owningSlice]]) — filtered to the probed rows,
+    * so every store honors a pushed point predicate with
+    * scan-identical semantics at cost O(Σ owning-band sizes), never a
+    * full-key-space pass per probe partition. Stores with a real GET
+    * path override it: [[HFileSnapshotStore]] answers through its
+    * bloom-consulting [[HFileSnapshotStore.multiGet]]. */
   def get(rows: Seq[Array[Byte]], ts: TsRange): Iterator[EnvelopeCell] = {
     val want = rows.map(_.toSeq).toSet
-    scan(KeySlice(0, 256), ts).filter(c => want.contains(c.hbaseId.toSeq))
+    val bands = rows.map(r => owningSlice(r, 1)).distinct.sorted
+    bands.iterator.flatMap(b => scan(KeySlice(b, 1), ts))
+      .filter(c => want.contains(c.hbaseId.toSeq))
   }
 }
 
@@ -94,6 +107,13 @@ trait EnvelopeStore extends Serializable {
   * `Option` per key is the only cost of the seam. */
 final case class FixtureEnvelopeStore(n: Long, corrupt: Boolean,
     tsSpread: Long, versions: Int) extends EnvelopeStore {
+
+  /** The fixture's bands are SIGNED first-byte ranges ([[KeySlice]]'s
+    * startByte/stopByte reading, routed through [[SliceIndex]]'s
+    * `(signedByte + 128) / width` mapping) — the inverse mapping for a
+    * raw row byte is offset-128, NOT the unsigned default. */
+  override def owningSlice(row: Array[Byte], width: Int): Int =
+    ((row(0) + 128) & 0xff) / width
 
   override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] = {
     val ks = Fixture.keyService
@@ -129,6 +149,12 @@ final case class FixtureEnvelopeStore(n: Long, corrupt: Boolean,
   * TaskContext) are never failed. */
 final case class FlakyEnvelopeStore(inner: EnvelopeStore, failAfter: Int)
     extends EnvelopeStore {
+  // band convention is the INNER store's — the default get's banded
+  // fallback routes through this, so the wrapper must not reintroduce
+  // the unsigned default over a signed-band inner store
+  override def owningSlice(row: Array[Byte], width: Int): Int =
+    inner.owningSlice(row, width)
+
   override def scan(slice: KeySlice, ts: TsRange): Iterator[EnvelopeCell] = {
     val it = inner.scan(slice, ts)
     val sliceDesc = slice.toString

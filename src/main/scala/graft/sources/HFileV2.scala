@@ -932,7 +932,12 @@ object HFileV2Format {
   }
 
   def bloomHashCount(byteSize: Int, maxKeys: Int): Int =
-    math.ceil(math.log(2) * (byteSize.toLong << 3).toDouble / maxKeys)
+    // BloomFilterUtil.optimalFunctionCount FLOORS the bits-per-key
+    // term (integer division) before the ln(2) scale — match it so a
+    // bloom this writer emits carries the same hashCount as a
+    // cluster-written file of identical geometry (reads are immune
+    // either way: hashCount travels in the meta block)
+    math.ceil(math.log(2) * ((byteSize.toLong << 3) / maxKeys))
       .toInt.max(1)
 
   /** Double hashing over the chunk's bit array — BloomFilterUtil's
@@ -1065,6 +1070,20 @@ object HFileV2Format {
         // trailer, keeping the general (ROW) bloom if present. Bloom
         // parse failure only disables the probe fast path; scans never
         // consult it.
+        //
+        // The delete-family bloom (DFBLMET2) is accepted ONLY so the
+        // walk can STEP OVER it in cluster-written files (HBase writes
+        // it after the general meta; a general-bloom NONE file can
+        // carry one alone) — it is never parsed or consulted, and
+        // deliberately so: THIS writer keys EVERY cell's row into the
+        // general ROW bloom, delete markers included, so a
+        // general-bloom miss already proves the file holds neither
+        // cells nor markers for the row. A DF bloom can never skip a
+        // file the general bloom admits (any file it would clear still
+        // needs its descent for the row's puts), so consulting it
+        // would read a meta block per file for zero saved blocks on
+        // this layout. HBase needs it because ITS general bloom is a
+        // ROWCOL option that delete-family markers bypass.
         val bloom =
           try {
             val trailerStart = raf.length() -
@@ -1812,7 +1831,15 @@ final case class HFileSnapshotStore(dir: String,
     * descents per probe and O(matching files): a selective audit
     * (recover N keys from a snapshot of thousands of store files)
     * reads ~hashCount bits per non-matching file instead of a block.
-    */
+    *
+    * Memory contract: the per-call block caches are LRU-BOUNDED —
+    * at most [[HFileSnapshotStore.ProbeBlockCacheCap]] decoded data
+    * blocks and [[HFileSnapshotStore.ProbeBloomCacheCap]] bloom chunk
+    * bit arrays resident at once — so a probe batch of any row count
+    * over any snapshot width runs in O(cap × blockSize) memory, not
+    * O(touched blocks). Sorted probe batches (the DSv2 probe plan
+    * sorts rows) keep their block reuse: adjacent rows hit adjacent
+    * blocks well inside the cap. */
   def multiGet(rows: Seq[Array[Byte]], ts: TsRange,
       useBloom: Boolean = true): HFileProbeReport = {
     import scala.jdk.CollectionConverters._
@@ -1827,8 +1854,15 @@ final case class HFileSnapshotStore(dir: String,
     var bloomChunksRead = 0
     var bloomErrors = 0
     var dataBlocksRead = 0
-    val bloomBitsCache = mutable.Map.empty[(String, Int), Array[Byte]]
-    val blockCache = mutable.Map.empty[(String, Long), Array[HFileEntry]]
+    def lru[K, V](cap: Int): java.util.LinkedHashMap[K, V] =
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size > cap
+      }
+    val bloomBitsCache =
+      lru[(String, Int), Array[Byte]](HFileSnapshotStore.ProbeBloomCacheCap)
+    val blockCache = lru[(String, Long), Array[HFileEntry]](
+      HFileSnapshotStore.ProbeBlockCacheCap)
     val rafs = mutable.Map.empty[String, RandomAccessFile]
     def rafFor(p: String): RandomAccessFile =
       rafs.getOrElseUpdate(p, new RandomAccessFile(p, "r"))
@@ -1844,7 +1878,8 @@ final case class HFileSnapshotStore(dir: String,
         val entry = cursor.next(raf)
         if (entry == null) done = true
         else {
-          val cells = blockCache.getOrElseUpdate((p, entry.offset), {
+          var cells = blockCache.get((p, entry.offset))
+          if (cells == null) {
             dataBlocksRead += 1
             val (magic, payload, _) = readBlockOneOf(raf, entry.offset,
               Seq(DataMagic, EncodedDataMagic), meta.trailer.compressionCodec)
@@ -1856,8 +1891,9 @@ final case class HFileSnapshotStore(dir: String,
                 typeOf(k), qualifierOf(k))
               k = dec.nextKey()
             }
-            buf.toArray
-          })
+            cells = buf.toArray
+            blockCache.put((p, entry.offset), cells)
+          }
           var sawBeyond = false
           cells.foreach { e =>
             val c = java.util.Arrays.compareUnsigned(e.key, row)
@@ -1904,11 +1940,13 @@ final case class HFileSnapshotStore(dir: String,
                   // failure here) must degrade to the full index
                   // descent, never fail a probe the data could answer
                   try {
-                    val bits = bloomBitsCache.getOrElseUpdate((p, chunk), {
+                    var bits = bloomBitsCache.get((p, chunk))
+                    if (bits == null) {
                       bloomChunksRead += 1
-                      readBlock(rafFor(p), b.index(chunk).offset,
+                      bits = readBlock(rafFor(p), b.index(chunk).offset,
                         BloomChunkMagic, meta.trailer.compressionCodec)._1
-                    })
+                      bloomBitsCache.put((p, chunk), bits)
+                    }
                     bloomContains(bits, row, b.hashCount)
                   } catch {
                     case _: IOException => bloomErrors += 1; true
@@ -1945,6 +1983,14 @@ final case class HFileProbeReport(found: Seq[EnvelopeCell], rowsProbed: Int,
 
 object HFileSnapshotStore {
   import HFileV2Format._
+
+  /** LRU caps of [[HFileSnapshotStore.multiGet]]'s per-call caches —
+    * the probe path's memory contract: at most this many decoded data
+    * blocks / bloom chunk bit arrays resident, regardless of probe
+    * batch size or snapshot width (evicted blocks re-read and re-count
+    * in `dataBlocksRead` — honest accounting). */
+  val ProbeBlockCacheCap = 64
+  val ProbeBloomCacheCap = 256
 
   /** Tombstone tracker + winner selection over ALL cells of one row
     * (across every generation file): the four delete scopes mask, the

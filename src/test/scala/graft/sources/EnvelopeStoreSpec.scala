@@ -779,6 +779,76 @@ class EnvelopeStoreSpec extends AnyFunSuite {
       s"bloom must save data blocks: ${rep.dataBlocksRead} vs ${noBloom.dataBlocksRead}")
   }
 
+  test("compaction with a bloom shape: compacted output answers point probes with bloom skips") {
+    import HFileV2Format._
+    // bloomless generations in, ONE bloom-carrying file per region out
+    // — q247's compaction composed with q278's probe contract: the
+    // compacted snapshot must bloom-skip absent probes, save data
+    // blocks vs the no-bloom control, and agree cell-for-cell with
+    // both the control and the ORIGINAL (uncompacted) snapshot
+    val dir = Files.createTempDirectory("graft-hfile-compact-bloom")
+    HFileFixture.writeSnapshot(dir, 400L, versions = 5, regions = 4, gens = 2,
+      shape = HFileShape(codec = CodecGz, blockEntries = 16))
+    val out = Files.createTempDirectory("graft-hfile-compact-bloom-out")
+    HFileCompaction.regionFiles(dir.toString).foreach { case (r, fs) =>
+      HFileCompaction.compactRegion(fs, s"$out/$r-g000.hfile",
+        HFileShape(codec = CodecGz, blockEntries = 16, bloomRowsPerChunk = 32))
+    }
+    val store = HFileSnapshotStore(out.toString)
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    val expected = all.map(c => c.hbaseId.toSeq -> (c.ts, c.value)).toMap
+    val present = all.map(_.hbaseId).take(30)
+    val absent = all.map(_.hbaseId).drop(200).take(30).map { r =>
+      val x = r.clone(); x(x.length - 1) = (x(x.length - 1) ^ 0x5a).toByte; x
+    }.filterNot(r => expected.contains(r.toSeq))
+    assert(absent.nonEmpty)
+    val rep = store.multiGet(present ++ absent, TsRange.All)
+    assert(rep.found.size === present.size)
+    rep.found.foreach(c =>
+      assert(expected(c.hbaseId.toSeq) === ((c.ts, c.value))))
+    assert(rep.bloomSkips > 0, "compacted bloom must skip files for absent rows")
+    assert(rep.bloomChunksRead > 0)
+    val noBloom = store.multiGet(present ++ absent, TsRange.All,
+      useBloom = false)
+    assert(noBloom.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)) ===
+      rep.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)))
+    assert(rep.dataBlocksRead < noBloom.dataBlocksRead,
+      s"blocks saved on the compacted file: ${rep.dataBlocksRead} vs " +
+        s"${noBloom.dataBlocksRead}")
+    val orig = HFileSnapshotStore(dir.toString)
+      .multiGet(present ++ absent, TsRange.All)
+    assert(rep.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)) ===
+      orig.found.map(c => (c.hbaseId.toSeq, c.ts, c.value)),
+      "compaction must be invisible to the probe path")
+  }
+
+  test("default get scans only the owning bands under each store's own slice convention") {
+    // the trait fallback routes through owningSlice — per-store band
+    // conventions (fixture SIGNED, snapshot stores UNSIGNED) must not
+    // leak: rows on both sides of the signed-byte boundary probe
+    // correctly, and absent rows yield nothing
+    val store = FixtureEnvelopeStore(512L, corrupt = false,
+      tsSpread = 0L, versions = 1)
+    val all = (0 until 256 / 8).flatMap(i =>
+      store.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    assert(all.size === 512)
+    // sample across the full unsigned first-byte range so both signed
+    // halves ([0x00,0x7f] and [0x80,0xff]) are probed
+    val sorted = all.sortBy(c => (c.hbaseId(0) & 0xff, c.hbaseId.toSeq.mkString(",")))
+    val rows = (0 until 16).map(i => sorted(i * sorted.size / 16))
+    assert(rows.exists(_.hbaseId(0) < 0) && rows.exists(_.hbaseId(0) >= 0),
+      "probe set must straddle the signed-byte boundary")
+    val absent = rows.map { c =>
+      val x = c.hbaseId.clone(); x(x.length - 1) = (x(x.length - 1) ^ 0x5a).toByte; x
+    }
+    val got = store.get(rows.map(_.hbaseId) ++ absent, TsRange.All).toSeq
+      .map(c => (c.hbaseId.toSeq, c.ts, c.value)).sortBy(_._1.mkString(","))
+    val want = rows.map(c => (c.hbaseId.toSeq, c.ts, c.value))
+      .sortBy(_._1.mkString(","))
+    assert(got === want)
+  }
+
   test("row bloom: a ts-pushed probe matches the scan's version winner") {
     import HFileV2Format._
     val dir = Files.createTempDirectory("graft-hfile-bloom-ts")
