@@ -119,3 +119,47 @@ object PlanMemo {
       : Map[String, (SparkSession, String) => DataFrame] =
     qs.map { case (n, fn) => n -> cached(n, fn) }
 }
+
+/** Prepared single-leaf transform — the [[PlanMemo]] contract applied
+  * to a `foreachBatch` sink: `build` (a pure DataFrame-API pipeline)
+  * is constructed and ANALYZED exactly once, over a placeholder
+  * relation of `schema`; [[PreparedTransform.lift]] then serves each
+  * micro-batch by splicing the batch's own analyzed plan in for the
+  * placeholder, with outputs aligned positionally through
+  * exprId-pinned aliases. The served DataFrame is a fresh Dataset
+  * over the swapped analyzed tree — optimization, physical planning,
+  * and every job run anew per call, so each batch still executes the
+  * full pipeline over ITS data; only the per-batch DataFrame-API
+  * construction (one eager analyzer pass per chained transformation,
+  * the dominant fixed cost of a small micro-batch) is skipped.
+  * Nothing result-shaped is reused: the leaf IS the new batch.
+  */
+final class PreparedTransform(s: SparkSession,
+    schema: org.apache.spark.sql.types.StructType,
+    build: DataFrame => DataFrame) extends Serializable {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+
+  @transient private val placeholder = LocalRelation(
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+  @transient private val template =
+    build(PlanBridge.ofRows(s, placeholder)).queryExecution.analyzed
+
+  def lift(batch: DataFrame): DataFrame = {
+    val leaf = batch.queryExecution.analyzed
+    require(leaf.output.size == placeholder.output.size &&
+      leaf.output.zip(placeholder.output).forall { case (a, t) =>
+        a.dataType == t.dataType },
+      s"batch schema ${leaf.schema.simpleString} does not conform to " +
+        s"the prepared ${schema.simpleString}")
+    val aligned = Project(leaf.output.zip(placeholder.output).map {
+      case (a, t) => Alias(a, t.name)(exprId = t.exprId) }, leaf)
+    var swapped = false
+    val spliced = template.transformUp {
+      case lr: LocalRelation if lr eq placeholder => swapped = true; aligned
+    }
+    // a silent non-swap would serve the EMPTY placeholder — fail loud
+    require(swapped, "prepared template lost its placeholder leaf")
+    PlanBridge.ofRows(s, spliced)
+  }
+}

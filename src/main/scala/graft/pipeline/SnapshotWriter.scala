@@ -152,21 +152,32 @@ object SnapshotWriter {
     * returning accounting as a `WriterCommitMessage`; the driver's
     * `commit()` publishes every staged file (abort discards), so a
     * partially-failed job never leaves a partial snapshot visible. */
-  def write(records: DataFrame, cfg: Config, keys: KeyService): Dataset[FileAccounting] = {
+  def write(records: DataFrame, cfg: Config, keys: KeyService): Dataset[FileAccounting] =
+    writeShaped(shaped(records, cfg), cfg, keys)
+
+  /** The sink-input projection of [[write]], exposed so prepared-plan
+    * callers ([[graft.core.PreparedTransform]] sinks) can analyze it
+    * once: record relation → (slice, doc, m_*) clustered shape.
+    * Depends on `cfg` only through `scanWidth`, so one shaped plan
+    * serves every batch-scoped output directory. */
+  def shaped(records: DataFrame, cfg: Config): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
-
-    val dek = keys.batchDataKey()
-
     // signed first key byte → slice index, columnar:
     // u (0..255) → ((u + 128) % 256) / width == (signedByte + 128) / width
-    val ds = records
+    records
       .withColumn("slice",
         (pmod(conv(hex(expr("substring(hbase_id, 1, 1)")), 16, 10)
           .cast("int") + 128, lit(256)) / cfg.scanWidth).cast("int"))
       .select($"slice", $"doc", $"m_id", $"m_ts", $"m_db", $"m_collection",
         $"m_source", $"m_outer", $"m_inner", $"m_original_id")
+  }
 
+  /** Writes an already-[[shaped]] relation through the DSv2 sink. */
+  def writeShaped(ds: DataFrame, cfg: Config, keys: KeyService): Dataset[FileAccounting] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val dek = keys.batchDataKey()
     val writeId = java.util.UUID.randomUUID().toString
     graft.sources.SnapshotSink.register(writeId, cfg, dek)
     try {

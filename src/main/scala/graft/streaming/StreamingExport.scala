@@ -28,10 +28,21 @@ object StreamingExport {
   final case class BatchResult(batchId: Long,
       files: Seq[SnapshotWriter.FileAccounting])
 
-  /** Starts the sink over a streaming record relation (the
-    * [[graft.pipeline.ExportPipeline.records]] shape, hbase_id + doc +
-    * m_* columns). `onBatch` receives each micro-batch's per-file
-    * accounting after its write lands.
+  /** Starts the sink over a streaming relation. With `mapBatch = None`
+    * the stream must already carry the record shape (the
+    * [[graft.pipeline.ExportPipeline.records]] columns, hbase_id +
+    * doc + m_*). With `mapBatch = Some(f)` the stream carries the RAW
+    * relation and `f` lifts each micro-batch all the way to the
+    * SINK-INPUT shape ([[SnapshotWriter.shaped]]) INSIDE the sink
+    * query — the foreachBatch idiom for a heavy transform: the
+    * engine's incremental plan stays leaf-thin (it plans only the
+    * source), and the transform + shuffle + write optimize and
+    * execute as ONE query per batch, so the heavy tree is planned
+    * exactly once per batch instead of once by the engine and again
+    * by the sink. Pair `f` with a [[graft.core.PreparedTransform]] to
+    * also skip the per-batch construction/analysis cost. `onBatch`
+    * receives each micro-batch's per-file accounting after its write
+    * lands.
     *
     * `checkpointDir`: offset/commit logs land here; when None Spark
     * allocates a temp dir under java.io.tmpdir. Replay-style callers
@@ -42,7 +53,8 @@ object StreamingExport {
   def start(records: DataFrame, cfg: SnapshotWriter.Config, keys: KeyService,
       queryName: String, onBatch: BatchResult => Unit = _ => (),
       checkpointDir: Option[String] = None,
-      writeConfs: Seq[(String, String)] = Nil): StreamingQuery = {
+      writeConfs: Seq[(String, String)] = Nil,
+      mapBatch: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = records.writeStream
       .outputMode("append")
       .queryName(queryName)
@@ -50,19 +62,33 @@ object StreamingExport {
         val batchCfg = cfg.copy(
           outputDir = s"${cfg.outputDir}/batch=$batchId",
           manifestDir = s"${cfg.manifestDir}/batch=$batchId")
-        // Stage the micro-batch through the ENGINE's already-planned
-        // incremental execution (localCheckpoint runs that plan once,
-        // lineage-truncated), so the writer's own query plans a leaf
-        // scan instead of re-optimizing the whole pipeline tree a
-        // second time per batch. Storage is freed right after the
-        // write commits. writeConfs scope SQL confs to the inner
-        // write only (safe sequentially: the callback runs on the
-        // stream execution thread after planning).
-        val staged = batch.localCheckpoint()
-        val accounting = try graft.core.Sessions.withConfs(
-          batch.sparkSession, writeConfs: _*) {
-          SnapshotWriter.write(staged, batchCfg, keys).collect().toSeq
-        } finally graft.core.Sessions.unpin(staged)
+        // writeConfs scope SQL confs to the inner write only (safe
+        // sequentially: the callback runs on the stream execution
+        // thread after planning).
+        val accounting = mapBatch match {
+          case Some(f) =>
+            // raw-relation mode: the transform lives in the sink
+            // query — no staging needed, the batch is a leaf already,
+            // and f's output is sink-shaped so the write adds no
+            // further plan construction
+            graft.core.Sessions.withConfs(
+              batch.sparkSession, writeConfs: _*) {
+              SnapshotWriter.writeShaped(f(batch.toDF()), batchCfg, keys)
+                .collect().toSeq
+            }
+          case None =>
+            // record-relation mode: stage the micro-batch through the
+            // ENGINE's already-planned incremental execution
+            // (localCheckpoint runs that plan once, lineage-truncated),
+            // so the writer's own query plans a leaf scan instead of
+            // re-optimizing the whole pipeline tree a second time per
+            // batch. Storage is freed right after the write commits.
+            val staged = batch.localCheckpoint()
+            try graft.core.Sessions.withConfs(
+              batch.sparkSession, writeConfs: _*) {
+              SnapshotWriter.write(staged, batchCfg, keys).collect().toSeq
+            } finally graft.core.Sessions.unpin(staged)
+        }
         onBatch(BatchResult(batchId, accounting))
       }
     checkpointDir.foreach(w.option("checkpointLocation", _))

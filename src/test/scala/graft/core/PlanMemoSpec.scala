@@ -113,6 +113,29 @@ class PlanMemoSpec extends SparkSuite {
     }
   }
 
+  test("PreparedTransform: builds once, each lift executes the batch's own data") {
+    import spark.implicits._
+    var builds = 0
+    val prepared = new PreparedTransform(spark,
+      Seq((0L, "x")).toDF("k", "v").schema,
+      b => { builds += 1; b.groupBy($"v").count() })
+    assert(builds === 1, "template is built at construction")
+    // two different batches: each lift must compute over ITS leaf —
+    // nothing result-shaped can leak across lifts
+    val b1 = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "v")
+    val b2 = Seq((4L, "c"), (5L, "c"), (6L, "c"), (7L, "d")).toDF("k", "v")
+    val r1 = prepared.lift(b1).collect().map(r =>
+      (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val r2 = prepared.lift(b2).collect().map(r =>
+      (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(builds === 1, "lift must not reconstruct the pipeline")
+    assert(r1 === Seq(("a", 2L), ("b", 1L)))
+    assert(r2 === Seq(("c", 3L), ("d", 1L)))
+    // a schema-incompatible batch fails loud, never mis-splices
+    val bad = Seq(("x", 1L)).toDF("k", "v") // columns transposed
+    intercept[IllegalArgumentException](prepared.lift(bad))
+  }
+
   test("wrapped real queries agree between miss and hit paths") {
     // Drive a slice of the production surface twice through
     // SparkEntry (memo-wrapped) and pin call-1 == call-2 row sets.
