@@ -145,11 +145,32 @@ final class PreparedTransform(s: SparkSession,
   @transient private val template =
     build(PlanBridge.ofRows(s, placeholder)).queryExecution.analyzed
 
+  // Single-reference contract, enforced at construction: a build that
+  // references its input MORE than once (self-join, self-union) is
+  // rejected — analysis deduplicates the second occurrence into a
+  // COPY of the placeholder with fresh exprIds, the eq-based splice
+  // would swap only the original, and the copied branch would compute
+  // over the EMPTY placeholder (silent row loss). One same-schema
+  // LocalRelation leaf, and it must BE the placeholder instance.
+  {
+    val sameSchemaLeaves = template.collect {
+      case lr: LocalRelation if lr.schema == placeholder.schema => lr
+    }
+    require(sameSchemaLeaves.size == 1 &&
+      (sameSchemaLeaves.head eq placeholder),
+      "PreparedTransform build must reference its input DataFrame " +
+        s"exactly once (found ${sameSchemaLeaves.size} same-schema " +
+        "leaves); a multi-reference pipeline cannot be leaf-spliced")
+  }
+
   def lift(batch: DataFrame): DataFrame = {
     val leaf = batch.queryExecution.analyzed
     require(leaf.output.size == placeholder.output.size &&
       leaf.output.zip(placeholder.output).forall { case (a, t) =>
-        a.dataType == t.dataType },
+        // nullability narrows only: a nullable batch column under a
+        // non-nullable template attribute would let the optimizer
+        // fold null checks on data that CAN be null
+        a.dataType == t.dataType && (t.nullable || !a.nullable) },
       s"batch schema ${leaf.schema.simpleString} does not conform to " +
         s"the prepared ${schema.simpleString}")
     val aligned = Project(leaf.output.zip(placeholder.output).map {

@@ -132,12 +132,16 @@ private[sources] class EnvelopeScanBuilder(n: Long, scanWidth: Int,
     // (bloom-consulting multiGet on the HFile store) — batch scans
     // only; the micro-batch stream plans its own slice partitions and
     // must leave row predicates to Spark's post-scan filter
+    // zero-length keys are dropped from the probe set at pushdown: no
+    // store holds an empty row key (the HBase contract), so they match
+    // nothing — and they carry no first byte for a slice/band to own
     def rowsOf(f: Filter): Option[Set[Seq[Byte]]] = f match {
       case EqualTo("hbase_id", v: Array[Byte]) if tsSteps.isEmpty =>
-        Some(Set(v.toSeq))
+        Some(Set(v.toSeq).filter(_.nonEmpty))
       case In("hbase_id", vs) if tsSteps.isEmpty &&
           vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
-        Some(vs.map(_.asInstanceOf[Array[Byte]].toSeq).toSet)
+        Some(vs.map(_.asInstanceOf[Array[Byte]].toSeq).toSet
+          .filter(_.nonEmpty))
       case _ => None
     }
     val (accepted, rejected) = filters.partition {

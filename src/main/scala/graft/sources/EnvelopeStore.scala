@@ -92,8 +92,12 @@ trait EnvelopeStore extends Serializable {
     * path override it: [[HFileSnapshotStore]] answers through its
     * bloom-consulting [[HFileSnapshotStore.multiGet]]. */
   def get(rows: Seq[Array[Byte]], ts: TsRange): Iterator[EnvelopeCell] = {
-    val want = rows.map(_.toSeq).toSet
-    val bands = rows.map(r => owningSlice(r, 1)).distinct.sorted
+    // zero-length keys match nothing and own no band — drop them
+    // (the pushdown already filters them; this keeps direct callers
+    // safe too)
+    val probed = rows.filter(_.nonEmpty)
+    val want = probed.map(_.toSeq).toSet
+    val bands = probed.map(r => owningSlice(r, 1)).distinct.sorted
     bands.iterator.flatMap(b => scan(KeySlice(b, 1), ts))
       .filter(c => want.contains(c.hbaseId.toSeq))
   }

@@ -99,6 +99,64 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("mapBatch mode (prepared sink-side pipeline) writes exactly what " +
+      "record mode writes") {
+    // the two StreamingExport modes must be observably equivalent:
+    // record mode (engine-planned pipeline, staged write) and mapBatch
+    // mode (raw stream, prepared transform fused into the sink query)
+    // export the same corpus to the same files
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    import graft.streaming.StreamingExport
+
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    val batches = Seq(0L until 150L, 150L until 300L)
+      .map(_.map(i => Fixture.cell(i, dek, encKey, corrupt = false)))
+
+    def export(useMapBatch: Boolean): Map[String, Int] = {
+      val outDir = java.nio.file.Files.createTempDirectory("graft-mb-out")
+      val manDir = java.nio.file.Files.createTempDirectory("graft-mb-man")
+      val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+        Fixture.Topic, maxBatchBytes = 5000, compression = "gz")
+      val results =
+        new scala.collection.mutable.ListBuffer[StreamingExport.BatchResult]
+      val stream = MemoryStream[Fixture.RawCell]
+      val query =
+        if (useMapBatch) {
+          val prepared = new graft.core.PreparedTransform(spark,
+            stream.toDF().schema,
+            b => SnapshotWriter.shaped(ExportPipeline.records(
+              ExportPipeline.run(b, Fixture.Topic, ks)), cfg))
+          StreamingExport.start(stream.toDF(), cfg, ks, "graft_mb_sink",
+            r => results.synchronized { results += r },
+            mapBatch = Some(prepared.lift))
+        } else {
+          val records = ExportPipeline.records(
+            ExportPipeline.run(stream.toDF(), Fixture.Topic, ks))
+          StreamingExport.start(records, cfg, ks, "graft_rec_sink",
+            r => results.synchronized { results += r })
+        }
+      try {
+        batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+        val snap = results.synchronized(results.toList)
+        assert(snap.map(_.batchId).distinct.size == 2)
+        // decrypted doc multiset across every written file
+        snap.flatMap(b => b.files.flatMap(fa => SnapshotWriter.readBack(
+            s"${outDir.toString}/batch=${b.batchId}", fa.file, "gz", ks)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+      } finally query.stop()
+    }
+
+    val viaRecords = export(useMapBatch = false)
+    val viaMapBatch = export(useMapBatch = true)
+    assert(viaMapBatch.values.sum == 300)
+    assert(viaMapBatch === viaRecords,
+      "mapBatch mode must export the identical document multiset")
+  }
+
   test("typed skips flow as a streaming aggregation (complete mode)") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx

@@ -73,6 +73,11 @@ class EnvelopeSourceSpec extends SparkSuite {
     val none = df.filter(col("hbase_id") === lit(ids(0)) &&
       col("hbase_id") === lit(ids(1)))
     assert(none.count() === 0)
+    // a zero-length probe key matches nothing (no store holds an empty
+    // row key) and must not crash band/slice planning
+    assert(df.filter(col("hbase_id") === lit(Array.empty[Byte])).count() === 0)
+    assert(df.filter(col("hbase_id")
+      .isin(Seq(ids(0), Array.empty[Byte]): _*)).count() === 1)
     // conjunction with a ts predicate: both push, winner re-selects
     val ranged = df.filter(col("hbase_id") === lit(ids(4)) && col("ts") <= 1000L)
     val rangedPlan = ranged.queryExecution.executedPlan.toString
