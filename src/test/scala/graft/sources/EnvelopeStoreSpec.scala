@@ -733,6 +733,36 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     assert(m.index(0).firstKey.toSeq === Seq[Byte](1, 2))
   }
 
+  test("bloomHashCount uses BloomFilterUtil's integer division") {
+    import HFileV2Format._
+    // geometry where the formulas diverge: 13 bytes = 104 bits over 14
+    // keys -> bits-per-key floors to 7 (ceil(7*ln2) = 5), while the
+    // floating form 104/14 = 7.43 would give ceil(5.15) = 6. A
+    // cluster-written file of this geometry carries k = 5; matching it
+    // keeps writer byte-parity, not just self-consistency.
+    assert(bloomHashCount(13, 14) === 5)
+    // and the common fixture geometry is unchanged by the fix
+    assert(bloomHashCount(bloomByteSize(32, 0.01), 32) === 7)
+  }
+
+  test("default get delegates the band convention through wrappers") {
+    // FlakyEnvelopeStore wraps the SIGNED-band fixture store; the
+    // trait's banded get must route through the INNER store's
+    // owningSlice or rows in the mismatched half-space would vanish.
+    // (Driver-side scan: no TaskContext, so no faults inject.)
+    val inner = FixtureEnvelopeStore(256L, corrupt = false,
+      tsSpread = 0L, versions = 1)
+    val store = FlakyEnvelopeStore(inner, failAfter = 1)
+    val all = (0 until 256 / 8).flatMap(i =>
+      inner.scan(KeySlice(i, 8), TsRange.All).toSeq)
+    val rows = all.filter(_.hbaseId(0) < 0).take(4) ++
+      all.filter(_.hbaseId(0) >= 0).take(4)
+    assert(rows.size === 8)
+    val got = store.get(rows.map(_.hbaseId), TsRange.All).toSeq
+      .map(c => c.hbaseId.toSeq).sortBy(_.mkString(","))
+    assert(got === rows.map(_.hbaseId.toSeq).sortBy(_.mkString(",")))
+  }
+
   test("row bloom: no false negatives, FP rate near the 1% design point") {
     import HFileV2Format._
     val n = 1000
