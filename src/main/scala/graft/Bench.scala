@@ -263,7 +263,12 @@ object Bench {
     // scaling curve vs the secondary sf).
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart,"reps":$reps,"sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    // a BENCH_ONLY-filtered iteration must never clobber the full-board
+    // artifact the round workflow compares against — partial runs go to
+    // a side file unless SPARK_GRAFT_BENCH_OUT overrides explicitly
+    val defaultOut =
+      if (only.isEmpty) "BENCH_LATEST.json" else "BENCH_PARTIAL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Path.of(outFile), full + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
