@@ -136,7 +136,11 @@ object PlanMemo {
   */
 final class PreparedTransform(s: SparkSession,
     schema: org.apache.spark.sql.types.StructType,
-    build: DataFrame => DataFrame) extends Serializable {
+    build: DataFrame => DataFrame) {
+  // Deliberately NOT Serializable: the template and session are
+  // driver-side state, and lift is a driver-side (foreachBatch-style)
+  // operation — shipping an instance into a task closure should fail
+  // at closure cleaning, not NPE on a transient field at run time.
   import org.apache.spark.sql.catalyst.expressions.Alias
   import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
 

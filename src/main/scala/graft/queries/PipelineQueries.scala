@@ -815,7 +815,11 @@ object PipelineQueries {
   // Prepared sink-side pipeline for the streaming arm (see
   // PreparedTransform): analyzed once per session, leaf-swapped per
   // micro-batch. Session-keyed only — the pipeline tree depends on
-  // nothing else (topic and key service are process constants).
+  // nothing else: topic and key service are process constants, and
+  // the captured cfg reaches the template only through
+  // SnapshotWriter.shaped, which reads cfg.scanWidth alone (constant
+  // across invocations; the per-invocation temp dirs ride in the
+  // WRITE config, never in the shaped plan).
   @transient private val q56LiftMemo =
     new java.util.concurrent.atomic.AtomicReference[
       (SparkSession, graft.core.PreparedTransform)](null)
