@@ -944,6 +944,61 @@ class EnvelopeStoreSpec extends AnyFunSuite {
     assert(rep.bloomSkips >= 1, "in-range absent row must bloom-skip")
   }
 
+  test("general ROW bloom subsumes a delete-family bloom: marker-only files " +
+      "bloom-skip for undeleted rows, results identical") {
+    import HFileV2Format._
+    // THE case a delete-family bloom exists for in HBase (whose
+    // general bloom can be ROWCOL, bypassed by DeleteFamily markers):
+    // a probe must decide whether a marker-only file needs the
+    // delete-masking descent. This writer keys EVERY cell's row into
+    // the general ROW bloom — markers included — so the general bloom
+    // already answers it: a row with no marker in the file bloom-skips
+    // the descent entirely, and the no-bloom control reads MORE blocks
+    // for the identical result. That is why DFBLMET2 is stepped over,
+    // never consulted (HFileV2Format.readMeta scaladoc).
+    val dir = Files.createTempDirectory("graft-hfile-dfbloom-subsume")
+    val shape = HFileShape(bloomRowsPerChunk = 8)
+    val rowA = Array[Byte](10, 1)
+    val rowB = Array[Byte](20, 2) // never deleted
+    val rowC = Array[Byte](30, 3)
+    HFileV2Writer.writeCells(dir.resolve("g000.hfile"), Iterator(
+      HFileCell(rowA, 1000L, "a".getBytes),
+      HFileCell(rowB, 1000L, "b".getBytes),
+      HFileCell(rowC, 1000L, "c".getBytes)), shape, seqId = 0L)
+    // marker-ONLY generation whose [firstRow, lastRow] range COVERS
+    // rowB — without a bloom the probe would have to descend it to
+    // look for rowB's delete markers
+    HFileV2Writer.writeCells(dir.resolve("g001.hfile"), Iterator(
+      HFileCell(rowA, 1001L, Array.emptyByteArray, KeyTypeDeleteFamily,
+        EmptyQualifier),
+      HFileCell(rowC, 1001L, Array.emptyByteArray, KeyTypeDeleteFamily,
+        EmptyQualifier)), shape, seqId = 1L)
+    val store = HFileSnapshotStore(dir.toString)
+    // masking parity over all three rows: A and C masked, B survives,
+    // with and without blooms
+    val all = store.multiGet(Seq(rowA, rowB, rowC), TsRange.All)
+    val allCtl = store.multiGet(Seq(rowA, rowB, rowC), TsRange.All,
+      useBloom = false)
+    assert(all.found.map(c => (c.hbaseId.toSeq, c.value)) ===
+      Seq((rowB.toSeq, "b")))
+    assert(allCtl.found.map(c => (c.hbaseId.toSeq, c.value)) ===
+      all.found.map(c => (c.hbaseId.toSeq, c.value)))
+    // block accounting for the undeleted row ALONE (probing the masked
+    // rows first would warm the per-call block cache and hide the
+    // saving — both files are single-block here): the bloom path never
+    // touches the marker-only file, the control descends it
+    val rep = store.multiGet(Seq(rowB), TsRange.All)
+    val ctl = store.multiGet(Seq(rowB), TsRange.All, useBloom = false)
+    assert(rep.found.map(c => (c.hbaseId.toSeq, c.value)) ===
+      Seq((rowB.toSeq, "b")))
+    assert(ctl.found.map(c => (c.hbaseId.toSeq, c.value)) ===
+      rep.found.map(c => (c.hbaseId.toSeq, c.value)))
+    assert(rep.bloomSkips >= 1, "rowB must bloom-skip the marker-only file")
+    assert(rep.dataBlocksRead < ctl.dataBlocksRead,
+      s"bloom must save the masking descent: ${rep.dataBlocksRead} vs " +
+        s"${ctl.dataBlocksRead}")
+  }
+
   test("a corrupt bloom chunk degrades to the full descent, never fails the probe") {
     import HFileV2Format._
     val dir = Files.createTempDirectory("graft-hfile-bloom-corrupt")
