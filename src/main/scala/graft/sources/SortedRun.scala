@@ -228,7 +228,9 @@ final case class SortedRunStore(dir: String,
     * directly. */
   override def get(rows: Seq[Array[Byte]], ts: TsRange): Iterator[EnvelopeCell] = {
     val runs = SortedRunFormat.readManifest(dir).zipWithIndex
-    rows.iterator.flatMap { row =>
+    // zero-length keys match nothing and carry no band byte (the DSv2
+    // pushdown filters them; direct store callers stay safe too)
+    rows.iterator.filter(_.nonEmpty).flatMap { row =>
       val b = row(0) & 0xff
       var bestTs = Long.MinValue
       var bestOrd = -1
