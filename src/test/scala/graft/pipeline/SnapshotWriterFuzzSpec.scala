@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Randomized roll-boundary fuzz over the byte-rolling encrypted sink:
+  * random batch-size thresholds (down to smaller than a single
+  * record, the forced-oversize corner), random compressions, and
+  * random document lengths — for every trial, the DSv2 write's
+  * accounting must tile the input exactly (Σ records, per-file
+  * decrypt+decompress round-trip to the document multiset, manifest
+  * line parity) and the roll contract must hold: a batch exceeds
+  * `maxBatchBytes` only when it holds a single oversized record (the
+  * reference rolls BEFORE adding the record that would overflow,
+  * S3StreamingWriter.kt:78). */
+class SnapshotWriterFuzzSpec extends SparkSuite {
+
+  test("random thresholds, compressions, and doc lengths: accounting tiles the input") {
+    import spark.implicits._
+    val ks = Fixture.keyService
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 6) {
+      val maxBytes = Seq(120, 400, 1500, 6000)(rnd.nextInt(4))
+      val compression = Seq("gz", "bz2", "lz4")(rnd.nextInt(3))
+      val ctx = s"trial $trial max $maxBytes $compression"
+      val n = 40 + rnd.nextInt(120)
+      val recs = (0 until n).map { i =>
+        val docLen = 20 + rnd.nextInt(600)
+        val doc = s"""{"id":"doc-$trial-$i","pad":"${"x" * docLen}"}"""
+        SnapshotWriter.WriteRecord(
+          slice = 0, // overwritten below from hbase_id
+          doc = doc, m_id = s"id-$trial-$i", m_ts = 1000L,
+          m_db = "db", m_collection = "coll", m_source = "EXPORT",
+          m_outer = "O", m_inner = "I", m_original_id = s"id-$trial-$i")
+      }
+      // random signed first byte per record rides in a synthetic
+      // hbase_id so the slice derivation in `shaped` is exercised
+      val withKeys = recs.zipWithIndex.map { case (r, i) =>
+        val b = (rnd.nextInt(256) - 128).toByte
+        (Array(b, i.toByte), r.doc, r.m_id, r.m_ts, r.m_db, r.m_collection,
+          r.m_source, r.m_outer, r.m_inner, r.m_original_id)
+      }
+      val df = withKeys.toDF("hbase_id", "doc", "m_id", "m_ts", "m_db",
+        "m_collection", "m_source", "m_outer", "m_inner", "m_original_id")
+
+      val outDir = Files.createTempDirectory(s"graft-wfuzz-$trial")
+      val manDir = Files.createTempDirectory(s"graft-wfuzz-man-$trial")
+      val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+        Fixture.Topic, maxBatchBytes = maxBytes, compression = compression)
+      val acct = SnapshotWriter.write(df, cfg, ks).collect().toSeq
+
+      assert(acct.map(_.records).sum === n.toLong, ctx)
+      // roll contract: oversize batches only as singletons
+      acct.foreach { fa =>
+        assert(fa.batch_bytes <= maxBytes || fa.records == 1L,
+          s"$ctx ${fa.file}: ${fa.batch_bytes} bytes over $maxBytes " +
+            s"with ${fa.records} records")
+      }
+      // full decrypt+decompress round trip: document multiset equality
+      val back = acct.flatMap(fa =>
+        SnapshotWriter.readBack(outDir.toString, fa.file, compression, ks))
+      assert(back.groupBy(identity).view.mapValues(_.size).toMap ===
+        recs.map(_.doc).groupBy(identity).view.mapValues(_.size).toMap, ctx)
+      // manifest parity per file
+      acct.foreach { fa =>
+        val lines = Files.readString(
+          new java.io.File(manDir.toFile, fa.manifest_file).toPath)
+          .split("\n").count(_.nonEmpty)
+        assert(lines === fa.records, s"$ctx ${fa.manifest_file}")
+      }
+      // slice labels match the signed-band arithmetic of the keys
+      val expectSlices = withKeys.map { case (k, _, _, _, _, _, _, _, _, _) =>
+        ((k(0) + 128) & 0xff) / cfg.scanWidth
+      }.distinct.sorted
+      val gotSlices = acct.map(_.slice).distinct.sorted
+      assert(gotSlices.size === expectSlices.size, ctx)
+    }
+  }
+}
