@@ -155,32 +155,38 @@ final class PreparedTransform(s: SparkSession,
   // COPY of the placeholder with fresh exprIds, the eq-based splice
   // would swap only the original, and the copied branch would compute
   // over the EMPTY placeholder (silent row loss). One same-schema
-  // LocalRelation leaf, and it must BE the placeholder instance.
+  // LocalRelation leaf, it must BE the placeholder instance, and the
+  // walk descends into subquery-expression plans (a reference hidden
+  // in an exists/scalar subquery must not evade the guard).
   {
-    val sameSchemaLeaves = template.collect {
+    val sameSchemaLeaves = template.collectWithSubqueries {
       case lr: LocalRelation if lr.schema == placeholder.schema => lr
     }
     require(sameSchemaLeaves.size == 1 &&
       (sameSchemaLeaves.head eq placeholder),
       "PreparedTransform build must reference its input DataFrame " +
         s"exactly once (found ${sameSchemaLeaves.size} same-schema " +
-        "leaves); a multi-reference pipeline cannot be leaf-spliced")
+        "leaves, subqueries included); a multi-reference pipeline " +
+        "cannot be leaf-spliced")
   }
 
   def lift(batch: DataFrame): DataFrame = {
     val leaf = batch.queryExecution.analyzed
     require(leaf.output.size == placeholder.output.size &&
       leaf.output.zip(placeholder.output).forall { case (a, t) =>
+        // names must match positionally (a type-preserving column
+        // reorder would otherwise bind data crosswise), and
         // nullability narrows only: a nullable batch column under a
         // non-nullable template attribute would let the optimizer
         // fold null checks on data that CAN be null
-        a.dataType == t.dataType && (t.nullable || !a.nullable) },
+        a.name == t.name && a.dataType == t.dataType &&
+          (t.nullable || !a.nullable) },
       s"batch schema ${leaf.schema.simpleString} does not conform to " +
         s"the prepared ${schema.simpleString}")
     val aligned = Project(leaf.output.zip(placeholder.output).map {
       case (a, t) => Alias(a, t.name)(exprId = t.exprId) }, leaf)
     var swapped = false
-    val spliced = template.transformUp {
+    val spliced = template.transformUpWithSubqueries {
       case lr: LocalRelation if lr eq placeholder => swapped = true; aligned
     }
     // a silent non-swap would serve the EMPTY placeholder — fail loud

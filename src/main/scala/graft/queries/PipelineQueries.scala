@@ -520,9 +520,18 @@ object PipelineQueries {
       .map(r => (r.getAs[Array[Byte]]("hbase_id").toSeq, r.getAs[Long]("ts")))
     val probePlanOk = probePlan.contains(s"ProbedRows: ${probeRows.size}") &&
       probeParts <= probeRows.size && probeParts < 256 / 8
+    // content gate, not just a count: key i carries 1 + i%5 versions at
+    // ts 1000.., so rows 0/1/2 must surface their q47 winners at ts
+    // 1000/1001/1002 exactly — wrong rows or wrong winners report -1
+    val probeExpected = probeRows.zipWithIndex
+      .map { case (r, i) => (r.toSeq, 1000L + i) }.toSet
+    val probeRowsOut =
+      if (probeGot.toSet == probeExpected &&
+        probeGot.length == probeExpected.size) probeGot.length.toLong
+      else -1L
     Seq((stats._1, stats._2, stats._3, stats._4,
       stats._5 > 0L, stats._6 < stats._7, stats._8 == 0L,
-      probePlanOk, probeGot.length.toLong))
+      probePlanOk, probeRowsOut))
       .toDF("n_found", "n_v0", "n_v1", "n_v2",
         "bloom_skipped", "blocks_saved", "parity",
         "probe_plan", "probe_rows")
@@ -808,9 +817,12 @@ object PipelineQueries {
   // corpus is identical per invocation, so CONSTRUCTION (two dozen
   // analyzer passes) is reused while every write still executes the
   // full pipeline — nothing result-shaped is cached.
+  // Both session-scoped memos are WEAKLY keyed by the session (the
+  // PlanMemo convention: a stopped session's plans must stay
+  // collectable — a strong static pin would leak the session and its
+  // analyzed trees for the JVM lifetime).
   @transient private val q56BatchRecsMemo =
-    new java.util.concurrent.atomic.AtomicReference[
-      (SparkSession, AnyRef, DataFrame)](null)
+    new java.util.WeakHashMap[SparkSession, (AnyRef, DataFrame)]()
 
   // Prepared sink-side pipeline for the streaming arm (see
   // PreparedTransform): analyzed once per session, leaf-swapped per
@@ -821,8 +833,7 @@ object PipelineQueries {
   // across invocations; the per-invocation temp dirs ride in the
   // WRITE config, never in the shaped plan).
   @transient private val q56LiftMemo =
-    new java.util.concurrent.atomic.AtomicReference[
-      (SparkSession, graft.core.PreparedTransform)](null)
+    new java.util.WeakHashMap[SparkSession, graft.core.PreparedTransform]()
 
   def q56StreamingParity(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SnapshotWriter
@@ -876,15 +887,15 @@ object PipelineQueries {
       // (the previous shape paid the tree's construction and analysis
       // twice per batch: engine queryPlanning + the foreachBatch
       // re-plan)
-      val prepared = {
-        val cached = q56LiftMemo.get()
-        if (cached != null && (cached._1 eq s)) cached._2
+      val prepared = q56LiftMemo.synchronized {
+        val cached = q56LiftMemo.get(s)
+        if (cached != null) cached
         else {
           val p = new graft.core.PreparedTransform(s,
             stream.toDF().schema,
             b => SnapshotWriter.shaped(ExportPipeline.records(
               ExportPipeline.run(b, Fixture.Topic, ks)), cfgS))
-          q56LiftMemo.set((s, p))
+          q56LiftMemo.put(s, p)
           p
         }
       }
@@ -929,22 +940,22 @@ object PipelineQueries {
       }
       val snap = results.synchronized(results.toList)
 
-      val batchShaped = {
-        // keyed on BOTH the session and the memoized corpus instance
-        // (the PlanMemo fingerprint-invalidation contract): if the
-        // cell corpus is ever rebuilt or re-parameterized, the stale
-        // plan over the old corpus can never be served. Memoizes the
-        // SINK-SHAPED analyzed plan (shaping depends on cfg only
-        // through scanWidth, shared by both arms), so each invocation
-        // pays optimization + execution only — same contract as the
-        // streaming arm's prepared transform.
-        val cached = q56BatchRecsMemo.get()
-        if (cached != null && (cached._1 eq s) && (cached._2 eq cells))
-          cached._3
+      val batchShaped = q56BatchRecsMemo.synchronized {
+        // keyed on BOTH the (weakly-held) session and the memoized
+        // corpus instance (the PlanMemo fingerprint-invalidation
+        // contract): if the cell corpus is ever rebuilt or
+        // re-parameterized, the stale plan over the old corpus can
+        // never be served. Memoizes the SINK-SHAPED analyzed plan
+        // (shaping depends on cfg only through scanWidth, shared by
+        // both arms), so each invocation pays optimization +
+        // execution only — same contract as the streaming arm's
+        // prepared transform.
+        val cached = q56BatchRecsMemo.get(s)
+        if (cached != null && (cached._1 eq cells)) cached._2
         else {
           val r = SnapshotWriter.shaped(ExportPipeline.records(
             ExportPipeline.run(cells.flatten.toDF(), Fixture.Topic, ks)), cfgB)
-          q56BatchRecsMemo.set((s, cells, r))
+          q56BatchRecsMemo.put(s, (cells, r))
           r
         }
       }

@@ -963,8 +963,12 @@ object TextAnalysis {
   // the trained merge list. Train ONCE per corpus snapshot; q244 (the
   // training report) and q277 (apply) both consume it — neither pays
   // training actions on a warm dir.
+  // keyed on the dir AND the vocab relation instance it was trained
+  // from (the q56-memo corpus-identity contract): if the vocab cache
+  // is ever invalidated or re-keyed, merges retrain automatically
+  // instead of serving values from the superseded corpus
   @transient private var cachedBpeMerges:
-      Option[(String, Seq[(Long, String, Long, Long, Double)])] = None
+      Option[(String, AnyRef, Seq[(Long, String, Long, Long, Double)])] = None
 
   /** Trains [[BpeTrainRounds]] merges over the cached vocab relation
     * and memoizes the result per dir: each round is one pair-count
@@ -983,15 +987,16 @@ object TextAnalysis {
   private[queries] def bpeMerges(
       s: SparkSession, dir: String): Seq[(Long, String, Long, Long, Double)] =
     synchronized {
+      val vocab0 = bpeVocab(s, dir)
       cachedBpeMerges match {
-        case Some((d, m)) if d == dir => m
+        case Some((d, v, m)) if d == dir && (v eq vocab0) => m
         case _ =>
           def tokensOf(v: DataFrame): Long = {
             bpeTrainActions.incrementAndGet()
             v.agg(sum(col("cnt") * size(split(col("sym"), " "))).cast("long"))
               .head().getLong(0)
           }
-          var vocab = bpeVocab(s, dir)
+          var vocab = vocab0
           val tokens0 = tokensOf(vocab)
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, String, Long, Long, Double)]
@@ -1021,7 +1026,7 @@ object TextAnalysis {
               toks.toDouble / tokens0.toDouble))
           }
           val result = out.toSeq
-          cachedBpeMerges = Some((dir, result))
+          cachedBpeMerges = Some((dir, vocab0, result))
           result
       }
     }
