@@ -153,6 +153,28 @@ class HFileFuzzSpec extends AnyFunSuite {
       for (range <- ranges)
         assert(scanAll(compacted, range) === modelWinners(allCells, range),
           s"$ctx compacted scan range $range (out shape $outShape)")
+
+      // MAJOR compaction (dropDeletes): markers apply at compaction
+      // time and vanish; scans must STILL equal the model at every
+      // range — a put masked by a marker below a range floor is below
+      // that floor itself, so dropping it can never change a range
+      // scan (the invariant the fixture spec pins once, fuzzed here
+      // across random marker/scope/ts interactions)
+      val outMajor = Files.createTempDirectory(s"graft-hfile-fuzz-m$trial")
+      HFileCompaction.regionFiles(dir.toString).foreach { case (r, fs) =>
+        HFileCompaction.compactRegion(fs, s"$outMajor/$r-g000.hfile",
+          outShape, dropDeletes = true)
+      }
+      // a fully-masked region writes no file; an empty compacted dir
+      // means the model must be empty everywhere
+      val hasFiles = Files.list(outMajor).iterator().hasNext
+      for (range <- ranges) {
+        val expected = modelWinners(allCells, range)
+        if (hasFiles)
+          assert(scanAll(HFileSnapshotStore(outMajor.toString), range) ===
+            expected, s"$ctx major-compacted scan range $range")
+        else assert(expected.isEmpty, s"$ctx empty major compaction")
+      }
     }
   }
 }
