@@ -51,6 +51,47 @@ object Bench {
   private final case class Pass(samples: Map[String, Vector[Double]],
       warmups: Map[String, Option[Double]], failed: Set[String])
 
+  // ---- machine-drift canary -------------------------------------
+  // This VM's wall-clock drifts ±25-40 % on identical code within a
+  // session (three same-code r13 boards: 128.5 / 160.8 / 149.3 s), so
+  // raw round-over-round per-query ratios confound code changes with
+  // machine state. The canary is a FIXED amount of sealed CPU work —
+  // single-threaded xorshift64* mixing, no IO, no allocation, no
+  // Spark — timed interleaved with the board (one sample before the
+  // warmup pass and one after every timed rep pass), so each board
+  // carries its own machine-speed measurement. `canary_s` (min of
+  // samples — the least-throttled window, matching the min-of-reps
+  // query methodology) divided by `canary_ref_s` (the constant below,
+  // pinned from the r14 calibration run) gives `drift`; a query's
+  // drift-normalized time is measured/drift, and cross-round
+  // comparisons should divide normalized values. `canary_p50` and the
+  // full sample list (file artifact) expose intra-board throttle
+  // windows the min hides.
+  private val CanaryIters = 200000000L
+  /** Canary seconds on the reference machine state — calibrated
+    * round 14 (min of interleaved samples on an otherwise idle VM).
+    * A constant, NOT re-derived per round: drift is only meaningful
+    * against a fixed anchor. */
+  val CanaryRefSec = 0.47
+  @volatile private var canarySink = 0L // defeats dead-code elimination
+  private def canaryOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < CanaryIters) {
+      // xorshift64* core: three shifts + a multiply per iteration —
+      // pure register work, immune to memory/GC state
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    canarySink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+  private val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private def sampleCanary(): Unit = canarySamples += canaryOnce()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2",
@@ -84,17 +125,21 @@ object Bench {
     /** One full warmup + interleaved-reps + rescue measurement of
       * `qnames` at `dir` (the round-robin methodology above). */
     def measure(dir: String, qnames: Seq[String] = names): Pass = {
+      sampleCanary() // machine-speed sample bracketing the warmup pass
       val warmups: Map[String, Option[Double]] =
         qnames.map(n => n -> timeOnce(dir)(SparkEntry.queries(n))).toMap
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
       val failed = scala.collection.mutable.Set.empty[String]
       failed ++= qnames.filter(warmups(_).isEmpty)
-      for (_ <- 1 to reps; n <- qnames if !failed(n))
-        timeOnce(dir)(SparkEntry.queries(n)) match {
-          case Some(t) => samples(n) = samples(n) :+ t
-          case None => failed += n
-        }
+      for (_ <- 1 to reps) {
+        sampleCanary() // interleaved: one sample per timed rep pass
+        for (n <- qnames if !failed(n))
+          timeOnce(dir)(SparkEntry.queries(n)) match {
+            case Some(t) => samples(n) = samples(n) :+ t
+            case None => failed += n
+          }
+      }
       // rescue pass: one extra rep for queries whose spread exceeds 2x
       // their min (a throttle window spanning a whole interleaved pass)
       val noisy = qnames.filter { n =>
@@ -240,6 +285,19 @@ object Bench {
       }
       sf + ex
     }
+    // ---- drift canary scalars (methodology at the top of the file):
+    // canary_s anchors this board's machine speed; drift = canary_s /
+    // canary_ref_s; a cross-round comparison divides each board's
+    // per-query numbers by ITS drift before taking ratios. total_norm
+    // is the board total already so normalized.
+    sampleCanary() // closing sample
+    val canaryS = canarySamples.min
+    val canaryP50 = pctl(canarySamples.sorted.toVector, 0.5)
+    val drift = canaryS / CanaryRefSec
+    val canaryPart =
+      s""","canary_s":${fmt(canaryS)},"canary_p50":${fmt(canaryP50)}""" +
+        s""","canary_ref_s":${fmt(CanaryRefSec)},"drift":${fmt(drift)}""" +
+        s""","total_norm":${fmt(total / drift)}"""
     def lineFor(floor: Double): String = {
       val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)
       val qsKept = jmap(kept.map(k =>
@@ -253,16 +311,24 @@ object Bench {
             s""","fast_p50":${fmt(pctl(sortedFast, 0.5))}""" +
             s""","fast_p95":${fmt(pctl(sortedFast, 0.95))}"""
         }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$ratioScalars,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$ratioScalars$canaryPart,"reps":$reps,"sf":"$sfDir"}"""
     }
     val line = Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineFor)
       .find(_.length <= 1800).getOrElse(lineFor(Double.MaxValue))
     println(line)
     // The file copy carries the full diagnostics (spread = max-min per
     // query; warmup = the one cold pass; queries_sf2/ratio = the
-    // scaling curve vs the secondary sf).
+    // scaling curve vs the secondary sf; queries_norm = min/drift per
+    // query — the cross-round comparable; canary_samples = every
+    // interleaved machine-speed observation, exposing throttle windows
+    // within the board).
+    val qsNorm = jmap(names.collect { case k if ok(p1)(k) =>
+      k -> fmt(minOf(p1)(k) / drift) })
+    val canaryFull = canaryPart +
+      s""","canary_samples":${canarySamples.map(fmt).mkString("[", ",", "]")}""" +
+      s""","queries_norm":$qsNorm"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"reps":$reps,"sf":"$sfDir"}"""
     // a BENCH_ONLY-filtered iteration must never clobber the full-board
     // artifact the round workflow compares against — partial runs go to
     // a side file unless SPARK_GRAFT_BENCH_OUT overrides explicitly

@@ -68,8 +68,11 @@ object PlanMemo {
 
   /** Directory fingerprint: mtime of `dir` plus a hash of each child
     * entry's (name, mtime). Rewriting a parquet file in place, adding
-    * or removing one, or re-creating the directory all change it. */
-  private[core] def fingerprint(dir: String): Long = {
+    * or removing one, or re-creating the directory all change it.
+    * Shared with the managed per-dir artifact caches outside this
+    * object (e.g. [[graft.queries.TextAnalysis]]'s BPE vocab/merge
+    * artifacts), which carry the same staleness contract. */
+  private[graft] def fingerprint(dir: String): Long = {
     try {
       val p = java.nio.file.Path.of(dir)
       var h = java.nio.file.Files.getLastModifiedTime(p).toMillis
@@ -133,21 +136,41 @@ object PlanMemo {
   * construction (one eager analyzer pass per chained transformation,
   * the dominant fixed cost of a small micro-batch) is skipped.
   * Nothing result-shaped is reused: the leaf IS the new batch.
+  *
+  * The session passed at construction is used to ANALYZE the template
+  * and is NOT retained as a field — [[lift]] serves through the
+  * BATCH's own session, so an instance holds only session-free
+  * analyzed trees and a session-keyed weak memo of instances stays
+  * collectable once its session is (the [[PlanMemo]] session-scoping
+  * contract; a retained session would make the weak entry immortal).
+  *
+  * Known restriction (conservative fail-loud guard): `build` must not
+  * join/union its input against ANOTHER literal `LocalRelation` of
+  * the same schema — the single-reference guard counts all
+  * same-schema LocalRelation leaves and cannot tell a caller-supplied
+  * same-shape lookup literal from an analyzer dedup copy of the
+  * placeholder (whose spliced twin would silently compute over empty
+  * input). Give such a lookup a distinguishing column name/type, or
+  * read it from a non-local source.
   */
-final class PreparedTransform(s: SparkSession,
+final class PreparedTransform(constructionSession: SparkSession,
     schema: org.apache.spark.sql.types.StructType,
     build: DataFrame => DataFrame) {
-  // Deliberately NOT Serializable: the template and session are
-  // driver-side state, and lift is a driver-side (foreachBatch-style)
-  // operation — shipping an instance into a task closure should fail
-  // at closure cleaning, not NPE on a transient field at run time.
+  // Deliberately NOT Serializable: the template is driver-side state,
+  // and lift is a driver-side (foreachBatch-style) operation —
+  // shipping an instance into a task closure should fail at closure
+  // cleaning, not NPE on a transient field at run time.
   import org.apache.spark.sql.catalyst.expressions.Alias
   import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
 
   @transient private val placeholder = LocalRelation(
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+  // constructionSession is referenced ONLY here (constructor body), so
+  // scalac does not promote it to a field — verified by reflection in
+  // PlanMemoSpec ("PreparedTransform retains no SparkSession field").
   @transient private val template =
-    build(PlanBridge.ofRows(s, placeholder)).queryExecution.analyzed
+    build(PlanBridge.ofRows(constructionSession, placeholder))
+      .queryExecution.analyzed
 
   // Single-reference contract, enforced at construction: a build that
   // references its input MORE than once (self-join, self-union) is
@@ -191,6 +214,8 @@ final class PreparedTransform(s: SparkSession,
     }
     // a silent non-swap would serve the EMPTY placeholder — fail loud
     require(swapped, "prepared template lost its placeholder leaf")
-    PlanBridge.ofRows(s, spliced)
+    // served through the BATCH's session (not a retained construction
+    // session) — see the class doc's collectability contract
+    PlanBridge.ofRows(batch.sparkSession, spliced)
   }
 }

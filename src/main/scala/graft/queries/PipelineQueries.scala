@@ -819,10 +819,16 @@ object PipelineQueries {
   // full pipeline — nothing result-shaped is cached.
   // Both session-scoped memos are WEAKLY keyed by the session (the
   // PlanMemo convention: a stopped session's plans must stay
-  // collectable — a strong static pin would leak the session and its
-  // analyzed trees for the JVM lifetime).
+  // collectable). For weak keying to actually collect, the VALUES
+  // must be session-free — a cached DataFrame (whose Dataset holds
+  // its session) would strongly pin the weak key forever. So this
+  // memo stores the analyzed LogicalPlan only and rebuilds the
+  // Dataset via PlanBridge.ofRows at use, exactly as PlanMemo does;
+  // the streaming memo's PreparedTransform likewise retains no
+  // session (see its class doc).
   @transient private val q56BatchRecsMemo =
-    new java.util.WeakHashMap[SparkSession, (AnyRef, DataFrame)]()
+    new java.util.WeakHashMap[SparkSession,
+      (AnyRef, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
   // Prepared sink-side pipeline for the streaming arm (see
   // PreparedTransform): analyzed once per session, leaf-swapped per
@@ -951,11 +957,14 @@ object PipelineQueries {
         // execution only — same contract as the streaming arm's
         // prepared transform.
         val cached = q56BatchRecsMemo.get(s)
-        if (cached != null && (cached._1 eq cells)) cached._2
+        if (cached != null && (cached._1 eq cells))
+          org.apache.spark.sql.graftbridge.PlanBridge.ofRows(s, cached._2)
         else {
           val r = SnapshotWriter.shaped(ExportPipeline.records(
             ExportPipeline.run(cells.flatten.toDF(), Fixture.Topic, ks)), cfgB)
-          q56BatchRecsMemo.put(s, (cells, r))
+          // store the session-free analyzed plan, not the DataFrame —
+          // a Dataset value would strongly reference the weak key
+          q56BatchRecsMemo.put(s, (cells, r.queryExecution.analyzed))
           r
         }
       }

@@ -936,7 +936,12 @@ object HFileV2Format {
     // term (integer division) before the ln(2) scale — match it so a
     // bloom this writer emits carries the same hashCount as a
     // cluster-written file of identical geometry (reads are immune
-    // either way: hashCount travels in the meta block)
+    // either way: hashCount travels in the meta block).
+    // Contract: this guarantees SELF-CONSISTENCY (writer and reader
+    // agree) and FORMULA PARITY with the published BloomFilterUtil
+    // arithmetic; byte-level parity with a cluster-written bloom
+    // remains unverified — it would need a real HBase-written fixture
+    // file, which this sandbox cannot produce.
     math.ceil(math.log(2) * ((byteSize.toLong << 3) / maxKeys))
       .toInt.max(1)
 

@@ -136,6 +136,30 @@ class PlanMemoSpec extends SparkSuite {
     intercept[IllegalArgumentException](prepared.lift(bad))
   }
 
+  test("PreparedTransform retains no SparkSession field") {
+    // The collectability contract (class doc): a session-keyed weak
+    // memo of PreparedTransform instances can only collect if the
+    // value holds no strong reference back to the key. Pin it
+    // structurally — no declared field of the class (or any field's
+    // static type) may be a SparkSession or a Dataset/DataFrame
+    // (which holds its session); the construction session must exist
+    // only as an un-promoted constructor parameter.
+    import org.apache.spark.sql.SparkSession
+    val banned = Seq(classOf[SparkSession],
+      classOf[org.apache.spark.sql.Dataset[_]])
+    val offending = classOf[PreparedTransform].getDeclaredFields.filter(f =>
+      banned.exists(b => b.isAssignableFrom(f.getType) ||
+        f.getType.isAssignableFrom(b)))
+    assert(offending.isEmpty,
+      s"session-strong fields: ${offending.map(_.getName).mkString(",")}")
+    // and lift must serve through the BATCH's session
+    import spark.implicits._
+    val p = new PreparedTransform(spark,
+      Seq((0L, "x")).toDF("k", "v").schema, b => b.select($"v"))
+    val lifted = p.lift(Seq((1L, "a")).toDF("k", "v"))
+    assert(lifted.sparkSession eq spark)
+  }
+
   test("wrapped real queries agree between miss and hit paths") {
     // Drive a slice of the production surface twice through
     // SparkEntry (memo-wrapped) and pin call-1 == call-2 row sets.

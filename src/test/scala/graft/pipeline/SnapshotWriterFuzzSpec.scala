@@ -79,4 +79,78 @@ class SnapshotWriterFuzzSpec extends SparkSuite {
       assert(gotSlices.size === expectSlices.size, ctx)
     }
   }
+
+  test("exactly-once under random kill points x roll thresholds: " +
+      "task retry yields byte-identical output") {
+    // Composes SnapshotWriterSpec's single fixed-point retry test with
+    // this suite's roll-boundary sweep (the systematic-sweep pattern
+    // HFileFuzzSpec applied to the strict-floor bug class): each trial
+    // draws a random roll threshold, compression, slice width, corpus,
+    // and a random FIRST-ATTEMPT kill point guaranteed to fire inside
+    // some task — mid-batch, exactly on a roll, before the first
+    // flush, or after several files are already staged — and the
+    // retried run's directories must be byte-identical to a fault-free
+    // run of the same corpus (staged-but-uncommitted attempt files
+    // never surface; the deterministic rewrite republishes the same
+    // bytes).
+    import spark.implicits._
+    assert(spark.sparkContext.master.endsWith(",2]"),
+      s"retry fuzz needs task retries enabled: ${spark.sparkContext.master}")
+    val ks = Fixture.keyService
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 5) {
+      val maxBytes = Seq(150, 500, 2000, 8000)(rnd.nextInt(4))
+      val compression = Seq("gz", "bz2", "lz4")(rnd.nextInt(3))
+      val width = Seq(32, 64, 128)(rnd.nextInt(3))
+      val n = 60 + rnd.nextInt(140)
+      val rows = (0 until n).map { i =>
+        val b = (rnd.nextInt(256) - 128).toByte
+        val doc =
+          s"""{"id":"kf-$trial-$i","pad":"${"y" * (20 + rnd.nextInt(400))}"}"""
+        (Array(b, i.toByte), doc, s"id-$trial-$i", 1000L, "db", "coll",
+          "EXPORT", "O", "I", s"id-$trial-$i")
+      }
+      val df = rows.toDF("hbase_id", "doc", "m_id", "m_ts", "m_db",
+        "m_collection", "m_source", "m_outer", "m_inner", "m_original_id")
+      // per-slice row counts under this width: a kill point strictly
+      // below the densest slice's count is guaranteed to fire in the
+      // task that owns it (the sink plans one partition per slice)
+      val sliceCounts = rows.groupBy { case (k, _, _, _, _, _, _, _, _, _) =>
+        ((k(0) + 128) & 0xff) / width }.view.mapValues(_.size)
+      val densest = sliceCounts.values.max
+      val killAt = 1 + rnd.nextInt(densest - 1)
+      val ctx = s"trial $trial max $maxBytes $compression w$width " +
+        s"n=$n kill@$killAt"
+
+      def run(fault: Int): (java.io.File, java.io.File,
+          Seq[SnapshotWriter.FileAccounting]) = {
+        val out = Files.createTempDirectory(s"graft-kfuzz-$trial").toFile
+        val man = Files.createTempDirectory(s"graft-kfuzz-man-$trial").toFile
+        val cfg = SnapshotWriter.Config(out.toString, man.toString,
+          Fixture.Topic, maxBatchBytes = maxBytes, compression = compression,
+          scanWidth = width, faultFirstAttemptAfter = fault)
+        (out, man, SnapshotWriter.write(df, cfg, ks).collect().toSeq)
+      }
+      val (cleanOut, cleanMan, cleanAcct) = run(0)
+      val before = SnapshotWriter.faultsInjected.get()
+      val (out, man, acct) = run(killAt)
+      assert(SnapshotWriter.faultsInjected.get() - before >= 1,
+        s"$ctx: kill point never fired")
+      assert(acct.toSet === cleanAcct.toSet, ctx)
+      def listing(d: java.io.File): Seq[String] = d.list().sorted.toSeq
+      assert(listing(out) === listing(cleanOut), ctx)
+      assert(listing(man) === listing(cleanMan), ctx)
+      assert(!listing(out).exists(_.endsWith(".tmp")), ctx)
+      for (nm <- listing(out))
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(new java.io.File(out, nm).toPath),
+          Files.readAllBytes(new java.io.File(cleanOut, nm).toPath)),
+          s"$ctx object $nm differs")
+      for (nm <- listing(man))
+        assert(java.util.Arrays.equals(
+          Files.readAllBytes(new java.io.File(man, nm).toPath),
+          Files.readAllBytes(new java.io.File(cleanMan, nm).toPath)),
+          s"$ctx manifest $nm differs")
+    }
+  }
 }

@@ -196,6 +196,38 @@ class CorpusOpsSpec extends SparkSuite {
     assert(apply.nonEmpty)
   }
 
+  test("BPE artifact: a corpus regenerated in place retrains " +
+      "(fingerprint-keyed vocab)") {
+    // The staleness contract: the vocab cache keys on
+    // PlanMemo.fingerprint(dir), so rewriting the corpus AT THE SAME
+    // PATH must invalidate vocab AND (via the vocab-instance key)
+    // the trained merge artifact — stale merges are never served.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_fp").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+    write(Seq("alphabeta alphabeta gammadelta",
+      "alphabeta gammadelta gammadelta"))
+    val first = TextAnalysis.q244BpeTrainer(spark, tmp).collect()
+    val warm = TextAnalysis.bpeTrainActions.get()
+    TextAnalysis.q244BpeTrainer(spark, tmp).collect()
+    assert(TextAnalysis.bpeTrainActions.get() === warm,
+      "unchanged dir must stay warm")
+    Thread.sleep(1100) // distinct child mtimes across the rewrite
+    write(Seq("omicronsigma omicronsigma epsilonzeta",
+      "omicronsigma epsilonzeta epsilonzeta"))
+    val after = TextAnalysis.q244BpeTrainer(spark, tmp).collect()
+    assert(TextAnalysis.bpeTrainActions.get() > warm,
+      "in-place corpus rewrite must retrain the merge artifact")
+    assert(after.map(_.getString(1)).toSeq !==
+      first.map(_.getString(1)).toSeq,
+      "retrained merges must reflect the new corpus")
+  }
+
   // ------------------------------------------------------------ q246
   test("q246 packing audit matches a brute in-memory concat-and-chunk") {
     val W = TextAnalysis.PackWindow
