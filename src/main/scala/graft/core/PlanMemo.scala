@@ -26,7 +26,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bench rep still executes the entire query over the data. Nothing
   * result-shaped is cached (contrast a result cache, which would turn
   * reps into no-ops). This is the same contract as a SQL engine's
-  * prepared statements: parse/analyze once, execute many.
+  * prepared statements: parse/analyze once, execute many. (The one
+  * documented exception on the wider query surface is OUTSIDE this
+  * memo: q244's managed BPE merge artifact, whose merge list IS the
+  * query result — see the bench-semantics note in
+  * [[graft.queries.TextAnalysis]].)
   *
   * Safety rails:
   *  - **Purity probe**: a query whose CONSTRUCTION launches Spark
@@ -67,11 +71,20 @@ object PlanMemo {
   }
 
   /** Directory fingerprint: mtime of `dir` plus a hash of each child
-    * entry's (name, mtime). Rewriting a parquet file in place, adding
-    * or removing one, or re-creating the directory all change it.
+    * entry's (name, mtime, size). Rewriting a parquet file in place,
+    * adding or removing one, or re-creating the directory all change
+    * it; the size term catches a rewrite that lands within the same
+    * millisecond mtime tick whenever the bytes moved (a same-size
+    * same-tick rewrite remains the residual granularity contract —
+    * millisecond mtimes are the finest signal a portable stat gives).
     * Shared with the managed per-dir artifact caches outside this
     * object (e.g. [[graft.queries.TextAnalysis]]'s BPE vocab/merge
-    * artifacts), which carry the same staleness contract. */
+    * artifacts), which carry the same staleness contract.
+    *
+    * An UNREADABLE dir returns a fresh negative sentinel per call, so
+    * no cache keyed on it can ever serve a hit — IO errors fail open
+    * to a rebuild, never to a stale artifact. */
+  private val fpErrSentinel = new java.util.concurrent.atomic.AtomicLong(-1L)
   private[graft] def fingerprint(dir: String): Long = {
     try {
       val p = java.nio.file.Path.of(dir)
@@ -84,10 +97,14 @@ object PlanMemo {
           h = h * 1000003L + c.getFileName.toString.hashCode
           h = h * 1000003L +
             java.nio.file.Files.getLastModifiedTime(c).toMillis
+          h = h * 1000003L +
+            (try java.nio.file.Files.size(c) catch { case _: Exception => -1L })
         }
       } finally st.close()
-      h
-    } catch { case _: Exception => 0L }
+      // the hash space is keys, not a flag channel: keep computed
+      // fingerprints out of the sentinel range (negative = error)
+      h & Long.MaxValue
+    } catch { case _: Exception => fpErrSentinel.getAndDecrement() }
   }
 
   /** Wrap one query function with the plan memo. */

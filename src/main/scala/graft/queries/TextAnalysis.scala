@@ -936,6 +936,10 @@ object TextAnalysis {
   // contract as the plan memo and Tables.load: a corpus regenerated
   // IN PLACE (same path, new files/mtimes) invalidates the vocab, and
   // through the vocab-instance key below, the trained merges too.
+  // Granularity is INHERITED from PlanMemo.fingerprint (name + mtime
+  // + size per child): a rewrite that changes neither any file size
+  // nor any millisecond mtime is invisible; an unreadable dir yields
+  // a per-call sentinel, so IO errors retrain rather than serve stale.
   @transient private var cachedBpeVocab:
       Option[(String, Long, DataFrame)] = None
 

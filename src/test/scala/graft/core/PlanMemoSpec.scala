@@ -29,6 +29,24 @@ class PlanMemoSpec extends SparkSuite {
     assert(r1.length === 25)
   }
 
+  test("serving a memoized analyzed plan pays no re-analysis") {
+    // The hit path (PlanMemo.cached and the q56 batch memo) rebuilds
+    // a Dataset via PlanBridge.ofRows over the STORED analyzed tree.
+    // Spark's Analyzer.executeAndCheck early-returns any plan whose
+    // `analyzed` flag is set — which queryExecution.analyzed trees
+    // carry — so the fresh QueryExecution's analysis phase is a flag
+    // check, not a rule sweep. Pin it by identity: if the analyzer
+    // re-ran, the new `analyzed` would be a transformed COPY.
+    import spark.implicits._
+    val plan = Seq((1, "a"), (2, "a")).toDF("k", "v")
+      .groupBy($"v").count().queryExecution.analyzed
+    val served = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, plan)
+    assert(served.queryExecution.analyzed eq plan,
+      "ofRows over an already-analyzed tree must early-return it " +
+        "(the memo hit path relies on this to skip re-analysis)")
+    assert(served.collect().map(_.getLong(1)).toSeq === Seq(2L))
+  }
+
   test("a construction that runs Spark jobs is never memoized") {
     var builds = 0
     val fn = PlanMemo.cached("pm_test_impure", (s, dir) => {
@@ -152,12 +170,19 @@ class PlanMemoSpec extends SparkSuite {
         f.getType.isAssignableFrom(b)))
     assert(offending.isEmpty,
       s"session-strong fields: ${offending.map(_.getName).mkString(",")}")
-    // and lift must serve through the BATCH's session
+    // and lift must serve through the BATCH's session — construct
+    // with a DISTINCT session so the assertion has teeth (built from
+    // `spark` on both sides, `eq spark` would pass even if lift
+    // served through the construction session)
     import spark.implicits._
-    val p = new PreparedTransform(spark,
+    val ctorSession = spark.newSession()
+    assert(!(ctorSession eq spark))
+    val p = new PreparedTransform(ctorSession,
       Seq((0L, "x")).toDF("k", "v").schema, b => b.select($"v"))
     val lifted = p.lift(Seq((1L, "a")).toDF("k", "v"))
-    assert(lifted.sparkSession eq spark)
+    assert(lifted.sparkSession eq spark,
+      "lift must bind to the batch's session, not the construction one")
+    assert(lifted.collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
   test("wrapped real queries agree between miss and hit paths") {

@@ -118,6 +118,14 @@ class SnapshotWriterFuzzSpec extends SparkSuite {
       val sliceCounts = rows.groupBy { case (k, _, _, _, _, _, _, _, _, _) =>
         ((k(0) + 128) & 0xff) / width }.view.mapValues(_.size)
       val densest = sliceCounts.values.max
+      // the fault fires only in a task holding MORE than killAt rows
+      // (write checks `written >= faultAt` before each record), so the
+      // trial's precondition is densest >= 2 — assert it loudly rather
+      // than let a reparameterized generator (smaller n, wider width)
+      // turn nextInt(0) into an opaque IllegalArgumentException
+      assert(densest >= 2, s"trial $trial generated a densest slice of " +
+        s"$densest row(s) (n=$n width=$width): no kill point can be " +
+        "guaranteed to fire — regenerate with more rows per slice")
       val killAt = 1 + rnd.nextInt(densest - 1)
       val ctx = s"trial $trial max $maxBytes $compression w$width " +
         s"n=$n kill@$killAt"
