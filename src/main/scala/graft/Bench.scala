@@ -56,25 +56,48 @@ object Bench {
   // session (three same-code r13 boards: 128.5 / 160.8 / 149.3 s), so
   // raw round-over-round per-query ratios confound code changes with
   // machine state. The canary is a FIXED amount of sealed CPU work —
-  // single-threaded xorshift64* mixing, no IO, no allocation, no
-  // Spark — timed interleaved with the board (one sample before the
-  // warmup pass and one after every timed rep pass), so each board
-  // carries its own machine-speed measurement. `canary_s` (min of
-  // samples — the least-throttled window, matching the min-of-reps
-  // query methodology) divided by `canary_ref_s` (the constant below,
-  // pinned from the r14 calibration run) gives `drift`; a query's
-  // drift-normalized time is measured/drift, and cross-round
-  // comparisons should divide normalized values. `canary_p50` and the
-  // full sample list (file artifact) expose intra-board throttle
-  // windows the min hides.
+  // xorshift64* mixing, no IO, no allocation, no Spark — timed
+  // interleaved with the board (one sample before each pass's warmup
+  // and one before every timed rep pass), so each board carries its
+  // own machine-speed measurement, in TWO legs:
+  //
+  //  - single-threaded (`canary_s`): clock/thermal state. Min of
+  //    samples — the least-throttled window, matching the min-of-reps
+  //    query methodology — over `canary_ref_s` gives `drift`; a
+  //    query's drift-normalized time is measured/drift
+  //    (`queries_norm`), and cross-round comparisons divide
+  //    normalized values.
+  //  - multi-threaded (`canary_mt_s`): the same kernel on
+  //    availableProcessors threads at once, reported as the mean
+  //    per-thread seconds. The st leg is BLIND to core contention (a
+  //    concurrent build, IO-scheduler pressure slow a 32-way board
+  //    but not one register-bound thread — the r14 +21 %-on-steady-
+  //    canary gap); mt/st divergence beyond the idle-machine baseline
+  //    IS that contention, and `drift_mt` anchors it cross-round.
+  //
+  // `canary_p50`, the full per-leg sample lists, and the per-pass
+  // mins (file artifact) expose intra-board throttle windows and
+  // a throttled primary pass masked by a clean sf2 pass (or vice
+  // versa) that the pooled min alone would hide.
   private val CanaryIters = 200000000L
-  /** Canary seconds on the reference machine state — calibrated
-    * round 14 (min of interleaved samples on an otherwise idle VM).
-    * A constant, NOT re-derived per round: drift is only meaningful
-    * against a fixed anchor. */
-  val CanaryRefSec = 0.47
+  /** Per-ITERATION anchors, so a retuned `CanaryIters` rescales the
+    * reference seconds instead of silently corrupting `drift` and
+    * every `*_norm` value (the ref/iters coupling is THROUGH these
+    * constants now, not beside them). Values are pinned from
+    * calibration runs on an otherwise idle VM and NOT re-derived per
+    * round — drift is only meaningful against a fixed anchor:
+    * st = 0.470 s / 2e8 iters (round 14); mt = 0.493 s / 2e8 iters
+    * (round 15 calibration: idle-machine mt/st per-thread ratio
+    * 1.0485 — the 32-thread SMT/turbo cost — times the st anchor, so
+    * idle-machine drift_mt ≈ drift and a drift_mt EXCESS over drift
+    * reads directly as core contention; the mt leg is intrinsically
+    * noisier sample-to-sample, which min-of-samples absorbs). */
+  private val CanaryRefSecPerIter = 0.470 / 2e8
+  private val CanaryMtRefSecPerIter = 0.493 / 2e8
+  val CanaryRefSec: Double = CanaryRefSecPerIter * CanaryIters
+  val CanaryMtRefSec: Double = CanaryMtRefSecPerIter * CanaryIters
   @volatile private var canarySink = 0L // defeats dead-code elimination
-  private def canaryOnce(): Double = {
+  private def canaryKernel(): Double = {
     val t0 = System.nanoTime()
     var x = 0x9E3779B97F4A7C15L
     var acc = 0L
@@ -89,8 +112,20 @@ object Bench {
     canarySink = acc
     (System.nanoTime() - t0) / 1e9
   }
-  private val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-  private def sampleCanary(): Unit = canarySamples += canaryOnce()
+  private def canaryMtOnce(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val times = new Array[Double](n)
+    val threads = Array.tabulate(n)(i =>
+      new Thread(() => times(i) = canaryKernel(), s"graft-canary-mt-$i"))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    times.sum / n
+  }
+  // (pass label, single-thread seconds, mean per-thread mt seconds)
+  private val canarySamples =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+  private def sampleCanary(pass: String): Unit =
+    canarySamples += ((pass, canaryKernel(), canaryMtOnce()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,9 +158,11 @@ object Bench {
     }
 
     /** One full warmup + interleaved-reps + rescue measurement of
-      * `qnames` at `dir` (the round-robin methodology above). */
-    def measure(dir: String, qnames: Seq[String] = names): Pass = {
-      sampleCanary() // machine-speed sample bracketing the warmup pass
+      * `qnames` at `dir` (the round-robin methodology above); `pass`
+      * labels this pass's canary samples for the per-pass mins. */
+    def measure(dir: String, qnames: Seq[String] = names,
+        pass: String = "primary"): Pass = {
+      sampleCanary(pass) // machine-speed sample bracketing the warmup pass
       val warmups: Map[String, Option[Double]] =
         qnames.map(n => n -> timeOnce(dir)(SparkEntry.queries(n))).toMap
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -133,7 +170,7 @@ object Bench {
       val failed = scala.collection.mutable.Set.empty[String]
       failed ++= qnames.filter(warmups(_).isEmpty)
       for (_ <- 1 to reps) {
-        sampleCanary() // interleaved: one sample per timed rep pass
+        sampleCanary(pass) // interleaved: one sample per timed rep pass
         for (n <- qnames if !failed(n))
           timeOnce(dir)(SparkEntry.queries(n)) match {
             case Some(t) => samples(n) = samples(n) :+ t
@@ -181,7 +218,7 @@ object Bench {
     // ---- scaling curve at the secondary sf ----
     val p2 = sfDir2.map { d =>
       System.err.println(s"[bench] scaling-curve pass at $d")
-      measure(d)
+      measure(d, names, "sf2")
     }
     val ratios: Map[String, Double] = (for {
       p <- p2.toSeq
@@ -222,7 +259,7 @@ object Bench {
       if (exportN > 10000 && exportNames.nonEmpty) {
         System.err.println(s"[bench] export-scaling pass at fixture N=$exportN")
         Some(graft.queries.PipelineQueries.withFixtureN(exportN) {
-          measure(sfDir, exportNames)
+          measure(sfDir, exportNames, "export")
         })
       } else None
     val exportDataRatio = exportN / 10000.0
@@ -289,14 +326,21 @@ object Bench {
     // canary_s anchors this board's machine speed; drift = canary_s /
     // canary_ref_s; a cross-round comparison divides each board's
     // per-query numbers by ITS drift before taking ratios. total_norm
-    // is the board total already so normalized.
-    sampleCanary() // closing sample
-    val canaryS = canarySamples.min
-    val canaryP50 = pctl(canarySamples.sorted.toVector, 0.5)
+    // is the board total already so normalized. The mt leg reads core
+    // contention: drift_mt >> drift means the board was slowed by
+    // something the st leg can't see.
+    sampleCanary("close") // closing sample
+    val canaryStAll = canarySamples.map(_._2)
+    val canaryMtAll = canarySamples.map(_._3)
+    val canaryS = canaryStAll.min
+    val canaryP50 = pctl(canaryStAll.sorted.toVector, 0.5)
     val drift = canaryS / CanaryRefSec
+    val canaryMtS = canaryMtAll.min
+    val driftMt = canaryMtS / CanaryMtRefSec
     val canaryPart =
       s""","canary_s":${fmt(canaryS)},"canary_p50":${fmt(canaryP50)}""" +
         s""","canary_ref_s":${fmt(CanaryRefSec)},"drift":${fmt(drift)}""" +
+        s""","canary_mt_s":${fmt(canaryMtS)},"drift_mt":${fmt(driftMt)}""" +
         s""","total_norm":${fmt(total / drift)}"""
     def lineFor(floor: Double): String = {
       val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)
@@ -324,8 +368,15 @@ object Bench {
     // within the board).
     val qsNorm = jmap(names.collect { case k if ok(p1)(k) =>
       k -> fmt(minOf(p1)(k) / drift) })
+    def passMins(leg: ((String, Double, Double)) => Double): String =
+      jmap(canarySamples.map(_._1).distinct.toSeq.map(p =>
+        p -> fmt(canarySamples.filter(_._1 == p).map(leg).min)))
     val canaryFull = canaryPart +
-      s""","canary_samples":${canarySamples.map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_mt_ref_s":${fmt(CanaryMtRefSec)}""" +
+      s""","canary_samples":${canaryStAll.map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_mt_samples":${canaryMtAll.map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_pass_min":${passMins(_._2)}""" +
+      s""","canary_mt_pass_min":${passMins(_._3)}""" +
       s""","queries_norm":$qsNorm"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"reps":$reps,"sf":"$sfDir"}"""
