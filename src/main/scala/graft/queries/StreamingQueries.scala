@@ -318,11 +318,11 @@ object StreamingQueries {
     * sessionization; one shuffle on user_id.
     *
     * Per-batch planning, measured (StreamingPlanningSpec): warm
-    * batches spend ~22-36 ms in `queryPlanning` — engine-internal
-    * incremental optimize + physical planning that a
-    * [[graft.core.PreparedTransform]] could not skip (this query pays
-    * DataFrame-API construction once at `start()`, not per batch), so
-    * no prepared-plan restructuring is warranted. */
+    * batches spend ~7-10 ms in `queryPlanning` on a hot JVM (22-36 ms
+    * cold-JIT) — engine-internal incremental optimize + physical
+    * planning that a [[graft.core.PreparedTransform]] could not skip
+    * (this query pays DataFrame-API construction once at `start()`,
+    * not per batch), so no prepared-plan restructuring is warranted. */
   val StreamSessionGap: String = "3 hours"
 
   def q83StreamSessions(s: SparkSession, dir: String): DataFrame = {
@@ -407,9 +407,10 @@ object StreamingQueries {
     * the mapGroupsWithState contract at any scale.
     *
     * Per-batch planning, measured (StreamingPlanningSpec): warm
-    * batches spend ~12-15 ms in `queryPlanning` — below the 20 ms/
-    * batch restructuring bar, and engine-internal besides (see q83's
-    * note); no prepared-plan adoption warranted. */
+    * batches spend ~7 ms in `queryPlanning` on a hot JVM (12-15 ms
+    * cold-JIT) — below the 20 ms/batch restructuring bar, and
+    * engine-internal besides (see q83's note); no prepared-plan
+    * adoption warranted. */
   def q91StreamStateCount(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -13,9 +13,9 @@ import graft.SparkSuite
   * foreachBatch sink there is no per-batch DataFrame-API construction
   * to skip — PreparedTransform is structurally inapplicable here, and
   * the measured residual (engine-internal optimize + physical plan,
-  * ~12-36 ms/batch warm, sub-2% of either query's bench time) is not
-  * worth restructuring for (see the printed values and the scaladoc
-  * on each query).
+  * ~7-10 ms/batch on a hot JVM, 12-36 ms cold-JIT; sub-2% of either
+  * query's bench time) is not worth restructuring for (see the
+  * printed values and the scaladoc on each query).
   *
   * The assertion bound is deliberately loose (throttle-tolerant): it
   * exists to catch a structural regression (per-batch planning
