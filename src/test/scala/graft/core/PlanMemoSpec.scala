@@ -29,6 +29,32 @@ class PlanMemoSpec extends SparkSuite {
     assert(r1.length === 25)
   }
 
+  test("fingerprint: size changes invalidate; IO errors never collide") {
+    val dir = Files.createTempDirectory("graft-fp").toFile
+    val f = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.writeString(f.toPath, "aaaa")
+    val fp1 = PlanMemo.fingerprint(dir.toString)
+    assert(fp1 >= 0, "computed fingerprints stay out of the sentinel range")
+    // same mtime tick, different SIZE — the r15 tightening: byte
+    // movement invalidates even when millisecond mtimes collide
+    val mtime = java.nio.file.Files.getLastModifiedTime(f.toPath)
+    java.nio.file.Files.writeString(f.toPath, "aaaaaaaa")
+    java.nio.file.Files.setLastModifiedTime(f.toPath, mtime)
+    java.nio.file.Files.setLastModifiedTime(dir.toPath,
+      java.nio.file.Files.getLastModifiedTime(dir.toPath))
+    val fp2 = PlanMemo.fingerprint(dir.toString)
+    assert(fp2 !== fp1, "a same-tick rewrite that moves bytes must " +
+      "change the fingerprint")
+    // an unreadable dir yields a FRESH sentinel per call, so no cache
+    // keyed on it can ever hit — errors rebuild, never serve stale
+    val gone = new java.io.File(dir, "never-created").toString
+    val e1 = PlanMemo.fingerprint(gone)
+    val e2 = PlanMemo.fingerprint(gone)
+    assert(e1 < 0 && e2 < 0 && (e1 !== e2),
+      "IO-error fingerprints must be unique negative sentinels")
+    f.delete(); dir.delete()
+  }
+
   test("serving a memoized analyzed plan pays no re-analysis") {
     // The hit path (PlanMemo.cached and the q56 batch memo) rebuilds
     // a Dataset via PlanBridge.ofRows over the STORED analyzed tree.

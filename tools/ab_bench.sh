@@ -28,10 +28,16 @@ echo "[ab] compiling both trees (serially, machine otherwise idle)"
 sbt -batch compile >/dev/null
 
 echo "[ab] $SPARK_GRAFT_AB_QUERY — $REV vs HEAD, $ROUNDS interleaved rounds"
+run_base() { (cd "$WT" && sbt -batch "runMain graft.ABBench" 2>/dev/null \
+  | grep '"query"' | sed "s/^/$REV[$1] /"); }
+run_head() { sbt -batch "runMain graft.ABBench" 2>/dev/null \
+  | grep '"query"' | sed "s/^/HEAD[$1] /"; }
 for i in $(seq 1 "$ROUNDS"); do
-  (cd "$WT" && sbt -batch "runMain graft.ABBench" 2>/dev/null \
-    | grep '"query"' | sed "s/^/$REV[$i] /")
-  sbt -batch "runMain graft.ABBench" 2>/dev/null \
-    | grep '"query"' | sed "s/^/HEAD[$i] /"
+  # alternate which side runs first: a monotonic machine trend
+  # (thermal creep) otherwise biases against whichever side always
+  # runs second — the round-15 q50 A/B read +20% one way and the
+  # mirror image the other until both orders were in the sample
+  if [ $((i % 2)) -eq 1 ]; then run_base "$i"; run_head "$i"
+  else run_head "$i"; run_base "$i"; fi
 done
 echo "[ab] compare min of 'norm' per side; record the ratio in ADVICE.md"
