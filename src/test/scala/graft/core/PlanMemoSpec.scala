@@ -211,6 +211,81 @@ class PlanMemoSpec extends SparkSuite {
     assert(lifted.collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("PreparedTransform transitively retains no SparkSession (deep walk)") {
+    // The static-field guard above can't see a session captured
+    // TRANSITIVELY — through a UDF closure, an encoder, or a plan
+    // node buried in the analyzed template (the r14 ADVICE residual).
+    // Walk the whole reachable object graph from a representative
+    // instance (including a Scala-UDF closure, the classic capture
+    // channel) and assert no SparkSession is reachable: that IS the
+    // collectability contract, checked structurally.
+    import spark.implicits._
+    val ctor = spark.newSession()
+    val up = org.apache.spark.sql.functions.udf((s: String) => s.toUpperCase)
+    val p = new PreparedTransform(ctor,
+      Seq((0L, "x")).toDF("k", "v").schema,
+      b => b.filter($"k" >= 0).select(up($"v").as("u"))
+        .groupBy($"u").count())
+
+    def findSession(root: AnyRef): (Option[String], Int) = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      val queue = new java.util.ArrayDeque[AnyRef]()
+      def prune(r: AnyRef): Boolean = r match {
+        case null => true
+        case _: String | _: java.lang.Number | _: java.lang.Boolean |
+             _: java.lang.Character | _: java.lang.Class[_] => true
+        case a if a.getClass.isArray &&
+          a.getClass.getComponentType.isPrimitive => true
+        case _ => false
+      }
+      def enqueue(o: AnyRef): Unit =
+        if (!prune(o) && seen.add(o)) queue.add(o)
+      enqueue(root)
+      var found: Option[String] = None
+      var walked = 0
+      while (!queue.isEmpty && found.isEmpty) {
+        val cur = queue.poll()
+        walked += 1
+        cur match {
+          case _: org.apache.spark.sql.SparkSession =>
+            found = Some(cur.getClass.getName)
+          case arr: Array[_] =>
+            arr.foreach { case r: AnyRef => enqueue(r); case _ => () }
+          case _ =>
+            var c: Class[_] = cur.getClass
+            while (c != null) {
+              c.getDeclaredFields.foreach { f =>
+                if (!java.lang.reflect.Modifier.isStatic(f.getModifiers) &&
+                  !f.getType.isPrimitive)
+                  try { f.setAccessible(true); enqueue(f.get(cur)) }
+                  catch { case _: Throwable => () } // unopened JDK module: skip
+              }
+              c = c.getSuperclass
+            }
+        }
+      }
+      (found, walked)
+    }
+    // the detector must be able to FIND a session where one is
+    // genuinely reachable (a Dataset holds its session), or the clean
+    // result below proves nothing
+    val (positive, _) = findSession(Seq((1L, "a")).toDF("k", "v"))
+    assert(positive.nonEmpty,
+      "walker failed to find the session inside a Dataset — detector broken")
+    val (found, walked) = findSession(p)
+    info(s"walked $walked objects from the prepared transform")
+    assert(found.isEmpty,
+      s"a SparkSession (${found.getOrElse("")}) is transitively " +
+        "reachable from PreparedTransform — the session-keyed weak " +
+        "memo would pin its key and never collect")
+    // and the instance still works after the walk (setAccessible
+    // can't have broken anything, but prove the template is intact)
+    val r = p.lift(Seq((1L, "a"), (2L, "a")).toDF("k", "v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq === Seq(("A", 2L)))
+  }
+
   test("wrapped real queries agree between miss and hit paths") {
     // Drive a slice of the production surface twice through
     // SparkEntry (memo-wrapped) and pin call-1 == call-2 row sets.
