@@ -279,6 +279,36 @@ class PlanMemoSpec extends SparkSuite {
       s"a SparkSession (${found.getOrElse("")}) is transitively " +
         "reachable from PreparedTransform — the session-keyed weak " +
         "memo would pin its key and never collect")
+    // and the PRODUCTION q56 transform shape (full decrypt+validate
+    // export pipeline incl. key-service closures and the sink-input
+    // projection) — the instance whose collectability actually
+    // matters to the q56LiftMemo
+    import graft.pipeline.{ExportPipeline, Fixture, SnapshotWriter}
+    val out = Files.createTempDirectory("graft-pmwalk-out")
+    val man = Files.createTempDirectory("graft-pmwalk-man")
+    try {
+      val ks = Fixture.keyService
+      val cfg = SnapshotWriter.Config(out.toString, man.toString,
+        Fixture.Topic, maxBatchBytes = 50000, compression = "gz")
+      val prod = new PreparedTransform(spark.newSession(),
+        org.apache.spark.sql.Encoders.product[Fixture.RawCell].schema,
+        b => SnapshotWriter.shaped(ExportPipeline.records(
+          ExportPipeline.run(b, Fixture.Topic, ks)), cfg))
+      val (foundProd, walkedProd) = findSession(prod)
+      info(s"walked $walkedProd objects from the production q56 transform")
+      assert(foundProd.isEmpty,
+        s"a SparkSession (${foundProd.getOrElse("")}) is transitively " +
+          "reachable from the production q56 prepared transform")
+    } finally {
+      def rm(p: Path): Unit = { // best-effort temp cleanup
+        try {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p)
+        } catch { case _: Exception => () }
+      }
+      rm(out); rm(man)
+    }
     // and the instance still works after the walk (setAccessible
     // can't have broken anything, but prove the template is intact)
     val r = p.lift(Seq((1L, "a"), (2L, "a")).toDF("k", "v"))
