@@ -78,7 +78,13 @@ object Bench {
   // `canary_p50`, the full per-leg sample lists, and the per-pass
   // mins (file artifact) expose intra-board throttle windows and
   // a throttled primary pass masked by a clean sf2 pass (or vice
-  // versa) that the pooled min alone would hide.
+  // versa) that the pooled min alone would hide. Reading rule:
+  // `drift` (hence queries_norm/total_norm) uses the POOLED min for
+  // cross-round definition stability — if canary_pass_min shows the
+  // pooled min came from a NON-primary pass, the primary queries ran
+  // under a worse machine state than drift credits; renormalize by
+  // canary_pass_min["primary"] from the file artifact before
+  // trusting per-query comparisons.
   private val CanaryIters = 200000000L
   /** Per-ITERATION anchors, so a retuned `CanaryIters` rescales the
     * reference seconds instead of silently corrupting `drift` and
