@@ -180,4 +180,82 @@ class StreamingPipelineSpec extends SparkSuite {
         "decrypt_failed" -> 2L, "bad_decrypted" -> 2L))
     } finally query.stop()
   }
+
+  test("restart from checkpoint: committed batches never re-deliver, " +
+      "numbering resumes for data that arrived while down") {
+    // Task-retry exactly-once is fuzz-swept (SnapshotWriterFuzzSpec:
+    // kill points inside a task, retried output byte-identical). This
+    // pins the OTHER fault-tolerance class: a query RESTART from the
+    // offset/commit logs. Contract: batches committed before the stop
+    // are not re-run (no duplicate batchId callback, their batch=N
+    // file sets untouched), the restarted query picks up data that
+    // arrived while it was down under the NEXT batch id, and the
+    // decrypted document multiset across all batch dirs is exactly
+    // the full corpus, once.
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    import graft.streaming.StreamingExport
+
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rs-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-rs-man")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rs-ckpt")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 5000, compression = "gz")
+
+    val results = new scala.collection.mutable.ListBuffer[StreamingExport.BatchResult]
+    // ONE MemoryStream instance across both query incarnations: its
+    // data survives in the JVM, so the restarted query can serve the
+    // offset range the checkpoint says is next
+    val stream = MemoryStream[Fixture.RawCell]
+    def startQuery(name: String) = StreamingExport.start(
+      ExportPipeline.records(
+        ExportPipeline.run(stream.toDF(), Fixture.Topic, ks)),
+      cfg, ks, name, r => results.synchronized { results += r },
+      checkpointDir = Some(ckpt.toString))
+
+    def batchFiles(): Map[String, Set[String]] = {
+      val out = new java.io.File(outDir.toFile, "")
+      out.listFiles().filter(_.getName.startsWith("batch="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+
+    val q1 = startQuery("graft_restart_sink_a")
+    try {
+      stream.addData((0L until 150L).map(i =>
+        Fixture.cell(i, dek, encKey, corrupt = false)))
+      q1.processAllAvailable()
+      stream.addData((150L until 250L).map(i =>
+        Fixture.cell(i, dek, encKey, corrupt = false)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(results.synchronized(results.toList).map(_.batchId) == Seq(0L, 1L))
+    val filesBefore = batchFiles()
+    assert(filesBefore.keySet == Set("batch=0", "batch=1"))
+
+    // data lands while the query is DOWN; the restart must export it
+    stream.addData((250L until 350L).map(i =>
+      Fixture.cell(i, dek, encKey, corrupt = false)))
+    val q2 = startQuery("graft_restart_sink_b")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val allBatches = results.synchronized(results.toList)
+    assert(allBatches.map(_.batchId) == Seq(0L, 1L, 2L),
+      s"restart must run ONLY the new batch 2, got ${allBatches.map(_.batchId)}")
+    // committed batch dirs untouched: same file sets, and batch=2 new
+    val filesAfter = batchFiles()
+    assert(filesAfter.keySet == Set("batch=0", "batch=1", "batch=2"))
+    assert(filesAfter("batch=0") == filesBefore("batch=0") &&
+      filesAfter("batch=1") == filesBefore("batch=1"),
+      "restart rewrote a committed batch dir")
+    // the whole corpus decrypts back exactly once across all batches
+    val docs = allBatches.flatMap(b => b.files.flatMap(fa =>
+      SnapshotWriter.readBack(
+        s"${outDir.toString}/batch=${b.batchId}", fa.file, "gz", ks)))
+    assert(docs.size == 350, s"expected 350 docs once, got ${docs.size}")
+    assert(docs.distinct.size == 350, "a document was delivered twice")
+  }
 }
