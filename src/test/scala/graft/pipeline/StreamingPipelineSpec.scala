@@ -181,17 +181,21 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally query.stop()
   }
 
-  test("restart from checkpoint: committed batches never re-deliver, " +
-      "numbering resumes for data that arrived while down") {
-    // Task-retry exactly-once is fuzz-swept (SnapshotWriterFuzzSpec:
-    // kill points inside a task, retried output byte-identical). This
-    // pins the OTHER fault-tolerance class: a query RESTART from the
-    // offset/commit logs. Contract: batches committed before the stop
-    // are not re-run (no duplicate batchId callback, their batch=N
-    // file sets untouched), the restarted query picks up data that
-    // arrived while it was down under the NEXT batch id, and the
-    // decrypted document multiset across all batch dirs is exactly
-    // the full corpus, once.
+  // Task-retry exactly-once is fuzz-swept (SnapshotWriterFuzzSpec:
+  // kill points inside a task, retried output byte-identical). This
+  // pins the OTHER fault-tolerance class: a query RESTART from the
+  // offset/commit logs. Contract: batches committed before the stop
+  // are not re-run (no duplicate batchId callback, their batch=N file
+  // sets untouched), the restarted query picks up data that arrived
+  // while it was down under the NEXT batch id, and the decrypted
+  // document multiset across all batch dirs is exactly the full
+  // corpus, once. Exercised in BOTH sink modes: record mode
+  // (engine-planned pipeline) and mapBatch mode (PreparedTransform
+  // fused into the sink — the production q56 shape, where the
+  // template must also serve batches of a RESTARTED query).
+  for (useMapBatch <- Seq(false, true))
+    test("restart from checkpoint: committed batches never re-deliver " +
+      s"(${if (useMapBatch) "mapBatch/prepared" else "record"} mode)") {
     val sqlCtx = spark.sqlContext
     implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
     import spark.implicits._
@@ -211,11 +215,24 @@ class StreamingPipelineSpec extends SparkSuite {
     // data survives in the JVM, so the restarted query can serve the
     // offset range the checkpoint says is next
     val stream = MemoryStream[Fixture.RawCell]
-    def startQuery(name: String) = StreamingExport.start(
-      ExportPipeline.records(
-        ExportPipeline.run(stream.toDF(), Fixture.Topic, ks)),
-      cfg, ks, name, r => results.synchronized { results += r },
-      checkpointDir = Some(ckpt.toString))
+    // one prepared template across incarnations too (the q56LiftMemo
+    // pattern: analyzed once per session, not per query start)
+    lazy val prepared = new graft.core.PreparedTransform(spark,
+      stream.toDF().schema,
+      b => SnapshotWriter.shaped(ExportPipeline.records(
+        ExportPipeline.run(b, Fixture.Topic, ks)), cfg))
+    def startQuery(name: String) =
+      if (useMapBatch)
+        StreamingExport.start(stream.toDF(), cfg, ks, name,
+          r => results.synchronized { results += r },
+          checkpointDir = Some(ckpt.toString),
+          mapBatch = Some(prepared.lift))
+      else
+        StreamingExport.start(
+          ExportPipeline.records(
+            ExportPipeline.run(stream.toDF(), Fixture.Topic, ks)),
+          cfg, ks, name, r => results.synchronized { results += r },
+          checkpointDir = Some(ckpt.toString))
 
     def batchFiles(): Map[String, Set[String]] = {
       val out = new java.io.File(outDir.toFile, "")
