@@ -275,4 +275,83 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(docs.size == 350, s"expected 350 docs once, got ${docs.size}")
     assert(docs.distinct.size == 350, "a document was delivered twice")
   }
+
+  test("a crash AFTER file publish but BEFORE the checkpoint commit " +
+      "replays the batch idempotently (byte-identical re-publish)") {
+    // The narrowest exactly-once window: the sink's job commit has
+    // PUBLISHED batch files, then the query dies before the engine
+    // writes the batch to the commit log. On restart Spark re-runs
+    // that batch; the writer must overwrite its own published files
+    // with identical bytes (deterministic DEK + per-(topic,slice,
+    // batch) IVs + REPLACE_EXISTING publishes), never wedge on
+    // already-existing targets or double-deliver documents.
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import spark.implicits._
+    import graft.streaming.StreamingExport
+
+    val ks = Fixture.keyService
+    val dek = ks.batchDataKey().plaintextDataKey
+    val encKey = ks.encryptKey(Fixture.MasterKeyId, dek)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cw-out")
+    val manDir = java.nio.file.Files.createTempDirectory("graft-cw-man")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cw-ckpt")
+    val cfg = SnapshotWriter.Config(outDir.toString, manDir.toString,
+      Fixture.Topic, maxBatchBytes = 5000, compression = "gz")
+
+    val results = new scala.collection.mutable.ListBuffer[StreamingExport.BatchResult]
+    val dieOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val stream = MemoryStream[Fixture.RawCell]
+    def startQuery(name: String) = StreamingExport.start(
+      ExportPipeline.records(
+        ExportPipeline.run(stream.toDF(), Fixture.Topic, ks)),
+      cfg, ks, name, r => {
+        results.synchronized { results += r }
+        // onBatch runs after the DSv2 job commit (files are live) and
+        // before foreachBatch returns (commit log not yet written):
+        // throwing HERE is the crash window
+        if (r.batchId == 1 && dieOnce.getAndSet(false))
+          throw new IllegalStateException("injected post-publish crash")
+      }, checkpointDir = Some(ckpt.toString))
+
+    def batchBytes(batch: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(outDir.toFile, batch)
+      d.listFiles().map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+
+    val q1 = startQuery("graft_crashwin_a")
+    val thrown = try {
+      stream.addData((0L until 150L).map(i =>
+        Fixture.cell(i, dek, encKey, corrupt = false)))
+      q1.processAllAvailable()
+      stream.addData((150L until 250L).map(i =>
+        Fixture.cell(i, dek, encKey, corrupt = false)))
+      q1.processAllAvailable() // batch 1 publishes, then dies
+      false
+    } catch { case _: Exception => true } finally q1.stop()
+    assert(thrown, "the injected crash must fail the first query")
+    assert(!dieOnce.get(), "the crash injection never fired")
+    // batch 1's files ARE published despite the crash (commit ran)
+    val publishedBefore = batchBytes("batch=1")
+    assert(publishedBefore.nonEmpty)
+
+    val q2 = startQuery("graft_crashwin_b")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the engine re-ran batch 1 (it never reached the commit log):
+    // once crashed-after-publish, once committed — and the replay
+    // overwrote the published files with IDENTICAL bytes
+    assert(results.synchronized(results.toList).map(_.batchId) ==
+      Seq(0L, 1L, 1L))
+    assert(batchBytes("batch=1") === publishedBefore,
+      "replayed batch must re-publish byte-identical files")
+    // document multiset across batch dirs: the full corpus, once
+    val last = results.synchronized(results.toList).groupBy(_.batchId)
+      .view.mapValues(_.last).values.toSeq
+    val docs = last.flatMap(b => b.files.flatMap(fa =>
+      SnapshotWriter.readBack(
+        s"${outDir.toString}/batch=${b.batchId}", fa.file, "gz", ks)))
+    assert(docs.size == 250 && docs.distinct.size == 250)
+  }
 }
