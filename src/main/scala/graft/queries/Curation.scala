@@ -490,31 +490,54 @@ object Curation {
     * pair double-counts one signal.
     * r_ab·c = (r_ab − r_ac·r_bc) / √((1−r_ac²)(1−r_bc²)).
     *
-    * Determinism: each Pearson r comes from the five decimal-
-    * quantized moment sums (the q179 contract) — identical operands
-    * in both engines; the partial form is pure IEEE arithmetic on
-    * those three r's.
+    * Determinism: a and b are exact rationals of per-doc integer
+    * counts (sw/n, dt/n) and c is the integer n itself, so every
+    * moment is quantized from the EXACT RATIONAL in pure integer
+    * arithmetic — `(2p + q) div (2q)` micro-units for the a/b
+    * moments (half-away-from-zero at 6 dp; the double-cast form
+    * diverged between engines at sf0.1 on REAL 6-dp ties like
+    * a·b = 9/640 = 0.0140625 exactly), and the c-moments
+    * (sum n, sum n², sum sw, sum dt) are exact integers outright
+    * (a·c ≡ sw, b·c ≡ dt). Sums ride DECIMAL(38,0); each final
+    * moment is one correctly-rounded integer→double conversion (and
+    * one exact /10⁶ for the micro-unit five) — identical operands in
+    * both engines; the partial form is pure IEEE arithmetic on the
+    * three r's.
     *
     * Scale: one scan, one map-side-combined nine-sum aggregate,
-    * one-row output. */
+    * one-row output. Range: micro-units overflow DECIMAL(38,0) only
+    * past 10³² token-units — unreachable. */
   def q268PartialCorr(s: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(25, 6)
-    def ds(c: Column) = sum(c.cast(dec)).cast("double")
+    val d38 = DecimalType(38, 0)
+    // round_half_away(p/q * 1e6) with p,q ≥ 0 integers, exact
+    def qu(p: Column, q: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.div(
+        p.cast(d38) * lit(2000000L) + q.cast(d38), q.cast(d38) * lit(2L))
+    // micro-unit sum → double moment (exact integer sum, one ÷1e6)
+    def us(c: Column) = (sum(c.cast(d38)).cast("double") / lit(1e6))
+    def is(c: Column) = sum(c.cast(d38)).cast("double")
     val f = docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("a",
+      .select(
         expr("size(filter(toks, t -> t IN ('the','a','of','to','and')))")
-          .cast("double") / col("n_tokens").cast("double"))
-      .withColumn("b",
-        size(array_distinct(col("toks"))).cast("double") /
-          col("n_tokens").cast("double"))
-      .withColumn("c", col("n_tokens").cast("double"))
+          .cast("long").as("sw"),
+        size(array_distinct(col("toks"))).cast("long").as("dt"),
+        size(col("toks")).cast("long").as("nt"))
+      .select(col("sw"), col("dt"), col("nt"),
+        col("nt").cast(d38).as("ntd"),
+        qu(col("sw").cast(d38), col("nt").cast(d38)).as("ua"),
+        qu(col("dt").cast(d38), col("nt").cast(d38)).as("ub"),
+        qu(col("sw").cast(d38) * col("sw").cast(d38),
+          col("nt").cast(d38) * col("nt").cast(d38)).as("uaa"),
+        qu(col("dt").cast(d38) * col("dt").cast(d38),
+          col("nt").cast(d38) * col("nt").cast(d38)).as("ubb"),
+        qu(col("sw").cast(d38) * col("dt").cast(d38),
+          col("nt").cast(d38) * col("nt").cast(d38)).as("uab"))
     val m = f.agg(count(lit(1)).cast("double").as("n"),
-      ds(col("a")).as("sa"), ds(col("b")).as("sb"), ds(col("c")).as("sc"),
-      ds(col("a") * col("a")).as("saa"), ds(col("b") * col("b")).as("sbb"),
-      ds(col("c") * col("c")).as("scc"), ds(col("a") * col("b")).as("sab"),
-      ds(col("a") * col("c")).as("sac"), ds(col("b") * col("c")).as("sbc"))
+      us(col("ua")).as("sa"), us(col("ub")).as("sb"), is(col("nt")).as("sc"),
+      us(col("uaa")).as("saa"), us(col("ubb")).as("sbb"),
+      is(col("ntd") * col("ntd")).as("scc"), us(col("uab")).as("sab"),
+      is(col("sw")).as("sac"), is(col("dt")).as("sbc"))
     def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
         n: Column): Column =
       (n * sxy - sx * sy) /
@@ -537,21 +560,26 @@ object Curation {
       |  FROM documents),
       |f AS (SELECT
       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and')))
-      |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS a,
-      |  CAST(len(list_distinct(toks)) AS DOUBLE)
-      |    / CAST(len(toks) AS DOUBLE) AS b,
-      |  CAST(len(toks) AS DOUBLE) AS c FROM t),
+      |    AS HUGEINT) AS sw,
+      |  CAST(len(list_distinct(toks)) AS HUGEINT) AS dt,
+      |  CAST(len(toks) AS HUGEINT) AS nt FROM t),
+      |u AS (SELECT sw, dt, nt,
+      |  (2*sw*1000000 + nt) // (2*nt) AS ua,
+      |  (2*dt*1000000 + nt) // (2*nt) AS ub,
+      |  (2*sw*sw*1000000 + nt*nt) // (2*nt*nt) AS uaa,
+      |  (2*dt*dt*1000000 + nt*nt) // (2*nt*nt) AS ubb,
+      |  (2*sw*dt*1000000 + nt*nt) // (2*nt*nt) AS uab FROM f),
       |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |  CAST(SUM(CAST(a AS DECIMAL(25,6))) AS DOUBLE) AS sa,
-      |  CAST(SUM(CAST(b AS DECIMAL(25,6))) AS DOUBLE) AS sb,
-      |  CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE) AS sc,
-      |  CAST(SUM(CAST(a * a AS DECIMAL(25,6))) AS DOUBLE) AS saa,
-      |  CAST(SUM(CAST(b * b AS DECIMAL(25,6))) AS DOUBLE) AS sbb,
-      |  CAST(SUM(CAST(c * c AS DECIMAL(25,6))) AS DOUBLE) AS scc,
-      |  CAST(SUM(CAST(a * b AS DECIMAL(25,6))) AS DOUBLE) AS sab,
-      |  CAST(SUM(CAST(a * c AS DECIMAL(25,6))) AS DOUBLE) AS sac,
-      |  CAST(SUM(CAST(b * c AS DECIMAL(25,6))) AS DOUBLE) AS sbc
-      |  FROM f),
+      |  CAST(SUM(ua) AS DOUBLE) / 1e6 AS sa,
+      |  CAST(SUM(ub) AS DOUBLE) / 1e6 AS sb,
+      |  CAST(SUM(nt) AS DOUBLE) AS sc,
+      |  CAST(SUM(uaa) AS DOUBLE) / 1e6 AS saa,
+      |  CAST(SUM(ubb) AS DOUBLE) / 1e6 AS sbb,
+      |  CAST(SUM(nt*nt) AS DOUBLE) AS scc,
+      |  CAST(SUM(uab) AS DOUBLE) / 1e6 AS sab,
+      |  CAST(SUM(sw) AS DOUBLE) AS sac,
+      |  CAST(SUM(dt) AS DOUBLE) AS sbc
+      |  FROM u),
       |rr AS (SELECT CAST(n AS BIGINT) AS n_docs,
       |  (n * sab - sa * sb) /
       |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS r_ab,

@@ -1284,8 +1284,11 @@ object Dedup {
   val q197Sql: String = {
     val hitSql = (0 until NumBands)
       .map(bd => s"x.band$bd = y.band$bd").mkString(" OR ")
+    // Relational.DLIT: a bare 16-digit literal would parse as a wide
+    // DECIMAL whose →DOUBLE conversion double-rounds one ulp off the
+    // Spark side's lit(v) (bit the sf0.1 full-hash sweep, round 16).
     val expSql = lshCurveExpected.zipWithIndex
-      .map { case (v, b) => s"WHEN bucket = $b THEN $v" }
+      .map { case (v, b) => s"WHEN bucket = $b THEN ${Relational.DLIT(v)}" }
       .mkString("CASE ", " ", " ELSE 0.0 END")
     s"""$sigSqlCte,
        |post AS (SELECT doc_id, unnest(sh) AS g FROM banded),

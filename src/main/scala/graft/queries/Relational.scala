@@ -36,6 +36,63 @@ object Relational {
   private[queries] def DSUM(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
 
+  /** Exact, engine-agreed rounded mean: `round(sum(c)/n, scale)` with
+    * the sum routed through DECIMAL(25,6) (order-free, the [[dsum]]
+    * contract) and the final rounding done on the EXACT RATIONAL
+    * sum/n in pure integer arithmetic — never on a double. The naive
+    * `round(dsum(c)/count, scale)` divides in doubles and rounds the
+    * double: when the true mean is a REAL tie at `scale` dp (e.g.
+    * 0.616992/192 = 0.0032135 exactly — bit q82 at sf0.1), the
+    * nearest double sits an ulp off the tie and the two engines'
+    * round() break it oppositely. Here the tie is resolved
+    * half-away-from-zero on the exact value in BOTH engines:
+    * with S = sum·10⁶ (an exact integer, the decimal's unscaled
+    * value) and d = n·10^(6−scale), the rounded mean in 10^-scale
+    * units is sign(S)·((2|S| + d) div (2d)); the final
+    * units→double division is a single correctly-rounded IEEE op on
+    * exact integers. Operands ride DECIMAL(38,0), so the only range
+    * bound is the LONG quotient: |mean|·10^scale < 2⁶³ — any real
+    * mean. Twin: [[DMEAN]]. */
+  private[queries] def dmean(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6, s"dmean scale $scale outside [0,6]")
+    val d38 = DecimalType(38, 0)
+    val s6 = (sum(c.cast(DecimalType(25, 6))) * lit(1000000L)).cast(d38)
+    val d = (count(lit(1)) * lit(math.pow(10, 6 - scale).toLong)).cast(d38)
+    val units = org.apache.spark.sql.graftbridge.ColumnBridge.div(
+      abs(s6) * lit(2L) + d, d * lit(2L))
+    (when(s6 < lit(0), -units).otherwise(units).cast(DoubleType) /
+      lit(math.pow(10, scale)))
+  }
+
+  /** The DuckDB-side twin of [[dmean]] — same integer arithmetic over
+    * HUGEINT (`//` = integral division, floor = trunc on the
+    * non-negative operands used here). */
+  private[queries] def DMEAN(x: String, scale: Int): String = {
+    require(scale >= 0 && scale <= 6, s"DMEAN scale $scale outside [0,6]")
+    val p = math.pow(10, 6 - scale).toLong
+    val s = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) * 1000000 AS HUGEINT)"
+    val d = s"(CAST(COUNT(*) AS HUGEINT) * $p)"
+    s"(CAST(CASE WHEN $s < 0 THEN -((2*(-($s)) + $d) // (2*$d)) " +
+      s"ELSE (2*($s) + $d) // (2*$d) END AS DOUBLE) / " +
+      s"${DLIT(math.pow(10, scale))})"
+  }
+
+  /** Bit-exact DOUBLE literal for DuckDB-side SQL. A bare decimal
+    * literal like `0.9477977920742495` parses as DECIMAL(17,16), and
+    * DuckDB's wide-decimal→double conversion double-rounds (÷10^scale
+    * via two inexact steps), landing one ulp off the JVM double the
+    * Spark side carries. E-notation (`…e0`) forces a DOUBLE literal
+    * through DuckDB's correctly-rounded strtod, and Double.toString's
+    * round-trip guarantee then reproduces the exact bits. Use this
+    * for ANY interpolated Double whose shortest representation may
+    * exceed ~15 significant digits. */
+  private[queries] def DLIT(v: Double): String = {
+    val t = v.toString
+    if (t.contains("E")) t.replace("E", "e")
+    else if (t.contains("e")) t
+    else t + "e0"
+  }
+
   /** Compare a timestamp column against a date literal without losing
     * parquet filter pushdown (cast the literal, not the column). */
   private def tsLit(df: DataFrame, colName: String, v: String): Column =

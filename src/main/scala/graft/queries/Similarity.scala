@@ -452,11 +452,19 @@ object Similarity {
   private val ivfHashDuck =
     s"((vec_id % $IvfIdMask) * $IvfHashMult) % $IvfHashMod"
 
-  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame =
+    qKnnIvfProbed(s, dir, IvfProbes)
+
+  /** [[qKnnIvf]] with the probe count as a parameter — q93's
+    * regression-tripwire seam (SimilarityRecallSpec runs the eval
+    * against a deliberately degraded 1-probe index and asserts the
+    * metric row moves). */
+  private[queries] def qKnnIvfProbed(s: SparkSession, dir: String,
+      ivfProbes: Int): DataFrame = {
     val q = new IvfQuantizer(s, dir)
     val n = q.n
     def probeCells(vec: Column, nrm: Column): Column =
-      q.probeCells(vec, nrm, IvfProbes)
+      q.probeCells(vec, nrm, ivfProbes)
 
     val assigned = q.assigned
     val probes = n.filter(col("vec_id") < 8)
@@ -795,62 +803,107 @@ object Similarity {
     * Determinism: each dimension's sum routes through DECIMAL(25,6)
     * (the [[Relational.dsum]] rule — float→double is exact, the
     * decimal quantization is the same half-up in both engines), so
-    * the centroid is bit-identical under any partitioning. Plan:
-    * posexplode fans each vector into (label, pos, v) rows —
-    * scan-local — then ONE map-side-combined shuffle on
-    * (label, pos); |labels|·dim result rows. */
+    * the sum is bit-identical under any partitioning, and the
+    * rounded mean is [[Relational.dmean]] — exact integer
+    * half-away-from-zero on the rational sum/n, never a double
+    * round() (a REAL 6-dp tie, 0.616992/192 = 0.0032135, bit the
+    * double form at sf0.1). Plan: posexplode fans each vector into
+    * (label, pos, v) rows — scan-local — then ONE map-side-combined
+    * shuffle on (label, pos); |labels|·dim result rows. */
   def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .select(col("label"), posexplode(col("embedding")))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "v")
       .groupBy(col("label"), col("p"))
       .agg(count(lit(1)).as("n"),
-        round(Relational.dsum(col("v").cast("double")) / count(lit(1)), 6)
-          .as("c"))
+        Relational.dmean(col("v").cast("double"), 6).as("c"))
       .orderBy("label", "p")
 
   val qLabelCentroidsSql: String =
-    """WITH ex AS (SELECT label,
+    s"""WITH ex AS (SELECT label,
       |  unnest(list_transform(range(1, len(embedding) + 1),
       |    i -> {'p': i - 1, 'v': embedding[i]})) AS s FROM embeddings)
       |SELECT label, s.p AS p, COUNT(*) AS n,
-      |round(CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
-      |      / COUNT(*), 6) AS c
+      |${Relational.DMEAN("CAST(s.v AS DOUBLE)", 6)} AS c
       |FROM ex GROUP BY label, p ORDER BY label, p""".stripMargin
 
   // ------------------------------------------------ q93 ANN eval
   /** The ANN deployment's eval harness as a query: recall@5 and
     * top-1 agreement of the IVF index (q32) against the brute-force
-    * ground truth (q30), computed in-engine. Every input is
-    * deterministic, so the metrics are golden constants — the oracle
-    * pins them, and an index regression (probe count, seed selection,
-    * cell assignment) moves the row and fails correctness, not just a
-    * spec. At production scale the same query runs over a sampled
-    * query set as the index-maintenance canary. */
-  def qAnnEval(s: SparkSession, dir: String): DataFrame = {
-    val brute = qKnnBrute(s, dir).select(col("qid"), col("cid"), col("rn"))
-    val ivf = qKnnIvf(s, dir).select(col("qid"), col("cid"))
+    * ground truth (q30), computed in-engine. The oracle COMPUTES the
+    * same metrics from DuckDB's own independent brute + IVF SQL (the
+    * q30/q32 oracle bodies composed into one statement), so the check
+    * is scale-free — it holds at ANY fixture, not just the sf where a
+    * constant was once measured — and an index regression (probe
+    * count, seed selection, cell assignment) still reads red, because
+    * the oracle's IVF is an independent implementation that does not
+    * move with the engine's (tripwire pinned in
+    * SimilarityRecallSpec). Metrics are exact single IEEE divisions
+    * of join-cardinality integers — no rounding, no tie hazard.
+    * At production scale the same query runs over a sampled query
+    * set as the index-maintenance canary. */
+  def qAnnEval(s: SparkSession, dir: String): DataFrame =
+    annEval(s, qKnnBrute(s, dir), qKnnIvf(s, dir))
+
+  /** q93's metric core with an injectable system list — the
+    * regression tripwire's seam (SimilarityRecallSpec perturbs the
+    * index through it and asserts the row moves). */
+  private[queries] def annEval(s: SparkSession, brute0: DataFrame,
+      ivf0: DataFrame): DataFrame = {
+    val brute = brute0.select(col("qid"), col("cid"), col("rn"))
+    val ivf = ivf0.select(col("qid"), col("cid"))
     val k = 5
     val nq = brute.select(countDistinct(col("qid"))).head().getLong(0)
     val hits = brute.join(ivf, Seq("qid", "cid")).count()
     val top1 = brute.filter(col("rn") === 1)
       .join(ivf, Seq("qid", "cid")).count()
     import s.implicits._
-    Seq((nq, math.round(hits.toDouble / (k * nq) * 10000) / 10000.0,
-      math.round(top1.toDouble / nq * 10000) / 10000.0))
+    Seq((nq, hits.toDouble / (k * nq), top1.toDouble / nq))
       .toDF("n_queries", "recall_at_5", "top1_rate")
   }
 
-  /** Golden constants measured from the deterministic sf0.01 fixture
-    * (the driver's gate scale): the 1-probe IVF index recovers half
-    * the true top-5 set — the data-limited recall of an isotropic
-    * random fixture (SimilarityRecallSpec discusses the floor). The
-    * POINT of the row is pinning it: a probe-count or seed-selection
-    * regression moves these numbers and fails correctness. */
+  /** The q30 (brute) and q32 (IVF) oracle bodies composed into one
+    * statement, finishing with the recall@5 / top-1 joins — DuckDB
+    * recomputes the metrics independently at whatever sf it is
+    * handed. Inline CTE duplication of the seeds/scored/assigned
+    * block follows [[qKnnIvfSql]]/[[qCellNearDupSql]]. */
   val qAnnEvalSql: String =
-    """SELECT CAST(8 AS BIGINT) AS n_queries,
-      |CAST(0.5 AS DOUBLE) AS recall_at_5,
-      |CAST(0.5 AS DOUBLE) AS top1_rate""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
+       |bp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |  ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM n q, n c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |brute AS (SELECT qid, cid, rn FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY cosine DESC, cid) AS rn FROM bp) WHERE rn <= 5),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
+       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
+       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
+       |  FROM n CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+       |  seed_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY scos DESC, seed_id) AS rn FROM scored WHERE vec_id < 8)
+       |  WHERE rn <= $IvfProbes),
+       |cand AS (SELECT p.qid, a.vec_id AS cid,
+       |  ${dotDuck("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN assigned a USING (cell) WHERE p.qid <> a.vec_id),
+       |ivf AS (SELECT qid, cid FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY cosine DESC, cid) AS rn FROM cand) WHERE rn <= 5),
+       |nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+       |  FROM brute),
+       |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM brute JOIN ivf USING (qid, cid)),
+       |t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS top1
+       |  FROM brute JOIN ivf USING (qid, cid) WHERE rn = 1)
+       |SELECT n_queries,
+       |  CAST(hits AS DOUBLE) / (5 * n_queries) AS recall_at_5,
+       |  CAST(top1 AS DOUBLE) / n_queries AS top1_rate
+       |FROM nq, h, t1""".stripMargin
 
   // --------------------------------------- q245 nDCG@5 + MRR metrics
   /** Graded-relevance ranking metrics for the IVF index against

@@ -31,6 +31,30 @@ class SimilarityRecallSpec extends SparkSuite {
     assert(mean >= 0.6, s"mean recall@5 = $mean (per-query: $recalls)")
   }
 
+  test("q93 ann_eval trips on an index regression (1-probe perturbation)") {
+    // q93's oracle RECOMPUTES recall/top-1 from DuckDB's independent
+    // brute+IVF SQL, so the hash check stays honest only if the
+    // engine-side metric actually MOVES when the index regresses —
+    // otherwise a broken index and its broken eval could agree. Pin
+    // that sensitivity: degrade the index to 1 probe (the spec
+    // header's 0.65 → 0.40 regression) and assert the metric row
+    // changes, with recall strictly worse.
+    val dir = "/root/testdata/sf0.001"
+    def row(df: org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
+      val r = df.head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    val healthy = row(Similarity.qAnnEval(spark, dir))
+    val degraded = row(Similarity.annEval(spark,
+      Similarity.qKnnBrute(spark, dir),
+      Similarity.qKnnIvfProbed(spark, dir, 1)))
+    assert(healthy._1 == degraded._1, "same query set")
+    assert(degraded != healthy,
+      s"1-probe index must move the q93 row (healthy=$healthy)")
+    assert(degraded._2 < healthy._2,
+      s"1-probe recall@5 ${degraded._2} must be < healthy ${healthy._2}")
+  }
+
   test("PQ ADC recall@5 vs brute force clears the data-limited floor") {
     val dir = "/root/testdata/sf0.001"
     def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
