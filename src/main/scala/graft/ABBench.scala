@@ -12,8 +12,8 @@ package graft
   * [[Bench.CanaryRefSec]]). Interleave whole-process invocations of
   * the two trees A/B/A/B and compare `norm` min-of-runs. */
 object ABBench {
-  private val CanaryIters = 200000000L
-  private val CanaryRefSec = 0.470
+  private[graft] val CanaryIters = 200000000L
+  private[graft] val CanaryRefSec = 0.470
   @volatile private var sink = 0L
   private def canaryOnce(): Double = {
     val t0 = System.nanoTime()

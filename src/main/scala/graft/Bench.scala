@@ -85,7 +85,7 @@ object Bench {
   // under a worse machine state than drift credits; renormalize by
   // canary_pass_min["primary"] from the file artifact before
   // trusting per-query comparisons.
-  private val CanaryIters = 200000000L
+  private[graft] val CanaryIters = 200000000L
   /** Per-ITERATION anchors, so a retuned `CanaryIters` rescales the
     * reference seconds instead of silently corrupting `drift` and
     * every `*_norm` value (the ref/iters coupling is THROUGH these
@@ -97,7 +97,15 @@ object Bench {
     * 1.0485 — the 32-thread SMT/turbo cost — times the st anchor, so
     * idle-machine drift_mt ≈ drift and a drift_mt EXCESS over drift
     * reads directly as core contention; the mt leg is intrinsically
-    * noisier sample-to-sample, which min-of-samples absorbs). */
+    * noisier sample-to-sample, which min-of-samples absorbs).
+    *
+    * SCOPE: the mt anchor bakes in THIS 32-core board's idle mt/st
+    * ratio while `canaryMtOnce` spawns `availableProcessors` threads,
+    * so on any other core count drift_mt is mis-anchored and its
+    * excess over drift misreads as contention. The artifact emits
+    * `canary_mt_threads` beside `canary_mt_s` so a board reader can
+    * reject (or re-anchor) mt comparisons when the count ≠ 32; st
+    * drift is core-count-independent and stays valid everywhere. */
   private val CanaryRefSecPerIter = 0.470 / 2e8
   private val CanaryMtRefSecPerIter = 0.493 / 2e8
   val CanaryRefSec: Double = CanaryRefSecPerIter * CanaryIters
@@ -347,6 +355,7 @@ object Bench {
       s""","canary_s":${fmt(canaryS)},"canary_p50":${fmt(canaryP50)}""" +
         s""","canary_ref_s":${fmt(CanaryRefSec)},"drift":${fmt(drift)}""" +
         s""","canary_mt_s":${fmt(canaryMtS)},"drift_mt":${fmt(driftMt)}""" +
+        s""","canary_mt_threads":${Runtime.getRuntime.availableProcessors}""" +
         s""","total_norm":${fmt(total / drift)}"""
     def lineFor(floor: Double): String = {
       val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)

@@ -71,19 +71,31 @@ object PlanMemo {
   }
 
   /** Directory fingerprint: mtime of `dir` plus a hash of each child
-    * entry's (name, mtime, size). Rewriting a parquet file in place,
+    * entry's (name, mtime, size) and of the first and last 4 KiB of
+    * each child FILE's content. Rewriting a parquet file in place,
     * adding or removing one, or re-creating the directory all change
-    * it; the size term catches a rewrite that lands within the same
-    * millisecond mtime tick whenever the bytes moved (a same-size
-    * same-tick rewrite remains the residual granularity contract —
-    * millisecond mtimes are the finest signal a portable stat gives).
-    * Shared with the managed per-dir artifact caches outside this
-    * object (e.g. [[graft.queries.TextAnalysis]]'s BPE vocab/merge
-    * artifacts), which carry the same staleness contract.
+    * it; the size term catches a rewrite inside the same millisecond
+    * mtime tick whenever the bytes moved, and the head/tail probe
+    * catches a same-size same-tick rewrite whenever it touches either
+    * 4 KiB window — for parquet that is effectively always, because
+    * the footer (row-group stats, created_by) lives in the tail. The
+    * ACCEPTED residual blind spot is a same-size, same-millisecond,
+    * middle-only rewrite that leaves both windows byte-identical —
+    * below the granularity any portable stat+probe gives without
+    * hashing whole files on every call. Shared with the managed
+    * per-dir artifact caches outside this object (e.g.
+    * [[graft.queries.TextAnalysis]]'s BPE vocab/merge artifacts),
+    * which carry the same staleness contract.
+    *
+    * Cost: two pread syscalls per child file (OS page cache — tens of
+    * µs per fixture dir), paid once per query construction; serving a
+    * memo hit pays it too, keeping hits honest.
     *
     * An UNREADABLE dir returns a fresh negative sentinel per call, so
     * no cache keyed on it can ever serve a hit — IO errors fail open
-    * to a rebuild, never to a stale artifact. */
+    * to a rebuild, never to a stale artifact ([[cached]] additionally
+    * bypasses its map entirely on a sentinel, so a persistently
+    * unreadable dir cannot grow the memo by one entry per call). */
   private val fpErrSentinel = new java.util.concurrent.atomic.AtomicLong(-1L)
   private[graft] def fingerprint(dir: String): Long = {
     try {
@@ -99,6 +111,7 @@ object PlanMemo {
             java.nio.file.Files.getLastModifiedTime(c).toMillis
           h = h * 1000003L +
             (try java.nio.file.Files.size(c) catch { case _: Exception => -1L })
+          h = h * 1000003L + contentProbe(c)
         }
       } finally st.close()
       // the hash space is keys, not a flag channel: keep computed
@@ -107,32 +120,80 @@ object PlanMemo {
     } catch { case _: Exception => fpErrSentinel.getAndDecrement() }
   }
 
+  /** Hash of a regular file's first and last 4 KiB (whole file when
+    * ≤ 8 KiB); 0 for directories. Unreadable children degrade to a
+    * local -1 rather than failing the whole fingerprint — the parent
+    * mtime/size terms still distinguish most rewrites, and a probe
+    * that THROWS here would turn one locked file into a permanent
+    * rebuild storm. */
+  private def contentProbe(p: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.isRegularFile(p)) return 0L
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val sz = ch.size()
+        val w = 4096
+        def hashAt(pos: Long, len: Int): Long = {
+          val buf = java.nio.ByteBuffer.allocate(len)
+          var off = pos
+          while (buf.hasRemaining) {
+            val r = ch.read(buf, off)
+            if (r < 0) return buf.position().toLong * 31L // short file tail
+            off += r
+          }
+          var h = 1125899906842597L
+          var i = 0
+          while (i < buf.position()) {
+            h = h * 1000003L + buf.get(i); i += 1
+          }
+          h
+        }
+        if (sz <= 2L * w) hashAt(0L, sz.toInt)
+        else hashAt(0L, w) * 1000003L + hashAt(sz - w, w)
+      } finally ch.close()
+    } catch { case _: Exception => -1L }
+  }
+
   /** Wrap one query function with the plan memo. */
   def cached(name: String, fn: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = { (s, dir) =>
-    val key = (name, dir, fingerprint(dir))
-    val m = perSession(s)
-    m.get(key) match {
-      case Entry(plan) =>
-        if (debug) System.err.println(s"[planmemo] hit $name")
-        PlanBridge.ofRows(s, plan)
-      case null =>
-        // Probe EVERY call until one constructs job-free: a cold first
-        // call legitimately runs jobs (Tables.load file listing, an
-        // internal cache materialization) and must not pin the query
-        // out; an iterative query runs jobs on every construction and
-        // so never memoizes.
-        val before = GraftScheduler.jobsSubmitted(s.sparkContext)
-        val df = fn(s, dir)
-        val after = GraftScheduler.jobsSubmitted(s.sparkContext)
-        if (after == before) {
-          if (debug) System.err.println(s"[planmemo] memoize $name")
-          m.put(key, Entry(df.queryExecution.analyzed))
-        } else if (debug)
-          System.err.println(s"[planmemo] impure $name ($before -> $after)")
-        df
+    val fp = fingerprint(dir)
+    if (fp < 0) {
+      // IO-error sentinel: bypass the memo entirely. Keying on the
+      // (unique-per-call) sentinel could never serve a stale hit, but
+      // a job-free construction would m.put a NEW entry per call — an
+      // unbounded leak on a persistently unreadable dir.
+      fn(s, dir)
+    } else {
+      val key = (name, dir, fp)
+      val m = perSession(s)
+      m.get(key) match {
+        case Entry(plan) =>
+          if (debug) System.err.println(s"[planmemo] hit $name")
+          PlanBridge.ofRows(s, plan)
+        case null =>
+          // Probe EVERY call until one constructs job-free: a cold
+          // first call legitimately runs jobs (Tables.load file
+          // listing, an internal cache materialization) and must not
+          // pin the query out; an iterative query runs jobs on every
+          // construction and so never memoizes.
+          val before = GraftScheduler.jobsSubmitted(s.sparkContext)
+          val df = fn(s, dir)
+          val after = GraftScheduler.jobsSubmitted(s.sparkContext)
+          if (after == before) {
+            if (debug) System.err.println(s"[planmemo] memoize $name")
+            m.put(key, Entry(df.queryExecution.analyzed))
+          } else if (debug)
+            System.err.println(s"[planmemo] impure $name ($before -> $after)")
+          df
+      }
     }
   }
+
+  /** Live memo entry count for a session — the sentinel-bypass leak
+    * pin in PlanMemoSpec (an unreadable dir must not grow the memo). */
+  private[graft] def entriesFor(s: SparkSession): Int = perSession(s).size()
 
   /** Wrap a whole module's `queries` map. */
   def wrap(qs: Map[String, (SparkSession, String) => DataFrame])

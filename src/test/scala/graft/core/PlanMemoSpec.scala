@@ -55,6 +55,50 @@ class PlanMemoSpec extends SparkSuite {
     f.delete(); dir.delete()
   }
 
+  test("fingerprint: same-size same-mtime rewrite changes the probe") {
+    // The r16 content probe (first/last 4 KiB per child): a rewrite
+    // that preserves BOTH the size and the millisecond mtime — the
+    // r15 fingerprint's residual blind spot — must still invalidate
+    // whenever it touches either probe window.
+    val dir = Files.createTempDirectory("graft-fp-probe").toFile
+    val f = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, Array.fill[Byte](16384)(1))
+    val dirM = java.nio.file.Files.getLastModifiedTime(dir.toPath)
+    val fM = java.nio.file.Files.getLastModifiedTime(f.toPath)
+    val fp1 = PlanMemo.fingerprint(dir.toString)
+    // head-window rewrite, size and mtimes restored
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(10); raf.writeByte(2); raf.close()
+    java.nio.file.Files.setLastModifiedTime(f.toPath, fM)
+    java.nio.file.Files.setLastModifiedTime(dir.toPath, dirM)
+    val fp2 = PlanMemo.fingerprint(dir.toString)
+    assert(fp2 !== fp1, "head-window content change must invalidate")
+    // tail-window rewrite (parquet's footer case), same restoration
+    val raf2 = new java.io.RandomAccessFile(f, "rw")
+    raf2.seek(16384 - 10); raf2.writeByte(3); raf2.close()
+    java.nio.file.Files.setLastModifiedTime(f.toPath, fM)
+    java.nio.file.Files.setLastModifiedTime(dir.toPath, dirM)
+    val fp3 = PlanMemo.fingerprint(dir.toString)
+    assert(fp3 !== fp2, "tail-window content change must invalidate")
+    f.delete(); dir.delete()
+  }
+
+  test("unreadable dir bypasses the memo: constructs fresh, never grows") {
+    val session = spark.newSession()
+    val gone = "/tmp/graft-pm-never-created-" + System.nanoTime()
+    var builds = 0
+    val fn = PlanMemo.cached("pm_test_sentinel", (s, _) => {
+      builds += 1
+      s.range(3).toDF("id") // job-free construction — the leak shape
+    })
+    val before = PlanMemo.entriesFor(session)
+    assert(fn(session, gone).count() === 3)
+    assert(fn(session, gone).count() === 3)
+    assert(builds === 2, "sentinel calls must construct fresh every time")
+    assert(PlanMemo.entriesFor(session) === before,
+      "an unreadable dir must not add memo entries (r16 leak pin)")
+  }
+
   test("serving a memoized analyzed plan pays no re-analysis") {
     // The hit path (PlanMemo.cached and the q56 batch memo) rebuilds
     // a Dataset via PlanBridge.ofRows over the STORED analyzed tree.

@@ -22,7 +22,15 @@ class SurveySyncSpec extends AnyFunSuite {
       "oracleSql coverage diverged from queries — reword SURVEY.md's " +
         "count line and update this spec's expected sentence")
     val n = qs.size
-    val maxId = qs.keys.map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    val ids = qs.keys.map(_.drop(1).takeWhile(_.isDigit).toInt).toSet
+    val maxId = ids.max
+    // the "all ids q01–qN used" wording asserts CONTIGUITY — derive it
+    // only when that is actually true, so removing a query (leaving a
+    // gap) forces a reword instead of demanding a false sentence
+    assert(ids === (1 to maxId).toSet,
+      s"query ids are not contiguous 1..$maxId (missing: " +
+        s"${((1 to maxId).toSet -- ids).toSeq.sorted.mkString(",")}) — " +
+        "reword SURVEY.md's count line and update this spec")
     val expected =
       s"$n queries total, all $n oracle-checked; all ids q01–q$maxId used"
 

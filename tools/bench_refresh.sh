@@ -11,8 +11,9 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 sbt -batch "runMain graft.Bench"
 
 git add BENCH_LATEST.json
-# round artifacts the driver may have dropped since the last commit
-for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json; do
+# round artifacts the driver may have dropped since the last commit,
+# plus the standing bench-scale sweep (tools/fullhash_sweep.sh)
+for f in BENCH_r*.json CORRECTNESS_r*.json SWEEP_r*.json LEAKCHECK.json; do
   [ -e "$f" ] && git add "$f"
 done
 if ! git diff --cached --quiet; then
