@@ -442,8 +442,7 @@ object Curation {
       ((count(lit(1)) - countDistinct("fp")).cast("double") /
         count(lit(1)).cast("double")).as("exact_dup_rate"))
     val meanLogit = d.agg(
-      round(Relational.dsum(col("logit")) / count(lit(1)), 6)
-        .as("mean_logit"))
+      Relational.dmean(col("logit"), 6).as("mean_logit"))
     val hist = base.groupBy("nt").agg(count(lit(1)).as("c"))
     val wcum = Window.orderBy("nt")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -469,8 +468,8 @@ object Curation {
        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) /
        |    CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate
        |  FROM base),
-       |ml AS (SELECT round(CAST(SUM(CAST(logit AS DECIMAL(25,6)))
-       |  AS DOUBLE) / COUNT(*), 6) AS mean_logit FROM l),
+       |ml AS (SELECT ${Relational.DMEAN("logit", 6)}
+       |  AS mean_logit FROM l),
        |h AS (SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM base
        |  GROUP BY 1),
        |hc AS (SELECT *, COALESCE(CAST(SUM(c) OVER (ORDER BY nt
@@ -1992,8 +1991,8 @@ object Curation {
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("chunk_md5")).as("n_distinct"),
         sum(when(col("mult") > 1, 1L).otherwise(0L)).as("n_dup_occurrences"),
-        round(sum(when(col("mult") > 1, 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double"), 4).as("dup_rate"))
+        Relational.dratio(sum(when(col("mult") > 1, 1L).otherwise(0L)),
+          count(lit(1)), 4).as("dup_rate"))
       .orderBy("source")
   }
 
@@ -2013,8 +2012,8 @@ object Curation {
        |COUNT(DISTINCT ch.chunk_md5) AS n_distinct,
        |CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT)
        |  AS n_dup_occurrences,
-       |round(CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |  / COUNT(*), 4) AS dup_rate
+       |${Relational.DRATIO("SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END)",
+           "COUNT(*)", 4)} AS dup_rate
        |FROM ch JOIN m ON ch.chunk_md5 = m.chunk_md5
        |GROUP BY source ORDER BY source""".stripMargin
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.queries.Relational.{dsum, DSUM}
+import graft.queries.Relational.{dsum, DSUM, dmean, DMEAN}
 
 /** Event-stream analytics over `events`: sessionization, exact
   * grouped quantiles, z-score outlier gating, exact per-group heavy
@@ -528,7 +528,7 @@ object EventAnalytics {
         col("event_type"), col("value"))
       .groupBy(col("h_sec"), col("event_type"))
       .agg(count(lit(1)).as("n_raw"),
-        round(dsum(col("value")) / count(lit(1)), 6).as("avg_v"))
+        dmean(col("value"), 6).as("avg_v"))
     val hrs = agg.select(col("h_sec")).distinct()
     val typ = agg.select(col("event_type")).distinct()
     val spine = hrs.crossJoin(broadcast(typ))
@@ -542,9 +542,9 @@ object EventAnalytics {
   }
 
   val q87Sql: String =
-    """WITH agg AS (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS h_sec,
+    s"""WITH agg AS (SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS h_sec,
       |  event_type, COUNT(*) AS n_raw,
-      |  round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_v
+      |  ${DMEAN("value", 6)} AS avg_v
       |  FROM events GROUP BY 1, 2),
       |hrs AS (SELECT DISTINCT h_sec FROM agg),
       |typ AS (SELECT DISTINCT event_type FROM agg),
@@ -650,18 +650,18 @@ object EventAnalytics {
         count(lit(1)).as("n"),
         round(first(col("p05")), 4).as("p05"),
         round(first(col("p95")), 4).as("p95"),
-        round(dsum(col("value")) / count(lit(1)), 4).as("mean_raw"),
-        round(dsum(col("clipped")) / count(lit(1)), 4).as("mean_wins"))
+        dmean(col("value"), 4).as("mean_raw"),
+        dmean(col("clipped"), 4).as("mean_wins"))
       .orderBy("event_type")
   }
 
   val q110Sql: String =
-    """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
+    s"""WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
       |  quantile_cont(value, 0.95) AS p95 FROM events GROUP BY 1)
       |SELECT e.event_type, COUNT(*) AS n,
       |round(ANY_VALUE(b.p05), 4) AS p05, round(ANY_VALUE(b.p95), 4) AS p95,
-      |round(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
-      |round(CAST(SUM(CAST(least(greatest(e.value, b.p05), b.p95) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_wins
+      |${DMEAN("e.value", 4)} AS mean_raw,
+      |${DMEAN("least(greatest(e.value, b.p05), b.p95)", 4)} AS mean_wins
       |FROM events e JOIN b ON e.event_type = b.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
@@ -875,8 +875,8 @@ object EventAnalytics {
     episodes.groupBy(col("n_events"))
       .agg(count(lit(1)).as("n_episodes"),
         countDistinct(col("episode_fp")).as("n_distinct"),
-        round((count(lit(1)) - countDistinct(col("episode_fp")))
-          .cast("double") / count(lit(1)).cast("double"), 4).as("dup_rate"))
+        Relational.dratio(count(lit(1)) - countDistinct(col("episode_fp")),
+          count(lit(1)), 4).as("dup_rate"))
       .orderBy("n_events")
   }
 
@@ -897,8 +897,8 @@ object EventAnalytics {
        |  FROM sx GROUP BY 1, 2)
        |SELECT n_events, COUNT(*) AS n_episodes,
        |COUNT(DISTINCT episode_fp) AS n_distinct,
-       |round(CAST(COUNT(*) - COUNT(DISTINCT episode_fp) AS DOUBLE)
-       |  / COUNT(*), 4) AS dup_rate
+       |${Relational.DRATIO("COUNT(*) - COUNT(DISTINCT episode_fp)",
+           "COUNT(*)", 4)} AS dup_rate
        |FROM ep GROUP BY n_events ORDER BY n_events""".stripMargin
 
   // -------------------------------------- q221 CUSUM changepoint

@@ -64,6 +64,30 @@ object Relational {
       lit(math.pow(10, scale)))
   }
 
+  /** Exact, engine-agreed rounded ratio of two NON-NEGATIVE integer
+    * columns: `round(p/q, scale)` with the tie resolved half-up on
+    * the exact rational — the [[dmean]] integer form for plain count
+    * ratios. `round(p.cast(double)/q, scale)` hits real ties whenever
+    * q has only 2/5 factors beyond the scale (e.g. 1/32 = 0.03125 is
+    * an exact 4-dp tie), and the engines' double round() break those
+    * oppositely. Twin: [[DRATIO]]. */
+  private[queries] def dratio(p: Column, q: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 9, s"dratio scale $scale outside [0,9]")
+    val d38 = DecimalType(38, 0)
+    val u = math.pow(10, scale).toLong
+    val units = org.apache.spark.sql.graftbridge.ColumnBridge.div(
+      p.cast(d38) * lit(2L * u) + q.cast(d38), q.cast(d38) * lit(2L))
+    units.cast(DoubleType) / lit(math.pow(10, scale))
+  }
+
+  /** The DuckDB-side twin of [[dratio]]. */
+  private[queries] def DRATIO(p: String, q: String, scale: Int): String = {
+    require(scale >= 0 && scale <= 9, s"DRATIO scale $scale outside [0,9]")
+    val u = math.pow(10, scale).toLong
+    s"(CAST((2*$u*CAST($p AS HUGEINT) + CAST($q AS HUGEINT)) // " +
+      s"(2*CAST($q AS HUGEINT)) AS DOUBLE) / ${DLIT(math.pow(10, scale))})"
+  }
+
   /** The DuckDB-side twin of [[dmean]] — same integer arithmetic over
     * HUGEINT (`//` = integral division, floor = trunc on the
     * non-negative operands used here). */

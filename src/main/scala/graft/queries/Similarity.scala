@@ -1119,7 +1119,7 @@ object Similarity {
               .select(col("k"), col("pos").as("p"),
                 col("col").cast("double").as("v"))
               .groupBy(col("k"), col("p"))
-              .agg(round(Relational.dsum(col("v")) / count(lit(1)), 6).as("c"))
+              .agg(Relational.dmean(col("v"), 6).as("c"))
               .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
             cent = upd.groupBy(_._1).map { case (k, rows) =>
               (k, rows.sortBy(_._2).map(_._3).toSeq)
@@ -1139,7 +1139,7 @@ object Similarity {
       "spark.sql.adaptive.enabled" -> "false") {
       val out = kmeansAssignCols(e, cent).groupBy(col("k").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          round(Relational.dsum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
+          Relational.dmean(col("dist"), 6).as("mean_dist"))
         .orderBy("cluster")
       // materialize under the scoped confs (K rows; later actions
       // replay from this local result, not the round pipeline)
@@ -1162,7 +1162,7 @@ object Similarity {
          |  FROM d$i) WHERE rn = 1)""".stripMargin
     def cStep(i: Int): String =
       s"""c$i AS (SELECT a.k, e.p,
-         |  round(CAST(SUM(CAST(e.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS c
+         |  ${Relational.DMEAN("e.v", 6)} AS c
          |  FROM e JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
     val rounds = (1 to KmeansIters)
       .map(i => dStep(i) + ",\n" + cStep(i)).mkString(",\n")
@@ -1182,7 +1182,7 @@ object Similarity {
     val fin = KmeansIters + 1
     s"""$kmeansCtePrefixSql
        |SELECT k AS cluster, COUNT(*) AS n_members,
-       |round(CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+       |${Relational.DMEAN("dist", 6)}
        |  AS mean_dist
        |FROM a$fin GROUP BY 1 ORDER BY cluster""".stripMargin
   }
@@ -1226,11 +1226,10 @@ object Similarity {
             .otherwise(round((col("sb") - col("sa")) /
               greatest(col("sa"), col("sb")), 6)))
       val tot = sil.agg(
-        round(Relational.dsum(col("sil")) / count(lit(1)), 6)
-          .as("overall_sil"))
+        Relational.dmean(col("sil"), 6).as("overall_sil"))
       val out = sil.groupBy(col("k").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          round(Relational.dsum(col("sil")) / count(lit(1)), 6).as("mean_sil"))
+          Relational.dmean(col("sil"), 6).as("mean_sil"))
         .crossJoin(broadcast(tot))
         .orderBy("cluster")
       val rows = out.collect()
@@ -1254,10 +1253,10 @@ object Similarity {
        |  CASE WHEN greatest(sqrt(a), sqrt(b)) = 0 THEN 0.0
        |       ELSE round((sqrt(b) - sqrt(a)) / greatest(sqrt(a), sqrt(b)), 6)
        |  END AS sil FROM ab),
-       |tt AS (SELECT round(CAST(SUM(CAST(sil AS DECIMAL(25,6))) AS DOUBLE)
-       |  / COUNT(*), 6) AS overall_sil FROM sil)
+       |tt AS (SELECT ${Relational.DMEAN("sil", 6)}
+       |  AS overall_sil FROM sil)
        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
-       |  round(CAST(SUM(CAST(sil AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+       |  ${Relational.DMEAN("sil", 6)}
        |    AS mean_sil,
        |  tt.overall_sil
        |FROM sil CROSS JOIN tt GROUP BY 1, 4 ORDER BY 1""".stripMargin
@@ -2319,7 +2318,7 @@ object Similarity {
         (col("concordant") - col("discordant")).cast("double") /
           (col("concordant") + col("discordant")).cast("double"))
     val ov = perQ.agg(
-      round(Relational.dsum(col("tau")) / count(lit(1)), 6).as("mean_tau"))
+      Relational.dmean(col("tau"), 6).as("mean_tau"))
     perQ.crossJoin(broadcast(ov))
       .select("qid", "n_pairs", "concordant", "discordant", "tau", "mean_tau")
       .orderBy("qid")
@@ -2340,8 +2339,8 @@ object Similarity {
        |  concordant + discordant AS n_pairs,
        |  CAST(concordant - discordant AS DOUBLE) /
        |    CAST(concordant + discordant AS DOUBLE) AS tau FROM pq),
-       |ov AS (SELECT round(CAST(SUM(CAST(tau AS DECIMAL(25,6))) AS DOUBLE)
-       |  / COUNT(*), 6) AS mean_tau FROM tq)
+       |ov AS (SELECT ${Relational.DMEAN("tau", 6)}
+       |  AS mean_tau FROM tq)
        |SELECT qid, n_pairs, concordant, discordant, tau, ov.mean_tau
        |FROM tq CROSS JOIN ov ORDER BY qid""".stripMargin
 
@@ -2386,8 +2385,7 @@ object Similarity {
       .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
     margins.groupBy(col("qlabel").as("label"))
       .agg(count(lit(1)).as("n_anchors"),
-        round(Relational.dsum(col("margin")) / count(lit(1)), 6)
-          .as("mean_margin"),
+        Relational.dmean(col("margin"), 6).as("mean_margin"),
         min(col("margin")).as("min_margin"),
         sum(when(col("margin") <= 0.0, 1L).otherwise(0L))
           .as("n_violations"))
@@ -2410,8 +2408,7 @@ object Similarity {
        |    AS margin
        |  FROM p GROUP BY 1, 2)
        |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
-       |  round(CAST(SUM(CAST(margin AS DECIMAL(25,6))) AS DOUBLE) /
-       |    COUNT(*), 6) AS mean_margin,
+       |  ${Relational.DMEAN("margin", 6)} AS mean_margin,
        |  MIN(margin) AS min_margin,
        |  CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_violations,
