@@ -2317,8 +2317,20 @@ object Similarity {
       .withColumn("tau",
         (col("concordant") - col("discordant")).cast("double") /
           (col("concordant") + col("discordant")).cast("double"))
+      // tau is a RATIONAL of integer counts, so its 6-dp quantization
+      // inside a decimal sum can hit real ties (1/128 = 0.0078125) —
+      // quantize the exact rational in integer micro-units instead
+      // (the q268 treatment); tau_q6 is an exact ≤6-dp double, so
+      // dmean's per-row decimal cast below is tie-free by value.
+      .withColumn("tau_q6", {
+        val num = col("concordant") - col("discordant")
+        val den = col("concordant") + col("discordant")
+        val units = org.apache.spark.sql.graftbridge.ColumnBridge.div(
+          abs(num) * lit(2000000L) + den, den * lit(2L))
+        when(num < 0, -units).otherwise(units).cast("double") / lit(1e6)
+      })
     val ov = perQ.agg(
-      Relational.dmean(col("tau"), 6).as("mean_tau"))
+      Relational.dmean(col("tau_q6"), 6).as("mean_tau"))
     perQ.crossJoin(broadcast(ov))
       .select("qid", "n_pairs", "concordant", "discordant", "tau", "mean_tau")
       .orderBy("qid")
@@ -2338,8 +2350,15 @@ object Similarity {
        |tq AS (SELECT qid, concordant, discordant,
        |  concordant + discordant AS n_pairs,
        |  CAST(concordant - discordant AS DOUBLE) /
-       |    CAST(concordant + discordant AS DOUBLE) AS tau FROM pq),
-       |ov AS (SELECT ${Relational.DMEAN("tau", 6)}
+       |    CAST(concordant + discordant AS DOUBLE) AS tau,
+       |  CAST(CASE WHEN concordant < discordant THEN
+       |    -((2000000*(discordant - concordant) + concordant + discordant)
+       |      // (2*(concordant + discordant)))
+       |  ELSE
+       |    ((2000000*(concordant - discordant) + concordant + discordant)
+       |      // (2*(concordant + discordant)))
+       |  END AS DOUBLE) / 1e6 AS tau_q6 FROM pq),
+       |ov AS (SELECT ${Relational.DMEAN("tau_q6", 6)}
        |  AS mean_tau FROM tq)
        |SELECT qid, n_pairs, concordant, discordant, tau, ov.mean_tau
        |FROM tq CROSS JOIN ov ORDER BY qid""".stripMargin
