@@ -2845,13 +2845,13 @@ object Curation {
        |  CAST(CAST(logit AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS lm
        |  FROM l),
        |mult AS (SELECT lm, t.range AS r,
-       |  CASE WHEN u < 0.36787944117144233 THEN 0
-       |       WHEN u < 0.7357588823428847 THEN 1
-       |       WHEN u < 0.9196986029286058 THEN 2
-       |       WHEN u < 0.9810118431238462 THEN 3
-       |       WHEN u < 0.9963401531726563 THEN 4
-       |       WHEN u < 0.9994058151824183 THEN 5
-       |       WHEN u < 0.9999167588507119 THEN 6
+       |  CASE WHEN u < 0.36787944117144233e0 THEN 0
+       |       WHEN u < 0.7357588823428847e0 THEN 1
+       |       WHEN u < 0.9196986029286058e0 THEN 2
+       |       WHEN u < 0.9810118431238462e0 THEN 3
+       |       WHEN u < 0.9963401531726563e0 THEN 4
+       |       WHEN u < 0.9994058151824183e0 THEN 5
+       |       WHEN u < 0.9999167588507119e0 THEN 6
        |       ELSE 7 END AS mult
        |  FROM (SELECT doc_id, lm, t.range,
        |    CAST(((((doc_id % $P2) * 2654435761 + 104729) % $P2) *

@@ -654,7 +654,10 @@ object Similarity {
 
   def qKnnPqSql: String = {
     val centRows = (for (m <- 0 until PqM; k <- 0 until PqK) yield {
-      val c = pqCentroids(m)(k).map(_.toString).mkString(", ")
+      // Relational.DLIT: centroids are DATA-DERIVED doubles — a bare
+      // 17-digit literal parses as wide DECIMAL whose ->DOUBLE cast
+      // can land an ulp off the JVM value (the q197 class)
+      val c = pqCentroids(m)(k).map(Relational.DLIT).mkString(", ")
       s"($m, $k, [$c])"
     }).mkString(",\n")
     val distDuck =
@@ -746,7 +749,10 @@ object Similarity {
 
   def qKnnIvfPqSql: String = {
     val centRows = (for (m <- 0 until PqM; k <- 0 until PqK) yield {
-      val c = pqCentroids(m)(k).map(_.toString).mkString(", ")
+      // Relational.DLIT: centroids are DATA-DERIVED doubles — a bare
+      // 17-digit literal parses as wide DECIMAL whose ->DOUBLE cast
+      // can land an ulp off the JVM value (the q197 class)
+      val c = pqCentroids(m)(k).map(Relational.DLIT).mkString(", ")
       s"($m, $k, [$c])"
     }).mkString(",\n")
     val distDuck =
@@ -1748,10 +1754,10 @@ object Similarity {
 
   lazy val q195Sql: String = {
     val discCase = (1 to NdcgK)
-      .map(i => s"WHEN rn = $i THEN ${ndcgDisc(i - 1)}")
+      .map(i => s"WHEN rn = $i THEN ${Relational.DLIT(ndcgDisc(i - 1))}")
       .mkString("CASE ", " ", " ELSE 0.0 END")
     val idcgCase = (1 to NdcgK)
-      .map(h => s"WHEN hits = $h THEN ${idcgPrefix(h)}")
+      .map(h => s"WHEN hits = $h THEN ${Relational.DLIT(idcgPrefix(h))}")
       .mkString("CASE ", " ", " ELSE 0.0 END")
     s"""WITH brute AS ($qKnnBruteSql),
        |ivf AS ($qKnnIvfSql),
