@@ -1018,7 +1018,10 @@ object Curation {
     * for perplexity filtering (low mean bigram frequency ≈ improbable
     * text ≈ boilerplate/garble; no libm log, so the score is exact).
     * Docs with fewer than two tokens have no bigrams and drop out in
-    * both engines. */
+    * both engines. The rounded mean is [[Relational.dmean]] — a
+    * bigram-frequency mean over integer counts is a rational that CAN
+    * tie exactly at 6 dp, and a double round() breaks such ties
+    * engine-differently. */
   def q100BigramLm(s: SparkSession, dir: String): DataFrame = {
     val bg = docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -1029,20 +1032,19 @@ object Curation {
     bg.join(counts, "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("freq")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("mean_freq"))
+        Relational.dmean(col("freq"), 6).as("mean_freq"))
       .orderBy("doc_id")
   }
 
   val q100Sql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |bg AS (SELECT doc_id, b.bigram FROM t, unnest(
-      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-      |  ) AS b(bigram)),
-      |c AS (SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY 1)
-      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-      |  round(CAST(SUM(c.freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_freq
-      |FROM bg JOIN c ON bg.bigram = c.bigram GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, b.bigram FROM t, unnest(
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       |  ) AS b(bigram)),
+       |c AS (SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY 1)
+       |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |  ${Relational.DMEAN("c.freq", 6)} AS mean_freq
+       |FROM bg JOIN c ON bg.bigram = c.bigram GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------- q101 cms heavy
   /** CountMinSketch heavy hitters beside their exact counts: the

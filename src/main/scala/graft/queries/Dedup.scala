@@ -924,7 +924,9 @@ object Dedup {
     * Scale: spans reduce to md5 hashes BEFORE the shuffle (narrow
     * keys, never the text); one shuffle on span hash for the
     * first-occurrence window, one map-side-combined shuffle on doc_id
-    * for the per-doc rollup. */
+    * for the per-doc rollup. dup_ratio is a pure count ratio → a real
+    * 6-dp tie whenever n_paras has only 2/5 factors (1/32 class), so
+    * it rounds via [[Relational.dratio]], never a double round(). */
   def qParaDedup(s: SparkSession, dir: String): DataFrame = {
     val spans = docs(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
@@ -937,27 +939,27 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
-      .withColumn("dup_ratio", round(
-        col("n_dup_paras").cast("double") / col("n_paras").cast("double"), 6))
+      .withColumn("dup_ratio",
+        Relational.dratio(col("n_dup_paras"), col("n_paras"), 6))
       .orderBy("doc_id")
   }
 
   val qParaDedupSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, '. ') AS toks
-      |  FROM documents),
-      |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
-      |    i -> {'p': i - 1, 'v': toks[i]})) AS s FROM tok),
-      |spans AS (
-      |  SELECT doc_id, s.p AS p, md5(s.v) AS h FROM ex
-      |  WHERE length(s.v) > 0),
-      |ranked AS (SELECT doc_id, p,
-      |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
-      |  FROM spans)
-      |SELECT doc_id, COUNT(*) AS n_paras,
-      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
-      |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
-      |        CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
-      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, string_split(text, '. ') AS toks
+       |  FROM documents),
+       |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> {'p': i - 1, 'v': toks[i]})) AS s FROM tok),
+       |spans AS (
+       |  SELECT doc_id, s.p AS p, md5(s.v) AS h FROM ex
+       |  WHERE length(s.v) > 0),
+       |ranked AS (SELECT doc_id, p,
+       |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+       |  FROM spans)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       |  ${Relational.DRATIO("SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)",
+            "COUNT(*)", 6)} AS dup_ratio
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------- q136 keep-best-per-group
   /** Quality-aware dedup survivor selection: within each q63 duplicate

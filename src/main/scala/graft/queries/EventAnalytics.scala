@@ -564,7 +564,8 @@ object EventAnalytics {
     * BINS (bounded by value-range/width, here ~20 rows), so the
     * unpartitioned window is deliberate, not a scale bug. Bin edges
     * are exact (floor of value/width on doubles — same IEEE op in
-    * both engines). */
+    * both engines); cum_frac is a count ratio (cum_n/total) that CAN
+    * tie exactly at 6 dp, so it rounds via [[Relational.dratio]]. */
   val HistWidth: Double = 25.0
 
   def q90Histogram(s: SparkSession, dir: String): DataFrame = {
@@ -574,9 +575,8 @@ object EventAnalytics {
     val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     bins
       .withColumn("cum_n", sum(col("n")).over(w))
-      .withColumn("cum_frac", round(
-        col("cum_n").cast("double") /
-          sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+      .withColumn("cum_frac", graft.queries.Relational.dratio(
+        col("cum_n"), sum(col("n")).over(Window.partitionBy()), 6))
       .orderBy("bin")
   }
 
@@ -585,8 +585,9 @@ object EventAnalytics {
        |  COUNT(*) AS n FROM events GROUP BY 1)
        |SELECT bin, n,
        |CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
-       |round(CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
-       |      CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_frac
+       |${graft.queries.Relational.DRATIO(
+           "SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)",
+           "SUM(n) OVER ()", 6)} AS cum_frac
        |FROM b ORDER BY bin""".stripMargin
 
   // ------------------------------------------- q108 trailing window

@@ -111,6 +111,11 @@ object Relational {
     * for ANY interpolated Double whose shortest representation may
     * exceed ~15 significant digits. */
   private[queries] def DLIT(v: Double): String = {
+    // Double.toString(NaN) → "NaNe0", Infinity → "Infinitye0": both
+    // unparseable SQL that would surface as a DuckDB error far from
+    // the interpolation site — fail loud here instead.
+    require(java.lang.Double.isFinite(v),
+      s"DLIT requires a finite double, got $v")
     val t = v.toString
     if (t.contains("E")) t.replace("E", "e")
     else if (t.contains("e")) t

@@ -869,37 +869,17 @@ object Similarity {
   }
 
   /** The q30 (brute) and q32 (IVF) oracle bodies composed into one
-    * statement, finishing with the recall@5 / top-1 joins — DuckDB
-    * recomputes the metrics independently at whatever sf it is
-    * handed. Inline CTE duplication of the seeds/scored/assigned
-    * block follows [[qKnnIvfSql]]/[[qCellNearDupSql]]. */
+    * statement BY INTERPOLATION — the q245Sql/q195Sql pattern — so
+    * there is exactly one source of truth for the oracle-side IVF:
+    * any future change to [[qKnnBruteSql]]/[[qKnnIvfSql]] (probe
+    * count, tie-break, seed selection) flows into this eval's oracle
+    * automatically instead of silently desynchronizing a hand-copied
+    * CTE block. DuckDB recomputes recall@5 / top-1 independently at
+    * whatever sf it is handed. */
   val qAnnEvalSql: String =
-    s"""WITH n AS (SELECT vec_id, embedding, $normDuck AS nrm FROM embeddings),
-       |bp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |  ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
-       |  FROM n q, n c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
-       |brute AS (SELECT qid, cid, rn FROM
-       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |     ORDER BY cosine DESC, cid) AS rn FROM bp) WHERE rn <= 5),
-       |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
-       |  FROM n ORDER BY $ivfHashDuck, vec_id LIMIT $IvfSeedCount),
-       |scored AS (SELECT n.vec_id, n.embedding, n.nrm, s.seed_id,
-       |  ${dotDuck("n.embedding", "s.se")} / (n.nrm * s.sn) AS scos
-       |  FROM n CROSS JOIN seeds s),
-       |assigned AS (SELECT vec_id, embedding, nrm, seed_id AS cell FROM
-       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |     ORDER BY scos DESC, seed_id) AS rn FROM scored) WHERE rn = 1),
-       |probes AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
-       |  seed_id AS cell FROM
-       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |     ORDER BY scos DESC, seed_id) AS rn FROM scored WHERE vec_id < 8)
-       |  WHERE rn <= $IvfProbes),
-       |cand AS (SELECT p.qid, a.vec_id AS cid,
-       |  ${dotDuck("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cosine
-       |  FROM probes p JOIN assigned a USING (cell) WHERE p.qid <> a.vec_id),
-       |ivf AS (SELECT qid, cid FROM
-       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |     ORDER BY cosine DESC, cid) AS rn FROM cand) WHERE rn <= 5),
+    s"""WITH brute AS MATERIALIZED (
+       |  SELECT qid, cid, rn FROM ($qKnnBruteSql) b),
+       |ivf AS MATERIALIZED (SELECT qid, cid FROM ($qKnnIvfSql) v),
        |nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
        |  FROM brute),
        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits

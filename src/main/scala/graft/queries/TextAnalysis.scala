@@ -722,8 +722,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("covered")).as("covered_tokens"),
-        round(sum(col("covered")).cast("double") /
-          sum(col("n_tokens")).cast("double"), 4).as("coverage"))
+        // Count ratio → real 4-dp ties exist (3/160 class); exact
+        // integer rounding via Relational.dratio, not a double round.
+        Relational.dratio(sum(col("covered")),
+          sum(col("n_tokens")), 4).as("coverage"))
       .orderBy("source")
   }
 
@@ -751,7 +753,7 @@ object TextAnalysis {
        |SELECT source, COUNT(*) AS n_docs,
        |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        |CAST(SUM(covered) AS BIGINT) AS covered_tokens,
-       |round(CAST(SUM(covered) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 4)
+       |${Relational.DRATIO("SUM(covered)", "SUM(n_tokens)", 4)}
        |  AS coverage
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
