@@ -145,7 +145,7 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the window shuffle (+ at most the agg) only:\n$p")
   }
 
-  test("shuffle budgets hold for the ten heaviest queries") {
+  test("shuffle budgets hold for every >1 s board query") {
     // Exchange-count ceilings measured from the current plans: a
     // future regression that plants an extra shuffle (a lost
     // broadcast, a re-partition creeping in, a window losing its
@@ -220,7 +220,34 @@ class PlanAuditSpec extends SparkSuite {
       // artifact (trained once per corpus snapshot) and never
       // appears in the report plan
       "q277_bpe_apply" -> 4,
-      "q262_daily_acf" -> 14)
+      "q262_daily_acf" -> 14,
+      // round-17 sweep: every remaining >1 s board query gets a
+      // ceiling (measured at sf0.001, fresh caches). The 0-budget
+      // entries are export/reimport/eval pipelines whose REPORT plan
+      // is a local relation — any exchange appearing there means
+      // corpus lineage leaked back into the report. q206 (64-dim
+      // power iteration) and q269 (graph-cache consumer) get
+      // headroom: their deep iterative/cache-keyed plans re-embed
+      // lineage depending on managed-cache state (the q225 note)
+      "q100_bigram_lm" -> 3,
+      "q165_tpch_q21" -> 7,
+      "q172_token_entropy" -> 3,
+      "q173_boilerplate" -> 2,
+      "q19_skew_join" -> 2,
+      "q200_bigram_xent" -> 6,
+      "q206_pc1_power" -> 140,
+      "q217_mmr_rerank" -> 1,
+      "q237_watermark_audit" -> 2,
+      "q238_mi_features" -> 8,
+      "q267_assoc_rules" -> 10,
+      "q269_source_assortativity" -> 20,
+      "q50_equality_export" -> 0,
+      "q57_stream_window" -> 1,
+      "q65_knn_pq" -> 4,
+      "q66_knn_ivfpq" -> 5,
+      "q88_snapshot_reimport" -> 0,
+      "q92_manifest_reimport" -> 0,
+      "q93_ann_eval" -> 0)
     for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
       val p = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
