@@ -1305,14 +1305,16 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .withColumn("total",
         sum(col("n_tokens")).over(Window.partitionBy()))
-      .withColumn("target",
-        expr(s"CASE WHEN source IN ($boosted) THEN CAST(0.08 AS DOUBLE) " +
-          "ELSE CAST(0.04 AS DOUBLE) END"))
-      .withColumn("cur_share", round(
-        col("n_tokens").cast("double") / col("total").cast("double"), 6))
-      .withColumn("weight", round(
-        col("target") * col("total").cast("double") /
-          col("n_tokens").cast("double"), 6))
+      // both outputs are pure integer ratios (target = 8/100 or
+      // 4/100, so weight = tgt·total / (100·n_tokens)) — rounded via
+      // Relational.dratio: a double round() breaks their real 6-dp
+      // ties engine-differently (the q82 mechanism)
+      .withColumn("tgt_num",
+        expr(s"CASE WHEN source IN ($boosted) THEN 8L ELSE 4L END"))
+      .withColumn("cur_share",
+        Relational.dratio(col("n_tokens"), col("total"), 6))
+      .withColumn("weight", Relational.dratio(
+        col("tgt_num") * col("total"), col("n_tokens") * lit(100L), 6))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("cur_share"), col("weight"))
       .orderBy("source")
@@ -1324,11 +1326,10 @@ object Curation {
        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1),
        |g AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
-       |  CASE WHEN source IN ($boosted) THEN CAST(0.08 AS DOUBLE)
-       |       ELSE CAST(0.04 AS DOUBLE) END AS target FROM t)
+       |  CASE WHEN source IN ($boosted) THEN 8 ELSE 4 END AS tgt_num FROM t)
        |SELECT source, n_docs, n_tokens,
-       |  round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cur_share,
-       |  round(target * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS weight
+       |  ${Relational.DRATIO("n_tokens", "total", 6)} AS cur_share,
+       |  ${Relational.DRATIO("tgt_num * total", "100 * n_tokens", 6)} AS weight
        |FROM g ORDER BY source""".stripMargin
   }
 

@@ -821,24 +821,25 @@ object EventAnalytics {
       .filter(col("prev").isNotNull)
     trans.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("row_share", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"),
-        6))
+      // count ratio → exact integer rounding (real 6-dp ties exist
+      // whenever a row total has only 2/5 factors — the q82 class)
+      .withColumn("row_share", graft.queries.Relational.dratio(col("n"),
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
       .orderBy("from_type", "to_type")
   }
 
   val q180Sql: String =
-    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-      |  FROM events),
-      |tr AS (SELECT user_id, event_type,
-      |  lag(event_type) OVER (PARTITION BY user_id
-      |    ORDER BY ts_us, event_id) AS prev FROM e),
-      |m AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
-      |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
-      |SELECT from_type, to_type, n,
-      |round(CAST(n AS DOUBLE) /
-      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS row_share
-      |FROM m ORDER BY from_type, to_type""".stripMargin
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |tr AS (SELECT user_id, event_type,
+       |  lag(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id) AS prev FROM e),
+       |m AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+       |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |${graft.queries.Relational.DRATIO("n",
+           "SUM(n) OVER (PARTITION BY from_type)", 6)} AS row_share
+       |FROM m ORDER BY from_type, to_type""".stripMargin
 
   // --------------------------------------- q182 episode dedup
   /** Trajectory-level dedup accounting: sessionize (q67's 3-hour gap

@@ -282,8 +282,12 @@ object Multimodal {
       .select(
         col("doc_id"), col("n_samples"),
         expr("array_max(samples)").as("peak"),
-        round(expr("aggregate(samples, 0L, (s, x) -> s + x)").cast("double") /
-          col("n_samples").cast("double"), 4).as("mean_amp"),
+        // integer-sum / count ratio → exact rounding (q82 tie class);
+        // rms keeps round(double): sqrt is correctly-rounded IEEE on
+        // exact integer inputs, identical in both engines
+        graft.queries.Relational.dratio(
+          expr("aggregate(samples, 0L, (s, x) -> s + x)"),
+          col("n_samples"), 4).as("mean_amp"),
         round(sqrt(expr("aggregate(samples, 0L, (s, x) -> s + x * x)")
           .cast("double") / col("n_samples").cast("double")), 4).as("rms"),
         expr(
@@ -307,7 +311,8 @@ object Multimodal {
        |  FROM binary_blobs)
        |SELECT doc_id, n_samples,
        |CAST(list_max(samples) AS INT) AS peak,
-       |round(CAST(list_sum(samples) AS DOUBLE) / n_samples, 4) AS mean_amp,
+       |${graft.queries.Relational.DRATIO("list_sum(samples)",
+           "n_samples", 4)} AS mean_amp,
        |round(sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
        |  / n_samples), 4) AS rms,
        |CAST(CASE WHEN n_samples > 1 THEN

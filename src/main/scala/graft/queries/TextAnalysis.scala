@@ -440,19 +440,19 @@ object TextAnalysis {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
     cells
-      .withColumn("share", round(
-        col("n_tokens").cast("double") /
-          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
+      // token-count ratio → exact integer rounding (q82 tie class)
+      .withColumn("share", Relational.dratio(col("n_tokens"),
+        sum(col("n_tokens")).over(Window.partitionBy()), 6))
       .orderBy("source", "lang")
   }
 
   val qMixReportSql: String =
-    """WITH cells AS (SELECT source, lang, COUNT(*) AS n_docs,
-      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source, lang)
-      |SELECT source, lang, n_docs, n_tokens,
-      |round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS share
-      |FROM cells ORDER BY source, lang""".stripMargin
+    s"""WITH cells AS (SELECT source, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source, lang)
+       |SELECT source, lang, n_docs, n_tokens,
+       |${Relational.DRATIO("n_tokens", "SUM(n_tokens) OVER ()", 6)} AS share
+       |FROM cells ORDER BY source, lang""".stripMargin
 
   // ------------------------------------------------ q119 array funcs
   /** Higher-order array-function battery over the tokenized document:
@@ -611,24 +611,25 @@ object TextAnalysis {
           .cast(org.apache.spark.sql.types.DecimalType(25, 6))), 4)
           .cast("double")).as("entropy"))
       .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
-        round(col("n_types").cast("double") / col("n").cast("double"), 4)
-          .as("ttr"),
+        // ttr is a pure count ratio (k/32-class real 4-dp ties) —
+        // exact integer rounding, never round(double)
+        Relational.dratio(col("n_types"), col("n"), 4).as("ttr"),
         col("entropy"))
       .orderBy("doc_id")
   }
 
   val qTokenEntropySql: String =
-    """WITH tk AS (SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-      |  unnest(string_split(text, ' ')) AS term FROM documents),
-      |tf AS (SELECT doc_id, n, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
-      |pe AS (SELECT doc_id, n,
-      |  CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM tf)
-      |SELECT doc_id, n AS n_tokens, COUNT(*) AS n_types,
-      |round(CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ttr,
-      |-CAST(round(SUM(CAST(p * ln(p) AS DECIMAL(25,6))), 4)
-      |      AS DOUBLE) AS entropy
-      |FROM pe GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+    s"""WITH tk AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |  unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, n, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+       |pe AS (SELECT doc_id, n,
+       |  CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM tf)
+       |SELECT doc_id, n AS n_tokens, COUNT(*) AS n_types,
+       |${Relational.DRATIO("COUNT(*)", "n", 4)} AS ttr,
+       |-CAST(round(SUM(CAST(p * ln(p) AS DECIMAL(25,6))), 4)
+       |      AS DOUBLE) AS entropy
+       |FROM pe GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------- q173 boilerplate
   /** Cross-document boilerplate mining: the 5-token spans shared by the
