@@ -1912,16 +1912,31 @@ object Curation {
   val DomainCap: Int = 400
 
   def q176DomainCap(s: SparkSession, dir: String): DataFrame = {
+    // ranking uses the raw double score (identical IEEE ops in both
+    // engines, unique doc_id tie-break); the REPORTED floor is the
+    // min of per-row EXACT 4-dp roundings of the rational score
+    // max(0, (20n − 10k − 4n·[n<30] − 2n·[len>2000]) / 20n) — the
+    // score can be a real 5-dp tie (k/32-class denominators), which
+    // round(double) breaks engine-differently. Rounding is monotone,
+    // so min∘round ≡ round∘min and the floor is the same value off-tie.
     val scored = docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("long"))
       .withColumn("stop_ratio",
-        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
-          col("n_tokens").cast("double"))
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
       .withColumn("score",
         greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
           - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
           - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
+      .withColumn("nl", col("n_tokens").cast("long"))
+      .withColumn("score_r4", Relational.dratio(
+        greatest(lit(0L), lit(20L) * col("nl") - lit(10L) * col("n_stop")
+          - when(col("n_tokens") < 30, lit(4L) * col("nl")).otherwise(lit(0L))
+          - when(length(col("text")) > 2000, lit(2L) * col("nl"))
+            .otherwise(lit(0L))),
+        lit(20L) * col("nl"), 4))
     val ranked = scored.withColumn("rk", row_number().over(
       Window.partitionBy(col("source"))
         .orderBy(col("score").desc, col("doc_id"))))
@@ -1931,23 +1946,29 @@ object Curation {
         sum(when(col("rk") > DomainCap, 1L).otherwise(0L)).as("n_dropped"),
         sum(when(col("rk") <= DomainCap, col("n_tokens").cast("long"))
           .otherwise(0L)).as("kept_tokens"),
-        round(min(when(col("rk") <= DomainCap, col("score"))), 4)
+        min(when(col("rk") <= DomainCap, col("score_r4")))
           .as("score_floor"))
       .orderBy("source")
   }
 
   val q176Sql: String =
-    s"""WITH sc AS (SELECT doc_id, source,
+    s"""WITH base AS (SELECT doc_id, source, text,
        |  len(string_split(text, ' ')) AS n_tokens,
-       |  greatest(0.0, 1.0 - 0.5 *
-       |    (CAST(len(list_filter(string_split(text, ' '),
-       |       t -> t IN ('the', 'a'))) AS DOUBLE) /
-       |     CAST(len(string_split(text, ' ')) AS DOUBLE))
-       |    - (CASE WHEN len(string_split(text, ' ')) < 30
-       |       THEN 0.2 ELSE 0.0 END)
-       |    - (CASE WHEN length(text) > 2000
-       |       THEN 0.1 ELSE 0.0 END)) AS score
+       |  len(list_filter(string_split(text, ' '),
+       |    t -> t IN ('the', 'a'))) AS n_stop
        |  FROM documents),
+       |sc AS (SELECT doc_id, source, n_tokens,
+       |  greatest(0.0, 1.0 - 0.5 *
+       |    (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    - (CASE WHEN n_tokens < 30 THEN 0.2 ELSE 0.0 END)
+       |    - (CASE WHEN length(text) > 2000
+       |       THEN 0.1 ELSE 0.0 END)) AS score,
+       |  ${Relational.DRATIO(
+            "GREATEST(0, 20 * n_tokens - 10 * n_stop" +
+              " - (CASE WHEN n_tokens < 30 THEN 4 * n_tokens ELSE 0 END)" +
+              " - (CASE WHEN length(text) > 2000 THEN 2 * n_tokens ELSE 0 END))",
+            "20 * n_tokens", 4)} AS score_r4
+       |  FROM base),
        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
        |  ORDER BY score DESC, doc_id) AS rk FROM sc)
        |SELECT source, COUNT(*) AS n_in,
@@ -1957,8 +1978,7 @@ object Curation {
        |  AS n_dropped,
        |CAST(SUM(CASE WHEN rk <= $DomainCap THEN n_tokens ELSE 0 END)
        |  AS BIGINT) AS kept_tokens,
-       |round(MIN(CASE WHEN rk <= $DomainCap THEN score END), 4)
-       |  AS score_floor
+       |MIN(CASE WHEN rk <= $DomainCap THEN score_r4 END) AS score_floor
        |FROM rk GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------- q181 chunk dedup

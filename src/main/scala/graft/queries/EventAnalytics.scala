@@ -727,19 +727,28 @@ object EventAnalytics {
     * percent_rank, cume_dist, rank and dense_rank over value within
     * event type (q78 covers ntile, q144 the value-window family).
     * Both engines define percent_rank = (rank−1)/(n−1) and cume_dist =
-    * |rows ≤ current| / n from exact integers, so the doubles are
-    * bit-identical. Output bounded to a deterministic id sample (the
-    * battery pattern — full window state, sampled emission).
-    * One shuffle on event_type; all four functions share the frame. */
+    * |rows ≤ current| / n from exact integers — and because those are
+    * pure integer ratios, the 6-dp presentation rounds the exact
+    * rationals via [[Relational.dratio]] (with the unique tie-break,
+    * rank = row_number and the peer group is a single row, so
+    * cume_dist = rn/n exactly); round(double) would break real 7-dp
+    * ties engine-differently. Output bounded to a deterministic id
+    * sample (the battery pattern — full window state, sampled
+    * emission). One shuffle on event_type; all functions share it. */
   def q178RankFuncs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
+    val pw = Window.partitionBy(col("event_type"))
+    val n = count(lit(1)).over(pw)
     events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
-      .withColumn("prnk", round(percent_rank().over(w), 6))
-      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .withColumn("prnk", when(n > 1,
+        graft.queries.Relational.dratio(rank().over(w) - 1, n - 1, 6))
+        .otherwise(lit(0.0)))
+      .withColumn("cdist",
+        graft.queries.Relational.dratio(row_number().over(w), n, 6))
       .filter(col("event_id") % 199 === 0)
       .select(col("event_id"), col("event_type"), col("rnk"), col("drnk"),
         col("prnk"), col("cdist"))
@@ -747,14 +756,18 @@ object EventAnalytics {
   }
 
   val q178Sql: String =
-    """SELECT event_id, event_type, rnk, drnk, prnk, cdist FROM (
-      |  SELECT event_id, event_type,
-      |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
-      |  round(PERCENT_RANK() OVER w, 6) AS prnk,
-      |  round(CUME_DIST() OVER w, 6) AS cdist
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
-      |WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin
+    s"""SELECT event_id, event_type, rnk, drnk, prnk, cdist FROM (
+       |  SELECT event_id, event_type,
+       |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+       |  CASE WHEN COUNT(*) OVER p > 1 THEN ${graft.queries.Relational
+            .DRATIO("RANK() OVER w - 1", "COUNT(*) OVER p - 1", 6)}
+       |    ELSE CAST(0 AS DOUBLE) END AS prnk,
+       |  ${graft.queries.Relational.DRATIO("ROW_NUMBER() OVER w",
+            "COUNT(*) OVER p", 6)} AS cdist
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+       |         p AS (PARTITION BY event_type))
+       |WHERE event_id % 199 = 0 ORDER BY event_id""".stripMargin
 
   // ------------------------------------------- q179 pearson drift
   /** Exact-moment Pearson correlation of value vs event time per type

@@ -961,25 +961,36 @@ object Relational {
   /** Ranking-window battery: quartile (`ntile`) and `percent_rank` of
     * order value within each priority class. The ORDER BY carries the
     * unique key as tie-break, so both rank functions are total-order
-    * deterministic in both engines. One shuffle on the partition key. */
+    * deterministic in both engines. One shuffle on the partition key.
+    * percent_rank = (rank−1)/(n−1) is a pure integer ratio, so the
+    * 6-dp presentation rounds via [[dratio]] on the exact rational —
+    * round(double) breaks its real ties (n−1 with only 2/5 factors)
+    * engine-differently; n>1 guaranteed per priority class, but the
+    * n=1 → 0.0 convention is kept explicit anyway. */
   def q78Ntile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val pw = Window.partitionBy("o_orderpriority")
+    val n = count(lit(1)).over(pw)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"))
+        when(n > 1, dratio(rank().over(w) - 1, n - 1, 6))
+          .otherwise(lit(0.0)).as("pr"))
       .orderBy("o_orderkey")
   }
 
   val q78Sql: String =
-    """SELECT o_orderkey, o_orderpriority,
-      |NTILE(4) OVER w AS quartile,
-      |round(PERCENT_RANK() OVER w, 6) AS pr
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderpriority
-      |             ORDER BY o_totalprice, o_orderkey)
-      |ORDER BY o_orderkey""".stripMargin
+    s"""SELECT o_orderkey, o_orderpriority,
+       |NTILE(4) OVER w AS quartile,
+       |CASE WHEN COUNT(*) OVER p > 1
+       |  THEN ${DRATIO("RANK() OVER w - 1", "COUNT(*) OVER p - 1", 6)}
+       |  ELSE CAST(0 AS DOUBLE) END AS pr
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_orderpriority
+       |             ORDER BY o_totalprice, o_orderkey),
+       |       p AS (PARTITION BY o_orderpriority)
+       |ORDER BY o_orderkey""".stripMargin
 
   // --------------------------------------------- q86 bloom-join
   /** Bloom-prefiltered join: build a Bloom filter over the (filtered)
