@@ -126,46 +126,54 @@ object Curation {
   /** q97's feature+logit chain, keeping `lang` for downstream probes
     * (q198 evaluates the logit against the langid label). Shared so
     * the score is computed ONE way — a probe of a re-derived score
-    * would silently measure a different model. */
+    * would silently measure a different model.
+    *
+    * The 6-dp logit is a RATIONAL — with nt tokens, nc chars, ks
+    * stopwords, kd digits, ku uppers it equals
+    * (−150·nt·nc + 600·ks·nc − 800·kd·nt − 400·ku·nt + nt²·nc)
+    * / (100·nt·nc) — so the presentation rounds via the signed
+    * [[Relational.dfrac]] on that exact integer form: round(double)
+    * breaks its real 7-dp ties (power-of-two nc/nt denominators)
+    * engine-differently. Off-tie the value is unchanged, so the
+    * keep/review/drop thresholds and q198's score histogram see the
+    * same logit. */
   private def scoredDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_chars_d", length(col("text")).cast("double"))
-      .withColumn("stop_ratio",
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nc", length(col("text")).cast("long"))
+      .withColumn("ks",
         expr("size(filter(toks, t -> t IN ('the','a','of','to','and')))")
-          .cast("double") / col("n_tokens").cast("double"))
-      .withColumn("digit_ratio",
-        (col("n_chars_d") -
-          length(regexp_replace(col("text"), "[0-9]", "")).cast("double")) /
-          col("n_chars_d"))
-      .withColumn("upper_ratio",
-        (col("n_chars_d") -
-          length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")) /
-          col("n_chars_d"))
-      .withColumn("logit", round(
-        lit(-1.5) + lit(6.0) * col("stop_ratio") - lit(8.0) * col("digit_ratio")
-          - lit(4.0) * col("upper_ratio")
-          + lit(0.01) * col("n_tokens").cast("double"), 6))
+          .cast("long"))
+      .withColumn("kd", (col("nc") -
+        length(regexp_replace(col("text"), "[0-9]", "")).cast("long")))
+      .withColumn("ku", (col("nc") -
+        length(regexp_replace(col("text"), "[A-Z]", "")).cast("long")))
+      .withColumn("logit", Relational.dfrac(
+        lit(-150L) * col("nt") * col("nc") + lit(600L) * col("ks") * col("nc")
+          - lit(800L) * col("kd") * col("nt") - lit(400L) * col("ku") * col("nt")
+          + col("nt") * col("nt") * col("nc"),
+        lit(100L) * col("nt") * col("nc"), 6))
       .select(col("doc_id"), col("lang"), col("source"), col("logit"))
 
   /** q97's logit pipeline as a SQL CTE chain ending in
     * `l(doc_id, lang, logit)` — shared by q97Sql and q198Sql. */
   private val q97LogitCte: String =
-    """WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM documents),
-      |f AS (SELECT doc_id, lang, source, len(toks) AS n_tokens,
-      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
-      |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-      |  (CAST(length(text) AS DOUBLE) -
-      |    CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE))
-      |    / CAST(length(text) AS DOUBLE) AS digit_ratio,
-      |  (CAST(length(text) AS DOUBLE) -
-      |    CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE))
-      |    / CAST(length(text) AS DOUBLE) AS upper_ratio
-      | FROM t),
-      |l AS (SELECT doc_id, lang, source,
-      |  round(-1.5 + 6.0 * stop_ratio - 8.0 * digit_ratio
-      |  - 4.0 * upper_ratio + 0.01 * CAST(n_tokens AS DOUBLE), 6) AS logit FROM f)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, lang, source,
+       |  CAST(len(toks) AS BIGINT) AS nt,
+       |  CAST(length(text) AS BIGINT) AS nc,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and')))
+       |    AS BIGINT) AS ks,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |    AS BIGINT) AS kd,
+       |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       |    AS BIGINT) AS ku
+       | FROM t),
+       |l AS (SELECT doc_id, lang, source,
+       |  ${Relational.DFRAC(
+            "-150*nt*nc + 600*ks*nc - 800*kd*nt - 400*ku*nt + nt*nt*nc",
+            "100*nt*nc", 6)} AS logit FROM f)""".stripMargin
 
   val q97Sql: String =
     s"""$q97LogitCte

@@ -1305,7 +1305,7 @@ object EventAnalytics {
           .as("v_us"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"), sum(col("v_us").cast(dec38)).as("sv"))
-      .select(col("day"),
+      .select(col("day"), col("n"), col("sv"),
         (col("sv").cast("double") / (col("n").cast("double") * 1e6)).as("m")),
       parts = 1)
     val a = byDay.select(col("day").as("d1"), col("m").as("m1"))
@@ -1349,15 +1349,19 @@ object EventAnalytics {
         row_number().over(Window.partitionBy("bin").orderBy("slope")))
       .filter(col("rn") === col("kk"))
       .select(col("slope").as("ts_slope"), col("n_pairs"))
-    // OLS over (day − mnd, round(m·1e6)) — EXACT integer sums in
+    // OLS over (day − mnd, round(sv/n)) — EXACT integer sums in
     // decimal, cast to double only for the final closed form, so both
     // engines combine bit-identical operands (quantizing the raw
-    // x·y products instead diverged at the rounding boundary).
+    // x·y products instead diverged at the rounding boundary). yus
+    // rounds the exact integer ratio sv/n via dfrac, never the double
+    // m·1e6: the daily mean in micro-units is a rational whose true
+    // half-integer ties round(double) breaks engine-differently.
     val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
     val xy = byDay
       .crossJoin(broadcast(byDay.agg(min("day").as("mnd"))))
       .select((col("day") - col("mnd")).cast(d18).as("x"),
-        expr("CAST(round(m * 1000000, 0) AS BIGINT)").cast(d18).as("yus"))
+        graft.queries.Relational.dfrac(col("sv"), col("n"), 0)
+          .cast(d18).as("yus"))
     val ols = xy
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).cast("double").as("sx"),
@@ -1373,22 +1377,25 @@ object EventAnalytics {
   }
 
   val q261Sql: String =
-    """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day,
-      |  CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(25,6)) * 1000000
-      |    AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) /
-      |    (CAST(COUNT(*) AS DOUBLE) * 1e6) AS m
-      |  FROM events GROUP BY 1),
-      |sl AS (SELECT (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
-      |  FROM byday a JOIN byday b ON a.day < b.day),
-      |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
-      |  COUNT(*) OVER () AS np FROM sl),
-      |med AS (SELECT slope AS ts_slope, CAST(np AS BIGINT) AS n_pairs
-      |  FROM r WHERE rn = (np + 1) // 2),
-      |mn AS (SELECT MIN(day) AS mnd FROM byday),
-      |xy AS (SELECT CAST(day - mnd AS DECIMAL(18,0)) AS x,
-      |  CAST(CAST(round(m * 1000000, 0) AS BIGINT) AS DECIMAL(18,0))
-      |    AS yus
-      |  FROM byday CROSS JOIN mn),
+    s"""WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |  COUNT(*) AS n,
+       |  SUM(CAST(CAST(CAST(value AS DECIMAL(25,6)) * 1000000
+       |    AS BIGINT) AS DECIMAL(38,0))) AS sv,
+       |  CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(25,6)) * 1000000
+       |    AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) /
+       |    (CAST(COUNT(*) AS DOUBLE) * 1e6) AS m
+       |  FROM events GROUP BY 1),
+       |sl AS (SELECT (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+       |  FROM byday a JOIN byday b ON a.day < b.day),
+       |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+       |  COUNT(*) OVER () AS np FROM sl),
+       |med AS (SELECT slope AS ts_slope, CAST(np AS BIGINT) AS n_pairs
+       |  FROM r WHERE rn = (np + 1) // 2),
+       |mn AS (SELECT MIN(day) AS mnd FROM byday),
+       |xy AS (SELECT CAST(day - mnd AS DECIMAL(18,0)) AS x,
+       |  CAST(${graft.queries.Relational.DFRAC("sv", "n", 0)}
+       |    AS DECIMAL(18,0)) AS yus
+       |  FROM byday CROSS JOIN mn),
       |o AS (SELECT COUNT(*) AS n_days,
       |  CAST(SUM(x) AS DOUBLE) AS sx,
       |  CAST(SUM(yus) AS DOUBLE) AS sy,

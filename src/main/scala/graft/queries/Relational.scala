@@ -80,6 +80,38 @@ object Relational {
     units.cast(DoubleType) / lit(math.pow(10, scale))
   }
 
+  /** Exact, engine-agreed rounded SIGNED ratio of integer columns
+    * (q > 0): [[dratio]] with sign support — `round(p/q, scale)`
+    * resolved half-AWAY-FROM-ZERO on the exact rational in pure
+    * integer arithmetic (the [[dmean]] sign treatment applied to a
+    * scalar ratio). For rational-valued scores that can go negative —
+    * linear feature combos over count ratios (q97's logit), quantized
+    * sum-of-squares ratios (q203's variance forms). Twin: [[DFRAC]]. */
+  private[queries] def dfrac(p: Column, q: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 9, s"dfrac scale $scale outside [0,9]")
+    val d38 = DecimalType(38, 0)
+    val u = math.pow(10, scale).toLong
+    val pd = p.cast(d38)
+    val qd = q.cast(d38)
+    val units = org.apache.spark.sql.graftbridge.ColumnBridge.div(
+      abs(pd) * lit(2L * u) + qd, qd * lit(2L))
+    (when(pd < lit(0), -units).otherwise(units).cast(DoubleType) /
+      lit(math.pow(10, scale)))
+  }
+
+  /** The DuckDB-side twin of [[dfrac]] — the sign split mirrors
+    * [[DMEAN]]'s (HUGEINT `//` truncates toward zero for the
+    * non-negative operands each branch feeds it). */
+  private[queries] def DFRAC(p: String, q: String, scale: Int): String = {
+    require(scale >= 0 && scale <= 9, s"DFRAC scale $scale outside [0,9]")
+    val u = math.pow(10, scale).toLong
+    val pp = s"CAST($p AS HUGEINT)"
+    val qq = s"CAST($q AS HUGEINT)"
+    s"(CAST(CASE WHEN $pp < 0 THEN -((2*$u*(-($pp)) + $qq) // (2*$qq)) " +
+      s"ELSE (2*$u*($pp) + $qq) // (2*$qq) END AS DOUBLE) / " +
+      s"${DLIT(math.pow(10, scale))})"
+  }
+
   /** The DuckDB-side twin of [[dratio]]. */
   private[queries] def DRATIO(p: String, q: String, scale: Int): String = {
     require(scale >= 0 && scale <= 9, s"DRATIO scale $scale outside [0,9]")

@@ -1258,26 +1258,44 @@ object Similarity {
     *
     * Determinism: moments route through DECIMAL ([[Relational.dsum]]);
     * std = sqrt((Σv²−(Σv)²/n)/(n−1)) uses only IEEE-exact ops on the
-    * bit-identical moments. Variance shares divide two decimal-derived
-    * doubles. Plan: ONE posexplode + one map-side-combined (p) shuffle;
-    * |dim| result rows; the total-variance denominator is a window
-    * over the |dim|-row aggregate, not the corpus. */
+    * bit-identical moments (sqrt is correctly-rounded, so the double
+    * is engine-identical; its 6-dp round carries no structural tie —
+    * a tie would need the irrational-or-division-derived double to
+    * land exactly on a 7-dp decimal). The RATIONAL outputs round
+    * exactly: mean via [[Relational.dmean]]; var_share as an integer
+    * ratio — every dimension's variance numerator
+    * svv_us·n·10⁶ − sv_us² shares the same denominator n(n−1)·10¹²,
+    * which cancels in the share, so var_share =
+    * [[Relational.dfrac]](vnum, Σvnum, 6) on exact integers. v_min /
+    * v_max emit the raw float-as-double (bit-exact in both engines) —
+    * a 6-dp double round of a DATA value can hit an odd/2⁷-class
+    * float whose shortest repr ties at 7 dp. Plan: ONE posexplode +
+    * one map-side-combined (p) shuffle; |dim| result rows; the
+    * total-variance denominator is a window over the |dim|-row
+    * aggregate, not the corpus. */
   def q183DimStats(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(25, 6)
     val ex = emb(s, dir).select(posexplode(col("embedding")))
       .select(col("pos").as("p"), col("col").cast("double").as("v"))
     val m = ex.groupBy(col("p")).agg(
       count(lit(1)).as("n"),
       Relational.dsum(col("v")).as("sv"),
       Relational.dsum(col("v") * col("v")).as("svv"),
-      round(min(col("v")), 6).as("v_min"),
-      round(max(col("v")), 6).as("v_max"))
+      (sum(col("v").cast(dec)) * lit(1000000L)).cast(d38).as("sv_us"),
+      (sum((col("v") * col("v")).cast(dec)) * lit(1000000L)).cast(d38)
+        .as("svv_us"),
+      Relational.dmean(col("v"), 6).as("mean"),
+      min(col("v")).as("v_min"),
+      max(col("v")).as("v_max"))
     m.withColumn("variance",
         (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
-      .withColumn("var_share", round(col("variance") /
-        sum(col("variance").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
-          .over(Window.partitionBy()).cast("double"), 6))
-      .select(col("p"), col("n"),
-        round(col("sv") / col("n"), 6).as("mean"),
+      .withColumn("vnum",
+        (col("svv_us") * col("n").cast(d38) * lit(1000000L).cast(d38) -
+          col("sv_us") * col("sv_us")).cast(d38))
+      .withColumn("var_share", Relational.dfrac(col("vnum"),
+        sum(col("vnum")).over(Window.partitionBy()), 6))
+      .select(col("p"), col("n"), col("mean"),
         round(sqrt(col("variance")), 6).as("std"),
         col("v_min"), col("v_max"), col("var_share"))
       .orderBy("p")
@@ -1292,13 +1310,18 @@ object Similarity {
        |e AS (SELECT s.p AS p, s.v AS v FROM ex),
        |m AS (SELECT p, COUNT(*) AS n, ${DSUM("v")} AS sv,
        |  ${DSUM("v * v")} AS svv,
-       |  round(MIN(v), 6) AS v_min, round(MAX(v), 6) AS v_max
+       |  CAST(SUM(CAST(v AS DECIMAL(25,6))) * 1000000 AS HUGEINT) AS sv_us,
+       |  CAST(SUM(CAST(v * v AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+       |    AS svv_us,
+       |  ${Relational.DMEAN("v", 6)} AS mean,
+       |  MIN(v) AS v_min, MAX(v) AS v_max
        |  FROM e GROUP BY p),
-       |vr AS (SELECT *, (svv - sv * sv / n) / (n - 1) AS variance FROM m)
-       |SELECT p, n, round(sv / n, 6) AS mean,
+       |vr AS (SELECT *,
+       |  (svv - sv * sv / n) / (n - 1) AS variance,
+       |  svv_us * n * 1000000 - sv_us * sv_us AS vnum FROM m)
+       |SELECT p, n, mean,
        |round(sqrt(variance), 6) AS std, v_min, v_max,
-       |round(variance / CAST(SUM(CAST(variance AS DECIMAL(25,6))) OVER ()
-       |  AS DOUBLE), 6) AS var_share
+       |${Relational.DFRAC("vnum", "SUM(vnum) OVER ()", 6)} AS var_share
        |FROM vr ORDER BY p""".stripMargin
   }
 
@@ -1338,16 +1361,28 @@ object Similarity {
           (col("svc") / col("nc") - col("sv") / col("n")))
       .groupBy("p")
       .agg(max(col("n")).as("n"), count(lit(1)).as("n_classes"),
-        sum(col("within_c").cast(dec)).cast("double").as("within_ss"),
-        sum(col("between_c").cast(dec)).cast("double").as("between_ss"))
-      .withColumn("within_var",
-        col("within_ss") / (col("n") - col("n_classes")))
-      .withColumn("between_var",
-        col("between_ss") / (col("n_classes") - 1))
+        (sum(col("within_c").cast(dec)) * lit(1000000L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("ws_us"),
+        (sum(col("between_c").cast(dec)) * lit(1000000L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("bs_us"))
+      // the quantized sums are exact micro-unit integers, so every
+      // output is a pure integer ratio — rounded via dfrac on the
+      // exact rational (within_var = ws_us/((n−k)·10⁶) etc.; the
+      // micro-units cancel in fisher); round(double) breaks their
+      // real 7-dp ties engine-differently. ws_us can be a hair
+      // negative from quantization of a ~0 within-class term, hence
+      // the signed dfrac and the fisher guard.
       .select(col("p"), col("n"), col("n_classes"),
-        round(col("within_var"), 6).as("within_var"),
-        round(col("between_var"), 6).as("between_var"),
-        round(col("between_var") / col("within_var"), 6).as("fisher"))
+        Relational.dfrac(col("ws_us"),
+          (col("n") - col("n_classes")) * lit(1000000L), 6).as("within_var"),
+        Relational.dfrac(col("bs_us"),
+          (col("n_classes") - 1) * lit(1000000L), 6).as("between_var"),
+        when(col("ws_us") > 0, Relational.dfrac(
+          col("bs_us") * (col("n") - col("n_classes"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          col("ws_us") * (col("n_classes") - 1)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)), 6))
+          .otherwise(lit(Double.PositiveInfinity)).as("fisher"))
       .orderBy("p")
   }
 
@@ -1369,14 +1404,19 @@ object Similarity {
        |  nc * (svc / nc - sv / n) * (svc / nc - sv / n) AS between_c
        |  FROM tot),
        |g AS (SELECT p, MAX(n) AS n, COUNT(*) AS n_classes,
-       |  CAST(SUM(CAST(within_c AS DECIMAL(25,6))) AS DOUBLE) AS within_ss,
-       |  CAST(SUM(CAST(between_c AS DECIMAL(25,6))) AS DOUBLE) AS between_ss
+       |  CAST(SUM(CAST(within_c AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+       |    AS ws_us,
+       |  CAST(SUM(CAST(between_c AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+       |    AS bs_us
        |  FROM terms GROUP BY 1)
        |SELECT p, n, n_classes,
-       |  round(within_ss / (n - n_classes), 6) AS within_var,
-       |  round(between_ss / (n_classes - 1), 6) AS between_var,
-       |  round((between_ss / (n_classes - 1)) /
-       |        (within_ss / (n - n_classes)), 6) AS fisher
+       |  ${Relational.DFRAC("ws_us", "(n - n_classes) * 1000000", 6)}
+       |    AS within_var,
+       |  ${Relational.DFRAC("bs_us", "(n_classes - 1) * 1000000", 6)}
+       |    AS between_var,
+       |  CASE WHEN ws_us > 0 THEN ${Relational.DFRAC(
+            "bs_us * (n - n_classes)", "ws_us * (n_classes - 1)", 6)}
+       |    ELSE CAST('infinity' AS DOUBLE) END AS fisher
        |FROM g ORDER BY p""".stripMargin
   }
 

@@ -79,6 +79,33 @@ class DeterminismHelpersSpec extends SparkSuite {
     })
   }
 
+  test("dfrac == BigDecimal HALF_UP ratio of SIGNED integers") {
+    val gGen = for {
+      q <- Gen.chooseNum(1L, 5000000L)
+      p <- Gen.chooseNum(-2L * q, 2L * q) // signed, beyond ±1
+      scale <- Gen.chooseNum(0, 9)
+    } yield (p, q, scale)
+    check(Prop.forAll(gGen) { case (p, q, scale) =>
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(
+        List(org.apache.spark.sql.Row(p, q)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.LongType))))
+      val got = df.select(Relational.dfrac(col("p"), col("q"), scale))
+        .head().getDouble(0)
+      // BigDecimal HALF_UP is half-away-from-zero for signed values —
+      // exactly the claimed dfrac contract
+      val expect = new JBigDecimal(p)
+        .divide(new JBigDecimal(q), scale, RoundingMode.HALF_UP)
+        .doubleValue()
+      got == expect ||
+        (sys.error(s"dfrac($p, $q, $scale): got $got expect $expect"))
+    })
+  }
+
   test("known ties land half-up in both helpers") {
     // the r16 field cases: 0.616992/192 = 0.0032135 (q82),
     // 1/128 = 0.0078125 (the q258 class), 1/32 = 0.03125 at 4 dp
