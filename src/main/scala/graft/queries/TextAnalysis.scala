@@ -539,12 +539,20 @@ object TextAnalysis {
           (col("tf") + lit(Bm25K1) *
             (lit(bm25OneMinusB) + lit(Bm25B) *
               (col("dl").cast("double") / col("avgdl")))))
-    val perDoc = scored.groupBy(col("doc_id")).agg(dsum(col("tscore")).as("raw"))
+    // raw (the dsum double of the exact 6-dp decimal) carries the
+    // ordering; the 4-dp presentation rounds ON the decimal sum (the
+    // q172 pattern) — the exact 6-dp value can end in …50, a REAL
+    // 4-dp tie that round(double, 4) breaks engine-differently
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+        dsum(col("tscore")).as("raw"),
+        round(sum(col("tscore")
+          .cast(org.apache.spark.sql.types.DecimalType(25, 6))), 4)
+          .cast("double").as("score"))
       .orderBy(col("raw").desc, col("doc_id")).limit(Bm25TopK)
     perDoc
       .withColumn("rn", row_number().over(
         Window.orderBy(col("raw").desc, col("doc_id"))))
-      .select(col("rn"), col("doc_id"), round(col("raw"), 4).as("score"))
+      .select(col("rn"), col("doc_id"), col("score"))
       .orderBy("rn")
   }
 
@@ -568,10 +576,13 @@ object TextAnalysis {
        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
        |    AS tscore
        |  FROM tf JOIN dfr USING (term) CROSS JOIN st),
-       |pd AS (SELECT doc_id, ${DSUM("tscore")} AS raw FROM sc GROUP BY 1
+       |pd AS (SELECT doc_id, ${DSUM("tscore")} AS raw,
+       |  CAST(round(SUM(CAST(tscore AS DECIMAL(25,6))), 4) AS DOUBLE)
+       |    AS score
+       |  FROM sc GROUP BY 1
        |  ORDER BY raw DESC, doc_id LIMIT $Bm25TopK)
        |SELECT ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS rn,
-       |doc_id, round(raw, 4) AS score FROM pd ORDER BY rn""".stripMargin
+       |doc_id, score FROM pd ORDER BY rn""".stripMargin
   }
 
   // ------------------------------------------- q172 token entropy
