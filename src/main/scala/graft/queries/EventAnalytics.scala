@@ -835,9 +835,15 @@ object EventAnalytics {
     trans.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
       // count ratio → exact integer rounding (real 6-dp ties exist
-      // whenever a row total has only 2/5 factors — the q82 class)
-      .withColumn("row_share", graft.queries.Relational.dratio(col("n"),
-        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+      // whenever a row total has only 2/5 factors — the q82 class).
+      // The window total is NAMED first: dratio references its q
+      // operand twice, and an inline window expression would be
+      // planned (and paid) twice.
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("row_share",
+        graft.queries.Relational.dratio(col("n"), col("row_total"), 6))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_share"))
       .orderBy("from_type", "to_type")
   }
 

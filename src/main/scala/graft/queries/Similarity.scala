@@ -1278,23 +1278,35 @@ object Similarity {
     val dec = org.apache.spark.sql.types.DecimalType(25, 6)
     val ex = emb(s, dir).select(posexplode(col("embedding")))
       .select(col("pos").as("p"), col("col").cast("double").as("v"))
+    // ONE decimal aggregate per moment: sd/sdd feed the double
+    // moments (== dsum), the micro-unit integers, AND the exact mean
+    // (the dmean formula applied to sv_us — no second sum buffer)
     val m = ex.groupBy(col("p")).agg(
       count(lit(1)).as("n"),
-      Relational.dsum(col("v")).as("sv"),
-      Relational.dsum(col("v") * col("v")).as("svv"),
-      (sum(col("v").cast(dec)) * lit(1000000L)).cast(d38).as("sv_us"),
-      (sum((col("v") * col("v")).cast(dec)) * lit(1000000L)).cast(d38)
-        .as("svv_us"),
-      Relational.dmean(col("v"), 6).as("mean"),
+      sum(col("v").cast(dec)).as("sd"),
+      sum((col("v") * col("v")).cast(dec)).as("sdd"),
       min(col("v")).as("v_min"),
       max(col("v")).as("v_max"))
-    m.withColumn("variance",
+      .select(col("p"), col("n"),
+        col("sd").cast("double").as("sv"),
+        col("sdd").cast("double").as("svv"),
+        (col("sd") * lit(1000000L)).cast(d38).as("sv_us"),
+        (col("sdd") * lit(1000000L)).cast(d38).as("svv_us"),
+        col("v_min"), col("v_max"))
+    val nD = col("n").cast(d38)
+    val meanUnits = org.apache.spark.sql.graftbridge.ColumnBridge.div(
+      abs(col("sv_us")) * lit(2L) + nD, nD * lit(2L))
+    m.withColumn("mean",
+        (when(col("sv_us") < lit(0), -meanUnits).otherwise(meanUnits)
+          .cast("double") / lit(1e6)))
+      .withColumn("variance",
         (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
       .withColumn("vnum",
-        (col("svv_us") * col("n").cast(d38) * lit(1000000L).cast(d38) -
+        (col("svv_us") * nD * lit(1000000L).cast(d38) -
           col("sv_us") * col("sv_us")).cast(d38))
-      .withColumn("var_share", Relational.dfrac(col("vnum"),
-        sum(col("vnum")).over(Window.partitionBy()), 6))
+      .withColumn("vtotal", sum(col("vnum")).over(Window.partitionBy()))
+      .withColumn("var_share",
+        Relational.dfrac(col("vnum"), col("vtotal"), 6))
       .select(col("p"), col("n"), col("mean"),
         round(sqrt(col("variance")), 6).as("std"),
         col("v_min"), col("v_max"), col("var_share"))

@@ -440,9 +440,15 @@ object TextAnalysis {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
     cells
-      // token-count ratio → exact integer rounding (q82 tie class)
-      .withColumn("share", Relational.dratio(col("n_tokens"),
-        sum(col("n_tokens")).over(Window.partitionBy()), 6))
+      // token-count ratio → exact integer rounding (q82 tie class);
+      // total named first so the window is planned once (dratio
+      // references q twice)
+      .withColumn("total",
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("share",
+        Relational.dratio(col("n_tokens"), col("total"), 6))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("share"))
       .orderBy("source", "lang")
   }
 
@@ -539,15 +545,16 @@ object TextAnalysis {
           (col("tf") + lit(Bm25K1) *
             (lit(bm25OneMinusB) + lit(Bm25B) *
               (col("dl").cast("double") / col("avgdl")))))
-    // raw (the dsum double of the exact 6-dp decimal) carries the
-    // ordering; the 4-dp presentation rounds ON the decimal sum (the
-    // q172 pattern) — the exact 6-dp value can end in …50, a REAL
-    // 4-dp tie that round(double, 4) breaks engine-differently
+    // ONE decimal aggregate feeds both outputs: raw (its double, the
+    // dsum value, carries the ordering) and score — the 4-dp
+    // presentation rounds ON the decimal sum (the q172 pattern),
+    // because the exact 6-dp value can end in …50, a REAL 4-dp tie
+    // that round(double, 4) breaks engine-differently
     val perDoc = scored.groupBy(col("doc_id")).agg(
-        dsum(col("tscore")).as("raw"),
-        round(sum(col("tscore")
-          .cast(org.apache.spark.sql.types.DecimalType(25, 6))), 4)
-          .cast("double").as("score"))
+        sum(col("tscore")
+          .cast(org.apache.spark.sql.types.DecimalType(25, 6))).as("sd"))
+      .select(col("doc_id"), col("sd").cast("double").as("raw"),
+        round(col("sd"), 4).cast("double").as("score"))
       .orderBy(col("raw").desc, col("doc_id")).limit(Bm25TopK)
     perDoc
       .withColumn("rn", row_number().over(
