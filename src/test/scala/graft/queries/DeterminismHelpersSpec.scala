@@ -123,6 +123,24 @@ class DeterminismHelpersSpec extends SparkSuite {
     assert(one(616992L, 192000000L, 6) === 0.003214) // q82's exact tie
     assert(one(1, 128, 6) === 0.007813)
     assert(one(1, 32, 4) === 0.0313)
+    // r17 field cases: q176's score tie (n=16 tokens, 1 stopword,
+    // short-doc penalty → (320−10−64)/320 = 0.76875, a real 5-dp tie
+    // whose double round() Spark/DuckDB break oppositely) and the
+    // signed dfrac mirror (half-AWAY-from-zero)
+    def oneF(p: Long, q: Long, scale: Int): Double =
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(p, q)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.LongType))))
+        .select(Relational.dfrac(col("p"), col("q"), scale))
+        .head().getDouble(0)
+    assert(one(246, 320, 4) === 0.7688)
+    assert(oneF(246, 320, 4) === 0.7688)
+    assert(oneF(-246, 320, 4) === -0.7688)
+    assert(oneF(-1, 128, 6) === -0.007813)
   }
 
   test("DLIT round-trips arbitrary doubles through DuckDB-style parse") {
