@@ -1,0 +1,180 @@
+package graft.core
+
+/** Shared machinery for the two order-determinism guards:
+  * [[OracleOrderHygieneSpec]] (regex scan of the rendered oracle SQL)
+  * and `SparkOrderAuditSpec` (walk of each query's analyzed logical
+  * plan) — ONE tie-break ledger and ONE exemption table, so the two
+  * sides of a query cannot drift apart in what they consider a total
+  * order. See OracleOrderHygieneSpec's scaladoc for the hazard class
+  * and the adjudication rules. */
+private[graft] object OrderHygiene {
+
+  /** The adjudicated tie-break column ledger: a trailing sort key must
+    * be one of these names (unqualified) — table ids (event_id,
+    * doc_id, vec_id, the TPC-H keys), per-partition entity ids (cid,
+    * qid, seed_id, d2, node, rpos), or category keys that only ever
+    * trail sorts over relations grouped by that category (tok, token,
+    * term, span, pair, source, bin, h_sec, event_type, p_type,
+    * user_id). Each entry is unique at EVERY site where it trails an
+    * order-sensitive sort — verified when added; adding a name here
+    * means you checked ALL its sites, not just yours. Generic one-off
+    * names (k, r, c, p, pos, logit, …) do NOT belong here — they go
+    * in [[Exempt]] per query. */
+  val TieBreakKeys: Set[String] = Set(
+    "event_id", "doc_id", "vec_id", "user_id", "cid", "qid", "seed_id",
+    "d2", "tok", "token", "term", "span", "pair", "node", "source",
+    "bin", "h_sec", "rpos", "event_type", "p_type",
+    "o_orderkey", "l_orderkey", "p_partkey", "s_suppkey", "c_custkey",
+    "s_name")
+
+  /** Adjudicated exceptions: query name → trailing keys allowed there.
+    * Three argument classes, each verified by reading the site:
+    *
+    *  - GROUPED-BY KEY: the windowed relation is `GROUP BY <key>` (per
+    *    partition), so the sort key is unique at the site even though
+    *    its name is too generic for the global ledger — q112 n_orders,
+    *    q227 c, q266 nt, and the logit curves (q198/q214/q251/q255/
+    *    q259 all window over a relation grouped by logit, so "score
+    *    DESC" there is a total order), and the Spark-side two-level
+    *    prefix sums' bucket-offset window (q103/q137/q185 bkt — runs
+    *    over the groupBy("bkt") totals; the SQL twin uses one global
+    *    doc-ordered window instead, same arithmetic).
+    *  - PER-PARTITION ID: unique within the window partition by
+    *    construction — q115 seq (one change row per branch per key),
+    *    q65/q66/q168/q254 k (centroid id), q221 k (bucket), q232 r
+    *    (bootstrap replicate), q270 pos + q81 p (posexplode index),
+    *    q274 round (the greedy loop emits one row per round), q206 i
+    *    (argmax dimension index: abs(vv) DESC then i — ties take the
+    *    lowest index, deterministic).
+    *  - RANK-VALUE EXTRACTION: row_number over tied EQUAL values feeds
+    *    `WHERE rn = <k>` that only reads the sorted VALUE back out —
+    *    any permutation of equal values leaves the value at every rank
+    *    unchanged (medians: q223 qv, q249 qv/dv, q261 slope).
+    *
+    * Granularity is (query, trailing key): a NEW site in the same
+    * query reusing the key name inherits the exemption — re-verify the
+    * argument when adding one. */
+  val Exempt: Map[String, Set[String]] = Map(
+    "q112_skyline" -> Set("n_orders"),
+    "q115_cdc_merge" -> Set("seq"),
+    "q168_kmeans" -> Set("k"),
+    "q254_silhouette" -> Set("k"),
+    "q65_knn_pq" -> Set("k"),
+    "q66_knn_ivfpq" -> Set("k"),
+    "q221_cusum_changepoint" -> Set("k"),
+    "q232_bootstrap_ci" -> Set("r"),
+    "q227_gini_activity" -> Set("c"),
+    "q266_dataset_card" -> Set("nt"),
+    "q274_greedy_cover" -> Set("round"),
+    "q270_stupid_backoff" -> Set("pos"),
+    "q81_para_dedup" -> Set("p"),
+    "q198_score_auc" -> Set("logit"),
+    "q214_source_calibration" -> Set("logit"),
+    "q251_mann_whitney" -> Set("logit"),
+    "q255_avg_precision" -> Set("logit"),
+    "q259_optimal_f1" -> Set("logit"),
+    "q223_exact_median" -> Set("qv"),
+    "q249_mad_gate" -> Set("qv", "dv"),
+    "q261_theil_sen" -> Set("slope"),
+    "q206_pc1_power" -> Set("i"),
+    "q103_seq_pack" -> Set("bkt"),
+    "q137_budget_select" -> Set("bkt"),
+    "q185_release_funnel" -> Set("bkt"))
+
+  /** Is `keyName` an accepted trailing sort key for `query`? */
+  def ledgered(query: String, keyName: String): Boolean =
+    TieBreakKeys.contains(keyName) ||
+      Exempt.getOrElse(query, Set.empty).contains(keyName)
+
+  private def blankQuoted(sql: String): String =
+    raw"'[^']*'".r.replaceAllIn(sql, m => "'" + " " * (m.matched.length - 2) + "'")
+
+  /** One order-sensitive ORDER BY: where it sits and its key list. */
+  private[graft] case class Site(kind: String, keys: String) {
+    /** Last top-level key with the window frame clause and the
+      * direction/null-order tokens stripped; direction is IRRELEVANT
+      * to determinism (a unique key DESC is as total an order as ASC —
+      * q07 tie-breaks on `event_id DESC`), so it is not kept. */
+    def trailingKey: String = {
+      val noFrame = raw"(?i)\b(ROWS|RANGE|GROUPS)\b[\s\S]*$$".r
+        .replaceAllIn(keys, "")
+      var depth = 0
+      var cut = -1
+      for (i <- noFrame.indices) noFrame.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => cut = i
+        case _ =>
+      }
+      noFrame.substring(cut + 1).trim
+        .replaceAll(raw"(?i)\s+NULLS\s+(FIRST|LAST)\s*$$", "")
+        .replaceAll(raw"(?i)\s+(ASC|DESC)\s*$$", "").trim
+    }
+    /** A trailing key is tie-break-SHAPED when it is a bare (possibly
+      * qualified) column named in [[TieBreakKeys]] — uniqueness at the
+      * site stays the ledger's human adjudication. */
+    def tieBroken: Boolean =
+      raw"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$$".r
+        .findFirstIn(trailingKey).isDefined &&
+        TieBreakKeys.contains(
+          trailingKey.substring(trailingKey.lastIndexOf('.') + 1))
+  }
+
+  private val SubqueryOpeners = Set("FROM", "WHERE", "IN", "EXISTS", "AS",
+    "ON", "AND", "OR", "NOT", "SELECT", "UNION", "ALL", "JOIN", "THEN",
+    "ELSE", "WHEN", "CASE", "USING", "VALUES", "WITH", "INTERSECT", "EXCEPT")
+
+  /** Every order-SENSITIVE ORDER BY in one statement: top-k (key list
+    * terminated by a same-depth LIMIT), window (the enclosing paren is
+    * an `OVER (`), or order-sensitive aggregate (the enclosing paren
+    * is a function call). Subquery sorts without LIMIT and the
+    * statement-final sort are dropped as order-irrelevant. */
+  private[graft] def sites(sql: String): Seq[Site] = {
+    val s = blankQuoted(sql)
+    raw"(?i)\bORDER\s+BY\b".r.findAllMatchIn(s).toSeq.flatMap { m =>
+      var i = m.end
+      var depth = 0
+      var end = -1
+      var stop = "eos"
+      while (end < 0 && i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1; i += 1
+          case ')' if depth == 0 => end = i; stop = "paren"
+          case ')' => depth -= 1; i += 1
+          case c if depth == 0 && (c == 'L' || c == 'l') &&
+            !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' &&
+            raw"(?i)^LIMIT\b".r.findFirstIn(s.substring(i)).isDefined =>
+            end = i; stop = "limit"
+          case _ => i += 1
+        }
+      }
+      if (end < 0) end = s.length
+      val keys = s.substring(m.end, end)
+      stop match {
+        case "limit" => Some(Site("topk", keys))
+        case "eos" => None // outermost presentation sort
+        case "paren" =>
+          // whose paren group is this? walk back to the unmatched '('
+          var j = m.start - 1
+          var d = 0
+          var open = -1
+          while (open < 0 && j >= 0) {
+            s.charAt(j) match {
+              case ')' => d += 1
+              case '(' if d == 0 => open = j
+              case '(' => d -= 1
+              case _ =>
+            }
+            j -= 1
+          }
+          val word = s.substring(0, math.max(open, 0)).reverse
+            .dropWhile(_.isWhitespace).takeWhile(c =>
+              c.isLetterOrDigit || c == '_').reverse
+          if (word.equalsIgnoreCase("OVER")) Some(Site("window", keys))
+          else if (word.nonEmpty &&
+            !SubqueryOpeners.contains(word.toUpperCase)) Some(Site("agg", keys))
+          else None // plain subquery sort, order-irrelevant without LIMIT
+      }
+    }
+  }
+}
