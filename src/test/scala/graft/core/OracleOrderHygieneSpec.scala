@@ -47,6 +47,22 @@ class OracleOrderHygieneSpec extends AnyFunSuite {
         "OrderHygiene.Exempt):\n  " + offenders.mkString("\n  "))
   }
 
+  test("every oracle LIMIT is governed by an ORDER BY") {
+    // the degenerate form of the same hazard: a LIMIT with NO sort at
+    // all returns an arbitrary subset — every LIMIT token must be the
+    // terminator of exactly one scanned top-k site
+    val offenders = for {
+      (name, sql) <- graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      limits = raw"(?i)(?<![\w])LIMIT\b".r.findAllIn(
+        sql.replaceAll(raw"'[^']*'", "''")).size
+      topks = sites(sql).count(_.kind == "topk")
+      if limits != topks
+    } yield s"$name: $limits LIMIT token(s), $topks governed by ORDER BY"
+    assert(offenders.isEmpty,
+      "bare LIMIT without a governing ORDER BY returns an arbitrary row " +
+        "subset:\n  " + offenders.mkString("\n  "))
+  }
+
   test("the scanner classifies the hazard shapes it exists to catch") {
     // top-k without tie-break: the exact shape the rule forbids
     val bad = sites("SELECT * FROM t ORDER BY score DESC LIMIT 5")
