@@ -1,0 +1,74 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standing guard for the integer-division sign divergence: Spark's
+  * `div` (and Catalyst IntegralDivide) truncates toward ZERO while
+  * DuckDB's `//` FLOORS — identical for non-negative operands, off by
+  * one for a negative numerator with a remainder (−7 div 2 = −3 vs
+  * −7 // 2 = −4). Every mirrored div/`//` pair in the query surface
+  * is therefore only engine-agreed if its numerator is non-negative
+  * by construction (counts, ids, epochs, hashes, offsets, Morton
+  * codes) — the sign-capable integer divisions all route through the
+  * `Relational.dmean`/`dratio`/`dfrac` helpers, whose explicit
+  * abs+sign split is property-pinned against BigDecimal HALF_UP in
+  * DeterminismHelpersSpec. This spec pins that adjudication: the last
+  * identifier token of every `//` numerator in the rendered oracle
+  * SQL must be in the non-negative ledger below, so a NEW integer
+  * division over a sign-capable quantity fails `sbt test` and forces
+  * either a non-negativity argument here or a dfrac routing. */
+class IntegerDivisionHygieneSpec extends AnyFunSuite {
+
+  /** Adjudicated non-negative numerator tokens (last identifier before
+    * `//`). Domains: epoch µs (us/ws/tus/ts_us/ts — fixture and any
+    * realistic timestamps are post-1970), counts/lengths (n/nt/
+    * n_chars/s), ids/positions (event_id/pos/tok_start/start_off/off),
+    * hash/bit patterns (h/simhash/simh/z/blob_hex), pagerank mass
+    * (pr/range — non-negative by the algorithm's invariant), budget
+    * quotas (budget), affine-quant differences (qmn:
+    * the numerator is `qv - qmn` with qmn = per-group MIN(qv), ≥ 0),
+    * explicit sign-split branches (discordant: q258's tau CASE makes
+    * each branch numerator `|c − d| · 2u + (c + d)`, ≥ 0 — the same
+    * treatment the d-helpers use), and the d-helper cast type name
+    * (HUGEINT — sign handled upstream by the
+    * abs+sign split, the one adjudication that is NOT "non-negative
+    * input" but "sign split before the divide"). */
+  private val NonNegative: Set[String] = Set(
+    "us", "ws", "tus", "ts_us", "ts",
+    "n", "nt", "n_chars", "s",
+    "event_id", "pos", "tok_start", "start_off", "off",
+    "h", "simhash", "simh", "z", "blob_hex",
+    "pr", "range", "budget",
+    "qmn", "discordant", "HUGEINT")
+
+  test("every oracle // numerator's trailing token is sign-adjudicated") {
+    val tok = raw"([A-Za-z_][A-Za-z_0-9]*)\s*\)*\s*//".r
+    val offenders = for {
+      (name, sql) <- graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      cleaned = sql.replaceAll(raw"'[^']*'", "''")
+      m <- tok.findAllMatchIn(cleaned)
+      t = m.group(1)
+      if !NonNegative.contains(t)
+    } yield s"$name: …$t //"
+    assert(offenders.distinct.isEmpty,
+      "integer division over a token not adjudicated non-negative — " +
+        "Spark div truncates toward zero, DuckDB // floors, they " +
+        "diverge on negatives; argue non-negativity here or route " +
+        "through Relational.dfrac:\n  " +
+        offenders.distinct.mkString("\n  "))
+  }
+
+  test("the ledger carries no unused adjudications") {
+    // keep the allowance set exactly as large as the surface needs —
+    // a stale entry is a free pass for a future sign-capable site
+    // that happens to reuse the name
+    val tok = raw"([A-Za-z_][A-Za-z_0-9]*)\s*\)*\s*//".r
+    val used = (for {
+      (_, sql) <- graft.SparkEntry.oracleSql.toSeq
+      m <- tok.findAllMatchIn(sql.replaceAll(raw"'[^']*'", "''"))
+    } yield m.group(1)).toSet
+    val stale = NonNegative -- used
+    assert(stale.isEmpty,
+      s"prune unused ledger entries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}
