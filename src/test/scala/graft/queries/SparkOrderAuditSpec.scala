@@ -66,7 +66,13 @@ class SparkOrderAuditSpec extends SparkSuite {
     for (name <- audit) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.analyzed
-      plan.foreach {
+      // collectWithSubqueries so sorts inside still-undecorrelated
+      // subquery EXPRESSIONS (scalar/lateral subqueries at analysis
+      // time — q131/q132/q133) are walked too; LocalLimit is matched
+      // directly because a correlated lateral limit has no GlobalLimit
+      // above it (the duplicate hit under GlobalLimit(LocalLimit(…))
+      // is deduped by the distinct below)
+      plan.collectWithSubqueries {
         case w: logical.Window if w.orderSpec.nonEmpty =>
           val key = trailingName(w.orderSpec)
           if (!OrderHygiene.ledgered(name, key))
@@ -77,7 +83,12 @@ class SparkOrderAuditSpec extends SparkSuite {
             if (!OrderHygiene.ledgered(name, key))
               offenders += s"$name [topk]: …, $key"
           }
-        case _ =>
+        case ll: logical.LocalLimit =>
+          sortUnder(ll.child).foreach { s =>
+            val key = trailingName(s.order)
+            if (!OrderHygiene.ledgered(name, key))
+              offenders += s"$name [topk]: …, $key"
+          }
       }
     }
     assert(offenders.distinct.isEmpty,
