@@ -34,9 +34,16 @@ class OracleOrderHygieneSpec extends AnyFunSuite {
   import OrderHygiene.{sites, Exempt}
 
   test("every order-sensitive oracle sort ends in a ledgered tie-break key") {
+    val scanned = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .flatMap { case (name, sql) => sites(sql).map((name, _)) }
+    // vacuity floor: the surface carries ~176 order-sensitive sites
+    // (122 window / 51 top-k / 3 ordered-agg at pin time) — a scanner
+    // regression that silently finds nothing must not pass this test
+    // as an empty offender list
+    assert(scanned.size >= 150,
+      s"site population collapsed to ${scanned.size} — scanner regression?")
     val offenders = for {
-      (name, sql) <- graft.SparkEntry.oracleSql.toSeq.sortBy(_._1)
-      site <- sites(sql)
+      (name, site) <- scanned
       if !site.tieBroken &&
         !Exempt.getOrElse(name, Set.empty).contains(site.trailingKey)
     } yield s"$name [${site.kind}]: ORDER BY${site.keys.take(70)}"
