@@ -58,6 +58,27 @@ class IntegerDivisionHygieneSpec extends AnyFunSuite {
         offenders.distinct.mkString("\n  "))
   }
 
+  test("number-ending numerators stay at their audited population") {
+    // the identifier ledger cannot name a numerator that ends in a
+    // NUMBER token (`(COUNT(*) + 1) // 2`, `(x + 511) // 512`); those
+    // 60 sites were audited by hand (2026-08): every one is a
+    // min-subtracted difference, a ceil-division `x + n - 1` with
+    // per-group n >= 1, an abs/sign-split d-helper form, or a scaled
+    // count — all non-negative by construction. Pin the population so
+    // a NEW number-ending site forces a re-audit here instead of
+    // slipping past the name ledger.
+    val tok = raw"([A-Za-z_0-9]+)\s*\)*\s*//".r
+    val hits = for {
+      (name, sql) <- graft.SparkEntry.oracleSql.toSeq
+      m <- tok.findAllMatchIn(sql.replaceAll(raw"'[^']*'", "''"))
+      if m.group(1).forall(_.isDigit)
+    } yield name
+    assert(hits.size === 60 && hits.distinct.size === 29,
+      s"digit-ending // numerators moved to ${hits.size} sites over " +
+        s"${hits.distinct.size} queries (audited: 60 over 29) — " +
+        "re-audit the new/changed sites' sign domains and re-pin")
+  }
+
   test("the ledger carries no unused adjudications") {
     // keep the allowance set exactly as large as the surface needs —
     // a stale entry is a free pass for a future sign-capable site
