@@ -207,9 +207,17 @@ object Dedup {
     val s1 = sig.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sig.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     cand.join(s1, "d1").join(s2, "d2")
+      // |A∪B| = |A|+|B|−|A∩B| on the distinct shingle sets: one array
+      // op per pair instead of two (array_union allocates and dedups
+      // a 2n merged array — pure waste next to three size() reads).
+      // Same two integers feed the same double division, so the
+      // result is bit-identical to the union form. `inter` is NAMED
+      // in its own projection: CollapseProject keeps non-cheap
+      // expressions single-evaluation, so the intersect runs once.
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy("d1", "d2")
@@ -1268,9 +1276,13 @@ object Dedup {
       case (acc, (v, b)) => when(col("bucket") === b, lit(v)).otherwise(acc)
     }
     pairs.join(x, "d1").join(y, "d2")
+      // the minhashPairsFrom treatment: |A∪B| = |A|+|B|−|A∩B| on the
+      // distinct shingle sets — one array op per verified pair,
+      // bit-identical result (same integers, same division)
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .withColumn("bucket",
         least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
       .groupBy("bucket")
