@@ -1264,9 +1264,13 @@ object Curation {
       val kills = cand
         .join(sig.select(col("doc_id").as("nid"), col("sh").as("sh_n")), "nid")
         .join(sig.select(col("doc_id").as("oid"), col("sh").as("sh_o")), "oid")
+        // the minhashPairsFrom treatment: |A∪B| = |A|+|B|−|A∩B| on
+        // the distinct shingle sets — one array op per verified pair,
+        // bit-identical (same integers, same division)
+        .withColumn("inter", expr("size(array_intersect(sh_n, sh_o))"))
         .withColumn("jaccard",
-          expr("CAST(size(array_intersect(sh_n, sh_o)) AS DOUBLE) / " +
-            "CAST(size(array_distinct(concat(sh_n, sh_o))) AS DOUBLE)"))
+          expr("CAST(inter AS DOUBLE) / " +
+            "CAST(size(sh_n) + size(sh_o) - inter AS DOUBLE)"))
         .filter(col("jaccard") >= 0.5)
         .select(col("nid")).distinct()
       docs(s, dir).filter(col("doc_id") % 10 >= 8)
