@@ -25,6 +25,23 @@ class SingleEvaluationPinSpec extends SparkSuite {
     ("Window".r.findAllIn(p).size, "HashAggregate".r.findAllIn(p).size)
   }
 
+  test("the Jaccard pair verifies evaluate array_intersect exactly once") {
+    // |A∪B| = |A|+|B|−|A∩B| references the named `inter` column twice;
+    // CollapseProject keeps non-cheap expressions single-evaluation,
+    // so exactly ONE array_intersect must survive into the physical
+    // plan — a Catalyst change that inlines it twice would silently
+    // pay the intersect double AND lose the measured q197 win (A/B
+    // 0.667 vs the union form)
+    for (name <- Seq("q197_lsh_pr_curve", "q23_minhash_pairs")) {
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val n = "array_intersect".r.findAllIn(p).size
+      assert(n === 1,
+        s"$name physical plan evaluates array_intersect $n times — " +
+          "the named `inter` projection must stay single-evaluation")
+    }
+  }
+
   test("the converted queries keep their single-evaluation plan shapes") {
     // (Window, HashAggregate) counts of the verified post-conversion
     // plans. The regression each pin trips: q180 at 3 windows / q80 at
