@@ -197,10 +197,44 @@ object Dedup {
   // LSH bucket-join candidate pairs, verified with exact Jaccard over
   // the hashed shingle sets. Join key = band (linear-scale; never
   // all-pairs); the verify join ships 8-byte shingle ints.
+
+  /** Exact rational (num, den) of a threshold given as a short decimal
+    * literal (0.3 → (3, 10), 0.5 → (5, 10)). Uses the double's
+    * shortest decimal rendering, so every threshold a caller writes as
+    * a decimal literal round-trips exactly. */
+  private def thresholdRational(t: Double): (Long, Long) = {
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(t))
+    val scale = math.max(bd.scale, 0)
+    (bd.movePointRight(scale).longValueExact,
+      java.math.BigDecimal.TEN.pow(scale).longValueExact)
+  }
+
   /** Band + Jaccard-verify over a prepared signature relation
     * (doc_id, sh, band0..bandN) — the core qMinhashPairs and the
-    * general-DataFrame operators share. */
-  private def minhashPairsFrom(sig: DataFrame, threshold: Double): DataFrame = {
+    * general-DataFrame operators share. The threshold arrives as the
+    * exact rational tNum/tDen so the gate can be CROSS-MULTIPLIED into
+    * integers (see below) with zero float-boundary risk.
+    *
+    * Why the filter precedes the `jaccard` projection and compares
+    * integers: a `.filter(col("jaccard") >= t)` placed after the
+    * projection gets pushed below it by PushDownPredicates, which
+    * INLINES the alias chain — `jaccard` references `inter` twice
+    * (numerator + union denominator), so the pushed join predicate
+    * would evaluate array_intersect twice per candidate pair, plus
+    * once more in the surviving projection (the round-17
+    * SingleEvaluationPinSpec caught exactly that: n=3 in q23's
+    * physical plan). Gating on `inter` directly makes the pushed
+    * predicate carry ONE intersect; `jaccard` is then computed only
+    * for survivors. Equivalence (candidates always have non-empty
+    * shingle sets — empty-shingle docs get NULL band keys and never
+    * join): with u = |A|+|B|−i ≥ 1,
+    *   i/u ≥ num/den  ⟺  den·i ≥ num·(|A|+|B|−i)
+    *                  ⟺  (den+num)·i ≥ num·(|A|+|B|).
+    * The rational compare agrees with the oracle's double compare for
+    * these magnitudes: when i/u ≠ num/den the rational gap is at least
+    * 1/(den·u) ≫ double epsilon, and when i/u = num/den exactly both
+    * sides round to the same nearest double. */
+  private def minhashPairsFrom(sig: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val narrow = sig.drop("sh")
     val cand = graft.operators.LshBands.candidatePairs(narrow, "doc_id",
       (0 until NumBands).map(bd => s"band$bd"))
@@ -211,20 +245,40 @@ object Dedup {
       // op per pair instead of two (array_union allocates and dedups
       // a 2n merged array — pure waste next to three size() reads).
       // Same two integers feed the same double division, so the
-      // result is bit-identical to the union form. `inter` is NAMED
-      // in its own projection: CollapseProject keeps non-cheap
-      // expressions single-evaluation, so the intersect runs once.
+      // result is bit-identical to the union form.
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .filter(col("inter").cast("long") * lit(tDen + tNum) >=
+        (size(col("sh1")) + size(col("sh2"))).cast("long") * lit(tNum))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy("d1", "d2")
   }
 
+  private def minhashPairsFrom(sig: DataFrame, threshold: Double): DataFrame = {
+    val (n, d) = thresholdRational(threshold)
+    minhashPairsFrom(sig, n, d)
+  }
+
+  /** The q23 threshold as written in qMinhashPairsSql. */
+  val MinhashThreshold = 0.3
+
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsFrom(cachedSignatures(s, dir), 0.3)
+    minhashPairsFrom(cachedSignatures(s, dir), 3L, 10L)
+
+  /** qMinhashPairs at a TIGHTER verify threshold, gated at the source:
+    * equivalent to `qMinhashPairs(s, dir).filter(jaccard >= t)` for
+    * t ≥ 0.3, but without re-filtering the already-projected `jaccard`
+    * column — a downstream alias filter gets pushdown-inlined into the
+    * join condition with the intersect duplicated (see
+    * [[minhashPairsFrom]]). */
+  private[queries] def qMinhashPairsAt(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= MinhashThreshold,
+      s"threshold $threshold below the q23 band-verify floor $MinhashThreshold")
+    minhashPairsFrom(cachedSignatures(s, dir), threshold)
+  }
 
   /** The LSH band-join candidate union over `banded` — shared by
     * qMinhashPairsSql and q256's blocking audit oracle. */
@@ -358,7 +412,7 @@ object Dedup {
     * endpoint labeling is two broadcast-able joins against the
     * (doc_id, source) projection; output is |sources|+ rows. */
   def q269SourceAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= 0.5)
+    val pairs = qMinhashPairsAt(s, dir, 0.5)
       .select(col("d1"), col("d2"))
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     val lab = pairs
@@ -555,7 +609,7 @@ object Dedup {
     * Scale: candidates from the banded join (linear); verify over
     * hashed shingle ints; final anti-join on the narrow id key. */
   def dedupNearLSH(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= threshold)
+    val pairs = qMinhashPairsAt(s, dir, math.max(threshold, MinhashThreshold))
     val kills = pairs.select(col("d2").as("doc_id")).distinct()
     docs(s, dir).join(kills, Seq("doc_id"), "left_anti")
   }
@@ -719,7 +773,7 @@ object Dedup {
   private val ccEdgesCache = new graft.core.Sessions.PinnedCache
   private[queries] def ccEdges(s: SparkSession, dir: String): DataFrame =
     ccEdgesCache.getOrElseUpdate(dir) {
-      val pairs = qMinhashPairs(s, dir).filter(col("jaccard") >= 0.5)
+      val pairs = qMinhashPairsAt(s, dir, 0.5)
         .select(col("d1"), col("d2"))
       // the pair union inherits the LSH pipeline's partitioning —
       // ~a hundred near-empty partitions for a dup-graph-sized
@@ -1080,11 +1134,22 @@ object Dedup {
       (0 until NumBands).map(bd => s"band$bd"))
     val s1 = sig.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = sig.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val (tNum, tDen) = thresholdRational(ContainmentThreshold)
     cand.join(s1, "d1").join(s2, "d2")
+      // Same pushdown-inlining hazard as [[minhashPairsFrom]]: a
+      // filter on the `containment` alias would inline the intersect
+      // into the pushed join predicate alongside the projection's
+      // copy. Gate on the named `inter` with the cross-multiplied
+      // integer form (least(|A|,|B|) ≥ 1 for banded candidates):
+      //   i/least ≥ num/den ⟺ den·i ≥ num·least
+      // so the pushed predicate carries ONE intersect and the score
+      // is computed only for survivors.
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .filter(col("inter").cast("long") * lit(tDen) >=
+        least(size(col("sh1")), size(col("sh2"))).cast("long") * lit(tNum))
       .withColumn("containment",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        col("inter").cast("double") /
           least(size(col("sh1")), size(col("sh2"))).cast("double"))
-      .filter(col("containment") >= ContainmentThreshold)
       .select(col("d1"), col("d2"), col("containment"))
       .orderBy("d1", "d2")
   }
