@@ -1264,14 +1264,15 @@ object Curation {
       val kills = cand
         .join(sig.select(col("doc_id").as("nid"), col("sh").as("sh_n")), "nid")
         .join(sig.select(col("doc_id").as("oid"), col("sh").as("sh_o")), "oid")
-        // the minhashPairsFrom treatment: |A∪B| = |A|+|B|−|A∩B| on
-        // the distinct shingle sets — one array op per verified pair,
-        // bit-identical (same integers, same division)
-        .withColumn("inter", expr("size(array_intersect(sh_n, sh_o))"))
-        .withColumn("jaccard",
-          expr("CAST(inter AS DOUBLE) / " +
-            "CAST(size(sh_n) + size(sh_o) - inter AS DOUBLE)"))
-        .filter(col("jaccard") >= 0.5)
+        // The kill rule never outputs the score, so the whole verify
+        // is ONE integer predicate carrying ONE array_intersect (a
+        // `jaccard` alias filter would be pushdown-inlined with the
+        // intersect duplicated — see Dedup.minhashPairsFrom). With
+        // i = |A∩B| and u = |A|+|B|−i ≥ 1 (banded candidates have
+        // non-empty shingle sets): i/u ≥ 1/2 ⟺ 2i ≥ |A|+|B|−i
+        // ⟺ 3i ≥ |A|+|B| — exact, zero float-boundary risk.
+        .filter(expr("3 * size(array_intersect(sh_n, sh_o)) >= " +
+          "size(sh_n) + size(sh_o)"))
         .select(col("nid")).distinct()
       docs(s, dir).filter(col("doc_id") % 10 >= 8)
         .join(kills.withColumn("killed", lit(1)),
@@ -1715,10 +1716,17 @@ object Curation {
           |transform(sequence(1, size(toks) - 1),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-      .withColumn("dup_2gram_frac", expr(
-        """CASE WHEN size(grams) > 0 THEN
-          |1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) /
-          |CAST(size(grams) AS DOUBLE) ELSE 0.0 END""".stripMargin))
+      // named ONCE-referenced count instead of a dup_2gram_frac alias:
+      // the frac form references `grams` three times (guard, distinct,
+      // total), so the repetition gate pushed through this projection
+      // would inline the bigram transform 3x per row into the Filter
+      // (the q23 pushdown-inlining class, caught by
+      // ExpensiveExprSweepSpec). The gate below rebuilds the SAME
+      // double arithmetic from this one reference, with size(grams)
+      // replaced by n_tokens - 1 (equal by construction: sequence(1,
+      // size-1) emits size-1 bigrams whenever n_tokens >= 2, and the
+      // n_tokens >= 20 conjunct already excludes the rest).
+      .withColumn("n_distinct_grams", expr("size(array_distinct(grams))"))
       .withColumn("stop_ratio",
         expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
           col("n_tokens").cast("double"))
@@ -1726,9 +1734,15 @@ object Curation {
         greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
           - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
           - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
+    // the dup-2gram gate: bit-identical to the oracle's
+    // `1.0 - distinct/total <= 0.3` (same integers, same double ops —
+    // a 0/0 for n_tokens = 1 nulls out rows the n_tokens >= 20
+    // conjunct drops anyway), with the bigram array referenced ONCE
     val afterRep = ann.filter(
       col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
-        col("top_word_frac") <= 0.15 && col("dup_2gram_frac") <= 0.3)
+        col("top_word_frac") <= 0.15 &&
+        lit(1.0) - col("n_distinct_grams").cast("double") /
+          (col("n_tokens") - lit(1)).cast("double") <= 0.3)
     val afterQual = afterRep.filter(col("score") >= FunnelQualityFloor)
     // PII redaction pass: a transform, not a filter — count the docs
     // it touches (q58's deterministic id-derived injection)
