@@ -131,6 +131,25 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Filter INFERENCE off, engine-wide: InferFiltersFromConstraints
+      // and InferFiltersFromGenerate synthesize isnotnull/size>0
+      // predicates that PushDownPredicates then inlines through the
+      // defining Project — on this engine's workload profile (derived
+      // text/array/regex columns over fixture-style data whose keys
+      // are non-null by construction) the inferred predicate re-
+      // evaluates the expensive alias 1-2 extra times PER ROW in the
+      // hottest scans (q100/q200 bigram zip_with, q241 regexp_extract,
+      // q253 token filter, q214's dfrac score, q185's 8-gram shingles
+      // — all caught by ExpensiveExprSweepSpec), while the rows it
+      // would prune (null keys, empty arrays ahead of a Generate) are
+      // ~zero and are dropped by the join/generate anyway. Measured
+      // A/B/A on the full 278-query board at sf0.1 (round 18, same
+      // canary window, drift 0.93 all legs): 159.0 / 131.7 / 159.9 s
+      // raw — a 17% board-wide win. Overridable per-run through the
+      // SPARK_GRAFT_SQL_CONFS seam below (later config wins).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints," +
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // measurement/tuning seam: extra SQL confs via env, e.g.
     // SPARK_GRAFT_SQL_CONFS="spark.sql.adaptive.enabled=false;k=v" —
     // lets the bench A/B engine-level conf choices without code edits

@@ -15,9 +15,13 @@ class PlanAuditSpec extends SparkSuite {
 
   test("q02 time-range filter pushes to the parquet scan") {
     val p = plan("q02_proj_filter")
+    // no IsNotNull in the pushed list since round 18: the engine
+    // excludes the InferFilters* rules (Sessions.local — measured 17%
+    // board win), and the range predicates already exclude nulls at
+    // the parquet stats level
     assert(p.contains("PushedFilters:") &&
-      p.contains("IsNotNull(o_orderdate)"), p.take(2000))
-    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+      p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(2000))
   }
 
   test("q03 key-range filter pushes to the parquet scan") {
@@ -112,8 +116,11 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q151_tpch_q6")
     // the PushedFilters list is elided in toString past ~100 chars, so
     // assert the pushdown prefix + the full predicate set on the
-    // post-scan Filter node (same predicates, un-truncated)
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2500))
+    // post-scan Filter node (same predicates, un-truncated). The list
+    // leads with the real range predicate since round 18 — the
+    // InferFilters* exclusion (Sessions.local) means no synthesized
+    // IsNotNull precedes it
+    assert(p.contains("PushedFilters: [GreaterThanOrEqual(l_shipdate"), p.take(2500))
     assert(p.contains(">= 0.05") && p.contains("<= 0.07"), p.take(2500))
     assert(p.contains("< 24.0"), p.take(2500))
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
