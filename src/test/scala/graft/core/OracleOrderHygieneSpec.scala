@@ -103,5 +103,23 @@ class OracleOrderHygieneSpec extends AnyFunSuite {
     assert(f.head.tieBroken && f.head.trailingKey === "doc_id")
     // quoted strings never hide an ORDER BY terminator
     assert(sites("SELECT * FROM t WHERE s = 'ORDER BY x LIMIT 1'").isEmpty)
+    // a NAMED window clause is a window site (the round-17 ADVICE
+    // gap: the walk-back word is AS, which the generic opener logic
+    // dropped) — head position, comma continuation, and an
+    // ORDER-BY-less companion in the same list
+    val nw = sites("SELECT sum(x) OVER w FROM t " +
+      "WINDOW w AS (PARTITION BY g ORDER BY v, doc_id)")
+    assert(nw.map(_.kind) === Seq("window") && nw.head.tieBroken &&
+      nw.head.trailingKey === "doc_id")
+    val nw2 = sites("SELECT sum(x) OVER w2 FROM t WINDOW " +
+      "w1 AS (PARTITION BY g), " +
+      "w2 AS (PARTITION BY g ORDER BY v DESC, event_id)")
+    assert(nw2.map(_.kind) === Seq("window") && nw2.head.tieBroken &&
+      nw2.head.trailingKey === "event_id")
+    // the identically-shaped CTE chain is NOT a window site: its
+    // inner sort stays a plain subquery sort (order-irrelevant
+    // without LIMIT)
+    assert(sites("WITH a AS (SELECT 1), " +
+      "b AS (SELECT * FROM t ORDER BY v) SELECT * FROM b").isEmpty)
   }
 }

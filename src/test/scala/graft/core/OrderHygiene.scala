@@ -50,6 +50,14 @@ private[graft] object OrderHygiene {
     *    `WHERE rn = <k>` that only reads the sorted VALUE back out —
     *    any permutation of equal values leaves the value at every rank
     *    unchanged (medians: q223 qv, q249 qv/dv, q261 slope).
+    *  - RANGE-FRAMED PEER-INCLUSIVE: every function over the window is
+    *    frame-based (SUM/COUNT) and the frame is RANGE, which includes
+    *    ALL peers of the boundary value in both engines — tie order
+    *    cannot change any row's frame contents. Verified per site that
+    *    no rank/offset function (which IGNORES frames and would be
+    *    tie-sensitive) uses the window: q108's trailing-hour rollup,
+    *    exempted under both renderings of its sort key (oracle
+    *    `epoch_us(ts)`, Spark's named `ts_us` projection).
     *
     * Granularity is (query, trailing key): a NEW site in the same
     * query reusing the key name inherits the exemption — re-verify the
@@ -77,6 +85,7 @@ private[graft] object OrderHygiene {
     "q249_mad_gate" -> Set("qv", "dv"),
     "q261_theil_sen" -> Set("slope"),
     "q206_pc1_power" -> Set("i"),
+    "q108_trailing_window" -> Set("epoch_us(ts)", "ts_us"),
     "q103_seq_pack" -> Set("bkt"),
     "q137_budget_select" -> Set("bkt"),
     "q185_release_funnel" -> Set("bkt"))
@@ -171,10 +180,56 @@ private[graft] object OrderHygiene {
             .dropWhile(_.isWhitespace).takeWhile(c =>
               c.isLetterOrDigit || c == '_').reverse
           if (word.equalsIgnoreCase("OVER")) Some(Site("window", keys))
+          else if (word.equalsIgnoreCase("AS") && namedWindowOpener(s, open))
+            Some(Site("window", keys))
           else if (word.nonEmpty &&
             !SubqueryOpeners.contains(word.toUpperCase)) Some(Site("agg", keys))
           else None // plain subquery sort, order-irrelevant without LIMIT
       }
     }
+  }
+
+  /** Is the paren at `open` a named-WINDOW-clause body — `WINDOW <w>
+    * AS (…)` or a comma continuation `WINDOW <w1> AS (…), <w2> AS
+    * (…)`? The walk-back word for these sites is "AS", which the
+    * generic opener logic drops as a subquery opener (the round-17
+    * ADVICE gap: 9 named-window sites in the oracle SQL were silently
+    * unaudited). Disambiguation from the identically-shaped CTE chain
+    * `WITH <a> AS (…), <b> AS (…)` is the LIST-OPENING keyword:
+    * walk back through `<ident> AS (…)` links until the token before
+    * the chain head — WINDOW means window clause, WITH (or anything
+    * else) means not. */
+  private def namedWindowOpener(s: String, open: Int): Boolean = {
+    var j = open - 1
+    def skipWs(): Unit = while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    def word(): String = {
+      val e = j
+      while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_'))
+        j -= 1
+      s.substring(j + 1, e + 1)
+    }
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      skipWs()
+      if (!word().equalsIgnoreCase("AS")) return false
+      skipWs()
+      if (word().isEmpty) return false // the window/CTE name
+      skipWs()
+      if (j >= 0 && s.charAt(j) == ',') {
+        // continuation: skip the previous definition's (…) body and
+        // re-enter the loop at ITS `<ident> AS` link
+        j -= 1
+        skipWs()
+        if (j < 0 || s.charAt(j) != ')') return false
+        var d = 0
+        while (j >= 0 && { val c = s.charAt(j)
+          if (c == ')') d += 1 else if (c == '(') d -= 1; d > 0 }) j -= 1
+        j -= 1 // past the matched '('
+      } else {
+        return word().equalsIgnoreCase("WINDOW")
+      }
+    }
+    false
   }
 }
