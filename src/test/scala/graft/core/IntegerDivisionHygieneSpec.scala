@@ -30,9 +30,11 @@ class IntegerDivisionHygieneSpec extends AnyFunSuite {
     * explicit sign-split branches (discordant: q258's tau CASE makes
     * each branch numerator `|c − d| · 2u + (c + d)`, ≥ 0 — the same
     * treatment the d-helpers use), and the d-helper cast type name
-    * (HUGEINT — sign handled upstream by the
-    * abs+sign split, the one adjudication that is NOT "non-negative
-    * input" but "sign split before the divide"). */
+    * (HUGEINT — sign handled upstream by the abs+sign split, the one
+    * adjudication that is NOT "non-negative input" but "sign split
+    * before the divide"; these sites are NOT a free pass — the
+    * HUGEINT-site test below additionally requires each one to carry
+    * the d-helper half-up rendering shape and pins the population). */
   private val NonNegative: Set[String] = Set(
     "us", "ws", "tus", "ts_us", "ts",
     "n", "nt", "n_chars", "s",
@@ -40,6 +42,44 @@ class IntegerDivisionHygieneSpec extends AnyFunSuite {
     "h", "simhash", "simh", "z", "blob_hex",
     "pr", "range", "budget",
     "qmn", "discordant", "HUGEINT")
+
+  // audited 2026-08 (round 18): every site is a DFRAC or DRATIO
+  // rendering (grep of src/main shows no literal `AS HUGEINT) //`
+  // outside the two helpers)
+  private val HugeintSites = 51
+  private val HugeintQueries = 29
+
+  test("HUGEINT-ending numerators are d-helper renderings, at their pinned population") {
+    // the round-17 ADVICE gap: `HUGEINT` in the name ledger would
+    // auto-pass ANY future `CAST(<sign-capable> AS HUGEINT) // q`
+    // without the abs+sign split the entry certifies. Every legitimate
+    // HUGEINT-ending site is a DFRAC/DRATIO rendering, whose numerator
+    // is the half-up form `(2*u*<p-term> + CAST(<q> AS HUGEINT))` —
+    // require that signature (`2*` scaling AND a `+ CAST(` addend
+    // immediately before the cast that ends the numerator) in the
+    // preceding window of each site, and pin the population so a new
+    // site forces a re-audit here even if it fakes the shape.
+    val site = raw"AS HUGEINT\)\s*\)*\s*//".r
+    val hits = for {
+      (name, sql) <- graft.SparkEntry.oracleSql.toSeq
+      cleaned = sql.replaceAll(raw"'[^']*'", "''")
+      m <- site.findAllMatchIn(cleaned)
+    } yield (name, cleaned.substring(math.max(0, m.start - 400), m.start))
+    val malformed = hits.collect {
+      case (name, ctx) if !(ctx.contains("2*") && ctx.contains("+ CAST(")) =>
+        s"$name: …${ctx.takeRight(60)}AS HUGEINT) //"
+    }
+    assert(malformed.isEmpty,
+      "HUGEINT-cast // numerator without the d-helper half-up " +
+        "signature — route sign-capable ratios through " +
+        "Relational.dfrac/DFRAC instead of a bare cast:\n  " +
+        malformed.mkString("\n  "))
+    assert(hits.size === HugeintSites && hits.map(_._1).distinct.size === HugeintQueries,
+      s"HUGEINT-cast // sites moved to ${hits.size} over " +
+        s"${hits.map(_._1).distinct.size} queries (audited: $HugeintSites over " +
+        s"$HugeintQueries) — verify the new/changed sites are d-helper " +
+        "renderings and re-pin")
+  }
 
   test("every oracle // numerator's trailing token is sign-adjudicated") {
     val tok = raw"([A-Za-z_][A-Za-z_0-9]*)\s*\)*\s*//".r
