@@ -59,7 +59,8 @@ object Bench {
   // xorshift64* mixing, no IO, no allocation, no Spark — timed
   // interleaved with the board (one sample before each pass's warmup
   // and one before every timed rep pass), so each board carries its
-  // own machine-speed measurement, in TWO legs:
+  // own machine-speed measurement, in TWO legs (plus the un-anchored
+  // Spark-stack leg below, covering what neither CPU kernel sees):
   //
   //  - single-threaded (`canary_s`): clock/thermal state. Min of
   //    samples — the least-throttled window, matching the min-of-reps
@@ -135,11 +136,40 @@ object Bench {
     threads.foreach(_.join())
     times.sum / n
   }
-  // (pass label, single-thread seconds, mean per-thread mt seconds)
+  // ---- Spark-stack canary leg (round 18) ------------------------
+  // The st/mt legs are register-bound probes; rounds 17-18 proved
+  // they UNDER-measure board-wide windows: two same-code boards read
+  // +22% raw vs round 16 while drift said 3-7% — the slowdown lived
+  // in the parts of a query the CPU kernel never touches (task
+  // scheduling, shuffle write/fetch, codegen, IO). This leg times a
+  // FIXED tiny end-to-end Spark job — a 32-partition range scan,
+  // hash projection, one 32-partition shuffle, tiny collect —
+  // interleaved with the board like the other legs. Deliberately NO
+  // ref anchor and NO participation in drift/total_norm (their
+  // definitions stay cross-round stable, and an anchor calibrated in
+  // the known-slow window this leg was born in would misread every
+  // steady window as drift > 1): readers compare `canary_sp_s`
+  // BETWEEN boards directly — when two boards' canary_sp_s diverge
+  // far beyond their st drift gap, the window hit the Spark stack
+  // and raw cross-board query ratios are not code-attributable.
+  @volatile private var canarySparkSession: org.apache.spark.sql.SparkSession = _
+  private def canarySparkOnce(): Double =
+    if (canarySparkSession == null) -1.0
+    else {
+      val t0 = System.nanoTime()
+      canarySparkSession.range(0L, 4000000L, 1L, 32)
+        .selectExpr("xxhash64(id) % 1000 AS k", "id")
+        .groupBy("k").count()
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+  // (pass label, single-thread seconds, mean per-thread mt seconds,
+  //  spark-stack seconds)
   private val canarySamples =
-    scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double)]
   private def sampleCanary(pass: String): Unit =
-    canarySamples += ((pass, canaryKernel(), canaryMtOnce()))
+    canarySamples += ((pass, canaryKernel(), canaryMtOnce(), canarySparkOnce()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,6 +181,7 @@ object Bench {
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    canarySparkSession = spark
 
     // local-iteration aid, mirroring Verify: SPARK_GRAFT_BENCH_ONLY=q63,q147
     // benches only the named prefixes; absent = all (driver).
@@ -346,16 +377,22 @@ object Bench {
     sampleCanary("close") // closing sample
     val canaryStAll = canarySamples.map(_._2)
     val canaryMtAll = canarySamples.map(_._3)
+    val canarySpAll = canarySamples.map(_._4).filter(_ >= 0)
     val canaryS = canaryStAll.min
     val canaryP50 = pctl(canaryStAll.sorted.toVector, 0.5)
     val drift = canaryS / CanaryRefSec
     val canaryMtS = canaryMtAll.min
     val driftMt = canaryMtS / CanaryMtRefSec
+    val canarySpS = if (canarySpAll.isEmpty) -1.0 else canarySpAll.min
+    val canarySpP50 =
+      if (canarySpAll.isEmpty) -1.0
+      else pctl(canarySpAll.sorted.toVector, 0.5)
     val canaryPart =
       s""","canary_s":${fmt(canaryS)},"canary_p50":${fmt(canaryP50)}""" +
         s""","canary_ref_s":${fmt(CanaryRefSec)},"drift":${fmt(drift)}""" +
         s""","canary_mt_s":${fmt(canaryMtS)},"drift_mt":${fmt(driftMt)}""" +
         s""","canary_mt_threads":${Runtime.getRuntime.availableProcessors}""" +
+        s""","canary_sp_s":${fmt(canarySpS)},"canary_sp_p50":${fmt(canarySpP50)}""" +
         s""","total_norm":${fmt(total / drift)}"""
     def lineFor(floor: Double): String = {
       val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)
@@ -383,15 +420,17 @@ object Bench {
     // within the board).
     val qsNorm = jmap(names.collect { case k if ok(p1)(k) =>
       k -> fmt(minOf(p1)(k) / drift) })
-    def passMins(leg: ((String, Double, Double)) => Double): String =
+    def passMins(leg: ((String, Double, Double, Double)) => Double): String =
       jmap(canarySamples.map(_._1).distinct.toSeq.map(p =>
         p -> fmt(canarySamples.filter(_._1 == p).map(leg).min)))
     val canaryFull = canaryPart +
       s""","canary_mt_ref_s":${fmt(CanaryMtRefSec)}""" +
       s""","canary_samples":${canaryStAll.map(fmt).mkString("[", ",", "]")}""" +
       s""","canary_mt_samples":${canaryMtAll.map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_sp_samples":${canarySpAll.map(fmt).mkString("[", ",", "]")}""" +
       s""","canary_pass_min":${passMins(_._2)}""" +
       s""","canary_mt_pass_min":${passMins(_._3)}""" +
+      s""","canary_sp_pass_min":${passMins(_._4)}""" +
       s""","queries_norm":$qsNorm"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"reps":$reps,"sf":"$sfDir"}"""
