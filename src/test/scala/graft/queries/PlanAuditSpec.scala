@@ -9,6 +9,28 @@ import graft.SparkSuite
 class PlanAuditSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("the filter-inference exclusion is live and its rule names still resolve") {
+    // Sessions.local excludes InferFiltersFromConstraints +
+    // InferFiltersFromGenerate (measured 17% board win — scaladoc
+    // there). spark.sql.optimizer.excludedRules fails SILENTLY on an
+    // unknown rule name, so a Spark upgrade that renames either class
+    // would re-enable the inference without any error — the sweep in
+    // ExpensiveExprSweepSpec would eventually flag re-introduced
+    // duplicates, but THIS failure says why. Assert the conf is set
+    // AND both rule objects still exist in the Spark build on the
+    // classpath.
+    val excluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .getOrElse("")
+    for (rule <- Seq(
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")) {
+      assert(excluded.contains(rule), s"exclusion lost from Sessions.local: $rule")
+      // Scala objects compile to <name>$ — resolution failure means the
+      // rule was renamed/removed and the excludedRules entry is a no-op
+      Class.forName(rule + "$")
+    }
+  }
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
