@@ -421,8 +421,17 @@ object Bench {
     val qsNorm = jmap(names.collect { case k if ok(p1)(k) =>
       k -> fmt(minOf(p1)(k) / drift) })
     def passMins(leg: ((String, Double, Double, Double)) => Double): String =
-      jmap(canarySamples.map(_._1).distinct.toSeq.map(p =>
-        p -> fmt(canarySamples.filter(_._1 == p).map(leg).min)))
+      jmap(canarySamples.map(_._1).distinct.toSeq.map { p =>
+        // the sp leg records the -1.0 null-session sentinel when a
+        // sample lands before canarySparkSession is assigned (or after
+        // clear) — drop sentinels so every canary_*_pass_min shares
+        // the valid-samples definition of canary_*_s/canary_*_p50; a
+        // pass with zero valid samples reports -1 like canary_sp_s
+        // does (the st/mt legs are raw timings, always >= 0, so the
+        // filter is a no-op there)
+        val vs = canarySamples.filter(_._1 == p).map(leg).filter(_ >= 0)
+        p -> fmt(if (vs.isEmpty) -1.0 else vs.min)
+      })
     val canaryFull = canaryPart +
       s""","canary_mt_ref_s":${fmt(CanaryMtRefSec)}""" +
       s""","canary_samples":${canaryStAll.map(fmt).mkString("[", ",", "]")}""" +

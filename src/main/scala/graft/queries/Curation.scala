@@ -1256,8 +1256,14 @@ object Curation {
       val newSig = sig.filter(col("doc_id") % 10 >= 8)
       val oldSig = sig.filter(col("doc_id") % 10 < 8)
       val cand = (0 until Dedup.NumBands).map { b =>
+        // explicit null-band pruning before the exchange (NULL bands =
+        // zero-shingle docs; the engine-wide InferFilters exclusion
+        // means nothing else drops them) — result-neutral, audited by
+        // JoinKeyNullabilitySpec
         newSig.select(col("doc_id").as("nid"), col(s"band$b").as("bk"))
-          .join(oldSig.select(col("doc_id").as("oid"), col(s"band$b").as("bk")),
+          .filter(col("bk").isNotNull)
+          .join(oldSig.select(col("doc_id").as("oid"), col(s"band$b").as("bk"))
+              .filter(col("bk").isNotNull),
             "bk")
           .select(col("nid"), col("oid"))
       }.reduce(_ union _).distinct()
@@ -1721,11 +1727,12 @@ object Curation {
       // total), so the repetition gate pushed through this projection
       // would inline the bigram transform 3x per row into the Filter
       // (the q23 pushdown-inlining class, caught by
-      // ExpensiveExprSweepSpec). The gate below rebuilds the SAME
-      // double arithmetic from this one reference, with size(grams)
-      // replaced by n_tokens - 1 (equal by construction: sequence(1,
-      // size-1) emits size-1 bigrams whenever n_tokens >= 2, and the
-      // n_tokens >= 20 conjunct already excludes the rest).
+      // ExpensiveExprSweepSpec). The gate below cross-multiplies the
+      // threshold into exact integers from this one reference, with
+      // size(grams) replaced by n_tokens - 1 (equal by construction:
+      // sequence(1, size-1) emits size-1 bigrams whenever
+      // n_tokens >= 2, and the n_tokens >= 20 conjunct already
+      // excludes the rest).
       .withColumn("n_distinct_grams", expr("size(array_distinct(grams))"))
       .withColumn("stop_ratio",
         expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double") /
@@ -1734,15 +1741,24 @@ object Curation {
         greatest(lit(0.0), lit(1.0) - lit(0.5) * col("stop_ratio")
           - when(col("n_tokens") < 30, 0.2).otherwise(0.0)
           - when(length(col("text")) > 2000, 0.1).otherwise(0.0)))
-    // the dup-2gram gate: bit-identical to the oracle's
-    // `1.0 - distinct/total <= 0.3` (same integers, same double ops —
-    // a 0/0 for n_tokens = 1 nulls out rows the n_tokens >= 20
-    // conjunct drops anyway), with the bigram array referenced ONCE
+    // the dup-2gram gate, cross-multiplied into exact integers:
+    // 1.0 - d/(n-1) <= 0.3  ⟺  d/(n-1) >= 0.7  ⟺  10*d >= 7*(n-1)
+    // (n-1 > 0 under the n_tokens >= 20 conjunct; the rationals d/(n-1)
+    // with n <= 100001 sit >= 1/(10(n-1)) ~ 1e-6 away from 0.7 whenever
+    // not exactly equal, far beyond double rounding, so the only rows
+    // where this differs from the double form are exact-0.7 boundaries
+    // — and the gate now KEEPS those, matching the oracle's identical
+    // integer predicate). No division at all: under this engine's ANSI
+    // default (spark.sql.ansi.enabled=true on Spark 4.x) a double 0/0
+    // is a DIVIDE_BY_ZERO runtime error, not NULL, and conjunct
+    // short-circuit order inside a Filter is not contractual — the
+    // integer form has no such surface regardless of predicate
+    // splitting or reorder. Bigram array still referenced ONCE.
     val afterRep = ann.filter(
       col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
         col("top_word_frac") <= 0.15 &&
-        lit(1.0) - col("n_distinct_grams").cast("double") /
-          (col("n_tokens") - lit(1)).cast("double") <= 0.3)
+        lit(10) * col("n_distinct_grams").cast("long") >=
+          lit(7) * (col("n_tokens").cast("long") - lit(1L)))
     val afterQual = afterRep.filter(col("score") >= FunnelQualityFloor)
     // PII redaction pass: a transform, not a filter — count the docs
     // it touches (q58's deterministic id-derived injection)
@@ -1848,12 +1864,11 @@ object Curation {
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) ELSE 0.0 END
        |    AS top_word_frac,
        |  CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-       |    1.0 - CAST(len(list_distinct(list_transform(
+       |    len(list_distinct(list_transform(
        |        range(1, len(string_split(text, ' '))),
        |        i -> string_split(text, ' ')[i] || ' ' ||
-       |             string_split(text, ' ')[i + 1]))) AS DOUBLE) /
-       |      CAST(len(string_split(text, ' ')) - 1 AS DOUBLE)
-       |  ELSE 0.0 END AS dup_2gram_frac,
+       |             string_split(text, ' ')[i + 1])))
+       |  ELSE 0 END AS n_distinct_grams,
        |  greatest(0.0, 1.0 - 0.5 *
        |    (CAST(len(list_filter(string_split(text, ' '),
        |       t -> t IN ('the', 'a'))) AS DOUBLE) /
@@ -1865,7 +1880,8 @@ object Curation {
        |  FROM nearok),
        |rep AS (SELECT * FROM ann
        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
-       |    AND top_word_frac <= 0.15 AND dup_2gram_frac <= 0.3),
+       |    AND top_word_frac <= 0.15
+       |    AND 10 * n_distinct_grams >= 7 * (n_tokens - 1)),
        |qual AS (SELECT * FROM rep WHERE score >= $FunnelQualityFloor),
        |pii AS (SELECT doc_id, source,
        |  CASE WHEN len(regexp_extract_all(${TextAnalysis.augDuck},

@@ -205,6 +205,18 @@ object Dedup {
   private def thresholdRational(t: Double): (Long, Long) = {
     val bd = new java.math.BigDecimal(java.lang.Double.toString(t))
     val scale = math.max(bd.scale, 0)
+    // Caller contract: thresholds are SHORT decimal literals (0.3,
+    // 0.85, 0.125) — a computed double like 0.30000000000000004 has
+    // scale 17, den = 1e17, and the downstream cross-multiplication
+    // inter * (tDen + tNum) overflows Long at shingle counts as small
+    // as ~90 (a runtime ARITHMETIC_OVERFLOW under ANSI). Bounding the
+    // scale at 4 caps den at 1e4, so the products stay below
+    // 2e4 * Int.MaxValue ≈ 4.3e13 ≪ Long.MaxValue, and bad thresholds
+    // fail fast at plan time with a message naming the contract.
+    require(scale <= 4,
+      s"near-dup threshold must be a short decimal literal " +
+        s"(at most 4 decimal places); got $t with scale $scale — " +
+        s"pass e.g. 0.3, not a computed double")
     (bd.movePointRight(scale).longValueExact,
       java.math.BigDecimal.TEN.pow(scale).longValueExact)
   }

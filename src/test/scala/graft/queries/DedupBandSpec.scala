@@ -80,4 +80,63 @@ class DedupBandSpec extends SparkSuite {
     }
     Dedup.clearSignatureCache()
   }
+
+  // The round-18 integer threshold gates (Dedup.minhashPairsFrom,
+  // Curation q104/q148) flipped the degenerate BOTH-EMPTY-shingle-set
+  // candidate from dropped to kept: the old double filters gave
+  // NULL/error on 0/0, while `3*0 >= 0+0` (and the den/num forms) is
+  // TRUE. That branch is unreachable only via the invariant that
+  // zero-shingle docs get NULL band keys and never become candidates
+  // — pinned here so a future shingle/banding change can't silently
+  // activate it.
+  test("identical zero-shingle docs never pair: the 0>=0 gate branch is unreachable") {
+    import spark.implicits._
+    val docRows = Seq(
+      (1L, "zx"), (2L, "zx"),   // identical < 3-token docs: empty shingle sets
+      (3L, ""), (4L, ""),       // identical empty docs
+      (5L, "a genuinely long document with plenty of shingles inside")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.signaturesOf(docRows)
+
+    // 1. all band keys NULL for every zero-shingle doc, across ALL bands
+    val bandCols = (0 until Dedup.NumBands).map(b => s"band$b")
+    val shortBands = sig.filter(col("doc_id") < 5L)
+      .select(bandCols.map(col): _*).collect()
+    assert(shortBands.length == 4 &&
+      shortBands.forall(r => bandCols.indices.forall(r.isNullAt)),
+      "zero-shingle docs must have NULL band keys in every band")
+
+    // 2. the real candidate generator emits NO pair for them
+    val cand = graft.operators.LshBands.candidatePairs(
+      sig.drop("sh"), "doc_id", bandCols).collect()
+    assert(cand.isEmpty,
+      s"identical zero-shingle docs must never become candidates: ${cand.toSeq}")
+
+    // 3. end-to-end: the public operator keeps BOTH identical short
+    // docs (the 0>=0 branch, if ever reached, would kill one)
+    val out = Dedup.dedupNearLSH(docRows, "text", "doc_id", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 4L, 5L),
+      s"zero-shingle docs must all survive near-dedup: $out")
+
+    // 4. canary: if the bands ever became non-NULL for empty-shingle
+    // docs ("" is the concat_ws failure mode), the pair WOULD form and
+    // the integer gate WOULD keep it — i.e. the invariant above is
+    // load-bearing, not vacuous.
+    val broken = bandCols.foldLeft(sig.drop("sh")) { (df, b) =>
+      df.withColumn(b, coalesce(col(b), lit("")))
+    }
+    val brokenCand = graft.operators.LshBands.candidatePairs(
+      broken, "doc_id", bandCols)
+      .filter(col("d1") < 5L && col("d2") < 5L).count()
+    assert(brokenCand > 0,
+      "canary: non-NULL empty bands must produce candidate pairs — " +
+        "if this fails the test above is no longer guarding anything")
+    val zeroGateKeeps = spark.range(1).select(
+      expr("3 * size(array_intersect(array(), array())) >= " +
+        "size(CAST(array() AS ARRAY<BIGINT>)) + size(CAST(array() AS ARRAY<BIGINT>))")).first().getBoolean(0)
+    assert(zeroGateKeeps,
+      "canary: the integer gate evaluates 0>=0 = true on empty sets — " +
+        "the NULL-band invariant is what keeps this branch unreachable")
+  }
 }
