@@ -147,6 +147,15 @@ object Sessions {
       // canary window, drift 0.93 all legs): 159.0 / 131.7 / 159.9 s
       // raw — a 17% board-wide win. Overridable per-run through the
       // SPARK_GRAFT_SQL_CONFS seam below (later config wins).
+      // PRECONDITION (machine-checked): the exclusion also suppresses
+      // the rule's inferred IsNotNull on equi-join keys — safe only
+      // while null-keyed rows on droppable join sides are ~zero.
+      // JoinKeyNullabilitySpec audits this across the whole query
+      // surface every `sbt test`: each such key must be non-nullable,
+      // carry an EXPLICIT null filter (the design-nullable LSH band
+      // keys do — LshBands.candidatePairs, q104), or probe null-free
+      // in data. A new query with a genuinely nullable join key fails
+      // that spec until it filters or adjudicates.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints," +
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")

@@ -24,8 +24,18 @@ object LshBands {
       bandCols: Seq[String]): DataFrame = {
     require(bandCols.nonEmpty, "at least one band column")
     def pairsOn(b: String): DataFrame = {
+      // Band keys are NULLABLE BY DESIGN (zero-shingle docs get NULL
+      // bands — see Dedup.signaturesOf) and null keys never equi-join,
+      // so filter them out EXPLICITLY before the exchange: with
+      // InferFiltersFromConstraints excluded engine-wide
+      // (core.Sessions.local) nothing else prunes them, and a crawl's
+      // short docs would otherwise ship one null-keyed row per band
+      // join through a 100 TB shuffle to match nothing. Result-neutral
+      // by inner-join semantics; audited by JoinKeyNullabilitySpec.
       val a = banded.select(col(idCol).as("d1"), col(b).as("__bv"))
+        .filter(col("__bv").isNotNull)
       val c = banded.select(col(idCol).as("d2"), col(b).as("__bv"))
+        .filter(col("__bv").isNotNull)
       a.join(c, "__bv").filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2"))
     }
