@@ -13,4 +13,13 @@ import org.apache.spark.SparkContext
 object GraftScheduler {
   def jobsSubmitted(sc: SparkContext): Long =
     sc.dagScheduler.numTotalJobs.toLong
+
+  /** Block until the live listener bus has delivered every queued
+    * event (or the timeout). `QueryExecutionListener` callbacks ride
+    * this bus asynchronously — a plan-capturing test listener
+    * (PipelinePlanSweepSpec) must drain it before reading its capture
+    * buffer, and `LiveListenerBus.waitUntilEmpty` is `private[spark]`,
+    * hence this bridge. */
+  def waitListenerBusEmpty(sc: SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

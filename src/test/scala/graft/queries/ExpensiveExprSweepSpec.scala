@@ -29,21 +29,43 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * (their `fn` IS the work — fixture generation, snapshot writes,
   * micro-batch execution — so planning them here would run real jobs;
   * same exclusion and reasoning as SparkOrderAuditSpec). */
-class ExpensiveExprSweepSpec extends SparkSuite {
-
-  private val dir = "/root/testdata/sf0.001"
+/** The sweep core, shared with PipelinePlanSweepSpec (which applies the
+  * same defect signature to the pipeline/streaming families' executed
+  * plans). */
+private[queries] object ExpensiveSweep {
 
   /** Non-cheap expressions worth never paying twice per row: array-set
     * ops (O(n) with allocation), sorts, regex ops (automaton
     * execution), JSON parsing, and the higher-order functions
     * (per-element lambda interpretation). Matched by prettyName. */
-  private val Expensive = Set(
+  val Expensive = Set(
     "array_intersect", "array_union", "array_except", "array_distinct",
     "array_sort", "sort_array", "arrays_zip", "array_repeat",
     "regexp_extract_all", "regexp_extract", "regexp_replace",
     "regexp_count", "rlike", "from_json", "to_json", "str_to_map",
     "zip_with", "map_zip_with", "sentences", "aggregate", "transform",
     "filter", "exists", "forall", "reduce")
+
+  /** Every within-operator duplicate expensive call in `plan`:
+    * (nodeName, prettyName, occurrence count, canonicalized call). */
+  def duplicates(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[(String, String, Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, String)]
+    plan.foreach { node =>
+      val calls = node.expressions.flatMap(_.collect {
+        case e: Expression if Expensive(e.prettyName) =>
+          (e.prettyName, e.canonicalized.toString)
+      })
+      for (((fn, call), occ) <- calls.groupBy(identity) if occ.size >= 2)
+        out += ((node.nodeName, fn, occ.size, call))
+    }
+    out.toSeq
+  }
+}
+
+class ExpensiveExprSweepSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
 
   /** Adjudicated (query, prettyName) → set of within-operator
     * duplicate call counts accepted there, each with its argument
@@ -60,17 +82,9 @@ class ExpensiveExprSweepSpec extends SparkSuite {
     for (name <- audit) {
       val opt = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
-      opt.foreach { node =>
-        val calls = node.expressions.flatMap(_.collect {
-          case e: Expression if Expensive(e.prettyName) =>
-            (e.prettyName, e.canonicalized.toString)
-        })
-        for (((fn, call), occ) <- calls.groupBy(identity)
-            if occ.size >= 2
-            if !Adjudicated.getOrElse((name, fn), Set.empty)(occ.size))
-          offenders += s"$name ${node.nodeName}: ${occ.size}x $fn " +
-            s"— ${call.take(90)}"
-      }
+      for ((nodeName, fn, n, call) <- ExpensiveSweep.duplicates(opt)
+          if !Adjudicated.getOrElse((name, fn), Set.empty)(n))
+        offenders += s"$name $nodeName: ${n}x $fn — ${call.take(90)}"
     }
     assert(offenders.distinct.isEmpty,
       "an operator evaluates the same non-cheap call twice per row " +

@@ -1,0 +1,128 @@
+package graft.queries
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.GraftScheduler
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.SparkSuite
+
+/** ExpensiveExprSweepSpec's defect class (the SAME non-cheap call
+  * evaluated twice within one operator — alias-inlining pushdown's
+  * signature) applied to the two families that spec rightly skips:
+  * the export pipeline and streaming queries, whose `fn` IS the work,
+  * so planning them means running them. Here we embrace that: run
+  * each family query once at sf0.001 with a QueryExecutionListener
+  * capturing EVERY internal batch execution's optimized plan (the
+  * fixture builds, the decrypt/export jobs, q56's foreachBatch
+  * batches — strictly more plans than the single returned DataFrame),
+  * then sweep all captured plans plus each returned DataFrame's own
+  * optimized plan.
+  *
+  * Coverage note: pure micro-batch sink executions (IncrementalExecution
+  * inside memory-sink streams — q57/q61/q64/q83/q91/q126/q193/q237)
+  * do not route through QueryExecutionListener; their batch-side
+  * setup/result actions and the returned plans ARE captured. The
+  * incremental templates share the same DataFrame construction code
+  * as the captured batch sides, so a duplicate-call regression there
+  * would surface in what this spec does see.
+  */
+class PipelinePlanSweepSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Adjudicated (query, prettyName) → accepted within-operator
+    * duplicate counts, each with its argument.
+    *
+    * THE EXPORT-PARSE FILTER (`from_json` × {2, 403}): the export
+    * queries' skip filter (`err.isNull`, Envelope.parse's chain) gets
+    * pushed below the parse Project with the alias chain inlined — the
+    * err `when`-chain references the parsed `message` struct hundreds
+    * of times, so the pushed Filter carries 403 IDENTICAL
+    * `from_json(message)` copies (plus 2 of the `@type` parse). Unlike
+    * the join-condition instances the round-17/18 restructurings
+    * removed (join conditions get NO runtime subexpression
+    * elimination), FilterExec/ProjectExec whole-stage codegen DOES
+    * subexpression-eliminate identical subexpressions: measured this
+    * round on a 300k-row 3-copy from_json Filter — 0.80 s with
+    * spark.sql.subexpressionElimination.enabled=true vs 1.61 s with it
+    * off, i.e. the 403 logical copies cost ONE parse per scanned row
+    * at runtime. The residual real cost is CROSS-operator (the pushed
+    * Filter parses once per scanned row, the Project above parses
+    * again per survivor ≈ 2× parse at ~zero attrition) — the same
+    * filter-vs-survivor cardinality trade pinned and accepted at
+    * q23/q148 in SingleEvaluationPinSpec, bounded at 2× of one stage.
+    *
+    * THE VERSION PROJECT (`regexp_extract` × 5): the HFile/sorted-run
+    * export summaries extract the record version from the raw cell
+    * value 5× within one Project — deduped by the same ProjectExec
+    * subexpression elimination; bounded and cold (runs once per
+    * summary row, not per corpus row). */
+  private val Adjudicated: Map[(String, String), Set[Int]] = {
+    val parseFiltered = Set(
+      "q44_incremental_export", "q47_multiversion_export",
+      "q56_streaming_export", "q207_sortedrun_export",
+      "q209_sortedrun_writer", "q210_hfile_store", "q243_hfile_v3_store",
+      "q247_hfile_compaction", "q276_tombstone_export")
+    val versionProjected = Set(
+      "q47_multiversion_export", "q207_sortedrun_export",
+      "q210_hfile_store", "q243_hfile_v3_store", "q247_hfile_compaction",
+      "q276_tombstone_export")
+    parseFiltered.map(q => (q, "from_json") -> Set(2, 403)).toMap ++
+      versionProjected.map(q => (q, "regexp_extract") -> Set(5)).toMap
+  }
+
+  test("pipeline/streaming internals never evaluate the same expensive call twice per row") {
+    val fams = (PipelineQueries.queries.toSeq ++
+      StreamingQueries.queries.toSeq).sortBy(_._1)
+    assert(fams.size >= 20, s"family population collapsed: ${fams.size}")
+
+    val captured = mutable.ArrayBuffer.empty[(String, QueryExecution)]
+    @volatile var current = ""
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += ((s"$current/$funcName", qe)) }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val offenders = mutable.ArrayBuffer.empty[String]
+    try {
+      for ((name, fn) <- fams) {
+        current = name
+        val returned = fn(spark, dir)
+        // the returned relation's plan is NOT acted on yet — sweep it
+        // directly (optimizing it runs no jobs)
+        for ((node, f, n, call) <- ExpensiveSweep.duplicates(
+            returned.queryExecution.optimizedPlan)
+            if !Adjudicated.getOrElse((name, f), Set.empty)(n))
+          offenders += s"$name(returned) $node: ${n}x $f — ${call.take(90)}"
+      }
+      current = "<done>"
+      GraftScheduler.waitListenerBusEmpty(spark.sparkContext, 30000)
+    } finally spark.listenerManager.unregister(listener)
+
+    val plans = captured.synchronized(captured.toVector)
+    // population floor: the pipeline runs MANY internal actions — a
+    // collapse means the capture broke, not that the engine got clean
+    assert(plans.size >= 30, s"captured-plan population collapsed: ${plans.size}")
+    for ((tag, qe) <- plans) {
+      val dups =
+        try ExpensiveSweep.duplicates(qe.optimizedPlan)
+        catch { case _: Throwable => Seq.empty } // some commands have no optimized plan
+      val name = tag.takeWhile(_ != '/')
+      for ((node, f, n, call) <- dups
+          if !Adjudicated.getOrElse((name, f), Set.empty)(n))
+        offenders += s"$tag $node: ${n}x $f — ${call.take(90)}"
+    }
+    assert(offenders.distinct.isEmpty,
+      "a pipeline/streaming internal operator evaluates the same " +
+        "non-cheap call twice per row — name the subexpression in its " +
+        "own projection and gate BEFORE the derived alias (see " +
+        "Dedup.minhashPairsFrom), or adjudicate with the argument:\n  " +
+        offenders.distinct.mkString("\n  "))
+    info(s"swept ${plans.size} captured executions + ${fams.size} returned plans")
+  }
+}
