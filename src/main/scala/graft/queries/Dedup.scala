@@ -203,7 +203,12 @@ object Dedup {
     * shortest decimal rendering, so every threshold a caller writes as
     * a decimal literal round-trips exactly. */
   private def thresholdRational(t: Double): (Long, Long) = {
+    // stripTrailingZeros first: Double.toString renders sub-0.001
+    // literals in scientific notation ("1.0E-4" → raw scale 5 for a
+    // 4-decimal-place value), which would trip the scale bound below
+    // on thresholds the contract allows
     val bd = new java.math.BigDecimal(java.lang.Double.toString(t))
+      .stripTrailingZeros
     val scale = math.max(bd.scale, 0)
     // Caller contract: thresholds are SHORT decimal literals (0.3,
     // 0.85, 0.125) — a computed double like 0.30000000000000004 has

@@ -335,14 +335,26 @@ object TextAnalysis {
           |transform(sequence(1, size(toks) - 1),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("n_distinct_grams", expr("size(array_distinct(grams))"))
       .withColumn("dup_2gram_frac", expr(
         """CASE WHEN size(grams) > 0 THEN
-          |1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) /
+          |1.0 - CAST(n_distinct_grams AS DOUBLE) /
           |CAST(size(grams) AS DOUBLE) ELSE 0.0 END""".stripMargin))
       .select(col("doc_id"), col("n_words"), col("top_word_frac"),
         col("dup_2gram_frac"),
+        // keep-gate cross-multiplied into exact integers, IN LOCKSTEP
+        // with q185's rep stage (which ReleaseFunnelSpec pins as "q59
+        // applied to the near survivors"): 1 - d/t <= 0.3 ⟺ 10d >= 7t.
+        // The reported dup_2gram_frac column stays the double (it IS
+        // the output value); only the threshold compare goes integer,
+        // so the two gates agree even on an exact-0.7 boundary row,
+        // where the double form's rounding (0.30000000000000004 > 0.3)
+        // would drop what the integer form keeps. Empty-gram docs:
+        // 0 >= 0 keeps, same as the old 0.0 <= 0.3.
         (col("n_words") >= 20 && col("n_words") <= 100000 &&
-          col("top_word_frac") <= 0.15 && col("dup_2gram_frac") <= 0.3)
+          col("top_word_frac") <= 0.15 &&
+          lit(10) * col("n_distinct_grams").cast("long") >=
+            lit(7) * size(col("grams")).cast("long"))
           .as("keep"))
       .orderBy("doc_id")
 
@@ -360,11 +372,13 @@ object TextAnalysis {
       |g AS (SELECT doc_id, n_words, top_word_frac,
       |  CASE WHEN len(grams) > 0 THEN
       |    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
-      |    CAST(len(grams) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac
+      |    CAST(len(grams) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+      |  len(list_distinct(grams)) AS n_distinct_grams,
+      |  len(grams) AS n_grams
       |  FROM m)
       |SELECT doc_id, n_words, top_word_frac, dup_2gram_frac,
       |(n_words >= 20 AND n_words <= 100000 AND top_word_frac <= 0.15
-      | AND dup_2gram_frac <= 0.3) AS keep
+      | AND 10 * n_distinct_grams >= 7 * n_grams) AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- q70 tf-idf

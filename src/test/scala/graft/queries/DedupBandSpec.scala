@@ -138,5 +138,21 @@ class DedupBandSpec extends SparkSuite {
     assert(zeroGateKeeps,
       "canary: the integer gate evaluates 0>=0 = true on empty sets — " +
         "the NULL-band invariant is what keeps this branch unreachable")
+    Dedup.clearSignatureCache() // dedupNearLSH persisted this corpus's signatures
+  }
+
+  test("threshold contract: short decimals (incl. sub-0.001) pass, computed doubles fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // 4 decimal places renders as "1.0E-4" — must still be accepted
+    Dedup.dedupNearLSH(df, "text", "doc_id", 0.0001)
+    Dedup.clearSignatureCache()
+    // a computed double (scale 17) must fail at plan time with the
+    // contract named, not overflow the Long cross-multiplication later
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupNearLSH(df, "text", "doc_id", 0.1 + 0.2)
+    }
+    assert(e.getMessage.contains("short decimal"), e.getMessage)
+    Dedup.clearSignatureCache()
   }
 }

@@ -35,12 +35,15 @@ private[queries] object JoinKeyAudit {
 
   /** Static pass: every equi-join key on a droppable side that is
     * nullable in the resolved schema AND not covered by an IsNotNull
-    * constraint — the set that needs a data probe. */
+    * constraint — the set that needs a data probe. Walks subquery
+    * expression plans too (foreachWithSubqueries): an equi-join inside
+    * a surviving scalar/correlated subquery ships its nulls through
+    * its own exchange just the same. */
   def walk(tag: String, plan: LogicalPlan): Walk = {
     val pending = mutable.ArrayBuffer.empty[Pending]
     var joins = 0
     var keys = 0
-    plan.foreach {
+    plan.foreachWithSubqueries {
       case Join(left, right, jt, cond, _) =>
         joins += 1
         val eqs = cond.toSeq.flatMap(conjuncts).collect { case e: EqualTo => e }

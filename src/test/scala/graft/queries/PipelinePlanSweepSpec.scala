@@ -93,6 +93,11 @@ class PipelinePlanSweepSpec extends SparkSuite {
       for ((name, fn) <- fams) {
         current = name
         val returned = fn(spark, dir)
+        // drain the async listener bus BEFORE advancing `current`, so
+        // this query's executions are tagged under its own name — a
+        // late delivery tagged with the next query's name would dodge
+        // (or wrongly borrow) the Adjudicated entry
+        GraftScheduler.waitListenerBusEmpty(spark.sparkContext, 30000)
         // the returned relation's plan is NOT acted on yet — sweep it
         // directly (optimizing it runs no jobs)
         for ((node, f, n, call) <- ExpensiveSweep.duplicates(
@@ -108,15 +113,25 @@ class PipelinePlanSweepSpec extends SparkSuite {
     // population floor: the pipeline runs MANY internal actions — a
     // collapse means the capture broke, not that the engine got clean
     assert(plans.size >= 30, s"captured-plan population collapsed: ${plans.size}")
+    // a captured command whose optimizedPlan cannot be rendered (e.g.
+    // a write command over a fixture its query already cleaned up) is
+    // COUNTED, not silently skipped: fatal errors propagate, and a
+    // floor below asserts the sweep still saw a healthy population
+    var planFailures = 0
     for ((tag, qe) <- plans) {
       val dups =
         try ExpensiveSweep.duplicates(qe.optimizedPlan)
-        catch { case _: Throwable => Seq.empty } // some commands have no optimized plan
+        catch {
+          case scala.util.control.NonFatal(_) => planFailures += 1; Seq.empty
+        }
       val name = tag.takeWhile(_ != '/')
       for ((node, f, n, call) <- dups
           if !Adjudicated.getOrElse((name, f), Set.empty)(n))
         offenders += s"$tag $node: ${n}x $f — ${call.take(90)}"
     }
+    assert(plans.size - planFailures >= 30,
+      s"swept-plan population collapsed: ${plans.size} captured, " +
+        s"$planFailures unplannable")
     assert(offenders.distinct.isEmpty,
       "a pipeline/streaming internal operator evaluates the same " +
         "non-cheap call twice per row — name the subexpression in its " +
@@ -137,9 +152,12 @@ class PipelinePlanSweepSpec extends SparkSuite {
     val pend = mutable.ArrayBuffer.empty[JoinKeyAudit.Pending]
     for ((tag, qe) <- plans) {
       val w = try JoinKeyAudit.walk(tag, qe.optimizedPlan)
-        catch { case _: Throwable => JoinKeyAudit.Walk(0, 0, Nil) }
+        catch { case scala.util.control.NonFatal(_) => JoinKeyAudit.Walk(0, 0, Nil) }
       pJoins += w.joins; pKeys += w.keys; pend ++= w.pending
     }
+    // floor on the walked-join population: the export families plan
+    // real joins every round — zero would mean the walk went blind
+    assert(pJoins >= 5, s"executed-plan join population collapsed: $pJoins")
     val memo = mutable.Map.empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[org.apache.spark.sql.catalyst.expressions.Expression]), Long]
     val (nullOffenders, unprobeable) =
       JoinKeyAudit.probe(spark, pend.toSeq, memo)
