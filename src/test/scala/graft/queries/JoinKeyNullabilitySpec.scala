@@ -86,7 +86,10 @@ private[queries] object JoinKeyAudit {
           offenders += s"${p.where}: $nulls null-key rows would ship " +
             s"through the exchange — keys ${p.keys.map(_.sql).mkString(", ")}"
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM or interrupt during a probe count must
+        // fail the run, not downgrade to an info-only 'unprobeable'
+        // string (PipelinePlanSweepSpec treats unprobeable as info)
+        case scala.util.control.NonFatal(e) =>
           unprobeable += s"${p.where}: keys " +
             s"${p.keys.map(_.sql).mkString(", ")} (${e.getClass.getSimpleName})"
       }

@@ -59,6 +59,22 @@ class PipelinePlanSweepSpec extends SparkSuite {
     * value 5× within one Project — deduped by the same ProjectExec
     * subexpression elimination; bounded and cold (runs once per
     * summary row, not per corpus row). */
+  /** The measured from_json copy-count in the pushed skip Filter.
+    * NOT a closed form: the pushed predicate inlines the err
+    * when-chain (Envelope.parse — `missing(x)` references each
+    * env-derived column twice, `blankToNull` doubles the db/collection
+    * references) PLUS the downstream validation chains above the
+    * filter, so the total is a property of the whole export plan, not
+    * of Envelope.scala alone. It is a deliberate re-adjudication
+    * tripwire: any envelope/validator schema edit that shifts the
+    * chain shifts this count and fails all nine parse-filtered
+    * queries at once — the failure message prints the NEW count per
+    * query; re-adjudicate by reading the envelope/validator diff that
+    * moved it, confirming the runtime cost story below still holds
+    * (FilterExec subexpression elimination collapses the copies to
+    * one parse per scanned row), and updating this constant. */
+  private val ParseFilterFromJsonCopies = 403
+
   private val Adjudicated: Map[(String, String), Set[Int]] = {
     val parseFiltered = Set(
       "q44_incremental_export", "q47_multiversion_export",
@@ -69,7 +85,8 @@ class PipelinePlanSweepSpec extends SparkSuite {
       "q47_multiversion_export", "q207_sortedrun_export",
       "q210_hfile_store", "q243_hfile_v3_store", "q247_hfile_compaction",
       "q276_tombstone_export")
-    parseFiltered.map(q => (q, "from_json") -> Set(2, 403)).toMap ++
+    parseFiltered.map(q =>
+      (q, "from_json") -> Set(2, ParseFilterFromJsonCopies)).toMap ++
       versionProjected.map(q => (q, "regexp_extract") -> Set(5)).toMap
   }
 
@@ -149,15 +166,25 @@ class PipelinePlanSweepSpec extends SparkSuite {
     // constraint checks still ran on it.
     var pJoins = 0
     var pKeys = 0
+    var walkFailures = 0
     val pend = mutable.ArrayBuffer.empty[JoinKeyAudit.Pending]
     for ((tag, qe) <- plans) {
       val w = try JoinKeyAudit.walk(tag, qe.optimizedPlan)
-        catch { case scala.util.control.NonFatal(_) => JoinKeyAudit.Walk(0, 0, Nil) }
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            walkFailures += 1; JoinKeyAudit.Walk(0, 0, Nil)
+        }
       pJoins += w.joins; pKeys += w.keys; pend ++= w.pending
     }
-    // floor on the walked-join population: the export families plan
-    // real joins every round — zero would mean the walk went blind
+    // floors: the export families plan real joins every round — a
+    // joins collapse means the walk went blind — and walk failures are
+    // COUNTED (mirroring planFailures above), so the pJoins floor
+    // can't be passed by a handful of walkable plans while the walk
+    // silently breaks on the rest of the population
     assert(pJoins >= 5, s"executed-plan join population collapsed: $pJoins")
+    assert(plans.size - walkFailures >= 30,
+      s"walked-plan population collapsed: ${plans.size} captured, " +
+        s"$walkFailures unwalkable")
     val memo = mutable.Map.empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[org.apache.spark.sql.catalyst.expressions.Expression]), Long]
     val (nullOffenders, unprobeable) =
       JoinKeyAudit.probe(spark, pend.toSeq, memo)
