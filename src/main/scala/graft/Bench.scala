@@ -23,6 +23,39 @@ import graft.core.Sessions
   * round-robin) so a window covering a whole interleaved pass cannot
   * pin the min high.
   *
+  * Always-emit contract (round 20): the round-19 driver board died
+  * rc=124/`parsed: null` because the harness printed its ONLY JSON
+  * line after ALL phases (~35 min wall on a slow window) and the
+  * driver's time cap killed it mid-secondary-phase — forfeiting the
+  * already-measured primary board. Three defenses, none changing the
+  * happy-path contract (exactly one JSON line on stdout, printed by
+  * main at the end):
+  *
+  *  1. BUDGET GATES: SPARK_GRAFT_BENCH_BUDGET_S (default 1440 s from
+  *     main start, sized for a ~30 min driver cap minus sbt/JVM
+  *     startup) is checked before each secondary phase against a
+  *     cost estimate derived from the primary measurements; a phase
+  *     that does not fit is skipped with `"sf2_skipped"` /
+  *     `"export_skipped"` flags in the artifact instead of overrun.
+  *  2. SECONDARY-PHASE TRIMS: the sf2 scaling pass runs
+  *     SPARK_GRAFT_BENCH_REPS2 reps (default 2) over only the queries
+  *     with primary min >= SPARK_GRAFT_SF2_MIN_S (default 0.2 s) —
+  *     the curve exists to catch growth-vs-data, which sub-0.2 s
+  *     queries cannot exhibit meaningfully; `sf2_pruned_n` records
+  *     how many were dropped (no silent caps).
+  *  3. KILL-PATH EMISSION: a shutdown hook prints the best board
+  *     measured so far (progressively updated after the primary
+  *     warmup, after every primary rep, and at each phase boundary)
+  *     if — and only if — main has not already printed its line, so
+  *     even a SIGTERM mid-phase yields a parseable board in the
+  *     output tail. The hook first silences the per-query failure
+  *     logging (the r19 tail was filled by our own kill-time stack
+  *     trace, scrolling any JSON out of the driver's 2000-char
+  *     window) and briefly lets Spark's own shutdown noise land
+  *     before printing, so the JSON line is the LAST output. Lines
+  *     printed for an incomplete phase carry `"partial"` with the
+  *     checkpoint label.
+  *
   * Scaling curve: unless SPARK_GRAFT_SF_DIR2 is set empty, the same
   * warmup+interleaved-reps methodology runs a SECOND time at the
   * smaller scale (default /root/testdata/sf0.01) and the artifact
@@ -42,9 +75,12 @@ import graft.core.Sessions
   * `superlinear_export` land in the artifact with the same
   * 1.5×-data-ratio alarm the sf curve uses.
   *
-  * A query that throws is reported as -1 in the `queries` map (its
-  * stack trace goes to stderr) so a broken query can never masquerade
-  * as a fast one; `total` sums successful queries only.
+  * A query that throws is reported as -1 in the `queries` map (a
+  * CAPPED trace goes to stderr — exception chain plus the top frames,
+  * never a full printStackTrace, which at several KB can scroll the
+  * board line out of the driver's output tail) so a broken query can
+  * never masquerade as a fast one; `total` sums successful queries
+  * only.
   */
 object Bench {
 
@@ -171,7 +207,53 @@ object Bench {
   private def sampleCanary(pass: String): Unit =
     canarySamples += ((pass, canaryKernel(), canaryMtOnce(), canarySparkOnce()))
 
+  // ---- always-emit plumbing (round 20) --------------------------
+  // `bestLine` is the most complete board line measured so far; the
+  // shutdown hook prints it only when main's own println never ran
+  // (the CAS makes the two paths mutually exclusive). `shuttingDown`
+  // silences per-query failure logging the moment the hook starts:
+  // after a SIGTERM the main thread keeps running and every remaining
+  // query fails fast — dozens of logged exceptions would scroll the
+  // rescue line out of the driver's 2000-char output tail.
+  @volatile private var bestLine: String = _
+  @volatile private var shuttingDown = false
+  private val boardPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def emitBoard(line: String): Unit =
+    if (line != null && boardPrinted.compareAndSet(false, true)) {
+      println(line)
+      System.out.flush()
+    }
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      shuttingDown = true // freezes checkpoints + silences query-failure logs
+      if (!boardPrinted.get) {
+        val l = bestLine
+        // print IMMEDIATELY: when the driver's timeout TERMs sbt, the
+        // sbt JVM (which pumps the forked JVM's stdout) exits within
+        // a moment — measured in the round-20 kill test, a delayed
+        // print never reaches the captured output even though this
+        // fork lives on. The file write is the delay-proof copy.
+        emitBoard(l)
+        if (l != null) {
+          try java.nio.file.Files.writeString(
+            java.nio.file.Path.of("BENCH_PARTIAL.json"), l + "\n")
+          catch { case _: Exception => }
+          // Spark's own shutdown logging races the first copy on the
+          // combined-output capture; if the pump is still alive once
+          // that noise settles, a second identical copy makes the
+          // board line the LAST thing in the driver's 2000-char tail
+          // (identical lines parse identically whichever one a
+          // line-scanning reader picks up).
+          try Thread.sleep(800) catch { case _: InterruptedException => }
+          println(l)
+          System.out.flush()
+        }
+      }
+    }, "graft-bench-board-emit"))
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2",
       "/root/testdata/sf0.01") match {
@@ -180,6 +262,10 @@ object Bench {
       case d => Some(d)
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // secondary-phase knobs (methodology at the top of the file)
+    val reps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS2", "2").toInt.max(1)
+    val sf2MinS = sys.env.getOrElse("SPARK_GRAFT_SF2_MIN_S", "0.2").toDouble
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1440").toDouble
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     canarySparkSession = spark
 
@@ -196,97 +282,245 @@ object Bench {
       try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] FAILED: $e")
-          e.printStackTrace()
+          if (!shuttingDown) {
+            System.err.println(s"[bench] FAILED: $e")
+            e.getStackTrace.take(6).foreach(f => System.err.println(s"\tat $f"))
+            var cause = e.getCause
+            var depth = 0
+            while (cause != null && depth < 4) {
+              System.err.println(s"\tcaused by: $cause")
+              cause = cause.getCause
+              depth += 1
+            }
+          }
           None
       }
     }
 
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmap(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def pctl(sorted: Vector[Double], p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(((sorted.size - 1) * p).round.toInt.min(sorted.size - 1))
+
+    // stdout gets the COMPACT line only: every shipped BENCH_r*.json
+    // carries a 2000-char stdout tail, so if the driver parses within
+    // that window the printed line must FIT it. With 278 queries the
+    // full per-query map is ~5 KB — adaptively collapse queries faster
+    // than a rising floor into {"fast_n","fast_sum"} until the line
+    // fits 1800 chars (sbt noise can still precede it in the window);
+    // the file copy below always carries the complete map.
+    // With 180+ queries the fast-set collapse hides distribution
+    // shifts (a floor-wide slowdown moves fast_sum but not which
+    // queries are slow) — p50/p95 of the collapsed set restore that
+    // signal at 2 scalars' cost.
+    def compactLine(vals: Seq[(String, Double)], failedNames: Seq[String],
+        extras: String): String = {
+      val total = vals.map(_._2).sum
+      def lineFor(floor: Double): String = {
+        val kept = vals.filter(_._2 >= floor)
+        val qsKept = jmap(kept.map { case (k, v) => k -> fmt(v) } ++
+          failedNames.map(_ -> "-1"))
+        val fast = vals.filter(_._2 < floor)
+        val fastPart =
+          if (fast.isEmpty) ""
+          else {
+            val sortedFast = fast.map(_._2).sorted.toVector
+            s""","fast_n":${fast.size},"fast_sum":${fmt(sortedFast.sum)}""" +
+              s""","fast_p50":${fmt(pctl(sortedFast, 0.5))}""" +
+              s""","fast_p95":${fmt(pctl(sortedFast, 0.95))}"""
+          }
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$extras,"reps":$reps,"sf":"$sfDir"}"""
+      }
+      Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineFor)
+        .find(_.length <= 1800).getOrElse(lineFor(Double.MaxValue))
+    }
+
     /** One full warmup + interleaved-reps + rescue measurement of
       * `qnames` at `dir` (the round-robin methodology above); `pass`
-      * labels this pass's canary samples for the per-pass mins. */
+      * labels this pass's canary samples for the per-pass mins.
+      * `checkpoint` sees the interim Pass after the warmup and after
+      * every completed rep — the primary pass uses it to keep
+      * `bestLine` current for the kill-path shutdown hook. */
     def measure(dir: String, qnames: Seq[String] = names,
-        pass: String = "primary"): Pass = {
+        pass: String = "primary", repsFor: Int = reps,
+        checkpoint: Pass => Unit = _ => ()): Pass = {
       sampleCanary(pass) // machine-speed sample bracketing the warmup pass
-      val warmups: Map[String, Option[Double]] =
-        qnames.map(n => n -> timeOnce(dir)(SparkEntry.queries(n))).toMap
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
+      val warmupsBuf = scala.collection.mutable.Map.empty[String, Option[Double]]
       val failed = scala.collection.mutable.Set.empty[String]
-      failed ++= qnames.filter(warmups(_).isEmpty)
-      for (_ <- 1 to reps) {
+      // checkpoints freeze once the shutdown hook fires: after a
+      // SIGTERM the main thread races through the remaining queries
+      // failing fast, and a checkpoint taken then would pollute the
+      // emitted board with kill-artifact -1 entries
+      def cp(): Unit = if (!shuttingDown)
+        checkpoint(Pass(samples.toMap.withDefaultValue(Vector.empty),
+          warmupsBuf.toMap, failed.toSet))
+      // checkpoint every 25 warmed queries too: the warmup pass alone
+      // is minutes long on the full board, and a kill inside it must
+      // still find a board worth emitting
+      for ((n, i) <- qnames.zipWithIndex) {
+        val r = timeOnce(dir)(SparkEntry.queries(n))
+        warmupsBuf(n) = r
+        if (r.isEmpty) failed += n
+        if ((i + 1) % 25 == 0) cp()
+      }
+      val warmups: Map[String, Option[Double]] = warmupsBuf.toMap
+      cp()
+      for (_ <- 1 to repsFor) {
         sampleCanary(pass) // interleaved: one sample per timed rep pass
         for (n <- qnames if !failed(n))
           timeOnce(dir)(SparkEntry.queries(n)) match {
             case Some(t) => samples(n) = samples(n) :+ t
             case None => failed += n
           }
+        cp()
       }
       // rescue pass: one extra rep for queries whose spread exceeds 2x
       // their min (a throttle window spanning a whole interleaved pass)
       val noisy = qnames.filter { n =>
-        !failed(n) && samples(n).size == reps && reps > 1 &&
+        !failed(n) && samples(n).size == repsFor && repsFor > 1 &&
           (samples(n).max - samples(n).min) > 2 * samples(n).min
       }
-      if (noisy.nonEmpty)
+      if (noisy.nonEmpty && !shuttingDown)
         System.err.println(s"[bench] rescue rep at $dir for noisy: ${noisy.mkString(", ")}")
       for (n <- noisy)
         timeOnce(dir)(SparkEntry.queries(n)).foreach(t => samples(n) = samples(n) :+ t)
       Pass(samples.toMap.withDefaultValue(Vector.empty), warmups, failed.toSet)
     }
 
-    val p1 = measure(sfDir)
-    def ok(p: Pass)(n: String): Boolean = !p.failed(n) && p.samples(n).size >= reps
+    val p1 = measure(sfDir, names, "primary", reps, checkpoint = interim => {
+      // kill-path board: min of timed samples where available, else
+      // the warmup observation — labeled partial so a reader knows
+      // these are not full min-of-reps values
+      val vals = names.flatMap { n =>
+        val s = interim.samples(n)
+        if (s.nonEmpty) Some(n -> s.min)
+        else if (!interim.failed(n)) interim.warmups.getOrElse(n, None).map(n -> _)
+        else None
+      }
+      val nReps = names.iterator.map(n => interim.samples(n).size)
+        .maxOption.getOrElse(0)
+      bestLine = compactLine(vals, names.filter(interim.failed),
+        s""","partial":"primary-${if (nReps == 0) "warmup" else s"rep$nReps"}"""")
+    })
+    def ok(p: Pass, r: Int)(n: String): Boolean = !p.failed(n) && p.samples(n).size >= r
     def minOf(p: Pass)(n: String): Double = p.samples(n).min
 
-    names.filterNot(ok(p1)).foreach(n =>
+    names.filterNot(ok(p1, reps)).foreach(n =>
       System.err.println(s"[bench] $n FAILED (reported as -1)"))
-    def fmt(d: Double): String = BigDecimal(d)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    def jmap(pairs: Seq[(String, String)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val qs = jmap(names.map(k =>
-      k -> (if (ok(p1)(k)) fmt(minOf(p1)(k)) else "-1")))
-    val spread = jmap(names.collect { case k if ok(p1)(k) =>
-      k -> fmt(p1.samples(k).max - p1.samples(k).min) })
+    val primaryVals = names.collect { case k if ok(p1, reps)(k) => k -> minOf(p1)(k) }
+    val primaryFailed = names.filterNot(ok(p1, reps))
     // Cold-path observability: a cold-path regression moves
     // `warmup_total` even when the warm mins hold steady.
     val warmupsJson = jmap(names.collect { case k if p1.warmups(k).isDefined =>
       k -> fmt(p1.warmups(k).get) })
     val warmupTotal = p1.warmups.values.flatten.sum
-    val total = names.collect { case k if ok(p1)(k) => minOf(p1)(k) }.sum
-    val nFailed = names.count(!ok(p1)(_))
+    val total = primaryVals.map(_._2).sum
+    val nFailed = primaryFailed.size
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed queries failed (reported as -1)")
 
+    // ---- drift canary scalars (methodology at the top of the file):
+    // canary_s anchors this board's machine speed; drift = canary_s /
+    // canary_ref_s; a cross-round comparison divides each board's
+    // per-query numbers by ITS drift before taking ratios. total_norm
+    // is the board total already so normalized. The mt leg reads core
+    // contention: drift_mt >> drift means the board was slowed by
+    // something the st leg can't see. Recomputed at each phase
+    // boundary (samples only grow) so every bestLine checkpoint and
+    // the final line carry current values.
+    def canaryPartNow(): String = {
+      val canaryStAll = canarySamples.map(_._2)
+      val canaryMtAll = canarySamples.map(_._3)
+      val canarySpAll = canarySamples.map(_._4).filter(_ >= 0)
+      val canaryS = canaryStAll.min
+      val canaryP50 = pctl(canaryStAll.sorted.toVector, 0.5)
+      val drift = canaryS / CanaryRefSec
+      val canaryMtS = canaryMtAll.min
+      val driftMt = canaryMtS / CanaryMtRefSec
+      val canarySpS = if (canarySpAll.isEmpty) -1.0 else canarySpAll.min
+      val canarySpP50 =
+        if (canarySpAll.isEmpty) -1.0
+        else pctl(canarySpAll.sorted.toVector, 0.5)
+      s""","canary_s":${fmt(canaryS)},"canary_p50":${fmt(canaryP50)}""" +
+        s""","canary_ref_s":${fmt(CanaryRefSec)},"drift":${fmt(drift)}""" +
+        s""","canary_mt_s":${fmt(canaryMtS)},"drift_mt":${fmt(driftMt)}""" +
+        s""","canary_mt_threads":${Runtime.getRuntime.availableProcessors}""" +
+        s""","canary_sp_s":${fmt(canarySpS)},"canary_sp_p50":${fmt(canarySpP50)}""" +
+        s""","total_norm":${fmt(total / drift)}"""
+    }
+    bestLine = compactLine(primaryVals, primaryFailed,
+      canaryPartNow() + s""","phases":"primary"""")
+
     // ---- scaling curve at the secondary sf ----
-    val p2 = sfDir2.map { d =>
-      System.err.println(s"[bench] scaling-curve pass at $d")
-      measure(d, names, "sf2")
+    // Pruned to queries with a meaningful primary time (sub-sf2MinS
+    // queries are fixed-overhead-dominated at BOTH scales — their
+    // ratio carries no superlinearity signal) and run at reps2: the
+    // full 278-query × (1+3+rescue)-pass sweep cost >= 13 min of
+    // mostly per-query fixed overhead on the r19 slow window and blew
+    // the driver's budget. Cost estimate for the gate: per-rep sf2
+    // time ≈ 0.6× the pruned set's primary time (measured r17-r19:
+    // total_sf2/total ≈ 0.60 at 10× data), warmup ≈ 1.5 reps (r19:
+    // warmup_total/total = 1.48), + 0.3 rescue slack, + ~3 s canary
+    // per pass; ×1.25 window margin at the comparison.
+    val sf2Names = names.filter(n => ok(p1, reps)(n) && minOf(p1)(n) >= sf2MinS)
+    val sf2PrunedN = primaryVals.size - sf2Names.size
+    val estSf2 = (1.5 + reps2 + 0.3) * 0.6 * sf2Names.map(minOf(p1)).sum +
+      3.0 * (reps2 + 1)
+    val sf2Skipped = sfDir2.isDefined &&
+      (elapsedS + 1.25 * estSf2 > budgetS || sf2Names.isEmpty)
+    if (sf2Skipped)
+      System.err.println(f"[bench] sf2 pass SKIPPED: elapsed $elapsedS%.0f s + " +
+        f"est ${1.25 * estSf2}%.0f s exceeds budget $budgetS%.0f s")
+    val p2 = if (sf2Skipped) None else sfDir2.map { d =>
+      System.err.println(s"[bench] scaling-curve pass at $d " +
+        s"(${sf2Names.size} queries >= $sf2MinS s, $sf2PrunedN pruned, " +
+        f"reps=$reps2, est ${estSf2}%.0f s, elapsed $elapsedS%.0f s)")
+      measure(d, sf2Names, "sf2", reps2)
     }
     val ratios: Map[String, Double] = (for {
       p <- p2.toSeq
-      d2 <- sfDir2.toSeq
-      n <- names
-      if ok(p1)(n) && ok(p)(n) && minOf(p)(n) > 0
+      n <- sf2Names
+      if ok(p, reps2)(n) && minOf(p)(n) > 0
     } yield n -> minOf(p1)(n) / minOf(p)(n)).toMap
     // 10x data between sf0.1 and sf0.01: a query whose time grows
     // materially FASTER than the data is superlinear. 15 allows
     // constant-factor noise on sub-second denominators.
-    val superlinear = names.filter(n => ratios.getOrElse(n, 0.0) > 15.0)
+    val superlinear = sf2Names.filter(n => ratios.getOrElse(n, 0.0) > 15.0)
     if (superlinear.nonEmpty)
-      System.err.println(s"[bench] superlinear vs $sfDir2: ${superlinear.mkString(", ")}")
+      System.err.println(s"[bench] superlinear vs ${sfDir2.getOrElse("?")}: ${superlinear.mkString(", ")}")
+    // name the max carriers: ratio_max alone is unattributable from
+    // the artifact (which query drifted?) — top3 (query → ratio,
+    // descending) makes scaling drift diagnosable without a re-run
+    def top3(rs: Map[String, Double]): String =
+      jmap(rs.toSeq.sortBy(-_._2).take(3).map { case (k, v) => k -> fmt(v) })
+    val sfRatioScalars = if (ratios.isEmpty) ""
+    else {
+      val rs = ratios.values.toVector.sorted
+      s""","ratio_p50":${fmt(pctl(rs, 0.5))},"ratio_max":${fmt(rs.last)}""" +
+        s""","ratio_top3":${top3(ratios)}""" +
+        s""","superlinear_n":${superlinear.size}"""
+    }
+    if (p2.nonEmpty)
+      bestLine = compactLine(primaryVals, primaryFailed,
+        sfRatioScalars + canaryPartNow() + s""","phases":"primary,sf2"""")
     val sf2Part = (p2, sfDir2) match {
       case (Some(p), Some(d2)) =>
-        val qs2 = jmap(names.map(k =>
-          k -> (if (ok(p)(k)) fmt(minOf(p)(k)) else "-1")))
-        val total2 = names.collect { case k if ok(p)(k) => minOf(p)(k) }.sum
-        val ratioJson = jmap(names.collect { case k if ratios.contains(k) =>
+        val qs2 = jmap(sf2Names.map(k =>
+          k -> (if (ok(p, reps2)(k)) fmt(minOf(p)(k)) else "-1")))
+        val total2 = sf2Names.collect { case k if ok(p, reps2)(k) => minOf(p)(k) }.sum
+        val ratioJson = jmap(sf2Names.collect { case k if ratios.contains(k) =>
           k -> fmt(ratios(k)) })
         val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
         s""","sf2":"$d2","total_sf2":${fmt(total2)},"queries_sf2":$qs2""" +
+          s""","sf2_reps":$reps2,"sf2_min_s":$sf2MinS,"sf2_pruned_n":$sf2PrunedN""" +
           s""","ratio":$ratioJson,"superlinear":$slJson"""
+      case _ if sf2Skipped => s""","sf2_skipped":true"""
       case _ => ""
     }
 
@@ -298,20 +532,32 @@ object Bench {
     // same methodology and alarm on superlinear growth the same way —
     // threshold 1.5x the data ratio, the slack the sf curve allows
     // (15 on 10x), floored at 3 for sub-second denominator noise.
+    // Budget gate mirrors sf2's: per-rep export time ≈ 0.7× data-ratio
+    // × the family's primary time (r19: 27 s/rep at 3× vs ~13 s
+    // primary), warmup 1.5 reps + 0.3 rescue + canary.
     val exportN = sys.env.getOrElse("SPARK_GRAFT_EXPORT_N", "30000").toLong
     val exportNames = names.filter(graft.queries.PipelineQueries.queries.contains)
+    val exportDataRatio = exportN / 10000.0
+    val estExport = (1.5 + reps + 0.3) * 0.7 * exportDataRatio *
+      exportNames.collect { case k if ok(p1, reps)(k) => minOf(p1)(k) }.sum +
+      3.0 * (reps + 1)
+    val exportWanted = exportN > 10000 && exportNames.nonEmpty
+    val exportSkipped = exportWanted && elapsedS + 1.25 * estExport > budgetS
+    if (exportSkipped)
+      System.err.println(f"[bench] export pass SKIPPED: elapsed $elapsedS%.0f s + " +
+        f"est ${1.25 * estExport}%.0f s exceeds budget $budgetS%.0f s")
     val pE: Option[Pass] =
-      if (exportN > 10000 && exportNames.nonEmpty) {
-        System.err.println(s"[bench] export-scaling pass at fixture N=$exportN")
+      if (exportWanted && !exportSkipped) {
+        System.err.println(s"[bench] export-scaling pass at fixture N=$exportN " +
+          f"(est ${estExport}%.0f s, elapsed $elapsedS%.0f s)")
         Some(graft.queries.PipelineQueries.withFixtureN(exportN) {
           measure(sfDir, exportNames, "export")
         })
       } else None
-    val exportDataRatio = exportN / 10000.0
     val ratiosE: Map[String, Double] = (for {
       p <- pE.toSeq
       n <- exportNames
-      if ok(p1)(n) && ok(p)(n) && minOf(p1)(n) > 0
+      if ok(p1, reps)(n) && ok(p, reps)(n) && minOf(p1)(n) > 0
     } yield n -> minOf(p)(n) / minOf(p1)(n)).toMap
     val superlinearE = exportNames.filter(n =>
       ratiosE.getOrElse(n, 0.0) > math.max(3.0, 1.5 * exportDataRatio))
@@ -321,42 +567,17 @@ object Bench {
     val exportPart = pE match {
       case Some(p) =>
         val qsE = jmap(exportNames.map(k =>
-          k -> (if (ok(p)(k)) fmt(minOf(p)(k)) else "-1")))
+          k -> (if (ok(p, reps)(k)) fmt(minOf(p)(k)) else "-1")))
         val ratioJson = jmap(exportNames.collect { case k if ratiosE.contains(k) =>
           k -> fmt(ratiosE(k)) })
         val slJson = superlinearE.map("\"" + _ + "\"").mkString("[", ",", "]")
         s""","export_n":$exportN,"queries_export":$qsE""" +
           s""","ratio_export":$ratioJson,"superlinear_export":$slJson"""
+      case None if exportSkipped => s""","export_skipped":true"""
       case None => ""
     }
 
-    // stdout gets the COMPACT line only: every shipped BENCH_r*.json
-    // carries a 2000-char stdout tail, so if the driver parses within
-    // that window the printed line must FIT it. With 166 queries the
-    // full per-query map is ~5 KB — adaptively collapse queries faster
-    // than a rising floor into {"fast_n","fast_sum"} until the line
-    // fits 1800 chars (sbt noise can still precede it in the window);
-    // the file copy below always carries the complete map.
-    // With 180+ queries the fast-set collapse hides distribution
-    // shifts (a floor-wide slowdown moves fast_sum but not which
-    // queries are slow) — p50/p95 of the collapsed set restore that
-    // signal at 2 scalars' cost.
-    def pctl(sorted: Vector[Double], p: Double): Double =
-      if (sorted.isEmpty) 0.0
-      else sorted(((sorted.size - 1) * p).round.toInt.min(sorted.size - 1))
-    // name the max carriers: ratio_max alone is unattributable from
-    // the artifact (which query drifted?) — top3 (query → ratio,
-    // descending) makes scaling drift diagnosable without a re-run
-    def top3(rs: Map[String, Double]): String =
-      jmap(rs.toSeq.sortBy(-_._2).take(3).map { case (k, v) => k -> fmt(v) })
     val ratioScalars = {
-      val sf = if (ratios.isEmpty) ""
-      else {
-        val rs = ratios.values.toVector.sorted
-        s""","ratio_p50":${fmt(pctl(rs, 0.5))},"ratio_max":${fmt(rs.last)}""" +
-          s""","ratio_top3":${top3(ratios)}""" +
-          s""","superlinear_n":${superlinear.size}"""
-      }
       val ex = if (ratiosE.isEmpty) ""
       else {
         val rs = ratiosE.values.toVector.sorted
@@ -365,60 +586,27 @@ object Bench {
           s""","export_ratio_top3":${top3(ratiosE)}""" +
           s""","superlinear_export_n":${superlinearE.size}"""
       }
-      sf + ex
+      sfRatioScalars + ex
     }
-    // ---- drift canary scalars (methodology at the top of the file):
-    // canary_s anchors this board's machine speed; drift = canary_s /
-    // canary_ref_s; a cross-round comparison divides each board's
-    // per-query numbers by ITS drift before taking ratios. total_norm
-    // is the board total already so normalized. The mt leg reads core
-    // contention: drift_mt >> drift means the board was slowed by
-    // something the st leg can't see.
+    val skipFlags = (if (sf2Skipped) s""","sf2_skipped":true""" else "") +
+      (if (exportSkipped) s""","export_skipped":true""" else "")
     sampleCanary("close") // closing sample
-    val canaryStAll = canarySamples.map(_._2)
-    val canaryMtAll = canarySamples.map(_._3)
-    val canarySpAll = canarySamples.map(_._4).filter(_ >= 0)
-    val canaryS = canaryStAll.min
-    val canaryP50 = pctl(canaryStAll.sorted.toVector, 0.5)
-    val drift = canaryS / CanaryRefSec
-    val canaryMtS = canaryMtAll.min
-    val driftMt = canaryMtS / CanaryMtRefSec
-    val canarySpS = if (canarySpAll.isEmpty) -1.0 else canarySpAll.min
-    val canarySpP50 =
-      if (canarySpAll.isEmpty) -1.0
-      else pctl(canarySpAll.sorted.toVector, 0.5)
-    val canaryPart =
-      s""","canary_s":${fmt(canaryS)},"canary_p50":${fmt(canaryP50)}""" +
-        s""","canary_ref_s":${fmt(CanaryRefSec)},"drift":${fmt(drift)}""" +
-        s""","canary_mt_s":${fmt(canaryMtS)},"drift_mt":${fmt(driftMt)}""" +
-        s""","canary_mt_threads":${Runtime.getRuntime.availableProcessors}""" +
-        s""","canary_sp_s":${fmt(canarySpS)},"canary_sp_p50":${fmt(canarySpP50)}""" +
-        s""","total_norm":${fmt(total / drift)}"""
-    def lineFor(floor: Double): String = {
-      val kept = names.filter(n => !ok(p1)(n) || minOf(p1)(n) >= floor)
-      val qsKept = jmap(kept.map(k =>
-        k -> (if (ok(p1)(k)) fmt(minOf(p1)(k)) else "-1")))
-      val fast = names.filter(n => ok(p1)(n) && minOf(p1)(n) < floor)
-      val fastPart =
-        if (fast.isEmpty) ""
-        else {
-          val sortedFast = fast.map(minOf(p1)).sorted.toVector
-          s""","fast_n":${fast.size},"fast_sum":${fmt(sortedFast.sum)}""" +
-            s""","fast_p50":${fmt(pctl(sortedFast, 0.5))}""" +
-            s""","fast_p95":${fmt(pctl(sortedFast, 0.95))}"""
-        }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$ratioScalars$canaryPart,"reps":$reps,"sf":"$sfDir"}"""
-    }
-    val line = Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineFor)
-      .find(_.length <= 1800).getOrElse(lineFor(Double.MaxValue))
-    println(line)
+    val canaryPart = canaryPartNow()
+    val line = compactLine(primaryVals, primaryFailed,
+      ratioScalars + skipFlags + canaryPart)
+    emitBoard(line)
     // The file copy carries the full diagnostics (spread = max-min per
     // query; warmup = the one cold pass; queries_sf2/ratio = the
     // scaling curve vs the secondary sf; queries_norm = min/drift per
     // query — the cross-round comparable; canary_samples = every
     // interleaved machine-speed observation, exposing throttle windows
     // within the board).
-    val qsNorm = jmap(names.collect { case k if ok(p1)(k) =>
+    val qs = jmap(names.map(k =>
+      k -> (if (ok(p1, reps)(k)) fmt(minOf(p1)(k)) else "-1")))
+    val spread = jmap(names.collect { case k if ok(p1, reps)(k) =>
+      k -> fmt(p1.samples(k).max - p1.samples(k).min) })
+    val drift = canarySamples.map(_._2).min / CanaryRefSec
+    val qsNorm = jmap(names.collect { case k if ok(p1, reps)(k) =>
       k -> fmt(minOf(p1)(k) / drift) })
     def passMins(leg: ((String, Double, Double, Double)) => Double): String =
       jmap(canarySamples.map(_._1).distinct.toSeq.map { p =>
@@ -434,15 +622,15 @@ object Bench {
       })
     val canaryFull = canaryPart +
       s""","canary_mt_ref_s":${fmt(CanaryMtRefSec)}""" +
-      s""","canary_samples":${canaryStAll.map(fmt).mkString("[", ",", "]")}""" +
-      s""","canary_mt_samples":${canaryMtAll.map(fmt).mkString("[", ",", "]")}""" +
-      s""","canary_sp_samples":${canarySpAll.map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_samples":${canarySamples.map(_._2).map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_mt_samples":${canarySamples.map(_._3).map(fmt).mkString("[", ",", "]")}""" +
+      s""","canary_sp_samples":${canarySamples.map(_._4).filter(_ >= 0).map(fmt).mkString("[", ",", "]")}""" +
       s""","canary_pass_min":${passMins(_._2)}""" +
       s""","canary_mt_pass_min":${passMins(_._3)}""" +
       s""","canary_sp_pass_min":${passMins(_._4)}""" +
       s""","queries_norm":$qsNorm"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"elapsed_s":${fmt(elapsedS)},"reps":$reps,"sf":"$sfDir"}"""
     // a BENCH_ONLY-filtered iteration must never clobber the full-board
     // artifact the round workflow compares against — partial runs go to
     // a side file unless SPARK_GRAFT_BENCH_OUT overrides explicitly
