@@ -218,39 +218,51 @@ object Bench {
   @volatile private var bestLine: String = _
   @volatile private var shuttingDown = false
   private val boardPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def emitBoard(line: String): Unit =
+  /** Prints `line` iff no board was printed yet; returns whether THIS
+    * call won the print (the r20 ADVICE race: the hook checked
+    * `boardPrinted` once, lost the CAS to main, and still wrote the
+    * stale partial file + a delayed duplicate println — making an
+    * OUTDATED partial line the last stdout line a tail-scanning
+    * driver would parse). */
+  private def emitBoard(line: String): Boolean =
     if (line != null && boardPrinted.compareAndSet(false, true)) {
       println(line)
       System.out.flush()
-    }
+      true
+    } else false
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       shuttingDown = true // freezes checkpoints + silences query-failure logs
-      if (!boardPrinted.get) {
-        val l = bestLine
-        // print IMMEDIATELY: when the driver's timeout TERMs sbt, the
-        // sbt JVM (which pumps the forked JVM's stdout) exits within
-        // a moment — measured in the round-20 kill test, a delayed
-        // print never reaches the captured output even though this
-        // fork lives on. The file write is the delay-proof copy.
-        emitBoard(l)
-        if (l != null) {
-          try java.nio.file.Files.writeString(
-            java.nio.file.Path.of("BENCH_PARTIAL.json"), l + "\n")
-          catch { case _: Exception => }
-          // Spark's own shutdown logging races the first copy on the
-          // combined-output capture; if the pump is still alive once
-          // that noise settles, a second identical copy makes the
-          // board line the LAST thing in the driver's 2000-char tail
-          // (identical lines parse identically whichever one a
-          // line-scanning reader picks up).
-          try Thread.sleep(800) catch { case _: InterruptedException => }
-          println(l)
-          System.out.flush()
-        }
+      val l = bestLine
+      // print IMMEDIATELY: when the driver's timeout TERMs sbt, the
+      // sbt JVM (which pumps the forked JVM's stdout) exits within
+      // a moment — measured in the round-20 kill test, a delayed
+      // print never reaches the captured output even though this
+      // fork lives on. The file write is the delay-proof copy.
+      // Everything below is gated on WINNING the CAS: if main printed
+      // (or prints concurrently and wins), the hook must not write a
+      // stale partial file nor re-print an outdated line after main's
+      // complete board (both r20 ADVICE items). The kill-path dump
+      // gets its OWN filename — BENCH_PARTIAL.json is the
+      // BENCH_ONLY-filtered iteration artifact (a different payload
+      // shape), and a killed full run must not clobber or
+      // masquerade as one.
+      if (emitBoard(l)) {
+        try java.nio.file.Files.writeString(
+          java.nio.file.Path.of("BENCH_KILLED.json"), l + "\n")
+        catch { case _: Exception => }
+        // Spark's own shutdown logging races the first copy on the
+        // combined-output capture; if the pump is still alive once
+        // that noise settles, a second identical copy makes the
+        // board line the LAST thing in the driver's 2000-char tail
+        // (identical lines parse identically whichever one a
+        // line-scanning reader picks up).
+        try Thread.sleep(800) catch { case _: InterruptedException => }
+        println(l)
+        System.out.flush()
       }
     }, "graft-bench-board-emit"))
 
@@ -262,6 +274,9 @@ object Bench {
       case d => Some(d)
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // effective primary/export rep count; may drop by 1 after the
+    // warmup-based budget projection (adaptive gate below)
+    var primaryReps = reps
     // secondary-phase knobs (methodology at the top of the file)
     val reps2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS2", "2").toInt.max(1)
     val sf2MinS = sys.env.getOrElse("SPARK_GRAFT_SF2_MIN_S", "0.2").toDouble
@@ -332,7 +347,7 @@ object Bench {
               s""","fast_p50":${fmt(pctl(sortedFast, 0.5))}""" +
               s""","fast_p95":${fmt(pctl(sortedFast, 0.95))}"""
           }
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$extras,"reps":$reps,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept$fastPart$extras,"reps":$primaryReps,"sf":"$sfDir"}"""
       }
       Seq(0.0, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineFor)
         .find(_.length <= 1800).getOrElse(lineFor(Double.MaxValue))
@@ -346,7 +361,8 @@ object Bench {
       * `bestLine` current for the kill-path shutdown hook. */
     def measure(dir: String, qnames: Seq[String] = names,
         pass: String = "primary", repsFor: Int = reps,
-        checkpoint: Pass => Unit = _ => ()): Pass = {
+        checkpoint: Pass => Unit = _ => (),
+        planReps: Map[String, Option[Double]] => Int = null): Pass = {
       sampleCanary(pass) // machine-speed sample bracketing the warmup pass
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
@@ -370,7 +386,10 @@ object Bench {
       }
       val warmups: Map[String, Option[Double]] = warmupsBuf.toMap
       cp()
-      for (_ <- 1 to repsFor) {
+      // the adaptive-reps seam: planReps (primary pass only) sees the
+      // completed warmup and may shrink the rep count to fit the budget
+      val effReps = if (planReps == null) repsFor else planReps(warmups)
+      for (_ <- 1 to effReps) {
         sampleCanary(pass) // interleaved: one sample per timed rep pass
         for (n <- qnames if !failed(n))
           timeOnce(dir)(SparkEntry.queries(n)) match {
@@ -382,7 +401,7 @@ object Bench {
       // rescue pass: one extra rep for queries whose spread exceeds 2x
       // their min (a throttle window spanning a whole interleaved pass)
       val noisy = qnames.filter { n =>
-        !failed(n) && samples(n).size == repsFor && repsFor > 1 &&
+        !failed(n) && samples(n).size == effReps && effReps > 1 &&
           (samples(n).max - samples(n).min) > 2 * samples(n).min
       }
       if (noisy.nonEmpty && !shuttingDown)
@@ -392,13 +411,60 @@ object Bench {
       Pass(samples.toMap.withDefaultValue(Vector.empty), warmups, failed.toSet)
     }
 
-    val p1 = measure(sfDir, names, "primary", reps, checkpoint = interim => {
+    // ---- adaptive primary-reps gate (round 21; the r20 verdict's #1 ask)
+    // r20's primary phase alone consumed 1347 s of the 1440 s budget on
+    // a slow window, so BOTH secondary phases were budget-skipped and
+    // the round shipped no growth-vs-data or export-scaling signal.
+    // Project the full-board cost from the measured warmup pass and
+    // drop primary reps 3→2 when primary-at-3 + sf2 + export won't
+    // fit: min-of-2 vs min-of-3 moves the min estimator marginally
+    // (the rescue pass still covers throttle-window outliers), while a
+    // skipped secondary phase is a whole missing signal. Cost model
+    // from the r17–r20 artifacts: per-rep ≈ 0.66 × warmup_total (r19:
+    // warmup_total/total = 1.48); sf2 and export per-rep factors as in
+    // the phase gates below (0.6 × pruned-set, 0.7 × data-ratio ×
+    // family). The export pass runs at primaryReps too, so one drop
+    // shrinks both of the remaining reps-bound phases.
+    val exportN = sys.env.getOrElse("SPARK_GRAFT_EXPORT_N", "30000").toLong
+    val exportNames = names.filter(graft.queries.PipelineQueries.queries.contains)
+    val exportDataRatio = exportN / 10000.0
+    def planPrimaryReps(warmups: Map[String, Option[Double]]): Int = {
+      val wt = warmups.values.flatten.sum
+      val estMin = warmups.collect { case (k, Some(v)) => k -> 0.66 * v }
+      val estSf2W =
+        if (sfDir2.isEmpty) 0.0
+        else (1.5 + reps2 + 0.3) * 0.6 *
+          estMin.valuesIterator.filter(_ >= sf2MinS).sum + 3.0 * (reps2 + 1)
+      val estExportW =
+        if (exportN <= 10000 || exportNames.isEmpty) 0.0
+        else (1.5 + reps + 0.3) * 0.7 * exportDataRatio *
+          estMin.collect { case (k, v) if exportNames.contains(k) => v }.sum +
+          3.0 * (reps + 1)
+      val primaryRemaining = reps * 0.66 * wt + 0.15 * wt + 2.0 * (reps + 1)
+      if (reps >= 3 &&
+          elapsedS + primaryRemaining + 1.25 * (estSf2W + estExportW) > budgetS) {
+        primaryReps = reps - 1
+        System.err.println(f"[bench] primary reps $reps -> $primaryReps: " +
+          f"projected full board ${elapsedS + primaryRemaining +
+            1.25 * (estSf2W + estExportW)}%.0f s exceeds budget $budgetS%.0f s " +
+          f"(elapsed $elapsedS%.0f, primary-rem $primaryRemaining%.0f, " +
+          f"sf2 $estSf2W%.0f, export $estExportW%.0f)")
+      }
+      primaryReps
+    }
+    val p1 = measure(sfDir, names, "primary", reps, planReps = planPrimaryReps,
+      checkpoint = interim => {
       // kill-path board: min of timed samples where available, else
       // the warmup observation — labeled partial so a reader knows
       // these are not full min-of-reps values
       val vals = names.flatMap { n =>
         val s = interim.samples(n)
-        if (s.nonEmpty) Some(n -> s.min)
+        // a query that sampled in earlier reps but failed later must
+        // appear ONLY as -1 (r20 ADVICE: the old `s.nonEmpty` branch
+        // emitted it twice — min AND -1, a duplicate JSON key with
+        // conflicting values — and summed its time into the partial
+        // total while the per-query key read -1)
+        if (s.nonEmpty && !interim.failed(n)) Some(n -> s.min)
         else if (!interim.failed(n)) interim.warmups.getOrElse(n, None).map(n -> _)
         else None
       }
@@ -410,11 +476,11 @@ object Bench {
     def ok(p: Pass, r: Int)(n: String): Boolean = !p.failed(n) && p.samples(n).size >= r
     def minOf(p: Pass)(n: String): Double = p.samples(n).min
 
-    names.filterNot(ok(p1, reps)).foreach(n =>
+    names.filterNot(ok(p1, primaryReps)).foreach(n =>
       System.err.println(s"[bench] $n FAILED (reported as -1)"))
 
-    val primaryVals = names.collect { case k if ok(p1, reps)(k) => k -> minOf(p1)(k) }
-    val primaryFailed = names.filterNot(ok(p1, reps))
+    val primaryVals = names.collect { case k if ok(p1, primaryReps)(k) => k -> minOf(p1)(k) }
+    val primaryFailed = names.filterNot(ok(p1, primaryReps))
     // Cold-path observability: a cold-path regression moves
     // `warmup_total` even when the warm mins hold steady.
     val warmupsJson = jmap(names.collect { case k if p1.warmups(k).isDefined =>
@@ -468,13 +534,23 @@ object Bench {
     // total_sf2/total ≈ 0.60 at 10× data), warmup ≈ 1.5 reps (r19:
     // warmup_total/total = 1.48), + 0.3 rescue slack, + ~3 s canary
     // per pass; ×1.25 window margin at the comparison.
-    val sf2Names = names.filter(n => ok(p1, reps)(n) && minOf(p1)(n) >= sf2MinS)
+    val sf2Names = names.filter(n => ok(p1, primaryReps)(n) && minOf(p1)(n) >= sf2MinS)
     val sf2PrunedN = primaryVals.size - sf2Names.size
     val estSf2 = (1.5 + reps2 + 0.3) * 0.6 * sf2Names.map(minOf(p1)).sum +
       3.0 * (reps2 + 1)
     val sf2Skipped = sfDir2.isDefined &&
       (elapsedS + 1.25 * estSf2 > budgetS || sf2Names.isEmpty)
-    if (sf2Skipped)
+    // diagnosable skip cause (r20 ADVICE): an empty prune set is not a
+    // budget overrun — branch the log and carry the reason in the
+    // artifact so the two are distinguishable from the board alone
+    val sf2SkipReason =
+      if (!sf2Skipped) ""
+      else if (sf2Names.isEmpty) "empty-prune-set"
+      else "budget"
+    if (sf2Skipped && sf2Names.isEmpty)
+      System.err.println(s"[bench] sf2 pass SKIPPED: no query at or above " +
+        s"$sf2MinS s (nothing to curve)")
+    else if (sf2Skipped)
       System.err.println(f"[bench] sf2 pass SKIPPED: elapsed $elapsedS%.0f s + " +
         f"est ${1.25 * estSf2}%.0f s exceeds budget $budgetS%.0f s")
     val p2 = if (sf2Skipped) None else sfDir2.map { d =>
@@ -520,7 +596,8 @@ object Bench {
         s""","sf2":"$d2","total_sf2":${fmt(total2)},"queries_sf2":$qs2""" +
           s""","sf2_reps":$reps2,"sf2_min_s":$sf2MinS,"sf2_pruned_n":$sf2PrunedN""" +
           s""","ratio":$ratioJson,"superlinear":$slJson"""
-      case _ if sf2Skipped => s""","sf2_skipped":true"""
+      case _ if sf2Skipped =>
+        s""","sf2_skipped":true,"sf2_skip_reason":"$sf2SkipReason""""
       case _ => ""
     }
 
@@ -535,12 +612,9 @@ object Bench {
     // Budget gate mirrors sf2's: per-rep export time ≈ 0.7× data-ratio
     // × the family's primary time (r19: 27 s/rep at 3× vs ~13 s
     // primary), warmup 1.5 reps + 0.3 rescue + canary.
-    val exportN = sys.env.getOrElse("SPARK_GRAFT_EXPORT_N", "30000").toLong
-    val exportNames = names.filter(graft.queries.PipelineQueries.queries.contains)
-    val exportDataRatio = exportN / 10000.0
-    val estExport = (1.5 + reps + 0.3) * 0.7 * exportDataRatio *
-      exportNames.collect { case k if ok(p1, reps)(k) => minOf(p1)(k) }.sum +
-      3.0 * (reps + 1)
+    val estExport = (1.5 + primaryReps + 0.3) * 0.7 * exportDataRatio *
+      exportNames.collect { case k if ok(p1, primaryReps)(k) => minOf(p1)(k) }.sum +
+      3.0 * (primaryReps + 1)
     val exportWanted = exportN > 10000 && exportNames.nonEmpty
     val exportSkipped = exportWanted && elapsedS + 1.25 * estExport > budgetS
     if (exportSkipped)
@@ -551,13 +625,13 @@ object Bench {
         System.err.println(s"[bench] export-scaling pass at fixture N=$exportN " +
           f"(est ${estExport}%.0f s, elapsed $elapsedS%.0f s)")
         Some(graft.queries.PipelineQueries.withFixtureN(exportN) {
-          measure(sfDir, exportNames, "export")
+          measure(sfDir, exportNames, "export", primaryReps)
         })
       } else None
     val ratiosE: Map[String, Double] = (for {
       p <- pE.toSeq
       n <- exportNames
-      if ok(p1, reps)(n) && ok(p, reps)(n) && minOf(p1)(n) > 0
+      if ok(p1, primaryReps)(n) && ok(p, primaryReps)(n) && minOf(p1)(n) > 0
     } yield n -> minOf(p)(n) / minOf(p1)(n)).toMap
     val superlinearE = exportNames.filter(n =>
       ratiosE.getOrElse(n, 0.0) > math.max(3.0, 1.5 * exportDataRatio))
@@ -567,7 +641,7 @@ object Bench {
     val exportPart = pE match {
       case Some(p) =>
         val qsE = jmap(exportNames.map(k =>
-          k -> (if (ok(p, reps)(k)) fmt(minOf(p)(k)) else "-1")))
+          k -> (if (ok(p, primaryReps)(k)) fmt(minOf(p)(k)) else "-1")))
         val ratioJson = jmap(exportNames.collect { case k if ratiosE.contains(k) =>
           k -> fmt(ratiosE(k)) })
         val slJson = superlinearE.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -588,7 +662,9 @@ object Bench {
       }
       sfRatioScalars + ex
     }
-    val skipFlags = (if (sf2Skipped) s""","sf2_skipped":true""" else "") +
+    val skipFlags = (if (sf2Skipped)
+        s""","sf2_skipped":true,"sf2_skip_reason":"$sf2SkipReason""""
+      else "") +
       (if (exportSkipped) s""","export_skipped":true""" else "")
     sampleCanary("close") // closing sample
     val canaryPart = canaryPartNow()
@@ -602,11 +678,11 @@ object Bench {
     // interleaved machine-speed observation, exposing throttle windows
     // within the board).
     val qs = jmap(names.map(k =>
-      k -> (if (ok(p1, reps)(k)) fmt(minOf(p1)(k)) else "-1")))
-    val spread = jmap(names.collect { case k if ok(p1, reps)(k) =>
+      k -> (if (ok(p1, primaryReps)(k)) fmt(minOf(p1)(k)) else "-1")))
+    val spread = jmap(names.collect { case k if ok(p1, primaryReps)(k) =>
       k -> fmt(p1.samples(k).max - p1.samples(k).min) })
     val drift = canarySamples.map(_._2).min / CanaryRefSec
-    val qsNorm = jmap(names.collect { case k if ok(p1, reps)(k) =>
+    val qsNorm = jmap(names.collect { case k if ok(p1, primaryReps)(k) =>
       k -> fmt(minOf(p1)(k) / drift) })
     def passMins(leg: ((String, Double, Double, Double)) => Double): String =
       jmap(canarySamples.map(_._1).distinct.toSeq.map { p =>
@@ -630,7 +706,7 @@ object Bench {
       s""","canary_sp_pass_min":${passMins(_._4)}""" +
       s""","queries_norm":$qsNorm"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"elapsed_s":${fmt(elapsedS)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"warmup":$warmupsJson,"warmup_total":${fmt(warmupTotal)}$sf2Part$exportPart$canaryFull,"elapsed_s":${fmt(elapsedS)},"reps":$primaryReps,"sf":"$sfDir"}"""
     // a BENCH_ONLY-filtered iteration must never clobber the full-board
     // artifact the round workflow compares against — partial runs go to
     // a side file unless SPARK_GRAFT_BENCH_OUT overrides explicitly

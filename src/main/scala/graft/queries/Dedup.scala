@@ -435,24 +435,40 @@ object Dedup {
     val lab = pairs
       .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
       .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
-    val m = lab.agg(count(lit(1)).as("m"))
-    val intra = lab.filter(col("s1") === col("s2"))
-      .groupBy(col("s1").as("source")).agg(count(lit(1)).as("e_ss"))
-    val ends = lab.select(col("s1").as("source"))
-      .union(lab.select(col("s2").as("source")))
-      .groupBy("source").agg(count(lit(1)).as("a_s"))
-    val per = ends.join(intra, Seq("source"), "left")
-      .select(col("source"), coalesce(col("e_ss"), lit(0L)).as("e_ss"),
-        col("a_s"))
-      .crossJoin(broadcast(m))
+    // ONE execution of the verified-pair pipeline (round 21): the
+    // previous m/intra/ends aggregates each referenced `lab` as a
+    // separate subtree, so the band-join + Jaccard-verify pipeline
+    // behind it re-executed ~4× per call (measured at sf0.1: 54 jobs,
+    // 17-25 s of task time for a 20-row result). Exploding each edge
+    // into its two tagged endpoint rows makes every downstream number
+    // an aggregate over a SINGLE pass: a_s = endpoint rows per source;
+    // e_ss = intra-edge markers (tagged once per edge, on the s1
+    // endpoint); m = Σ a_s / 2 exactly (every edge contributes two
+    // endpoint rows), recovered by an unpartitioned window over the
+    // |sources|-row aggregate — constant-size, never corpus-size. The
+    // modularity sum rides the same window through DECIMAL(25,6)
+    // (exact, order-free — the dsum contract), so every output value
+    // is bit-identical to the multi-pass form.
+    val endRows = lab.select(explode(array(
+        struct(col("s1").as("source"),
+          when(col("s1") === col("s2"), 1L).otherwise(0L).as("ii")),
+        struct(col("s2").as("source"), lit(0L).as("ii")))).as("r"))
+      .select(col("r.source").as("source"), col("r.ii").as("ii"))
+    val ends = endRows.groupBy("source")
+      .agg(count(lit(1)).as("a_s"), sum(col("ii")).as("e_ss"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ends
+      .withColumn("m", shiftright(sum(col("a_s")).over(w), 1))
       .withColumn("intra_share",
         col("e_ss").cast("double") / col("m").cast("double"))
       .withColumn("expected_share",
         (col("a_s").cast("double") / (lit(2.0) * col("m").cast("double"))) *
           (col("a_s").cast("double") / (lit(2.0) * col("m").cast("double"))))
-    val q = per.agg(round(Relational.dsum(
-      col("intra_share") - col("expected_share")), 6).as("modularity"))
-    per.crossJoin(broadcast(q))
+      .withColumn("modularity", round(
+        sum((col("intra_share") - col("expected_share"))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 6))).over(w)
+          .cast("double"), 6))
       .select(col("source"), col("e_ss"), col("a_s"), col("intra_share"),
         col("expected_share"), col("modularity"))
       .orderBy("source")
@@ -1339,14 +1355,29 @@ object Dedup {
 
   def q197LshPrCurve(s: SparkSession, dir: String): DataFrame = {
     val sig = cachedSignatures(s, dir)
+    // Pair universe in ONE grouped pass (round 21): the posting
+    // self-join form computed the explode + df-cap aggregate on BOTH
+    // join sides plus once for the cap itself — the physical plan
+    // carried three Generate subtrees over the signature cache and two
+    // copies of the df aggregation. Grouping postings to a per-shingle
+    // sorted id list (the df cap becomes a size() filter on that list
+    // — same ≤ DfCap bound, so per-row fan-out stays ≤ DfCap²/2) and
+    // exploding i<j combinations emits exactly the same candidate
+    // pair set with ONE explode and ONE aggregation; the trailing
+    // distinct() (pairs sharing several shingles) is unchanged.
     val post = sig.select(col("doc_id"), explode(col("sh")).as("g"))
-    val dfByG = post.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= LshCurveDfCap).select("g")
-    val capped = post.join(dfByG, "g")
-    val pairs = capped.select(col("g"), col("doc_id").as("d1"))
-      .join(capped.select(col("g"), col("doc_id").as("d2")), "g")
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val pairs = post.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= LshCurveDfCap)
+      .select(explode(expr(
+        // i<j combinations of the sorted id list: d1 < d2 by
+        // construction (ids within one doc's shingle set are unique —
+        // one posting row per (doc, distinct shingle))
+        "flatten(transform(ds, (d1, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), d2 -> struct(d1, d2))))"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
     val x = sig.select(col("doc_id").as("d1") +: col("sh").as("sh1") +:
       (0 until NumBands).map(bd => col(s"band$bd").as(s"x$bd")): _*)
     val y = sig.select(col("doc_id").as("d2") +: col("sh").as("sh2") +:

@@ -597,7 +597,9 @@ object PipelineQueries {
     * must reproduce the FULL export's record multiset exactly, with
     * per-window manifest accounting summing to the full window's.
     * Source spreads cell ts over [1000,1010); windows are [1000,1005)
-    * and [1005,1010), each range PUSHED into its scan. Checked: window
+    * and [1005,1010), derived per record from its own cell ts (one
+    * incremental pipeline pass; the per-window SCAN pushdown tiling
+    * is pinned by q248's micro-batch windows). Checked: window
     * totals tile (5000+5000=10000), the incremental DOC multiset union
     * equals the full export's (zero full-outer count mismatches — the
     * q88 reconciliation join), manifest ids tile with no overlap
@@ -612,36 +614,90 @@ object PipelineQueries {
       ExportPipeline.records(ExportPipeline.run(
         raw, Fixture.Topic, Fixture.keyService, snapshotType = snapshotType))
     }
-    // each window pipeline (scan → parse → decrypt → validate) feeds
-    // ~3 actions below (reconciliation joins + counts) — cache the
-    // record relations so each pipeline runs once, not three times
+    // Two pipeline executions, one action (round 21; was three
+    // executions and six driver actions — measured 22 jobs with ~1.5 s
+    // of between-job driver latency at sf0.1 for a 1-row result):
+    //  - the FULL export runs as its own scan+pipeline pass (its
+    //    snapshotType = "full" validate path must stay an independent
+    //    computation for the reconciliation to test anything);
+    //  - the two INCREMENTAL windows run as ONE scan+pipeline pass
+    //    over [1000,1010) tagged per record by its own cell ts (the
+    //    value each per-window scan partitioned on). Every pipeline
+    //    stage is row-local (parse → decrypt → validate → sanitise),
+    //    so a record's output is identical whichever window's run
+    //    carries it, and both windows use the incremental validate
+    //    path — the derived inc1/inc2 relations are row-identical to
+    //    the two separate runs. The SCAN-boundary half of the tiling
+    //    contract (range pushdown produces no gap/overlap at the
+    //    store) stays independently pinned by q248, which executes
+    //    the per-window scans as real micro-batches.
+    //  - all six reconciliation numbers ride ONE plan over the two
+    //    cached relations (a crossJoin of single-row aggregates), so
+    //    the driver pays one action instead of six.
     val full = windowRecs(1000L, 1010L, "full").cache()
-    val inc1 = windowRecs(1000L, 1005L, "incremental").cache()
-    val inc2 = windowRecs(1005L, 1010L, "incremental").cache()
-    val incs = inc1.unionAll(inc2)
-
-    val docMismatch = incs
-      .groupBy(col("doc").as("line")).agg(count(lit(1)).as("ni"))
-      .join(full.select(col("doc").as("line"))
-        .groupBy(col("line")).agg(count(lit(1)).as("nf")),
-        Seq("line"), "full_outer")
-      .filter(coalesce(col("ni"), lit(0L)) =!= coalesce(col("nf"), lit(0L)))
-      .count()
-    val idOverlap = inc1.select(col("m_id"))
-      .join(inc2.select(col("m_id")), Seq("m_id"), "inner").count()
-    val idMismatch = incs
-      .groupBy(col("m_id")).agg(count(lit(1)).as("ni"))
-      .join(full.groupBy(col("m_id")).agg(count(lit(1)).as("nf")),
-        Seq("m_id"), "full_outer")
-      .filter(coalesce(col("ni"), lit(0L)) =!= coalesce(col("nf"), lit(0L)))
-      .count()
+    val incs = windowRecs(1000L, 1010L, "incremental")
+      .withColumn("win", when(col("ts") < 1005L, 1).otherwise(2))
+      .cache()
+    // materialize each cache ONCE before the fan-out plan: the
+    // reconciliation plan has ~6 leaf subtrees over these two
+    // relations, and AQE launches all leaf stages concurrently — on a
+    // cold cache the concurrent tasks race getOrCompute and re-run the
+    // crypto pipeline per subtree (measured: 3.5× the task time of a
+    // single pass). The two pinning counts are independent jobs, so
+    // they run OVERLAPPED from a 2-thread pool (guide §2.6: submit
+    // independent actions concurrently; sequential materialization
+    // re-paid one full pipeline of wall time); the summary action then
+    // reads cache only.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (nFull, nIncs) =
+      try {
+        val fFull = pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = full.count() })
+        val fIncs = pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = incs.count() })
+        (fFull.get(), fIncs.get())
+      } finally pool.shutdown()
+    // Reconciliation as TWO grouped passes over a tagged union (was
+    // two groupBy-pairs + full_outer joins + an inner join — ~8
+    // exchanges / ~15 AQE stage jobs for a 1-row result). Per doc
+    // line: signed counts (+1 incremental, −1 full) sum to 0 iff the
+    // multisets agree — identical to the old ni ≠ nf filter on the
+    // full_outer join, including one-sided keys (doc and m_id are
+    // non-null by construction for ok records, so the grouped and
+    // join forms partition keys identically). Per manifest id:
+    // c1/c2/cf count each window's and the full export's copies;
+    // id mismatch is (c1+c2) ≠ cf, and the inc1⋈inc2 overlap count
+    // equals Σ c1·c2 (join multiplicity).
+    val keyed = incs.select(col("doc"), col("m_id"), col("win"))
+      .unionAll(full.select(col("doc"), col("m_id"), lit(0).as("win")))
+    val byDoc = keyed.groupBy(col("doc"))
+      .agg(sum(when(col("win") === 0, -1L).otherwise(1L)).as("dd"))
+      .agg(count(when(col("dd") =!= 0L, 1)).as("n_doc_mismatch"))
+    val byId = keyed.groupBy(col("m_id"))
+      .agg(count(when(col("win") === 1, 1)).as("c1"),
+        count(when(col("win") === 2, 1)).as("c2"),
+        count(when(col("win") === 0, 1)).as("cf"))
+      .agg(sum(col("c1")).as("n_inc1"),
+        sum(col("c2")).as("n_inc2"),
+        sum(col("c1") * col("c2")).as("n_id_overlap"),
+        count(when(col("c1") + col("c2") =!= col("cf"), 1))
+          .as("n_id_mismatch"))
+    val summary = byId.crossJoin(byDoc).head()
 
     import s.implicits._
-    val outRow = Seq((full.count(), inc1.count(), inc2.count(),
-      docMismatch, idOverlap, idMismatch))
+    // nIncs exists only to pin the incs materialization; the output
+    // row is the oracle-pinned six-column contract, unchanged
+    def g(n: String): Long = summary.getAs[Long](n)
+    require(nIncs == g("n_inc1") + g("n_inc2"),
+      s"window tag partition lost rows: $nIncs != " +
+        s"${g("n_inc1")} + ${g("n_inc2")}")
+    val outRow = Seq((nFull, g("n_inc1"), g("n_inc2"),
+      g("n_doc_mismatch"), g("n_id_overlap"), g("n_id_mismatch")))
       .toDF("n_full", "n_inc1", "n_inc2",
         "n_doc_mismatch", "n_id_overlap", "n_id_mismatch")
-    full.unpersist(); inc1.unpersist(); inc2.unpersist()
+    full.unpersist(); incs.unpersist()
     outRow
   }
 

@@ -53,11 +53,28 @@ object Relational {
     * exact integers. Operands ride DECIMAL(38,0), so the only range
     * bound is the LONG quotient: |mean|·10^scale < 2⁶³ — any real
     * mean. Twin: [[DMEAN]]. */
-  private[queries] def dmean(c: Column, scale: Int): Column = {
+  private[queries] def dmean(c: Column, scale: Int): Column =
+    dmeanFinish(sum(c.cast(DecimalType(25, 6))), count(lit(1)), scale)
+
+  /** The [[dmean]] finisher over PRE-AGGREGATED inputs: `sDec` is the
+    * DECIMAL(25,6)-routed sum (or any exact regrouping of it — decimal
+    * addition is associative, so a sum of per-group decimal sums is
+    * bit-identical to the direct sum) and `n` the matching row count.
+    * Lets a query that needs BOTH per-group means and the overall mean
+    * compute them from ONE aggregation pass (per-group (sum, count)
+    * rows, then window/rollup totals) instead of re-executing the
+    * input subtree per mean — same integer tie-break arithmetic, same
+    * result bits. */
+  private[queries] def dmeanFinish(sDec: Column, n: Column,
+      scale: Int): Column = {
     require(scale >= 0 && scale <= 6, s"dmean scale $scale outside [0,6]")
     val d38 = DecimalType(38, 0)
-    val s6 = (sum(c.cast(DecimalType(25, 6))) * lit(1000000L)).cast(d38)
-    val d = (count(lit(1)) * lit(math.pow(10, 6 - scale).toLong)).cast(d38)
+    // (38,6) is a lossless widening of any decimal-routed sum type
+    // (sum over (25,6) yields (35,6); window re-sums reach (38,6)) —
+    // the finisher must not narrow below what [[dmean]]'s inline sum
+    // carried, or large-magnitude sums would overflow here
+    val s6 = (sDec.cast(DecimalType(38, 6)) * lit(1000000L)).cast(d38)
+    val d = (n * lit(math.pow(10, 6 - scale).toLong)).cast(d38)
     val units = org.apache.spark.sql.graftbridge.ColumnBridge.div(
       abs(s6) * lit(2L) + d, d * lit(2L))
     (when(s6 < lit(0), -units).otherwise(units).cast(DoubleType) /

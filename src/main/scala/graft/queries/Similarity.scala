@@ -1211,12 +1211,26 @@ object Similarity {
           when(greatest(col("sa"), col("sb")) === 0.0, lit(0.0))
             .otherwise(round((col("sb") - col("sa")) /
               greatest(col("sa"), col("sb")), 6)))
-      val tot = sil.agg(
-        Relational.dmean(col("sil"), 6).as("overall_sil"))
+      // ONE pass over the K-fold distance scan (round 21): the
+      // separate `tot` aggregate re-executed the whole sil subtree
+      // (measured at sf0.1: two ~640 ms jobs for one 8-row result).
+      // Aggregate per cluster to (count, DECIMAL(25,6) sum) once, then
+      // derive BOTH the per-cluster mean and the corpus mean from
+      // those rows via an unpartitioned window over the K-row
+      // aggregate — decimal addition is associative, so the window
+      // total equals the direct corpus sum bit-for-bit, and
+      // dmeanFinish applies the same integer tie-break as dmean.
+      val w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       val out = sil.groupBy(col("k").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          Relational.dmean(col("sil"), 6).as("mean_sil"))
-        .crossJoin(broadcast(tot))
+          sum(col("sil").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+            .as("ssum"))
+        .select(col("cluster"), col("n_members"),
+          Relational.dmeanFinish(col("ssum"), col("n_members"), 6)
+            .as("mean_sil"),
+          Relational.dmeanFinish(sum(col("ssum")).over(w),
+            sum(col("n_members")).over(w), 6).as("overall_sil"))
         .orderBy("cluster")
       val rows = out.collect()
       s.createDataFrame(

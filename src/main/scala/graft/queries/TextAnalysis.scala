@@ -689,12 +689,19 @@ object TextAnalysis {
       // guard BEFORE the window expansion: sequence(0, n-5) on a short
       // doc would descend into negative starts and slice(_, 0, _) throws
       .filter(size(col("toks")) >= BoilerplateSpan)
+      // array_distinct BEFORE the explode (round 21): support counts
+      // DISTINCT docs per span, so deduping a doc's repeated spans
+      // scan-locally turns the two-phase countDistinct aggregation
+      // (an extra (span, doc_id) exchange over every span occurrence)
+      // into a plain map-side-combinable count over one (span, doc)
+      // row each — same support values, one exchange, fewer shuffled
+      // span strings
       .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $BoilerplateSpan),
-           |  i -> array_join(slice(toks, i + 1, $BoilerplateSpan), ' '))"""
+        s"""array_distinct(transform(sequence(0, size(toks) - $BoilerplateSpan),
+           |  i -> array_join(slice(toks, i + 1, $BoilerplateSpan), ' ')))"""
           .stripMargin)).as("span"))
     spans.groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("support"))
+      .agg(count(lit(1)).as("support"))
       .filter(col("support") >= BoilerplateMinSupport)
       .orderBy(col("support").desc, col("span"))
       .limit(BoilerplateTopK)

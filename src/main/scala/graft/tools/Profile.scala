@@ -22,6 +22,26 @@ object Profile {
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k.trim, v.trim)
       })
+    // streaming queries do their work inside fn (micro-batch runs):
+    // surface each batch's duration breakdown so the driver-side gap
+    // between batch jobs is attributable (planning vs offset/commit
+    // WAL vs state-store commit vs addBatch execution)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          System.err.println(s"[profile-stream] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=$d " +
+            s"state=${p.stateOperators.map(so =>
+              s"(commit=${so.commitTimeMs}ms mem=${so.memoryUsedBytes})").mkString(",")}")
+        }
+      })
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
