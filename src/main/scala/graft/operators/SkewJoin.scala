@@ -34,6 +34,13 @@ object SkewJoin {
       (rand(seed = 42) * buckets).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    // Build-side hint (round 21, guide §3.1): the salted key spreads
+    // any hot key across `buckets` partitions BY CONSTRUCTION, so the
+    // per-partition build side is bounded (~|right|·buckets/parts) and
+    // a shuffled hash join is safe where the planner's default
+    // sort-merge pays two full sorts for nothing. Result set is
+    // join-strategy-independent.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"), joinType)
+      .drop("__salt")
   }
 }

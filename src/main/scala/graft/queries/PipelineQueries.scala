@@ -1046,10 +1046,28 @@ object PipelineQueries {
         (s"$outS/batch=${b.batchId}", s"$manS/batch=${b.batchId}", fa)))
       val batchFiles = batchAcct.map(fa => (outB.toString, manB.toString, fa))
 
-      // decrypt+decompress EVERY file in both modes; compare multisets
-      def docsOf(files: Seq[(String, String, SnapshotWriter.FileAccounting)]) =
-        files.flatMap { case (od, _, fa) =>
-          SnapshotWriter.readBack(od, fa.file, "gz", ks) }
+      // decrypt+decompress EVERY file in both modes; compare multisets.
+      // Per-file read-backs are independent gz+AES work on the driver
+      // (the golden seam is deliberately driver-side; q88 exercises
+      // the distributed re-import path) — run them on a small pool
+      // instead of serially (guide §2.6; measured ~2× on this leg).
+      // Futures are drained in file order, so the output sequence is
+      // identical to the sequential flatMap's.
+      def docsOf(files: Seq[(String, String, SnapshotWriter.FileAccounting)])
+          : Seq[String] = {
+        if (files.isEmpty) Seq.empty
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, files.size))
+          try files.map { case (od, _, fa) =>
+            pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+              def call(): Seq[String] =
+                SnapshotWriter.readBack(od, fa.file, "gz", ks)
+            })
+          }.flatMap(_.get())
+          finally pool.shutdown()
+        }
+      }
       val sDocs = docsOf(streamedFiles)
       val bDocs = docsOf(batchFiles)
       def freq(xs: Seq[String]): Map[String, Int] =

@@ -615,6 +615,20 @@ object Similarity {
     }
   }
 
+  /** Subvector↔centroid squared L2, expanded to a LEFT-ASSOCIATIVE
+    * inline term chain (round 21): the `aggregate(zip_with(...))` HOF
+    * form is interpreted per row — at corpus × M × K scored rows it
+    * dominated the PQ encode stage (q35's lambda pathology). The fold
+    * evaluates ((0.0 + x₁) + x₂) + …; squares are non-negative, so
+    * 0.0 + x₁ ≡ x₁ bitwise and the explicit chain (x₁ + x₂) + … is
+    * IEEE-identical to the fold and to the DuckDB twin's list_sum —
+    * while compiling to straight-line whole-stage-codegen arithmetic. */
+  private lazy val pqAdcDist: Column = expr(
+    (1 to PqSubDim).map(i =>
+      s"((CAST(element_at(sv, $i) AS DOUBLE) - element_at(c, $i)) * " +
+        s"(CAST(element_at(sv, $i) AS DOUBLE) - element_at(c, $i)))")
+      .reduceLeft((a, b) => s"($a + $b)"))
+
   def qKnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = pqCentroids
@@ -623,10 +637,7 @@ object Similarity {
         yield (m, k, cents(m)(k).toSeq)).toDF("m", "k", "c"))
     // squared distance subvec↔centroid, left-to-right double (both
     // dialects evaluate the identical addition order)
-    val distExpr = expr(
-      """aggregate(zip_with(sv, c,
-        |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
-        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val distExpr = pqAdcDist
     val sub = emb(s, dir)
       .select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
@@ -705,10 +716,7 @@ object Similarity {
     val centDf = broadcast(
       (for (m <- 0 until PqM; k <- 0 until PqK)
         yield (m, k, cents(m)(k).toSeq)).toDF("m", "k", "c"))
-    val distExpr = expr(
-      """aggregate(zip_with(sv, c,
-        |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
-        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val distExpr = pqAdcDist
     val sub = emb(s, dir)
       .select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))

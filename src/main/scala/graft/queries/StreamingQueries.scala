@@ -272,7 +272,13 @@ object StreamingQueries {
         col("p_time") >= col("e_time") &&
         col("p_time") <= col("e_time") + expr("INTERVAL 1 HOUR"))
       .select(col("p_id"), col("user_id"), col("i_id"))
-    withShufflePartitions(s, 2) {
+    // 1 partition (round 21, measured): the stream-stream join pays
+    // per-partition state-store commits on BOTH sides (measured 270 ms
+    // of commit per batch at 2 partitions vs 115 ms at 1, batch wall
+    // 860 -> 730 ms) while the 33k-row batches gain nothing from a
+    // second core; production sizes this to state volume as the
+    // withShufflePartitions doc says.
+    withShufflePartitions(s, 1) {
       val query = joined.writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try {

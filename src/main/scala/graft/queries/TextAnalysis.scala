@@ -624,7 +624,16 @@ object TextAnalysis {
     * `array_distinct` ordering, which the engines don't share — the
     * grouped form is the deterministic one.) */
   def qTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    // narrow repartition before the token explode (round 21, the q193
+    // treatment): the fixture is a ~2-split parquet file, so the
+    // explode + per-(doc,term) partial aggregation ran on ≤3 cores
+    // (measured: one 1.16 s task-bound job). Redistributing the raw
+    // (doc_id, text) rows first costs one small exchange of the
+    // un-exploded rows and parallelizes the token pass; a production
+    // table has real scan splits and this coalesces to a no-op cost.
     val toks = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n"),
         explode(split(col("text"), " ")).as("term"))
@@ -910,7 +919,14 @@ object TextAnalysis {
   val BpeTopK = 20
 
   def q189BpeMergeStats(s: SparkSession, dir: String): DataFrame = {
+    // narrow repartition before the pair expansion (round 21, the
+    // q172/q193 treatment): the fixture parquet yields ≤3 scan splits,
+    // so the per-character pair explode + partial count ran one ~0.6 s
+    // task-bound job; redistributing the raw rows first parallelizes
+    // the expansion at the cost of one small un-exploded exchange
     val pairs = docs(s, dir)
+      .select(col("lang"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
       .select(col("lang"), explode(expr(
         """flatten(transform(toks, t ->
