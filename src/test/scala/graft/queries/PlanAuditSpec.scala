@@ -262,7 +262,15 @@ class PlanAuditSpec extends SparkSuite {
       "q165_tpch_q21" -> 7,
       "q172_token_entropy" -> 3,
       "q173_boilerplate" -> 2,
-      "q19_skew_join" -> 2,
+      // q19's deliberate 4 (round 21): the salted join now carries a
+      // SHUFFLE_HASH build-side hint — the operator's intended regime
+      // is a right side too big to broadcast (its own scaladoc), and
+      // the auto-broadcast plan both hid a 1.2M-row driver-side
+      // broadcast build (measured ~0.8 s of unattributed wall) and
+      // made the salting demonstration a no-op (broadcast joins have
+      // no shuffle skew). Two join-input exchanges + the aggregation
+      // exchange + the output range sort = 4.
+      "q19_skew_join" -> 4,
       "q200_bigram_xent" -> 6,
       "q206_pc1_power" -> 140,
       "q217_mmr_rerank" -> 1,
