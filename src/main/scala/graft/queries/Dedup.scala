@@ -1369,14 +1369,16 @@ object Dedup {
     val pairs = post.groupBy("g")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= LshCurveDfCap)
-      .select(explode(expr(
-        // i<j combinations of the sorted id list: d1 < d2 by
-        // construction (ids within one doc's shingle set are unique —
-        // one posting row per (doc, distinct shingle))
-        "flatten(transform(ds, (d1, i) -> " +
-          "transform(slice(ds, i + 2, size(ds)), d2 -> struct(d1, d2))))"))
-        .as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      // i<j combinations of the sorted id list via two CHAINED
+      // generators (posexplode anchors d1, explode over the tail
+      // slice yields each d2 > d1) — whole-stage-codegen'd, where the
+      // equivalent nested `transform` lambda was interpreted per
+      // bucket. d1 < d2 by construction: ids within one doc's shingle
+      // set are unique (one posting row per (doc, distinct shingle))
+      // and the list is sorted.
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "d1")))
+      .select(col("d1"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("d2"))
       .distinct()
     val x = sig.select(col("doc_id").as("d1") +: col("sh").as("sh1") +:
       (0 until NumBands).map(bd => col(s"band$bd").as(s"x$bd")): _*)
